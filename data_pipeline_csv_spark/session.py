@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+One place to encode the scale-oriented defaults: AQE on (runtime
+re-planning, skew-join mitigation, partition coalescing), Arrow for
+every Python<->JVM batch transfer, shuffle partitions sized to the
+local core count (on a real cluster this is overridden to ~2-3x total
+cores), UTC session timezone so timestamp semantics are stable across
+engines (the DuckDB oracle is timezone-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_pipeline_csv_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with the engine's defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) else all
+    local cores. In local mode the driver JVM is the whole cluster, so
+    ``driver_memory`` is the only memory knob that matters; it is only
+    applied if no JVM exists yet.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS") or (cpus if cpus != "*" else os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
+        # reader rejects; read as long and convert in the events loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,57 @@
+"""Parquet table sources for the driver's TPC-H-ish testdata.
+
+Each table is one parquet file under ``{sf_dir}/{name}.parquet``
+(see TESTDATA.md). Reads are lazy; Catalyst pushes filters and prunes
+columns into the scan, so callers should select/filter on the returned
+DataFrame rather than pre-materializing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5 rows, nation=25 rows regardless of SF; supplier/part
+# grow slowly). Fact tables shuffle on their join keys.
+BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+        # rejects outright. Read it as long nanoseconds (runtime-settable
+        # legacy conf, so this works under any caller's session) and
+        # truncate to microseconds exactly as DuckDB does when it
+        # coerces TIMESTAMP_NS -> TIMESTAMP.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
