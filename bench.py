@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs each registered headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via the noop sink so we measure full plan execution
+(scan -> shuffle -> agg) without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_csv_spark.queries import REGISTRY
+from data_pipeline_csv_spark.session import get_spark
+
+# Headline set: the queries that exercise the engine's hot paths
+# (scan+agg, star joins, window, dedup, similarity). Extended as
+# modules land; every name must exist in the registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "revenue_by_nation",
+    "promo_revenue_share",
+    "count_distinct_parts",
+    "topk_expensive_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench", driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+
+    # Warm up the JVM/codegen paths once so timings measure the engine,
+    # not class loading.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

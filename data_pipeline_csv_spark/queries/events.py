@@ -1,0 +1,139 @@
+"""Event-stream batch queries (SURVEY.md §7 phase 3, batch side).
+
+Time-bucketed aggregation, gap-based sessionization, deterministic
+keep-first dedup, and pivoting over the driver's ``events`` table.
+The streaming twins of these (Structured Streaming with watermarks /
+session windows) live in ``data_pipeline_csv_spark.streaming``; these
+batch forms are the DuckDB-checkable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import sessionize
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS bucket,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window aggregation (batch twin of the streaming hourly rollup).",
+    tags=("events", "agg", "time"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, event_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+      SELECT
+        user_id, event_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      session_seq,
+      COUNT(*) AS n_events,
+      MIN(ts) AS session_start,
+      MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30 min idle gap): lag -> flag -> prefix-sum -> per-session rollup.",
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic keep-first dedup on (user_id, event_type) — the reproducible form of dropDuplicates.",
+    tags=("events", "dedup", "window"),
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "events_daily_pivot",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS DATE) AS day,
+      COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+      COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot event_type counts into columns per day (Spark pivot == conditional aggregation).",
+    tags=("events", "pivot"),
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves null where a (day, type) combination is absent;
+    # COUNT(*) FILTER in the oracle yields 0 — align on 0.
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out

@@ -1,0 +1,218 @@
+"""Window-function query surface (SURVEY.md §2 phase-2: ranking,
+lag/lead, running and moving aggregates, distribution functions).
+
+Every window carries a total order (tie-broken on a unique key) so
+results are deterministic; running/moving sums use DECIMAL so every
+prefix is exact (see registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+        DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS drnk
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Per-customer top-3 orders via ranking windows (single shuffle on the partition key).",
+    tags=("window", "rank"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+      COUNT(*)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+    doc="Running (cumulative) decimal sum + sequence number per customer.",
+    tags=("window", "running"),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      ts,
+      SUM(CAST(value AS DECIMAL(18,6)))
+        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_sum,
+      COUNT(*)
+        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_cnt,
+      CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / COUNT(*)
+        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    """,
+    doc="4-row moving average over the event stream (decimal window sum / window count).",
+    tags=("window", "moving"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, W.currentRow)
+    )
+    win_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    win_cnt = F.count(F.lit(1)).over(w)
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        win_sum.alias("win_sum"),
+        win_cnt.alias("win_cnt"),
+        (win_sum.cast("double") / win_cnt).alias("moving_avg"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      ts,
+      value,
+      LAG(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+      LEAD(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value,
+      CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS DOUBLE)
+        / 1000000.0 AS secs_since_prev
+    FROM events
+    """,
+    doc="lag/lead navigation + inter-event gap in seconds.",
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).cast("double") / 1_000_000.0).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_acctbal,
+      NTILE(4)       OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+      PERCENT_RANK() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS pct_rank,
+      CUME_DIST()    OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS cume
+    FROM customer
+    """,
+    doc="Distribution windows: ntile / percent_rank / cume_dist over a global order.",
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT
+      l_orderkey,
+      FIRST_VALUE(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_part,
+      LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+      COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM lineitem
+    """,
+    doc="first_value/last_value over full-partition frames, deduped to one row per order. "
+    "(l_orderkey, l_linenumber) is NOT unique in the testdata, so l_partkey joins the order "
+    "— the output depends only on l_partkey, making remaining ties harmless.",
+    tags=("window", "firstlast"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_full = (
+        W.partitionBy("l_orderkey")
+        .orderBy(F.col("l_linenumber").asc(), F.col("l_partkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.first("l_partkey").over(w_full).alias("first_part"),
+            F.last("l_partkey").over(w_full).alias("last_part"),
+            F.count(F.lit(1)).over(W.partitionBy("l_orderkey")).alias("n_lines"),
+        )
+        .distinct()
+    )
