@@ -1,0 +1,217 @@
+"""Deduplication operators over a document corpus.
+
+Four families, all shuffle-aware compositions of built-in DataFrame
+ops (no Python in the hot path):
+
+- exact:      hash-groupBy on (normalized) content, keep min id.
+- n-gram Jaccard: exact similarity join — explode distinct shingles,
+              self-join on shingle (only pairs sharing >=1 shingle can
+              have J>0), count shared, filter by threshold.
+- MinHash+LSH: k minhashes per doc -> band buckets -> candidate pairs
+              from bucket self-join -> exact-Jaccard verification.
+              At scale this replaces the quadratic shingle self-join
+              with bucket-local joins; verification touches only
+              candidates.
+- SimHash:    64-bit sign fingerprint of hashed shingles; near-dups
+              differ in few bits (hamming distance banding).
+
+Scale notes (100 TB): the shingle explode is map-side only; the LSH
+band join shuffles on (band_id, band_hash) whose cardinality grows
+with the corpus, so buckets stay small unless the corpus is
+pathologically self-similar; a bucket-size cap guards the quadratic
+pair expansion. MinHash values use xxhash64 (JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import normalize_text, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text: (canonical id, n_copies)."""
+    return (
+        df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs of word n-grams."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(tokens(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (d1, d2) pairs given (doc_id, shingle)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        pairs.join(a, pairs.d1 == F.col("a.doc_id"))
+        .join(b, (pairs.d2 == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.alias("s1"), shared.d1 == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), shared.d2 == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Any pair with J > 0 shares a shingle, so the shingle self-join is
+    exact (no candidates missed). Quadratic in bucket size per
+    shingle — use :func:`minhash_lsh_pairs` beyond modest corpora.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        pairs.join(sizes.alias("s1"), pairs.d1 == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), pairs.d2 == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — k independent minhashes per doc.
+
+    Hash family: xxhash64(salt_i, shingle); one aggregation computes
+    all k mins map-side (partial aggregation), so the shuffle carries
+    one row per doc.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact verification.
+
+    bands = num_hashes / rows_per_band; a pair lands in the same bucket
+    of band j iff its signatures agree on that band's rows. With
+    b=16, r=2 the miss probability at J=0.8 is (1-0.8^2)^16 ~ 6e-15,
+    and exact verification removes all false positives — so the output
+    equals the exact all-pairs result with overwhelming probability.
+
+    ``max_bucket`` drops degenerate buckets (e.g. boilerplate-heavy
+    corpora) to bound the quadratic pair expansion; dropped buckets are
+    all-identical content better handled by exact_dedup first.
+    """
+    bands = num_hashes // rows_per_band
+    sh = shingle_sets(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.xxhash64(*[F.col("sig")[j * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    bucket_w = W.partitionBy("band_id", "band_hash")
+    band_entries = band_entries.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bucket_n") <= max_bucket
+    )
+
+    e1 = band_entries.alias("e1")
+    e2 = band_entries.alias("e2")
+    candidates = (
+        e1.join(
+            e2,
+            (F.col("e1.band_id") == F.col("e2.band_id"))
+            & (F.col("e1.band_hash") == F.col("e2.band_hash"))
+            & (F.col("e1.doc_id") < F.col("e2.doc_id")),
+        )
+        .select(F.col("e1.doc_id").alias("d1"), F.col("e2.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _jaccard_for_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, n: int = 3) -> DataFrame:
+    """64-bit SimHash fingerprint per document (deterministic xxhash64).
+
+    Each shingle votes +-1 on every bit of its hash; the fingerprint
+    takes the sign. Near-duplicate docs land within a few bits of
+    hamming distance. All arithmetic is JVM bit-ops: the per-shingle
+    bit vote explodes to (doc, bit) rows, one shuffle on doc_id.
+    """
+    sh = shingle_sets(df, text_col, id_col, n).withColumn("h", F.xxhash64("shingle"))
+    votes = sh.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("vote"),
+    )
+    return (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,103 @@
+"""Dedup query registrations over the ``documents`` table.
+
+The exact operators carry full DuckDB oracles. The MinHash-LSH result
+equals the exact all-pairs result for this corpus (threshold 0.8 sits
+in a wide empirical gap — measured: no pairs in [0.3, 0.9) at sf0.01 —
+and the band config's miss probability at J>=0.9 is ~1e-11), so it is
+registered against the same exact-Jaccard oracle. SimHash uses
+xxhash64, which DuckDB cannot replicate -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB twin of functions.text_funcs normalization + word-3-gram
+# shingle sets (DISTINCT), shared by the Jaccard oracles.
+_SHINGLE_CTE = """
+    norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1], toks[CAST(r.i AS INT)+2]) AS shingle
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_EXACT_PAIRS_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY n
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text, keep min doc_id (map-side partial agg; one shuffle).",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_EXACT_PAIRS_SQL,
+    doc="Exact near-dup pairs: word-3-gram Jaccard >= 0.8 via shingle self-join (exact for J>0).",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_EXACT_PAIRS_SQL,
+    doc="MinHash(32)+LSH(16 bands x 2 rows) candidates, exact-Jaccard verified at 0.8. "
+    "Scale path: replaces the quadratic shingle self-join with bucket-local joins.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        num_hashes=32,
+        rows_per_band=2,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 fingerprints are not reproducible in DuckDB
+    doc="64-bit SimHash fingerprint per doc (sign of per-bit shingle votes).",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,176 @@
+"""Text-analysis queries over ``documents``: token stats, BPE-ish
+token counting, stopword-based language ID, quality scoring, content
+fingerprinting. All built-in-function expressions (codegen'd); ratios
+are single IEEE ops on integer counts so the DuckDB oracle is
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import (
+    STOPWORDS,
+    alpha_ratio,
+    normalize_text,
+    stopword_hits,
+    token_count,
+    token_count_bpe,
+    tokens,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB twins of the normalization/token helpers.
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+_TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+      CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) AS alpha_ratio
+    FROM documents
+    """,
+    doc="Per-doc token counts (whitespace + BPE-ish regex) and character composition.",
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        alpha_ratio("text").alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['en'])}))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['de'])}))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['fr'])}))) AS BIGINT) AS hits_fr,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['es'])}))) AS BIGINT) AS hits_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang, hits_en, hits_de, hits_fr, hits_es,
+      CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+           WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+           WHEN hits_fr >= hits_es THEN 'fr'
+           ELSE 'es' END AS lang_guess
+    FROM hits
+    """,
+    doc="Stopword-hit language heuristic with deterministic argmax tie-break.",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("_toks", tokens("text"))
+    hits = {lang: stopword_hits(F.col("_toks"), lang) for lang in ("en", "de", "fr", "es")}
+    guess = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) AS a_ratio
+      FROM documents
+    ), m AS (
+      SELECT doc_id, a_ratio,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['en'])}))) AS DOUBLE)
+          / NULLIF(len(toks), 0) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stop_ratio, a_ratio,
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + 0.3 * stop_ratio + 0.3 * a_ratio AS quality,
+      CASE WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + 0.3 * stop_ratio + 0.3 * a_ratio >= 0.45
+           THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m
+    """,
+    doc="Quality score: length saturation + stopword ratio + alphabetic ratio, thresholded keep/drop.",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("_toks", tokens("text"))
+    n_tokens = F.size("_toks").cast("bigint")
+    stop_ratio = stopword_hits(F.col("_toks"), "en").cast("double") / F.nullif(F.size("_toks").cast("bigint"), F.lit(0))
+    a_ratio = alpha_ratio("text")
+    quality = 0.4 * F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) + 0.3 * stop_ratio + 0.3 * a_ratio
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        a_ratio.alias("a_ratio"),
+        quality.alias("quality"),
+        F.when(quality >= 0.45, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS n, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1], toks[CAST(r.i AS INT)+2]) AS shingle
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 2
+    )
+    SELECT n.doc_id,
+           md5(n.n) AS content_hash,
+           MIN(md5(s.shingle)) AS min_shingle_hash
+    FROM norm n JOIN sh s ON n.doc_id = s.doc_id
+    GROUP BY n.doc_id, n.n
+    """,
+    doc="Content fingerprints: md5 of normalized text + min shingle hash (winnowing-style anchor).",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("_norm", normalize_text("text")).withColumn("_toks", tokens("text"))
+    from ..functions.text_funcs import word_shingles
+
+    return (
+        df.select("doc_id", "_norm", F.explode(word_shingles(F.col("_toks"))).alias("shingle"))
+        .groupBy("doc_id", "_norm")
+        .agg(F.min(F.md5(F.encode(F.col("shingle"), "utf-8"))).alias("min_shingle_hash"))
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.col("_norm"), "utf-8")).alias("content_hash"),
+            "min_shingle_hash",
+        )
+    )
