@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force top-k: broadcast the (small) query
+  set against the corpus scan; one pass over the corpus computes all
+  query dot products (no shuffle until the final per-query top-k,
+  which is a window over k*|queries| candidate rows after a
+  partition-local prune). Exact-decimal math so the DuckDB oracle
+  matches bit-for-bit.
+
+- :func:`ann_ivf_topk` — IVF-style approximate search: a deterministic
+  centroid subset partitions the corpus into inverted lists; queries
+  probe the ``nprobe`` nearest centroids and re-rank only those lists.
+  At 100 TB the corpus is bucketed/partitioned by list id on disk so a
+  probe reads only matching partitions; here the pruning join expresses
+  the same plan shape.
+
+Scale notes: brute force is O(|corpus| * |queries| * dim) map-side —
+the right baseline when |queries| is small and broadcastable. IVF cuts
+the scanned fraction to ~nprobe/nlists. Skewed lists are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_from_parts, cosine_fast, norm_sq_exact, dot_exact
+
+
+def _with_queries(corpus: DataFrame, query_ids: list[int]) -> tuple[DataFrame, DataFrame]:
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return corpus, queries
+
+
+def cosine_topk(corpus: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k of corpus vectors per query vector.
+
+    Excludes the query vector itself; ties broken by vec_id.
+    Returns (q_id, vec_id, cosine, rank).
+    """
+    corpus, queries = _with_queries(corpus, query_ids)
+    corpus_n = corpus.select(
+        "vec_id", "embedding", norm_sq_exact(F.col("embedding")).alias("nrm")
+    )
+    queries_n = queries.select(
+        "q_id", "q_emb", norm_sq_exact(F.col("q_emb")).alias("q_nrm")
+    )
+    scored = (
+        corpus_n.join(F.broadcast(queries_n), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_from_parts(
+                dot_exact(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlists: int = 16,
+    nprobe: int = 4,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k.
+
+    Centroids are a deterministic corpus subset (every ``stride``-th
+    vec_id) — cheap, reproducible, and good enough for clustered data;
+    swap in k-means centroids for production. Each corpus vector joins
+    its nearest centroid (broadcast); each query probes its ``nprobe``
+    nearest lists and re-ranks only those lists with the fast double
+    cosine. Returns (q_id, vec_id, rank) — approximate by construction.
+    """
+    corpus = corpus.select("vec_id", "embedding")
+    n = corpus.count()
+    stride = centroid_stride or max(1, n // nlists)
+    centroids = corpus.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+
+    # assign: nearest centroid per corpus vector (one broadcast join)
+    sim_to_c = cosine_fast(F.col("embedding"), F.col("c_emb"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("c_id").asc())
+    assigned = (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .withColumn("_cs", sim_to_c)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("list_id"))
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = W.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("c_id").asc())
+    probes = (
+        queries.join(F.broadcast(centroids), how="cross")
+        .withColumn("_cs", cosine_fast(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "q_emb", F.col("c_id").alias("list_id"))
+    )
+
+    # re-rank only vectors in probed lists (list-pruned join)
+    w_rank = W.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id").asc())
+    return (
+        probes.join(assigned, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("_sim", cosine_fast(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+def embedding_cosine_neardup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1 < d2, cosine >= t).
+
+    Brute-force pair join for modest corpora; at scale, run
+    :func:`ann_ivf_topk`-style list pruning first. Exact-decimal math
+    (oracle-checkable).
+    """
+    a = corpus.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"),
+                      norm_sq_exact(F.col("embedding")).alias("n1"))
+    b = corpus.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"),
+                      norm_sq_exact(F.col("embedding")).alias("n2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            cosine_from_parts(dot_exact(F.col("e1"), F.col("e2")), F.col("n1"), F.col("n2")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""Similarity-search query registrations over ``embeddings``.
+
+The brute-force paths are exact (decimal dot products -> bit-identical
+cosines) and carry full DuckDB oracles built on
+unnest/generate_subscripts. The IVF ANN path is approximate by
+construction -> rows-only check here; its recall against brute force
+is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import ann_ivf_topk, cosine_topk, embedding_cosine_neardup
+from ..sources.tables import load_table
+from .registry import query
+
+QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+# Fixed-point product term (see functions.vector.DOT_SCALE): IEEE double
+# multiply -> floor -> BIGINT, exact to sum in any order in any engine.
+_PROD = "CAST(floor(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) * 1e14) AS BIGINT)"
+
+# element streams + exact fixed-point norms, shared by both oracles
+_VEC_CTE = f"""
+    ce AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SUM({_PROD.format(a='x', b='x')}) AS nrm
+      FROM ce GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 8),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT q_id, dots.vec_id AS vec_id,
+             CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+      FROM dots
+      JOIN norms nq ON dots.q_id = nq.vec_id
+      JOIN norms nc ON dots.vec_id = nc.vec_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 8 query vectors: broadcast queries, one corpus pass, window top-k.",
+    tags=("similarity", "topk"),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
+
+
+@query(
+    "similarity_embedding_neardup",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             SUM({_PROD.format(a='a.x', b='b.x')}) AS dxy
+      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(dxy AS DOUBLE) / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) AS cosine
+    FROM dots
+    JOIN norms n1 ON d1 = n1.vec_id
+    JOIN norms n2 ON d2 = n2.vec_id
+    WHERE CAST(dxy AS DOUBLE) / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.45
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.45), exact pair join.",
+    tags=("similarity", "dedup"),
+)
+def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_neardup(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate by construction; recall asserted in tests
+    doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of 16 lists).",
+    tags=("similarity", "ann"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
