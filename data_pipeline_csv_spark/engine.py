@@ -1,0 +1,136 @@
+"""The reference-parity pipeline engine: ingest -> clean -> load ->
+preview/stats, rebuilt on lazy Spark plans.
+
+Reference surface reproduced (SURVEY.md §2):
+
+- T1 ``clean``: pandas ``df.dropna()`` — row survives iff NO column is
+  null (reference src/transform.py:5-7). The reference's load-bearing
+  quirk is preserved: on its own shipped dataset the all-null
+  ``Message`` column makes the cleaned output EMPTY. ``subset`` /
+  ``how`` expose the pandas-style escape hatch.
+- T2 ``count``: run metrics (reference api.py:79,91).
+- K1 ``load``: overwrite-whole-table sink (reference src/load.py:5-8,
+  ``if_exists='replace'``). Native format is Parquet (columnar,
+  splittable, predicate-pushdown-able) instead of SQLite's row store;
+  an optional JDBC/SQLite sink gives literal parity when a sqlite
+  JDBC driver is on the classpath.
+- K2 ``write_csv``: header CSV sink (reference api.py:606).
+- Q1-Q4 read path: table existence, preview(limit), full count,
+  schema introspection (reference api.py:178-242).
+
+Everything is lazy until ``load``/``preview``/``stats`` trigger an
+action, so Catalyst fuses ingest+clean+write into one distributed job
+— the reference materialized three full in-memory copies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.csv import read_csv, read_csv_dir
+
+
+@dataclass
+class LoadResult:
+    table_path: str
+    rows_written: int
+
+
+class PipelineEngine:
+    """CSV -> clean -> warehouse table, plus the preview/stats read path."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -- ingest (S1/S2) ------------------------------------------------
+    def ingest(self, path: str, schema=None) -> DataFrame:
+        if os.path.isdir(path):
+            return read_csv_dir(self.spark, path)
+        return read_csv(self.spark, path, schema=schema)
+
+    # -- transform (T1) ------------------------------------------------
+    @staticmethod
+    def clean(df: DataFrame, how: str = "any", subset: list[str] | None = None) -> DataFrame:
+        """pandas-dropna parity: drop rows with null in any column
+        (default), or in a subset / only-all-null rows."""
+        return df.na.drop(how=how, subset=subset)
+
+    # -- sink (K1) -------------------------------------------------------
+    def _table_path(self, table_name: str) -> str:
+        return os.path.join(self.warehouse_dir, table_name)
+
+    def load(self, df: DataFrame, table_name: str) -> LoadResult:
+        """Overwrite-whole-table load (reference `if_exists='replace'`).
+
+        Column names with spaces (the reference dataset has `Unique ID`,
+        `Geo Type Name`, ...) pass through verbatim — Spark 4's parquet
+        writer accepts them (verified), so no escaping layer is needed.
+        """
+        path = self._table_path(table_name)
+        df.write.mode("overwrite").parquet(path)
+        rows = self.spark.read.parquet(path).count()
+        return LoadResult(table_path=path, rows_written=rows)
+
+    def write_csv(self, df: DataFrame, path: str) -> None:
+        """K2: header CSV sink (single file like the reference)."""
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+    def write_jdbc_sqlite(self, df: DataFrame, db_path: str, table_name: str) -> None:
+        """Literal-parity SQLite sink via JDBC; requires a sqlite JDBC
+        driver on the Spark classpath (not bundled here)."""
+        (
+            df.write.format("jdbc")
+            .option("url", f"jdbc:sqlite:{db_path}")
+            .option("dbtable", table_name)
+            .mode("overwrite")
+            .save()
+        )
+
+    # -- read path (Q1-Q4) ----------------------------------------------
+    def table_exists(self, table_name: str) -> bool:
+        """Q1 (reference api.py:182-187)."""
+        path = self._table_path(table_name)
+        return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+
+    def read_table(self, table_name: str) -> DataFrame:
+        return self.spark.read.parquet(self._table_path(table_name))
+
+    def preview(self, table_name: str, limit: int = 10) -> list[dict]:
+        """Q2: SELECT * LIMIT n as list-of-dicts (reference api.py:189-198)."""
+        df = self.read_table(table_name)
+        return [row.asDict() for row in df.limit(limit).collect()]
+
+    def stats(self, table_name: str) -> dict:
+        """Q3+Q4: row count + column catalog (reference api.py:227-242)."""
+        df = self.read_table(table_name)
+        return {
+            "table": table_name,
+            "total_records": df.count(),
+            "columns": [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields],
+        }
+
+    def drop_table(self, table_name: str) -> None:
+        path = self._table_path(table_name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    # -- end-to-end (EP1) -------------------------------------------------
+    def run_pipeline(
+        self,
+        source_path: str,
+        table_name: str = "products",
+        clean_how: str = "any",
+        clean_subset: list[str] | None = None,
+    ) -> LoadResult:
+        """ingest -> clean -> load as ONE lazy plan + one action
+        (reference flows/pipeline.py:34-43 ran three eager stages)."""
+        df = self.ingest(source_path)
+        cleaned = self.clean(df, how=clean_how, subset=clean_subset)
+        return self.load(cleaned, table_name)
