@@ -1,0 +1,175 @@
+"""Streaming pipelines: the batch event queries as unbounded plans.
+
+Each function takes an (unbounded) events DataFrame — from
+``read_events_stream`` or ``rate_events_stream`` — and returns the
+transformed streaming DataFrame; the caller picks the sink. All
+aggregations are watermarked so the state store stays bounded.
+
+Batch twins (same semantics, DuckDB-checked): queries/events.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type: count + exact decimal sum.
+
+    Streaming twin of ``events_hourly_rollup``. COUNT(DISTINCT) is not
+    available under incremental execution, so the user-count becomes
+    ``approx_count_distinct`` (HLL mergeable state) — the documented
+    divergence from the batch twin.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("bucket.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session aggregation via the native session_window node.
+
+    Streaming twin of ``events_sessionize``: a session closes when a
+    user is idle for ``gap``; merging of overlapping candidate sessions
+    happens in the state store, emission when the watermark passes the
+    session end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Keep the first arrival per event_id, state bounded by watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's first-seen row and
+    expires its state once the watermark passes — the streaming
+    equivalent of exact dedup that never grows unbounded state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = "n LONG, total DOUBLE"
+
+
+def _make_update_user_totals(state_ttl_ms: int):
+    def _update_user_totals(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Per-user running (count, sum) accumulator with idle timeout.
+
+        State is one (n, total) pair per user — O(distinct users)
+        across the cluster, partitioned by the groupBy hash. The
+        timeout closes out users idle past watermark+ttl so state
+        can't leak on an unbounded key space.
+        """
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (n, total) = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_max = pdf["ts"].max()
+            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+        state.update((n, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts": [last_ts],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return _update_user_totals
+
+
+def user_running_totals_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 30 * 24 * 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator: per-user running totals via applyInPandasWithState.
+
+    ``state_ttl_ms`` is how far past the watermark a user may stay idle
+    before their accumulator is evicted; size it to the business
+    definition of "inactive user", not to memory — state is hash
+    partitioned across the cluster and the store spills via RocksDB.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_user_totals(state_ttl_ms),
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,139 @@
+"""Structured Streaming pipelines vs their batch twins.
+
+Each staged-file stream is bounded, so processAllAvailable drains it
+completely; the memory-sink table must then agree with the batch
+DataFrame computing the same semantics (reference has no streaming —
+SURVEY.md §2.2 — these pin the extension's correctness).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.queries.events import events_hourly_rollup, events_sessionize
+from data_pipeline_csv_spark.sources.tables import load_table
+from data_pipeline_csv_spark.streaming import (
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_window_stream,
+    sliding_counts_stream,
+    stage_events_dir,
+    stream_dedup_within_watermark,
+    user_running_totals_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream") / "staged")
+    stage_events_dir(spark, sf_dir, out, n_files=4)
+    return out
+
+
+def _latest_per_key(df, key_cols, order_col):
+    """Memory sink in update mode keeps every version; take the final one."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, staged):
+    stream = hourly_rollup_stream(read_events_stream(spark, staged))
+    got = _latest_per_key(run_to_memory(stream, spark), ["bucket", "event_type"], "n_events")
+
+    want = events_hourly_rollup(spark, sf_dir).withColumnRenamed("n_users", "_ignore")
+    got_rows = {
+        (r["bucket"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in got.collect()
+    }
+    want_rows = {
+        (r["bucket"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in want.collect()
+    }
+    assert got_rows == want_rows
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, staged, tmp_path):
+    # Session windows only support append output: a session is emitted
+    # once the watermark passes its end. Stage a copy of the feed plus a
+    # far-future sentinel event so the final watermark flushes every
+    # real session, then drop the sentinel's own session.
+    import shutil
+
+    flushed = str(tmp_path / "staged_flush")
+    shutil.copytree(staged, flushed)
+    staged_df = spark.read.parquet(staged)
+    max_ts = staged_df.agg(F.max("ts")).collect()[0][0]
+    sentinel = (
+        staged_df.limit(1)
+        .withColumn("user_id", F.lit(-1).cast(staged_df.schema["user_id"].dataType))
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 10 DAYS"))
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(flushed)
+
+    stream = session_window_stream(read_events_stream(spark, flushed), gap="30 minutes")
+    got = (
+        run_to_memory(stream, spark, output_mode="append")
+        .filter(F.col("user_id") >= 0)
+    )
+    want = events_sessionize(spark, sf_dir)
+    # Same number of sessions and same total events per user.
+    got_agg = {
+        r["user_id"]: (r["n_sessions"], r["total"])
+        for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("total"))
+        .collect()
+    }
+    want_agg = {
+        r["user_id"]: (r["n_sessions"], r["total"])
+        for r in want.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("total"))
+        .collect()
+    }
+    assert got_agg == want_agg
+
+
+def test_stream_dedup_keeps_one_row_per_event_id(spark, sf_dir, staged):
+    events = load_table(spark, sf_dir, "events")
+    stream = stream_dedup_within_watermark(read_events_stream(spark, staged))
+    got = run_to_memory(stream, spark, output_mode="append")
+    assert got.count() == events.select("event_id").distinct().count()
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_sliding_counts_total_mass(spark, sf_dir, staged):
+    """Each event falls in exactly window/slide sliding buckets."""
+    events = load_table(spark, sf_dir, "events")
+    stream = sliding_counts_stream(
+        read_events_stream(spark, staged), window="1 hour", slide="15 minutes"
+    )
+    got = _latest_per_key(
+        run_to_memory(stream, spark),
+        ["window_start", "event_type"],
+        "n_events",
+    )
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count() * 4  # 1h / 15min = 4 buckets per event
+
+
+def test_user_running_totals_final_state(spark, sf_dir, staged):
+    events = load_table(spark, sf_dir, "events")
+    stream = user_running_totals_stream(read_events_stream(spark, staged))
+    got = _latest_per_key(run_to_memory(stream, spark), ["user_id"], "n_events")
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got_rows = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    # Timeout may evict users whose watermark passed before the last file;
+    # every user that IS present must carry the exact full-history totals.
+    assert got_rows, "stateful operator produced no output"
+    mismatches = {
+        u: (got_rows[u], want[u]) for u in got_rows if abs(got_rows[u][1] - want[u][1]) > 1e-6 or got_rows[u][0] != want[u][0]
+    }
+    assert not mismatches, f"running totals diverge: {dict(list(mismatches.items())[:5])}"
