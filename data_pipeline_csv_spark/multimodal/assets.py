@@ -1,0 +1,81 @@
+"""Asset table: opaque binary content + typed metadata columns.
+
+``synthetic_assets`` derives a deterministic asset per document row —
+the id-seeded SGV1 codec means content is reproducible anywhere with
+no media files shipped. At 100 TB the same schema holds: content is
+an opaque ``binary`` column in parquet (stored/split per row group),
+metadata is ordinary columns Catalyst can prune and push filters into
+WITHOUT touching the bytes — e.g. ``WHERE meta.width >= 512`` prunes
+row groups before a single payload byte is read.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .codecs import MOD_AUDIO, MOD_IMAGE, MOD_VIDEO, encode_sgv1
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", META_SCHEMA),
+    ]
+)
+
+_MODALITY_CODE = {"image": MOD_IMAGE, "audio": MOD_AUDIO, "video": MOD_VIDEO}
+
+
+def synthetic_assets(spark: SparkSession, sf_dir: str, modality: str = "image") -> DataFrame:
+    """One SGV1 asset per documents row (asset_id = doc_id).
+
+    Encoding runs distributed in mapInPandas — each Arrow batch of ids
+    becomes a batch of blobs on the executor; the driver never sees
+    content bytes.
+    """
+    mod_code = _MODALITY_CODE[modality]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            blobs = [encode_sgv1(int(i), mod_code) for i in ids]
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = ids.mapInPandas(encode, schema="asset_id long, content binary")
+    return raw.select(
+        "asset_id",
+        F.lit(modality).alias("modality"),
+        "content",
+        F.struct(
+            F.lit("SGV1").alias("format"),
+            F.when(F.lit(modality) == "audio", F.lit(0))
+            .otherwise((F.lit(8) + F.col("asset_id") % 9).cast("int"))
+            .alias("width"),
+            F.when(F.lit(modality) == "audio", F.lit(0))
+            .otherwise((F.lit(8) + F.col("asset_id") % 7).cast("int"))
+            .alias("height"),
+            F.when(F.lit(modality) == "image", F.lit(1))
+            .when(F.lit(modality) == "audio", (F.lit(256) + F.col("asset_id") % 512).cast("int"))
+            .otherwise((F.lit(4) + F.col("asset_id") % 5).cast("int"))
+            .alias("frames"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

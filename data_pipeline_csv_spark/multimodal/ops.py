@@ -1,0 +1,132 @@
+"""Multimodal operators: decode / features / resize / frame-sample.
+
+Every operator is a ``mapInPandas`` stage: Arrow delivers the binary
+column as zero-copy buffers, numpy does the per-asset work, and the
+output is again a columnar batch. Nothing here is per-row Python over
+Spark rows; the per-batch loop is over in-memory numpy arrays.
+
+Error handling is dead-letter style: a malformed blob yields a null
+result + error string instead of failing the task — at 100 TB some
+corrupt assets are a certainty and one bad byte must not kill a
+900-task stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .codecs import decode_sgv1
+
+DECODED_SCHEMA = (
+    "asset_id long, modality string, width int, height int, frames int, "
+    "n_payload_bytes long, decode_error string"
+)
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode headers + payload sizes; malformed rows -> decode_error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "modality", "width", "height", "frames", "n_payload_bytes", "decode_error")}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                out["asset_id"].append(aid)
+                try:
+                    d = decode_sgv1(bytes(blob))
+                    out["modality"].append(d["modality"])
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["frames"].append(d["frames"])
+                    out["n_payload_bytes"].append(int(d["data"].nbytes))
+                    out["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 - dead-letter
+                    out["modality"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["frames"].append(None)
+                    out["n_payload_bytes"].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "content").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "asset_id long, mean_val double, std_val double, min_val double, "
+    "max_val double, histogram array<long>"
+)
+
+
+def image_features(assets: DataFrame, hist_bins: int = 16) -> DataFrame:
+    """Per-asset gray-level stats + histogram (the embed-precursor stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                d = decode_sgv1(bytes(blob))
+                px = d["data"].astype(np.float64).ravel()
+                hist, _ = np.histogram(px, bins=hist_bins, range=(0, 256))
+                rows.append(
+                    (aid, float(px.mean()), float(px.std()), float(px.min()), float(px.max()), hist.tolist())
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "mean_val", "std_val", "min_val", "max_val", "histogram"])
+
+    return assets.select("asset_id", "content").mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize each frame to (out_w, out_h).
+
+    Output is the resized raw gray8 bytes per asset — the shape every
+    vision-model preprocessing pipeline needs. Index math is pure
+    numpy fancy-indexing, vectorized over the whole frame stack.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                d = decode_sgv1(bytes(blob))
+                frames, h, w = d["data"].shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = d["data"][:, ys[:, None], xs[None, :]]
+                rows.append((aid, out_w, out_h, frames, resized.tobytes()))
+            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "frames", "content"])
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id long, width int, height int, frames int, content binary"
+    )
+
+
+def frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Explode video assets into every k-th frame (frame-level rows).
+
+    One input row fans out to ceil(frames/k) rows — mapInPandas allows
+    output cardinality != input cardinality, which is exactly the
+    video->frames explosion a training pipeline runs before per-frame
+    embedding. Downstream repartition on (asset_id, frame_no) spreads
+    a long video across the cluster.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                d = decode_sgv1(bytes(blob))
+                for fno in range(0, d["frames"], every_k):
+                    frame = d["data"][fno]
+                    rows.append((aid, fno, d["width"], d["height"], float(frame.mean()), frame.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_no", "width", "height", "frame_mean", "frame"]
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run,
+        schema="asset_id long, frame_no int, width int, height int, frame_mean double, frame binary",
+    )
