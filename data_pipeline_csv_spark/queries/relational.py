@@ -36,6 +36,12 @@ def _rev(price="l_extendedprice", disc="l_discount"):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Measured: auto-balancing fact scans here (repartition to
+    # defaultParallelism) LOSES at bench scale — the full-row shuffle
+    # plus per-call physical planning costs more than the single-task
+    # scan saves. sources.tables.balanced stays available for genuinely
+    # pathological layouts; a well-laid-out 100 TB table parallelizes
+    # at the row-group level without help.
     return load_table(spark, sf_dir, name)
 
 

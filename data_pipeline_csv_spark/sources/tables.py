@@ -29,6 +29,27 @@ TABLES = (
 BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 
 
+def balanced(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Redistribute a scan whose input layout starves the cluster.
+
+    Parquet scan parallelism is bounded by row groups; a source laid
+    out as few huge row groups (or one file per table, as the driver's
+    testdata is) pins the whole scan->partial-agg pipeline to a handful
+    of tasks no matter how many cores exist. When the scan yields fewer
+    partitions than ``defaultParallelism``, a round-robin repartition
+    spreads the downstream work; when the layout is already parallel
+    (any real 100 TB table: thousands of files x 128 MB row groups)
+    this is a no-op costing one partition-count check.
+
+    Filters/pruning still reach the scan: Catalyst pushes predicates
+    and column pruning through Repartition nodes.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
