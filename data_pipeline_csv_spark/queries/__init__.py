@@ -1,6 +1,6 @@
 """Query library. Importing this package registers every query module."""
 
-from . import dedup, events, multimodal, relational, similarity, text, windows  # noqa: F401  (registration side effect)
+from . import advanced, dedup, events, multimodal, relational, similarity, text, tpch_extra, windows  # noqa: F401  (registration side effect)
 from .registry import REGISTRY, QuerySpec, oracles, queries
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracles"]
