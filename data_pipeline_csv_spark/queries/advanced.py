@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..operators.asof import asof_join_backward
+from ..operators.skew import salted_join
 from ..sources.tables import load_table
 from .registry import query
 
@@ -235,6 +236,36 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey", F.col("p_retailprice").cast("double"), F.col("p_size").cast("double")
     ).unpivot("p_partkey", ["p_retailprice", "p_size"], "attr", "val")
+
+
+# --------------------------------------------------------------------
+# Skew mitigation: salted join, provably identical to the plain join
+# --------------------------------------------------------------------
+@query(
+    "skew_salted_join_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_items,
+      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="lineitem⋈orders via the salting rewrite (operators/skew.py, 8 "
+    "salts): the oracle is the PLAIN join — proving salting changes the "
+    "physical distribution, never the result.",
+    tags=("join", "skew", "salting"),
+)
+def skew_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on="o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+        ).alias("revenue"),
+    )
 
 
 # --------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Scale-oriented operators: salting, partitioned & bucketed sinks."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.engine import PipelineEngine
+from data_pipeline_csv_spark.operators.skew import salted_join
+from data_pipeline_csv_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(orders, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    salted = (
+        salted_join(li, orders, on="o_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = {r["k"]: r["w"] for r in salted_join(big, small, on="k", n_salts=4, how="left").collect()}
+    assert out == {1: "X", 2: "Y", 99: None}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    eng = PipelineEngine(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    res = eng.write_partitioned(orders, "orders_by_year", ["o_year"])
+    assert res.rows_written == orders.count()
+    # layout: one directory per year
+    years = [d for d in os.listdir(res.table_path) if d.startswith("o_year=")]
+    assert len(years) >= 5
+    # a filter on the partition column must prune partitions at scan
+    df = eng.read_table("orders_by_year").filter(F.col("o_year") == 1997)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PartitionFilters: [isnotnull(o_year" in buf.getvalue()
+
+
+def test_bucketed_join_drops_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        eng = PipelineEngine(spark, "/tmp/wh_bucket_test")
+        eng.write_bucketed(orders.select("o_orderkey", "o_totalprice"), "t_orders_a", ["o_orderkey"], 4, ["o_orderkey"])
+        eng.write_bucketed(orders.select("o_orderkey", "o_orderpriority"), "t_orders_b", ["o_orderkey"], 4, ["o_orderkey"])
+        # tiny test tables would be broadcast (bucketing bypassed); force
+        # the SMJ path the buckets exist for — at 100 TB neither fact
+        # side broadcasts and this is the plan that matters.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("t_orders_a"), spark.table("t_orders_b")
+        joined = a.join(b, "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # co-located bucketed SMJ: bucketed scans, zero exchanges
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange (" not in plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_a")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
