@@ -174,3 +174,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_shingle_hash",
         )
     )
+
+
+@query(
+    "text_tfidf_terms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df_docs,
+           COUNT(*) AS total_tf
+    FROM t
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+    doc="Corpus term statistics (the tf-idf precursor pass): per-term "
+    "document frequency + total term frequency, df >= 5. Exact integer "
+    "counts; downstream idf weighting is one deterministic double op "
+    "per row. At scale: explode -> two-level agg, all map-side "
+    "combinable.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+    )
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .filter(F.col("df_docs") >= 5)
+    )
