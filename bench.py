@@ -26,6 +26,7 @@ from data_pipeline_csv_spark.session import get_spark
 # (scan+agg, star joins, window, dedup, similarity). Extended as
 # modules land; every name must exist in the registry.
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -33,6 +34,18 @@ HEADLINE = [
     "promo_revenue_share",
     "count_distinct_parts",
     "topk_expensive_orders",
+    # windows / events
+    "window_running_revenue",
+    "events_sessionize",
+    # custom operators
+    "asof_purchase_last_click",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    # text / similarity / multimodal
+    "text_token_stats",
+    "text_tfidf_terms",
+    "similarity_cosine_topk",
+    "multimodal_decode_roundtrip",
 ]
 
 
