@@ -194,6 +194,66 @@ def minhash_lsh_pairs(
     return _jaccard_for_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    (max_hamming + 1) bands — any pair within distance k must agree
+    EXACTLY on at least one band, so an equi-join per band finds every
+    candidate (no misses), and ``bit_count(xor)`` verifies the exact
+    distance. At scale each band join shuffles on a 16-bit-band value
+    whose buckets are tiny unless the corpus is near-identical —
+    the same cost shape as MinHash-LSH banding.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    # signed-long-safe band mask; width==64 (max_hamming=0) is all bits
+    mask = F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    fp = simhash(df, text_col, id_col, 64, n)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    # unsigned band extraction: shift then mask
+                    ((F.shiftrightunsigned(F.col("simhash"), j * width))
+                     .bitwiseAND(mask)).alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    a, bnd = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            bnd,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, n: int = 3) -> DataFrame:
     """64-bit SimHash fingerprint per document (deterministic xxhash64).
 

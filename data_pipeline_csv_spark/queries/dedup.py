@@ -101,3 +101,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_neardup",
+    oracle=None,  # xxhash64 fingerprints; DuckDB can't replicate — invariants in tests
+    doc="SimHash near-dup pairs (hamming <= 3) via pigeonhole banding: "
+    "4 x 16-bit band equi-joins find every candidate, bit_count(xor) "
+    "verifies. operators/dedup.py simhash_neardup_pairs.",
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

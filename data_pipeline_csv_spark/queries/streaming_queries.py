@@ -20,6 +20,7 @@ from ..streaming import (
     hourly_rollup_stream,
     read_events_stream,
     run_to_memory,
+    session_window_stream,
     stage_events_dir,
     stream_dedup_within_watermark,
 )
@@ -64,6 +65,69 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("_rn = 1")
         .select("bucket", "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, event_id, ts,
+        -- session_window's end bound is EXCLUSIVE: a gap of exactly
+        -- the 1800 s threshold starts a new session, hence >= here
+        -- (the batch events_sessionize query uses strict >).
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           SUM(n_events) AS total_events
+    FROM sessions GROUP BY user_id
+    """,
+    doc="Native session_window streaming aggregation (30 min gap, append "
+    "mode, watermark-flushed by a far-future sentinel) — per-user "
+    "session count/volume must converge to the batch gap-sessionize SQL.",
+    tags=("streaming", "session", "watermark"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    try:
+        stage_events_dir(spark, sf_dir, staged, n_files=4)
+        # Append mode emits a session only once the watermark passes its
+        # end; a sentinel event 10 days out flushes every real session.
+        staged_df = spark.read.parquet(staged)
+        max_ts = staged_df.agg(F.max("ts")).collect()[0][0]
+        sentinel = (
+            staged_df.limit(1)
+            .withColumn("user_id", F.lit(-1).cast(staged_df.schema["user_id"].dataType))
+            .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 10 DAYS"))
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(staged)
+        stream = session_window_stream(read_events_stream(spark, staged), gap="30 minutes")
+        out = run_to_memory(stream, spark, output_mode="append")
+        out = (
+            out.filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("total_events"),
+            )
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 @query(

@@ -57,3 +57,39 @@ def test_asof_one_shuffle_plan(spark):
     # formatted explain prints each node twice (tree + detail); count
     # tree entries only: a single hash shuffle on the key.
     assert plan.count("Exchange (") == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property test: random (key, ts) frames must agree with pandas merge_asof."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        nl, nr = rng.integers(5, 80, size=2)
+        lpdf = pd.DataFrame({
+            "k": rng.integers(0, 4, size=nl),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, size=nl), unit="s"),
+            "lv": np.arange(nl),
+        })
+        rpdf = pd.DataFrame({
+            "k": rng.integers(0, 4, size=nr),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, size=nr), unit="s"),
+            "rv": np.arange(nr).astype("int64"),
+        })
+        # merge_asof demands unique right (k, ts); keep max rv like the operator's tiebreak
+        rdedup = rpdf.sort_values(["k", "ts", "rv"]).groupby(["k", "ts"], as_index=False).last()
+        want = pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"),
+            rdedup.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward", suffixes=("", "_r"),
+        )
+        want_map = {int(r.lv): (None if pd.isna(r.rv) else int(r.rv)) for r in want.itertuples()}
+
+        got = asof_join_backward(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rdedup),
+            on="k", right_cols=("rv",), tiebreak="rv",
+        ).collect()
+        got_map = {int(r["lv"]): (None if r["asof_rv"] is None else int(r["asof_rv"])) for r in got}
+        assert got_map == want_map, f"trial {trial} diverged"
