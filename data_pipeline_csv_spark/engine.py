@@ -49,10 +49,21 @@ class PipelineEngine:
         self.warehouse_dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
 
-    # -- ingest (S1/S2) ------------------------------------------------
+    # -- ingest (S1/S2 + JSONL/parquet extension) -----------------------
     def ingest(self, path: str, schema=None) -> DataFrame:
+        """Dispatch on extension: CSV (reference parity), JSONL, parquet.
+        Directories keep the reference's tolerant CSV-dir semantics."""
         if os.path.isdir(path):
             return read_csv_dir(self.spark, path)
+        lower = path.lower()
+        if lower.endswith((".json", ".jsonl", ".ndjson")):
+            from .sources.formats import read_jsonl
+
+            return read_jsonl(self.spark, path, schema=schema)
+        if lower.endswith(".parquet"):
+            from .sources.formats import read_parquet
+
+            return read_parquet(self.spark, path)
         return read_csv(self.spark, path, schema=schema)
 
     # -- transform (T1) ------------------------------------------------
