@@ -137,3 +137,32 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
     return out
+
+
+@query(
+    "events_sliding_counts",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    slid AS (
+      SELECT
+        make_timestamp(((epoch_us(ts) // 900000000) * 900 - k * 900) * 1000000)
+          AS window_start,
+        event_type
+      FROM events, offs
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM slid
+    GROUP BY window_start, event_type
+    """,
+    doc="Sliding 1h/15min window counts (batch twin of "
+    "sliding_counts_stream): every event lands in window/slide = 4 "
+    "buckets; the oracle materializes the same 4 shifted buckets.",
+    tags=("events", "window", "sliding"),
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

@@ -1,0 +1,43 @@
+"""Sketch accuracy bounds vs exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.queries import REGISTRY
+from data_pipeline_csv_spark.sources.tables import load_table
+
+
+def test_hll_within_rsd(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in REGISTRY["sketch_distinct_customers"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(5, 0.05 * want[k]), (k, got[k], want[k])
+
+
+def test_quantile_sketch_brackets_exact(spark, sf_dir):
+    got = {
+        r["l_returnflag"]: r["price_quantiles"]
+        for r in REGISTRY["sketch_price_quantiles"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, qs in got.items():
+        vals = [
+            r["l_extendedprice"]
+            for r in li.filter(F.col("l_returnflag") == flag).select("l_extendedprice").collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        for p, est in zip([0.25, 0.5, 0.75, 0.95], qs):
+            exact = vals[min(n - 1, int(p * n))]
+            assert abs(est - exact) / max(exact, 1.0) < 0.05, (flag, p, est, exact)
