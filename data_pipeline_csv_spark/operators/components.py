@@ -1,0 +1,104 @@
+"""Distributed connected components over an edge list.
+
+Turns near-duplicate PAIRS (from MinHash-LSH / SimHash / Jaccard) into
+CLUSTERS so a dedup pipeline can keep one canonical document per
+component — pairs alone under-delete whenever duplicates are
+transitive (a~b, b~c but a!~b threshold-wise).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log^2 n) rounds on any graph (O(log n) in practice), each round two
+shuffles (a groupBy per star step). This is the scale-correct choice:
+naive label propagation needs O(diameter) rounds, and duplicate-cluster
+chains (boilerplate families) can have large diameters.
+
+Every round is pure DataFrame ops (groupBy + min + join); per-round
+``localCheckpoint`` truncates lineage so the plan does not grow
+exponentially across iterations. Convergence is detected with an O(1)
+aggregate fingerprint (count + sum of row hashes) rather than a
+set-difference join.
+
+The reference (kiurchevihor/data_pipeline_csv) has no graph or dedup
+surface at all (SURVEY.md §2.2); this operator is part of the
+training-data-pipeline extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = _symmetrize(e)
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u to min(N(u) ∪ {u})."""
+    # orient each edge from its larger endpoint to its smaller one
+    oriented = _symmetrize(e).filter(F.col("v") < F.col("u"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(m, "u")
+    to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return (
+        to_min.union(self_edge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free under ANSI mode (rows are
+    # distinct, so xor cancellation can't mask a real change vs count).
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min id.
+
+    ``edges`` is an undirected edge list (either orientation, self-loops
+    and duplicates tolerated). Isolated nodes don't appear in an edge
+    list — callers wanting them map absent ids to themselves.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_fp = _fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # converged edge set is a star per component: (member, root). Roots
+    # appear only on the right; label them with themselves.
+    sym = _symmetrize(e)
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )

@@ -115,3 +115,48 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 AS u, d2 AS v FROM nd UNION SELECT d2, d1 FROM nd),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    labels AS (SELECT node AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY node)
+    SELECT doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM labels
+    """,
+    doc="Near-dup CLUSTERS: Jaccard>=0.8 pairs -> connected components "
+    "(alternating large-star/small-star, operators/components.py) -> "
+    "one canonical doc per component. Oracle: DuckDB recursive-CTE "
+    "reachability over the same exact pairs. Pairs alone under-delete "
+    "transitive duplicate families; this is the full dedup decision.",
+    tags=("dedup", "graph", "components", "iterative"),
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    cc = connected_components(pairs, src="d1", dst="d2")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(W.partitionBy("canonical_id")))
