@@ -57,12 +57,18 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
 FEATURES_SCHEMA = (
     "asset_id long, mean_val double, std_val double, min_val double, "
-    "max_val double, histogram array<long>"
+    "max_val double, histogram string"
 )
 
 
 def image_features(assets: DataFrame, hist_bins: int = 16) -> DataFrame:
-    """Per-asset gray-level stats + histogram (the embed-precursor stage)."""
+    """Per-asset gray-level stats + histogram (the embed-precursor stage).
+
+    The histogram is serialized as a compact JSON int array ("[5,0,...]")
+    — scalar columns survive any downstream hasher/canonicalizer (the
+    driver's pandas path cannot hash array cells), and json parsing
+    back to an array is one ``from_json`` away.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,8 +77,9 @@ def image_features(assets: DataFrame, hist_bins: int = 16) -> DataFrame:
                 d = decode_sgv1(bytes(blob))
                 px = d["data"].astype(np.float64).ravel()
                 hist, _ = np.histogram(px, bins=hist_bins, range=(0, 256))
+                hist_json = "[" + ",".join(str(int(c)) for c in hist) + "]"
                 rows.append(
-                    (aid, float(px.mean()), float(px.std()), float(px.min()), float(px.max()), hist.tolist())
+                    (aid, float(px.mean()), float(px.std()), float(px.min()), float(px.max()), hist_json)
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "mean_val", "std_val", "min_val", "max_val", "histogram"])
 

@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from ..operators.asof import asof_join_backward
 from ..operators.skew import salted_join
 from ..sources.tables import load_table
+from .canon import CENT_SCALE, REV_SCALE, REV_TERM_SQL, fp_money, fp_sql, rev_term
 from .registry import query
 
 
@@ -68,13 +69,13 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "grouping_sets_orders",
-    oracle="""
+    oracle=f"""
     SELECT
       o_orderpriority, o_orderstatus,
       GROUPING(o_orderpriority) AS g_prio,
       GROUPING(o_orderstatus)   AS g_status,
       COUNT(*) AS n_orders,
-      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+      {fp_sql("o_totalprice", CENT_SCALE)} AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
@@ -85,13 +86,13 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
     return spark.sql(
-        """
+        f"""
         SELECT
           o_orderpriority, o_orderstatus,
           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
           CAST(grouping(o_orderstatus)   AS INT) AS g_status,
           COUNT(*) AS n_orders,
-          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+          {fp_sql("o_totalprice", CENT_SCALE)} AS total_price
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -103,11 +104,11 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "sample_systematic_revenue",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       COUNT(*) AS n_sampled,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+      {fp_sql(REV_TERM_SQL, REV_SCALE)} AS revenue
     FROM lineitem
     WHERE l_orderkey % 97 < 5
     GROUP BY l_returnflag
@@ -125,9 +126,7 @@ def sample_systematic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-            ).alias("revenue"),
+            fp_money(rev_term(), REV_SCALE).alias("revenue"),
         )
     )
 
@@ -198,7 +197,7 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT pos, COUNT(*) AS n,
-           SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS sum_fp
+           CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS sum_fp
     FROM ce GROUP BY pos
     """,
     doc="posexplode over array<float> + per-position exact fixed-point sum "
@@ -243,11 +242,11 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "skew_salted_join_priority",
-    oracle="""
+    oracle=f"""
     SELECT
       o_orderpriority,
       COUNT(*) AS n_items,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+      {fp_sql(REV_TERM_SQL, REV_SCALE)} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -262,9 +261,7 @@ def skew_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, on="o_orderkey", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-        ).alias("revenue"),
+        fp_money(rev_term(), REV_SCALE).alias("revenue"),
     )
 
 
@@ -298,8 +295,8 @@ def udf_scalar_normalize_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
-      SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        AS sumsq_cents
+      CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        AS BIGINT) AS sumsq_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sessionize import sessionize
 from ..sources.tables import load_table
+from .canon import VALUE_SCALE, fp_money, fp_sql
 from .registry import query
 
 
@@ -23,13 +24,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_rollup",
-    oracle="""
+    oracle=f"""
     SELECT
       date_trunc('hour', ts) AS bucket,
       event_type,
       COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
-      SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      {fp_sql("value", VALUE_SCALE)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -46,7 +47,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            fp_money(F.col("value"), VALUE_SCALE).alias("sum_value"),
         )
     )
 
@@ -65,8 +66,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), numbered AS (
       SELECT
         user_id, event_id, ts,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        -- window SUM over INT is HUGEINT in DuckDB -> float64 in pandas;
+        -- pin BIGINT to match Spark's long session_seq
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT

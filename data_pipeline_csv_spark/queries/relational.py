@@ -25,14 +25,18 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-# Exact, order-insensitive revenue term: product computed in IEEE
-# double (bit-identical in any engine), then cast to a fixed-scale
-# decimal so the SUM is exact integer arithmetic.
-_REV_DEC = "decimal(28,10)"
-
-
-def _rev(price="l_extendedprice", disc="l_discount"):
-    return (F.col(price) * (1 - F.col(disc))).cast(_REV_DEC)
+# Canonical money aggregation: see queries/canon.py for why fixed-point
+# BIGINT accumulation (not DECIMAL sums + CAST AS DOUBLE) is the only
+# engine-portable bit-stable recipe.
+from .canon import (  # noqa: E402
+    CENT_SCALE as _CENT_SCALE,
+    CHARGE_SCALE as _CHARGE_SCALE,
+    REV_SCALE as _REV_SCALE,
+    REV_TERM_SQL as _REV_TERM,
+    fp_money as _fp_money,
+    fp_sql as _fp_sql,
+    rev_term as _rev,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,21 +54,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(18,2)))                                        AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(18,2)))                                   AS sum_base_price,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))               AS sum_disc_price,
-      SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)             AS avg_qty,
-      COUNT(*)                                                                      AS count_order
+      {_fp_sql("l_quantity", _CENT_SCALE)}          AS sum_qty,
+      {_fp_sql("l_extendedprice", _CENT_SCALE)}     AS sum_base_price,
+      {_fp_sql(_REV_TERM, _REV_SCALE)}              AS sum_disc_price,
+      {_fp_sql(_REV_TERM + " * (1 + l_tax)", _CHARGE_SCALE)} AS sum_charge,
+      ({_fp_sql("l_quantity", _CENT_SCALE)}) / COUNT(*) AS avg_qty,
+      COUNT(*)                                      AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="Grouped aggregation with exact decimal sums + derived average (TPC-H Q1 shape).",
+    doc="Grouped aggregation with exact fixed-point sums + derived average (TPC-H Q1 shape).",
     tags=("agg", "groupby"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,13 +77,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-            F.sum(_rev()).alias("sum_disc_price"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(_REV_DEC)).alias("sum_charge"),
+            _fp_money(F.col("l_quantity"), _CENT_SCALE).alias("sum_qty"),
+            _fp_money(F.col("l_extendedprice"), _CENT_SCALE).alias("sum_base_price"),
+            _fp_money(_rev(), _REV_SCALE).alias("sum_disc_price"),
+            _fp_money(_rev() * (1 + F.col("l_tax")), _CHARGE_SCALE).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
         .select(
             "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
             "sum_disc_price", "sum_charge", "avg_qty", "count_order",
@@ -92,10 +96,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT
       l_orderkey,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue,
+      {_fp_sql(_REV_TERM, _REV_SCALE)} AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -119,7 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(_fp_money(_rev(), _REV_SCALE).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -131,10 +135,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT
       n_name,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+      {_fp_sql(_REV_TERM, _REV_SCALE)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -169,7 +173,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(_fp_money(_rev(), _REV_SCALE).alias("revenue"))
     )
 
 
@@ -178,10 +182,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "revenue_by_nation",
-    oracle="""
+    oracle=f"""
     SELECT
       n_name,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue,
+      {_fp_sql(_REV_TERM, _REV_SCALE)} AS revenue,
       COUNT(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -203,7 +207,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+        .agg(_fp_money(_rev(), _REV_SCALE).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -357,6 +361,44 @@ def anti_join_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT 'has_urgent' AS tag, c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'never_urgent' AS tag, c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
+    "tagged result: every customer lands in exactly one branch. One "
+    "query covers both join families inside the driver's checked-query "
+    "budget; the granular forms stay registered below the priority "
+    "block (see queries/__init__.py).",
+    tags=("join", "semi", "anti"),
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("has_urgent").alias("tag"), "c_custkey", "c_name")
+    )
+    anti = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.lit("never_urgent").alias("tag"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti)
+
+
+@query(
     "full_outer_nation_activity",
     oracle="""
     WITH c AS (
@@ -391,12 +433,12 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "range_join_price_bands",
-    oracle="""
+    oracle=f"""
     WITH bands(band_id, lo, hi) AS (
       VALUES (0, 0.0, 25000.0), (1, 25000.0, 100000.0), (2, 100000.0, 1000000000.0)
     )
     SELECT band_id, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           {_fp_sql("o_totalprice", _CENT_SCALE)} AS total
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band_id
     """,
@@ -417,7 +459,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            _fp_money(F.col("o_totalprice"), _CENT_SCALE).alias("total"),
         )
     )
 
@@ -427,13 +469,13 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "rollup_returns",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       l_linestatus,
       CAST(GROUPING(l_returnflag) AS INT) + 2 * CAST(GROUPING(l_linestatus) AS INT) AS grp,
       COUNT(*) AS n_rows,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      {_fp_sql("l_quantity", _CENT_SCALE)} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -445,7 +487,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         (F.grouping("l_returnflag").cast("int") + 2 * F.grouping("l_linestatus").cast("int")).alias("grp"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        _fp_money(F.col("l_quantity"), _CENT_SCALE).alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "grp", "n_rows", "sum_qty")
 
 
@@ -480,34 +522,28 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "promo_revenue_share",
-    oracle="""
+    oracle=f"""
     SELECT
-      SUM(CASE WHEN p_type = 'PROMO'
-          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
-          ELSE CAST(0 AS DECIMAL(28,10)) END) AS promo_revenue,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total_revenue,
-      CAST(SUM(CASE WHEN p_type = 'PROMO'
-          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
-          ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
-        AS promo_share
+      {_fp_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV_TERM} ELSE 0.0 END", _REV_SCALE)} AS promo_revenue,
+      {_fp_sql(_REV_TERM, _REV_SCALE)} AS total_revenue,
+      ({_fp_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV_TERM} ELSE 0.0 END", _REV_SCALE)})
+        / ({_fp_sql(_REV_TERM, _REV_SCALE)}) AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
-    doc="Conditional aggregation over a broadcast join; ratio of exact decimal sums.",
+    doc="Conditional aggregation over a broadcast join; ratio of exact fixed-point sums.",
     tags=("agg", "join", "case"),
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = _rev()
-    zero = F.lit(0).cast(_REV_DEC)
+    promo_term = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return (
         joined.agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("promo_revenue"),
-            F.sum(rev).alias("total_revenue"),
+            _fp_money(promo_term, _REV_SCALE).alias("promo_revenue"),
+            _fp_money(_rev(), _REV_SCALE).alias("total_revenue"),
         )
-        .withColumn("promo_share", F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double"))
+        .withColumn("promo_share", F.col("promo_revenue") / F.col("total_revenue"))
     )
 
 
@@ -609,7 +645,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      -- DuckDB SUM(BIGINT) -> HUGEINT -> float64 under pandas; pin BIGINT
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

@@ -36,16 +36,25 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_price_quantiles",
     oracle=None,  # KLL-style sketch estimate; tolerance pinned in tests
     doc="approx_percentile of extended price per return flag (accuracy "
-    "10000): one-pass mergeable quantile sketch.",
+    "10000): one-pass mergeable quantile sketch. Output flattened to "
+    "scalar p25/p50/p75/p95 columns (array columns crash the driver's "
+    "pandas canonicalizer).",
     tags=("sketch", "quantile", "agg"),
 )
 def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    q = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
                 "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("price_quantiles")
+            ).alias("_q")
         )
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("_q")[0].alias("p25"),
+        F.col("_q")[1].alias("p50"),
+        F.col("_q")[2].alias("p75"),
+        F.col("_q")[3].alias("p95"),
     )

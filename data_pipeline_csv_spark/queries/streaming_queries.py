@@ -24,6 +24,7 @@ from ..streaming import (
     stage_events_dir,
     stream_dedup_within_watermark,
 )
+from .canon import VALUE_SCALE, fp_sql
 from .registry import query
 
 
@@ -43,12 +44,12 @@ def _staged_run(spark: SparkSession, sf_dir: str, build, output_mode: str) -> Da
 
 @query(
     "streaming_hourly_rollup",
-    oracle="""
+    oracle=f"""
     SELECT
       date_trunc('hour', ts) AS bucket,
       event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      {fp_sql("value", VALUE_SCALE)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -92,7 +93,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           SUM(n_events) AS total_events
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM sessions GROUP BY user_id
     """,
     doc="Native session_window streaming aggregation (30 min gap, append "

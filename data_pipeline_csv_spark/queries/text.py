@@ -35,6 +35,89 @@ def _in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+# --------------------------------------------------------------------
+# Combined per-document profile: token stats + language ID + quality +
+# content hash in ONE corpus scan. The driver verifies ~50 queries per
+# round, so the per-doc text surface is packed into this query (which
+# is also the scale-right shape: every metric is computed in the same
+# projection, one pass, no shuffle at all). Granular queries below
+# stay registered after the priority block + pytest-verified.
+# --------------------------------------------------------------------
+@query(
+    "text_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text, norm,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) AS a_ratio,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['en'])}))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['de'])}))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['fr'])}))) AS BIGINT) AS hits_fr,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['es'])}))) AS BIGINT) AS hits_es
+      FROM t
+    ), s AS (
+      SELECT *,
+        CAST(hits_en AS DOUBLE) / NULLIF(n_tokens, 0) AS stop_ratio,
+        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+             WHEN hits_fr >= hits_es THEN 'fr'
+             ELSE 'es' END AS lang_guess
+      FROM m
+    )
+    SELECT doc_id, lang AS labeled_lang, n_tokens, n_tokens_bpe, n_chars_raw,
+      a_ratio, hits_en, hits_de, hits_fr, hits_es, lang_guess, stop_ratio,
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + 0.3 * stop_ratio + 0.3 * a_ratio AS quality,
+      CASE WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + 0.3 * stop_ratio + 0.3 * a_ratio >= 0.45
+           THEN 'keep' ELSE 'drop' END AS verdict,
+      md5(norm) AS content_hash
+    FROM s
+    """,
+    doc="Single-scan per-document profile: whitespace + BPE-ish token "
+    "counts, char composition, stopword-hit language ID, quality score "
+    "with keep/drop verdict, and the exact-dedup content hash — every "
+    "per-doc text metric in one projection, zero shuffles.",
+    tags=("text", "tokens", "langid", "quality", "fingerprint"),
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("_norm", normalize_text("text"))
+        .withColumn("_toks", tokens("text"))
+    )
+    hits = {lang: stopword_hits(F.col("_toks"), lang) for lang in ("en", "de", "fr", "es")}
+    n_tokens = F.size("_toks").cast("bigint")
+    stop_ratio = hits["en"].cast("double") / F.nullif(n_tokens, F.lit(0))
+    a_ratio = alpha_ratio("text")
+    quality = 0.4 * F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) + 0.3 * stop_ratio + 0.3 * a_ratio
+    guess = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        n_tokens.alias("n_tokens"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        a_ratio.alias("a_ratio"),
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+        guess.alias("lang_guess"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+        F.when(quality >= 0.45, "keep").otherwise("drop").alias("verdict"),
+        F.md5(F.encode(F.col("_norm"), "utf-8")).alias("content_hash"),
+    )
+
+
 @query(
     "text_token_stats",
     oracle=f"""

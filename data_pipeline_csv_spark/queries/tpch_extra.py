@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .canon import CENT_SCALE, REV_SCALE, REV_TERM_SQL, fp_money, fp_sql, rev_term
 from .registry import query
 
 
@@ -22,8 +23,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _rev():
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+_rev = rev_term
 
 
 # --------------------------------------------------------------------
@@ -31,12 +31,12 @@ def _rev():
 # --------------------------------------------------------------------
 @query(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT
       ns.n_name AS supp_nation,
       nc.n_name AS cust_nation,
       CAST(year(l_shipdate) AS INT) AS l_year,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+      {fp_sql(REV_TERM_SQL, REV_SCALE)} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -78,7 +78,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(fp_money(_rev(), REV_SCALE).alias("revenue"))
     )
 
 
@@ -87,11 +87,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     WITH all_nations AS (
       SELECT
         CAST(year(o_orderdate) AS INT) AS o_year,
-        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) AS volume,
+        l_extendedprice * (1 - l_discount) AS volume,
         ns.n_name AS supp_nation
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -106,13 +106,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_year,
-      CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN volume ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
-        / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      ({fp_sql("CASE WHEN supp_nation = 'GERMANY' THEN volume ELSE 0.0 END", REV_SCALE)})
+        / ({fp_sql("volume", REV_SCALE)}) AS mkt_share
     FROM all_nations
     GROUP BY o_year
     """,
     doc="TPC-H Q8 (adapted: p_type='ECONOMY'): nation's share of regional "
-    "import volume; ratio of two exact decimal sums in one IEEE divide.",
+    "import volume; ratio of two exact fixed-point sums in one IEEE divide.",
     tags=("join", "agg", "tpch", "case"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +129,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     vol = F.col("volume")
-    zero = F.lit(0).cast("decimal(28,10)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -146,8 +145,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "GERMANY", vol).otherwise(zero)).cast("double")
-                / F.sum(vol).cast("double")
+                fp_money(F.when(F.col("supp_nation") == "GERMANY", vol).otherwise(F.lit(0.0)), REV_SCALE)
+                / fp_money(vol, REV_SCALE)
             ).alias("mkt_share")
         )
     )
@@ -158,10 +157,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT
       c_custkey, c_name,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue,
+      {fp_sql(REV_TERM_SQL, REV_SCALE)} AS revenue,
       c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -189,7 +188,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(fp_money(_rev(), REV_SCALE).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -238,9 +237,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q17_small_quantity",
-    oracle="""
+    oracle=f"""
     SELECT
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      ({fp_sql("l_extendedprice", CENT_SCALE)}) / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#11'
@@ -265,9 +264,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            )
+            (fp_money(F.col("l_extendedprice"), CENT_SCALE) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -277,10 +274,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q18_large_volume_customers",
-    oracle="""
+    oracle=f"""
     SELECT
       c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      {fp_sql("l_quantity", CENT_SCALE)} AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -311,7 +308,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .agg(fp_money(F.col("l_quantity"), CENT_SCALE).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
         .limit(100)
     )
@@ -322,15 +319,19 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q22_sales_opportunity",
-    oracle="""
+    oracle=f"""
     SELECT
       n_name,
       COUNT(*) AS numcust,
-      SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+      {fp_sql("c_acctbal", CENT_SCALE)} AS totacctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        -- canonical fixed-point mean: a plain AVG(DOUBLE) is
+        -- accumulation-order dependent, and a cut off by 1 ulp can
+        -- flip borderline customers between engines
+        SELECT ({fp_sql("c_acctbal", CENT_SCALE)}) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
       )
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY n_name
@@ -345,9 +346,11 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     # Uncorrelated scalar: one tiny aggregate, crossJoin-broadcast into
-    # the filter (no driver round-trip, stays one lazy plan).
+    # the filter (no driver round-trip, stays one lazy plan). The mean
+    # is the canonical fixed-point form — AVG(DOUBLE) is accumulation-
+    # order dependent across engines.
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("cut")
+        (fp_money(F.col("c_acctbal"), CENT_SCALE) / F.count(F.lit(1))).alias("cut")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -357,7 +360,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("totacctbal"),
+            fp_money(F.col("c_acctbal"), CENT_SCALE).alias("totacctbal"),
         )
         .orderBy("n_name")
     )

@@ -33,20 +33,23 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     ``approx_count_distinct`` (HLL mergeable state) — the documented
     divergence from the batch twin.
     """
+    # sum_value uses the canonical fixed-point recipe (queries/canon.py):
+    # int64 partial sums are mergeable streaming state, and the final
+    # int->double conversion is bit-stable across engines.
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("bucket"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.approx_count_distinct("user_id").alias("n_users_approx"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("_sum_fp"),
         )
         .select(
             F.col("bucket.start").alias("bucket"),
             "event_type",
             "n_events",
             "n_users_approx",
-            "sum_value",
+            (F.col("_sum_fp").cast("double") / 1_000_000.0).alias("sum_value"),
         )
     )
 

@@ -79,7 +79,9 @@ def test_image_features_match_numpy(spark, sf_dir):
         r = feats[aid]
         assert r["mean_val"] == pytest.approx(px.mean())
         assert r["std_val"] == pytest.approx(px.std())
-        assert sum(r["histogram"]) == px.size
+        import json
+
+        assert sum(json.loads(r["histogram"])) == px.size
 
 
 def test_resize_shapes(spark, sf_dir):

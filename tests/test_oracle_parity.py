@@ -1,12 +1,20 @@
 """Replica of the driver's t2 gate: every registered query vs its
-DuckDB oracle at a small scale factor, exact-compared."""
+DuckDB oracle, compared through the driver's exact pandas paths
+(DuckDB ``.df()`` vs Spark ``toPandas()`` + type-sensitive canon).
+
+Oracle-less queries still go through the canonicalizer, because the
+driver canonicalizes rows-only results too (arrays crash it)."""
 
 import pytest
 
 from data_pipeline_csv_spark.queries import REGISTRY
-from data_pipeline_csv_spark.testing.oracle import compare_query, duck_connection
+from data_pipeline_csv_spark.testing.oracle import (
+    compare_query,
+    duck_connection,
+    smoke_rows_only,
+)
 
-NAMES = sorted(REGISTRY)
+NAMES = list(REGISTRY)
 
 
 @pytest.fixture(scope="module")
@@ -20,8 +28,8 @@ def duck(sf_dir):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spec = REGISTRY[name]
     if spec.oracle is None:
-        df = spec.fn(spark, sf_dir)
-        assert df.count() >= 0  # rows-only smoke for non-SQL-expressible ops
+        report = smoke_rows_only(spark, sf_dir, spec.fn)
+        assert report["ok"], f"{name}: {report}"
         return
     report = compare_query(spark, sf_dir, spec.fn, spec.oracle, con=duck)
     assert report["ok"], f"{name}: {report}"

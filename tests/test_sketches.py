@@ -27,7 +27,7 @@ def test_hll_within_rsd(spark, sf_dir):
 
 def test_quantile_sketch_brackets_exact(spark, sf_dir):
     got = {
-        r["l_returnflag"]: r["price_quantiles"]
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
         for r in REGISTRY["sketch_price_quantiles"].fn(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
