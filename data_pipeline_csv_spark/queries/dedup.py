@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
-from ..sources.tables import load_table
+from ..sources.tables import balanced, load_table
 from .registry import query
 
 # DuckDB twin of functions.text_funcs normalization + word-3-gram
@@ -64,7 +64,7 @@ _EXACT_PAIRS_SQL = f"""
     tags=("dedup", "exact"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(balanced(spark, load_table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -74,7 +74,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return ngram_jaccard_pairs(balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8)
 
 
 @query(
@@ -86,7 +86,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        balanced(spark, load_table(spark, sf_dir, "documents")),
         threshold=0.8,
         num_hashes=32,
         rows_per_band=2,
@@ -100,7 +100,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(balanced(spark, load_table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -114,7 +114,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_neardup_pairs(balanced(spark, load_table(spark, sf_dir, "documents")), max_hamming=3)
 
 
 @query(
@@ -155,7 +155,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.components import connected_components
 
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = ngram_jaccard_pairs(balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8)
     cc = connected_components(pairs, src="d1", dst="d2")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")

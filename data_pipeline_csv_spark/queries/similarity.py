@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import ann_ivf_topk, cosine_topk, embedding_cosine_neardup
-from ..sources.tables import load_table
+from ..sources.tables import balanced, load_table
 from .registry import query
 
 QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -61,7 +61,7 @@ _VEC_CTE = f"""
     tags=("similarity", "topk"),
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
+    return cosine_topk(balanced(spark, load_table(spark, sf_dir, "embeddings")), QUERY_IDS, k=10)
 
 
 @query(
@@ -85,7 +85,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_cosine_neardup(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_cosine_neardup(balanced(spark, load_table(spark, sf_dir, "embeddings")), threshold=0.45)
 
 
 @query(
@@ -95,4 +95,4 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
+    return ann_ivf_topk(balanced(spark, load_table(spark, sf_dir, "embeddings")), QUERY_IDS, k=10)

@@ -19,7 +19,7 @@ from ..functions.text_funcs import (
     token_count_bpe,
     tokens,
 )
-from ..sources.tables import load_table
+from ..sources.tables import balanced, load_table
 from .registry import query
 
 # DuckDB twins of the normalization/token helpers.
@@ -28,7 +28,7 @@ _TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return balanced(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _in_list(words: tuple[str, ...]) -> str:
