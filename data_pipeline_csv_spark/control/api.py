@@ -2,9 +2,9 @@
 
 Endpoints mirror the reference: run launcher returning immediately
 with a run_id, status poll, history (sorted desc) + clear, file
-catalog, preview and stats over the warehouse table. The dashboard
-HTML is intentionally not reproduced — the data endpoints are the
-API surface a client programs against.
+catalog, preview and stats over the warehouse table, and the
+single-page dashboard on ``GET /`` (an original page with the
+reference's feature set — see control/dashboard.py).
 
 FastAPI is optional in this environment; import this module only when
 fastapi is installed (``create_app`` raises otherwise).
@@ -16,6 +16,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 
 from ..engine import PipelineEngine
+from .dashboard import dashboard_html
 from .state import RunRegistry, execute_run, run_as_dict
 
 try:  # gated: fastapi isn't part of the baked environment
@@ -31,6 +32,12 @@ def create_app(engine: PipelineEngine, data_dir: str, table_name: str = "product
     app = FastAPI(title="data_pipeline_csv_spark")
     registry = RunRegistry()
     pool = ThreadPoolExecutor(max_workers=4)
+
+    @app.get("/", include_in_schema=False)
+    def dashboard():
+        from fastapi.responses import HTMLResponse
+
+        return HTMLResponse(dashboard_html(table_name))
 
     @app.post("/api/pipeline/run")
     def run_pipeline(csv_path: str | None = None, background_tasks: BackgroundTasks = None):

@@ -124,3 +124,23 @@ def test_run_state_machine():
     assert [r.run_id for r in reg.all()][0] == bad.run_id  # desc by start_time
     assert reg.get("missing") is None
     assert reg.clear() == 2
+
+
+# ---- C5: dashboard page ------------------------------------------------
+def test_dashboard_html_covers_control_surface():
+    """The dashboard page must program against every data endpoint the
+    reference page uses (run trigger, run history poll, preview, stats)
+    and poll at the reference's 3 s cadence."""
+    from data_pipeline_csv_spark.control.dashboard import POLL_MS, dashboard_html
+
+    html = dashboard_html("products")
+    for endpoint in (
+        "/api/pipeline/run",
+        "/api/pipeline/runs",
+        "/api/data/preview",
+        "/api/data/stats",
+    ):
+        assert endpoint in html
+    assert POLL_MS == 3000 and str(POLL_MS) in html
+    assert "products" in html
+    assert html.lstrip().startswith("<!doctype html>")
