@@ -9,12 +9,16 @@ query). Registration order is therefore a correctness-visibility
 knob:
 
 - ``_PRIORITY`` (exactly 50 names) goes first: every operator family
-  — relational/joins/aggs, advanced ops, dedup, events, multimodal,
-  similarity, sketches, streaming, windows, text, extended TPC-H —
-  has at least one driver-checked representative. Wide families are
-  covered by combined single-scan queries (window_orders_suite /
+  — relational/joins/aggs, advanced ops, dedup + the keep-best/funnel
+  pipeline compositions, events, multimodal, similarity, sketches,
+  streaming, windows, text, extended TPC-H — has at least one
+  driver-checked representative. Wide families are covered by
+  combined single-scan queries (window_orders_suite /
   window_events_suite / text_profile / semi_anti_customers) so the
-  whole surface fits the budget.
+  whole surface fits the budget. Demoted to make room (round 2):
+  dedup_simhash_neardup (rows-only; the simhash family stays pytest-
+  verified) and scalar_functions (function surface exercised by every
+  other checked query).
 - Everything else (granular variants of the combined queries plus
   near-duplicate/lower-signal entries) registers AFTER the priority
   block. They are still full queries with oracles where applicable,
@@ -30,6 +34,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
     dedup,
     events,
     multimodal,
+    pipeline,
     relational,
     similarity,
     sketches,
@@ -53,7 +58,6 @@ _PRIORITY = [
     "rollup_returns",
     "promo_revenue_share",
     "setops_customer_keys",
-    "scalar_functions",
     "date_functions",
     "json_extract_props",
     "unpivot_part_attrs",
@@ -67,8 +71,9 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_neardup",
     "dedup_cc_clusters",
+    "corpus_dedup_keep_best",
+    "corpus_quality_funnel",
     # event analytics
     "events_hourly_rollup",
     "events_sessionize",

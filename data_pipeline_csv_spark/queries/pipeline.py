@@ -1,0 +1,214 @@
+"""Training-corpus pipeline compositions over ``documents``.
+
+These are the end-to-end decisions an LLM-data pipeline actually
+ships: which doc survives its near-dup cluster, why docs get dropped,
+and how to draw a balanced sample. Each composes operators that are
+individually oracle-checked (ngram Jaccard pairs, connected
+components, the text_profile quality formula) into ONE lazy plan —
+no driver-side loops, no intermediate materialization beyond the
+components iteration.
+
+Determinism: quality is the text_profile formula (hash-verified
+bit-identical vs DuckDB); cluster winners order by (quality DESC,
+doc_id) with quality coalesced to -1 so engines with different
+NULL-ordering defaults agree on empty documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import STOPWORDS, alpha_ratio, stopword_hits, tokens
+from ..operators.components import connected_components
+from ..operators.dedup import ngram_jaccard_pairs
+from ..sources.tables import balanced, load_table
+from .dedup import _SHINGLE_CTE
+from .registry import query
+from .text import _NORM, _TOKS, _in_list
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return balanced(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _quality_cols(df: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, a_ratio, stop_ratio, quality) — the
+    text_profile quality formula, one map-side projection."""
+    df = df.withColumn("_toks", tokens("text"))
+    n_tokens = F.size("_toks").cast("bigint")
+    stop_ratio = stopword_hits(F.col("_toks"), "en").cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    quality = (
+        0.4 * F.least(n_tokens.cast("double") / 64.0, F.lit(1.0))
+        + 0.3 * stop_ratio
+        + 0.3 * alpha_ratio("text")
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio("text").alias("a_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+_QUALITY_SQL = f"""
+      SELECT doc_id, lang,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) AS a_ratio,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['en'])}))) AS DOUBLE)
+          / NULLIF(len(toks), 0) AS stop_ratio,
+        0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+          + 0.3 * (CAST(len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS['en'])}))) AS DOUBLE) / NULLIF(len(toks), 0))
+          + 0.3 * (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0)) AS quality
+      FROM (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+@query(
+    "corpus_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 AS u, d2 AS v FROM nd UNION SELECT d2, d1 FROM nd),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    labels AS (SELECT node AS doc_id, MIN(reach) AS comp FROM walk GROUP BY node),
+    q AS ({_QUALITY_SQL}),
+    together AS (
+      SELECT q.doc_id, COALESCE(l.comp, q.doc_id) AS cluster_id, q.quality
+      FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, quality,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY COALESCE(quality, -1.0) DESC, doc_id ASC) AS rn
+      FROM together
+    )
+    SELECT doc_id, cluster_id, quality, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS keep
+    FROM ranked
+    """,
+    doc="The full dedup decision: exact-Jaccard near-dup pairs -> "
+    "connected components -> every doc labeled with its cluster, and "
+    "the highest-quality doc per cluster kept (ties to lowest doc_id; "
+    "singletons keep themselves). One lazy plan: corpus-wide work is "
+    "the pair join + the O(log^2 n) components rounds; the quality "
+    "ranking is a single window over one shuffle on cluster_id.",
+    tags=("dedup", "pipeline", "graph", "quality"),
+)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    cc = connected_components(pairs, src="d1", dst="d2")
+    q = _quality_cols(docs)
+    together = (
+        q.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            "quality",
+        )
+    )
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.coalesce(F.col("quality"), F.lit(-1.0)).desc(), F.col("doc_id").asc()
+    )
+    w_size = W.partitionBy("cluster_id")
+    return together.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+        (F.row_number().over(w_rank) == 1).alias("keep"),
+    )
+
+
+@query(
+    "corpus_quality_funnel",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    reasons AS (
+      SELECT CASE
+        WHEN n_tokens < 16 THEN 'too_short'
+        WHEN a_ratio < 0.5 THEN 'low_alpha'
+        WHEN stop_ratio < 0.05 THEN 'low_stopword'
+        ELSE 'keep' END AS reason,
+        n_tokens
+      FROM q
+    )
+    SELECT reason,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM reasons GROUP BY reason
+    """,
+    doc="Drop-reason funnel for the quality filter: first failing rule "
+    "per doc (length -> alpha composition -> stopword density), doc and "
+    "token counts per reason, corpus share. Map-side classify + one "
+    "tiny groupBy; the share divides exact integer counts, so it is "
+    "engine-portable bit-for-bit.",
+    tags=("text", "quality", "pipeline"),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _quality_cols(_docs(spark, sf_dir))
+    reason = (
+        F.when(F.col("n_tokens") < 16, "too_short")
+        .when(F.col("a_ratio") < 0.5, "low_alpha")
+        .when(F.col("stop_ratio") < 0.05, "low_stopword")
+        .otherwise("keep")
+    )
+    counted = (
+        q.select(reason.alias("reason"), "n_tokens")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return counted.select(
+        "reason",
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(W.partitionBy())).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "sample_stratified_docs",
+    oracle=f"""
+    SELECT lang, doc_id, strat_rank FROM (
+      SELECT lang, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS strat_rank
+      FROM documents
+    ) WHERE strat_rank <= 20
+    """,
+    doc="Deterministic stratified sample: fixed-size per-language "
+    "strata (first 20 doc_ids per lang). One shuffle on the stratum "
+    "key; at scale swap the window for a per-partition reservoir if "
+    "strata are hot, but fixed-k-per-stratum keeps resumability exact.",
+    tags=("sampling", "pipeline"),
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", F.row_number().over(w).alias("strat_rank"))
+        .filter(F.col("strat_rank") <= 20)
+    )
