@@ -140,11 +140,11 @@ def embedding_cosine_neardup(
     no angular gap), so the exact O(n^2) similarity is computed — but
     as BLAS matrix products over block pairs, not per-pair JVM lambdas:
 
-    1. each vector lands in block ``vec_id % B``; a row is replicated
-       to every block-pair group it belongs to (factor (B+1)/2 — the
-       standard blocked-GEMM replication; B is chosen so one block
-       pair fits executor memory, which bounds per-task state at any
-       corpus size);
+    1. each vector lands in block ``vec_id % B`` and map-side-emits
+       the B block-pair groups its block participates in (the
+       standard blocked-GEMM replication, factor B; B is chosen so
+       one block pair fits executor memory, which bounds per-task
+       state at any corpus size);
     2. one Arrow-batched ``applyInPandas`` per block pair computes the
        full cross (or triangular, on the diagonal) cosine matrix with
        a numpy matmul and emits pairs >= threshold - margin. Cross
@@ -160,14 +160,24 @@ def embedding_cosine_neardup(
     import pandas as pd
 
     corpus2 = corpus.select("vec_id", "embedding")
-    spark = corpus2.sparkSession
-    combos = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "ba int, bb int"
-    )
     rows = corpus2.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
-    repl = rows.join(
-        F.broadcast(combos), (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb"))
-    )
+    # Each row emits its own block-pair keys (the B groups whose pair
+    # includes its block) — a map-side explode, no join needed for the
+    # replication step.
+    repl = rows.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda x: F.struct(
+                    F.least(x, F.col("blk")).alias("ba"),
+                    F.greatest(x, F.col("blk")).alias("bb"),
+                ),
+            )
+        ).alias("_bp"),
+    ).select("vec_id", "embedding", "blk", "_bp.ba", "_bp.bb")
 
     cut = threshold - margin
 

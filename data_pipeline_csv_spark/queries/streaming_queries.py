@@ -144,3 +144,37 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _staged_run(spark, sf_dir, stream_dedup_within_watermark, "append")
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "streaming_enriched_rollup",
+    oracle=f"""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           {fp_sql("value", VALUE_SCALE)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment: each micro-batch broadcast-joins the "
+    "static customer dim (no join state), then a keyed aggregation "
+    "maintains exact fixed-point sums per (segment, event_type) — the "
+    "drained stream must equal the batch join+GROUP BY "
+    "(streaming/pipelines.py enriched_rollup_stream).",
+    tags=("streaming", "join", "enrichment"),
+)
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from ..streaming import enriched_rollup_stream
+
+    dim = load_table(spark, sf_dir, "customer")
+    out = _staged_run(
+        spark, sf_dir, lambda ev: enriched_rollup_stream(ev, dim), "update"
+    )
+    # update mode re-emits a key on every epoch; the final state is the
+    # row with the largest running count.
+    w = W.partitionBy("c_mktsegment", "event_type").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("c_mktsegment", "event_type", "n_events", "sum_value")
+    )

@@ -20,6 +20,7 @@ Design notes for cluster scale:
 """
 
 from .pipelines import (
+    enriched_rollup_stream,
     hourly_rollup_stream,
     session_window_stream,
     sliding_counts_stream,
@@ -30,6 +31,7 @@ from .sinks import foreach_batch_parquet, run_to_memory
 from .sources import read_events_stream, stage_events_dir
 
 __all__ = [
+    "enriched_rollup_stream",
     "hourly_rollup_stream",
     "session_window_stream",
     "sliding_counts_stream",

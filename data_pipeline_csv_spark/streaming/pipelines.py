@@ -97,6 +97,37 @@ def session_window_stream(
     )
 
 
+def enriched_rollup_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join + keyed aggregation (the enrichment pattern).
+
+    Each micro-batch joins the unbounded events against the STATIC
+    dimension — no state is kept for the join side; Spark re-resolves
+    the static relation per batch, and the broadcast hint keeps the
+    join shuffle-free at any stream rate (the dim is the small side by
+    construction). Downstream, a keyed aggregation maintains exact
+    fixed-point sums per (segment, event_type).
+    """
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        events["user_id"] == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("_sum_fp"),
+        )
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "n_events",
+            (F.col("_sum_fp").cast("double") / 1_000_000.0).alias("sum_value"),
+        )
+    )
+
+
 def stream_dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Keep the first arrival per event_id, state bounded by watermark.
 

@@ -1,0 +1,56 @@
+"""Physical-plan shape assertions for the scale-critical operators.
+
+These encode the 100 TB design claims as regressions: if a refactor
+reintroduces an all-pairs join or an extra wide shuffle, these fail
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from data_pipeline_csv_spark.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_embedding_neardup_has_no_all_pairs_join(spark, sf_dir):
+    """The blocked-GEMM near-dup must not contain a cartesian/nested-loop
+    pair join — candidate generation happens inside applyInPandas."""
+    plan = _plan(REGISTRY["similarity_embedding_neardup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the GEMM stage is present
+
+
+def test_minhash_lsh_plan_has_no_window_and_no_shingle_distinct(spark, sf_dir):
+    """Bucket capping is an aggregate (not a window pass), and signatures
+    aggregate raw shingles (no distinct exchange before groupBy)."""
+    plan = _plan(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    # exactly one aggregation consumes the exploded shingles: the
+    # signature groupBy. A reintroduced distinct would add a second
+    # exchange keyed on (doc_id, shingle).
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(doc_id#" in plan and "shingle" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_keep_best_single_window_shuffle(spark, sf_dir):
+    """The keep-best ranking runs both window functions over ONE
+    cluster_id exchange."""
+    plan = _plan(REGISTRY["corpus_dedup_keep_best"].fn(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert plan.count("hashpartitioning(cluster_id") <= 1
+
+
+def test_topk_uses_windowgrouplimit_pushdown(spark, sf_dir):
+    """rank<=k filters must push a WindowGroupLimit below the sort, so
+    the shuffle carries only per-partition top-k candidates."""
+    plan = _plan(REGISTRY["similarity_cosine_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan

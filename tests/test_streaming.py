@@ -137,3 +137,26 @@ def test_user_running_totals_final_state(spark, sf_dir, staged):
         u: (got_rows[u], want[u]) for u in got_rows if abs(got_rows[u][1] - want[u][1]) > 1e-6 or got_rows[u][0] != want[u][0]
     }
     assert not mismatches, f"running totals diverge: {dict(list(mismatches.items())[:5])}"
+
+
+def test_enriched_stream_matches_batch_join(spark, sf_dir, staged):
+    from data_pipeline_csv_spark.sources.tables import load_table
+    from data_pipeline_csv_spark.streaming import enriched_rollup_stream
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = enriched_rollup_stream(read_events_stream(spark, staged), dim)
+    got = _latest_per_key(
+        run_to_memory(stream, spark), ["c_mktsegment", "event_type"], "n_events"
+    )
+    events = load_table(spark, sf_dir, "events")
+    want = (
+        events.join(dim, events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000.0).alias("sum_value"),
+        )
+    )
+    got_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in got.collect()}
+    want_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in want.collect()}
+    assert got_rows == want_rows
