@@ -41,6 +41,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
     streaming_queries,
     text,
     tpch_extra,
+    tpch_rest,
     windows,
 )
 

@@ -43,12 +43,12 @@ _rev = rev_term
     JOIN supplier ON l_suppkey  = s_suppkey
     JOIN nation ns ON s_nationkey = ns.n_nationkey
     JOIN nation nc ON c_nationkey = nc.n_nationkey
-    WHERE ((ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
-        OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE'))
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+        OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
       AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     GROUP BY 1, 2, 3
     """,
-    doc="TPC-H Q7 (adapted: no shipmode filter): bi-national trade flows; "
+    doc="TPC-H Q7 (adapted: no shipmode filter; testdata nation names): bi-national trade flows; "
     "two broadcast nation joins disambiguated by alias.",
     tags=("join", "agg", "tpch"),
 )
@@ -72,8 +72,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
         )
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
@@ -106,7 +106,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_year,
-      ({fp_sql("CASE WHEN supp_nation = 'GERMANY' THEN volume ELSE 0.0 END", REV_SCALE)})
+      ({fp_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", REV_SCALE)})
         / ({fp_sql("volume", REV_SCALE)}) AS mkt_share
     FROM all_nations
     GROUP BY o_year
@@ -145,7 +145,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                fp_money(F.when(F.col("supp_nation") == "GERMANY", vol).otherwise(F.lit(0.0)), REV_SCALE)
+                fp_money(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)), REV_SCALE)
                 / fp_money(vol, REV_SCALE)
             ).alias("mkt_share")
         )
@@ -333,12 +333,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ({fp_sql("c_acctbal", CENT_SCALE)}) / COUNT(*)
         FROM customer WHERE c_acctbal > 0.0
       )
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY n_name
     ORDER BY n_name
     """,
-    doc="TPC-H Q22 (adapted: nation instead of phone prefix): rich customers "
-    "with no orders — uncorrelated scalar avg + anti join.",
+    doc="TPC-H Q22 (adapted: nation instead of phone prefix; no-URGENT-orders "
+    "cut, since every customer orders in this data): rich customers "
+    "with no urgent orders — uncorrelated scalar avg + anti join.",
     tags=("join", "anti", "subquery", "tpch"),
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,7 +356,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("cut"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(orders.filter(F.col("o_orderpriority") == "1-URGENT"), cust.c_custkey == orders.o_custkey, "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
