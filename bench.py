@@ -66,10 +66,11 @@ def main() -> None:
         for name in names:
             REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    # Two timed iterations, report the min: steady-state engine
-    # throughput, insulated from one-off GC pauses and co-tenant load.
+    # Three timed iterations, report the min: steady-state engine
+    # throughput, insulated from one-off GC pauses and VM scheduling
+    # noise (single runs were measured varying 3x on this host).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
