@@ -158,11 +158,12 @@ def minhash_lsh_pairs(
     corpora) to bound the quadratic pair expansion; dropped buckets are
     all-identical content better handled by exact_dedup first.
 
-    Plan shape (the 100 TB budget): signatures are computed with ZERO
-    shuffle (array_min over per-row shingle arrays — minhash is
-    multiplicity-invariant, so no distinct is needed); the only wide
-    exchange over the full corpus is the (band_id, band_hash) groupBy
-    of 16 narrow rows per doc, whose buckets the size cap bounds.
+    Plan shape (the 100 TB budget): the signature stage's only
+    exchange carries ONE narrow row per doc (minhash is multiplicity-
+    invariant, so the exploded shingles feed groupBy(min) directly
+    with map-side partial aggregation — no distinct shuffle); the only
+    other full-corpus exchange is the (band_id, band_hash) groupBy of
+    16 narrow rows per doc, whose buckets the size cap bounds.
     Exact-Jaccard verification semi-joins the corpus down to candidate
     docs BEFORE tokenization, so the explode+distinct set pipeline
     runs over candidates only. The broadcast of candidate ids assumes
@@ -354,4 +355,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
                 F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
             ).alias("simhash")
         )
+    )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Contamination pairs: training docs overlapping an eval set.
+
+    For every (train doc, eval doc) pair with word-n-gram Jaccard >=
+    threshold, emit (train_id, eval_id, jaccard) — the decontamination
+    primitive for pre-training corpora (find and drop training docs
+    that leak benchmark content).
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    exploded shingle set is BROADCAST — the candidate join is one
+    map-side pass over the training corpus's shingles (no corpus
+    shuffle); only matching (train, eval) shingle hits shuffle into
+    the pair aggregation, and per-doc set sizes join in after the
+    pair counts are already small.
+    """
+    t_sh = shingle_sets(train, text_col, id_col, n)
+    e_sh = shingle_sets(eval_set, text_col, id_col, n)
+    t_sizes = t_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t_n"))
+    e_sizes = e_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("e_n"))
+    shared = (
+        t_sh.alias("t")
+        .join(
+            F.broadcast(e_sh.alias("e")),
+            F.col("t.shingle") == F.col("e.shingle"),
+        )
+        .groupBy(
+            F.col("t.doc_id").alias("train_id"), F.col("e.doc_id").alias("eval_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(t_sizes.alias("ts"), F.col("train_id") == F.col("ts.doc_id"))
+        .join(F.broadcast(e_sizes.alias("es")), F.col("eval_id") == F.col("es.doc_id"))
+        .select(
+            "train_id",
+            "eval_id",
+            (
+                F.col("shared").cast("double")
+                / (F.col("t_n") + F.col("e_n") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

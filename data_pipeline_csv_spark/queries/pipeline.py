@@ -212,3 +212,52 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.row_number().over(w).alias("strat_rank"))
         .filter(F.col("strat_rank") <= 20)
     )
+
+
+_CONTAM_SHINGLE_CTE = """
+    norm AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1], toks[CAST(r.i AS INT)+2]) AS shingle
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_CONTAM_SHINGLE_CTE},
+    pairs AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+      FROM sh t JOIN sh e ON t.shingle = e.shingle
+      WHERE t.source <> 'src0' AND e.source = 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id,
+           CAST(shared AS DOUBLE) / (ts.n_sh + es.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes ts ON train_id = ts.doc_id
+    JOIN sizes es ON eval_id = es.doc_id
+    WHERE CAST(shared AS DOUBLE) / (ts.n_sh + es.n_sh - shared) >= 0.5
+    """,
+    doc="Benchmark decontamination: training docs (source <> 'src0') "
+    "whose word-3-gram Jaccard with any eval doc (source = 'src0') is "
+    ">= 0.5. The eval shingle set is broadcast, so the candidate join "
+    "is one map-side pass over the training corpus — no corpus "
+    "shuffle at any training-set size (operators/dedup.py "
+    "cross_corpus_overlap).",
+    tags=("dedup", "pipeline", "contamination"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_overlap
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return cross_corpus_overlap(train, eval_set, threshold=0.5)
