@@ -15,10 +15,16 @@ correctly-rounded double Spark's BigDecimal.doubleValue() produces
 (147871209.4257 vs ...42569998), and the driver's stringified hash
 sees every ulp. int64 -> double has no such ambiguity.
 
-Scales are chosen so the quantization is exact for the column's true
-decimal width (TPC-H money/discount/tax columns carry 2 decimals, so
-their products carry 4/6): the fixed-point term equals the true value
-scaled, and the "sum" is exactly the mathematical sum.
+Scales are chosen to cover the column's true decimal width (TPC-H
+money/discount/tax columns carry 2 decimals, so their products carry
+4/6). NOTE the quantization is NOT always exact: the double product
+can land one ulp below the true decimal value, and floor then loses
+one quantum (measured on the 2-decimal money grid: ~22% of terms are
+one low; e.g. 0.01 * 0.93 floors to 92/10^4, true value 93/10^4).
+That is fine for the contract, which is DETERMINISM, not decimal
+exactness: both engines compute the identical double, so the
+identical floor — and the aggregate differs from the true decimal sum
+by at most n_terms/scale, pinned by tests/test_canon_properties.py.
 """
 
 from __future__ import annotations

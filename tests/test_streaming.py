@@ -160,3 +160,39 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir, staged):
     got_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in got.collect()}
     want_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir, tmp_path):
+    """Stop a checkpointed stream mid-feed, add more data, restart with the
+    same checkpoint: the second run must process ONLY the unseen files
+    (no reprocessing, no loss) — the exactly-once file-source contract."""
+    from data_pipeline_csv_spark.streaming import read_events_stream, stage_events_dir
+    from data_pipeline_csv_spark.streaming.sinks import foreach_batch_parquet
+
+    staged = str(tmp_path / "staged")
+    stage_events_dir(spark, sf_dir, staged, n_files=4)
+    parts = sorted(
+        f for f in __import__("os").listdir(staged)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    held_back = str(tmp_path / parts[-1])
+    __import__("shutil").move(f"{staged}/{parts[-1]}", held_back)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    q = foreach_batch_parquet(
+        read_events_stream(spark, staged).select("event_id"), out, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    n_first = spark.read.parquet(out).count()
+    assert n_first < total  # held-back file genuinely missing
+
+    __import__("shutil").move(held_back, f"{staged}/{parts[-1]}")
+    q2 = foreach_batch_parquet(
+        read_events_stream(spark, staged).select("event_id"), out, ckpt
+    )
+    q2.processAllAvailable(); q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == total                      # nothing lost, nothing duplicated
+    assert got.select("event_id").distinct().count() == total
