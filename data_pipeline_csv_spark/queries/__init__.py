@@ -17,8 +17,10 @@ knob:
   window_events_suite / text_profile / semi_anti_customers) so the
   whole surface fits the budget. Demoted to make room (round 2):
   dedup_simhash_neardup (rows-only; the simhash family stays pytest-
-  verified) and scalar_functions (function surface exercised by every
-  other checked query).
+  verified), scalar_functions and date_functions (their function
+  surfaces are exercised inside many other checked queries — date
+  filters/truncation in q1/q4/q6/q15, events rollups; string/math
+  scalars everywhere).
 - Everything else (granular variants of the combined queries plus
   near-duplicate/lower-signal entries) registers AFTER the priority
   block. They are still full queries with oracles where applicable,
@@ -59,7 +61,6 @@ _PRIORITY = [
     "rollup_returns",
     "promo_revenue_share",
     "setops_customer_keys",
-    "date_functions",
     "json_extract_props",
     "unpivot_part_attrs",
     # advanced operators
@@ -75,6 +76,7 @@ _PRIORITY = [
     "dedup_cc_clusters",
     "corpus_dedup_keep_best",
     "corpus_quality_funnel",
+    "corpus_decontaminate",
     # event analytics
     "events_hourly_rollup",
     "events_sessionize",
