@@ -54,3 +54,18 @@ def test_topk_uses_windowgrouplimit_pushdown(spark, sf_dir):
     the shuffle carries only per-partition top-k candidates."""
     plan = _plan(REGISTRY["similarity_cosine_topk"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_q9_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The 5-way Q9 star join must broadcast part/supplier/nation and
+    shuffle only the two facts (lineitem join orders)."""
+    plan = _plan(REGISTRY["q9_product_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination must broadcast the eval shingle set so the
+    candidate join never shuffles the training corpus."""
+    plan = _plan(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
