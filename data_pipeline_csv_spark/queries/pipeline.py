@@ -261,3 +261,86 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") != "src0")
     eval_set = docs.filter(F.col("source") == "src0")
     return cross_corpus_overlap(train, eval_set, threshold=0.5)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(r.k AS INT) AS chunk_idx,
+             list_slice(toks, 1 + 24 * CAST(r.k AS INT), 1 + 24 * CAST(r.k AS INT) + 31) AS c
+      FROM t JOIN range(0, 1000000) r(k)
+        ON 1 + 24 * r.k <= GREATEST(len(toks), 1)
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(c, ' ') AS chunk_text,
+           CAST(len(c) AS INT) AS n_tokens
+    FROM chunks
+    """,
+    doc="Context-window chunking: split each doc into 32-token windows "
+    "with stride 24 (8-token overlap) — the training-prep pass that "
+    "turns documents into model-sized pieces. Pure map-side "
+    "posexplode over per-row start offsets; no shuffle at any corpus "
+    "size.",
+    tags=("text", "pipeline", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(24))
+    return (
+        toks.select("doc_id", "_toks", F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start"), 32)).alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"), F.col("_start"), 32)).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+_MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+
+@query(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
+    SELECT lang, n_docs,
+      CAST(n_docs AS DOUBLE) / total AS actual_share,
+      CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items())} ELSE 0.0 END AS target_share,
+      (CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items())} ELSE 0.0 END)
+        / (CAST(n_docs AS DOUBLE) / total) AS weight
+    FROM per, tot
+    ORDER BY lang
+    """,
+    doc="Domain-mixture reweighting: per-language corpus share vs a "
+    "target mixture, and the per-doc sampling weight (target/actual) "
+    "a weighted sampler would apply. Exact integer counts; shares and "
+    "weights are single IEEE divides, bit-identical across engines.",
+    tags=("sampling", "pipeline", "mixture"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
+        F.lit(0.0),
+    )
+    actual = F.col("n_docs").cast("double") / F.col("total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            actual.alias("actual_share"),
+            target.alias("target_share"),
+            (target / actual).alias("weight"),
+        )
+        .orderBy("lang")
+    )
