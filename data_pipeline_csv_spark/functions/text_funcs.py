@@ -63,3 +63,30 @@ def token_count_bpe(col) -> Column:
     """BPE-ish token count: alnum runs + individual punctuation marks."""
     norm = F.lower(F.col(col) if isinstance(col, str) else col)
     return F.regexp_count(norm, F.lit("[a-z0-9]+|[^a-z0-9 ]")).cast("bigint")
+
+
+# PII patterns, written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backrefs. Scrub order is
+# email -> IPv4 -> phone on both sides so nested matches can't differ.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-kind PII match counts on the raw text (bigint columns)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(raw, F.lit(pat)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(col) -> Column:
+    """Text with every PII match replaced by its <KIND> token."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

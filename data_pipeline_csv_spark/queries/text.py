@@ -11,9 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import (
+    PII_PATTERNS,
     STOPWORDS,
     alpha_ratio,
     normalize_text,
+    pii_counts,
+    pii_scrub,
     stopword_hits,
     token_count,
     token_count_bpe,
@@ -291,4 +294,111 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("total_tf"),
         )
         .filter(F.col("df_docs") >= 5)
+    )
+
+
+# DuckDB twins of the PII patterns (same regex source strings).
+_PII_SQL_SCRUB = "text"
+for _, _pat, _token in PII_PATTERNS:
+    _PII_SQL_SCRUB = f"regexp_replace({_PII_SQL_SCRUB}, '{_pat}', '{_token}', 'g')"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+      md5({_PII_SQL_SCRUB}) AS scrubbed_hash
+    FROM documents
+    """,
+    doc="PII redaction pass: per-document email / IPv4 / phone match "
+    "counts and the md5 of the scrubbed text (matches replaced by "
+    "<KIND> tokens, email -> ip -> phone order on both engines). Pure "
+    "map-side regexp built-ins — zero shuffles at any corpus size. "
+    "Patterns are written to the Java-regex/RE2 common subset; "
+    "behavior on real PII is pinned on literal frames in "
+    "tests/test_text_ops.py (this corpus contains none).",
+    tags=("text", "pii", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = pii_counts("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(F.encode(pii_scrub("text"), "utf-8")).alias("scrubbed_hash"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    ),
+    cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS gram FROM base)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c) AS BIGINT) AS sum_c
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+      COALESCE(CAST(b.n_types AS DOUBLE) / NULLIF(b.n_tokens, 0), 0.0) AS type_token_ratio,
+      COALESCE(CAST(a.max_c AS DOUBLE) / a.sum_c, 0.0) AS top_bigram_share,
+      (COALESCE(CAST(b.n_types AS DOUBLE) / NULLIF(b.n_tokens, 0), 0.0) >= 0.25
+       AND COALESCE(CAST(a.max_c AS DOUBLE) / a.sum_c, 0.0) <= 0.2) AS keep
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+    doc="Gopher-style repetition quality rules: per-doc type-token "
+    "ratio (distinct/total tokens, map-side) and top-bigram share "
+    "(most frequent word 2-gram / all 2-grams), with the keep verdict "
+    "(ttr >= 0.25 and top share <= 0.2). Bigram counting is explode -> "
+    "two-level agg (map-side combinable, never per-row lambdas over "
+    "the array — see SCALE.md on the CollapseProject trap); both "
+    "ratios are single IEEE divides of exact integer counts.",
+    tags=("text", "quality", "pipeline", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bigrams = F.greatest(F.size("toks") - 1, F.lit(0))
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_types"),
+        F.zip_with(
+            F.slice(F.col("toks"), F.lit(1), n_bigrams),
+            F.slice(F.col("toks"), F.lit(2), n_bigrams),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("bigrams"),
+    )
+    agg = (
+        base.select("doc_id", F.explode("bigrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_c"), F.sum("c").cast("bigint").alias("sum_c"))
+    )
+    ttr = F.coalesce(
+        F.col("n_types").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)), F.lit(0.0)
+    )
+    share = F.coalesce(F.col("max_c").cast("double") / F.col("sum_c"), F.lit(0.0))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("type_token_ratio"),
+        share.alias("top_bigram_share"),
+        ((ttr >= 0.25) & (share <= 0.2)).alias("keep"),
     )

@@ -1,0 +1,88 @@
+"""PII scrub and repetition-filter behavior on literal frames.
+
+The driver's ``documents`` corpus contains no PII (no digits or '@' at
+all), so the registered ``text_pii_scrub`` query only proves the
+plumbing there; these tests pin the actual redaction semantics on text
+that DOES contain emails / IPv4s / phone numbers, plus the repetition
+metrics on hand-computable docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.functions.text_funcs import pii_counts, pii_scrub
+
+
+def _scrub_row(spark, text: str):
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts("text")
+    return df.select(
+        pii_scrub("text").alias("scrubbed"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    ).first()
+
+
+def test_pii_scrub_email(spark):
+    r = _scrub_row(spark, "contact First.Last+tag@sub.example.co.uk today")
+    assert r.scrubbed == "contact <EMAIL> today"
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 0, 0)
+
+
+def test_pii_scrub_ipv4_and_phone(spark):
+    r = _scrub_row(spark, "from 192.168.0.1 call +1 (555) 123-4567 now")
+    assert r.scrubbed == "from <IP> call <PHONE> now"
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 1, 1)
+
+
+def test_pii_scrub_multiple_and_clean(spark):
+    r = _scrub_row(spark, "a@b.io and c@d.org; no numbers here")
+    assert r.scrubbed == "<EMAIL> and <EMAIL>; no numbers here"
+    assert r.n_email == 2
+
+    clean = _scrub_row(spark, "plain text with no identifiers")
+    assert clean.scrubbed == "plain text with no identifiers"
+    assert (clean.n_email, clean.n_ipv4, clean.n_phone) == (0, 0, 0)
+
+
+def test_pii_scrub_matches_duckdb_regex_semantics(spark):
+    """The oracle runs the same pattern strings under RE2; a regex that
+    matches differently between Java and RE2 would silently split the
+    hash check. Pin one tricky case on both engines."""
+    import duckdb
+
+    from data_pipeline_csv_spark.functions.text_funcs import PII_PATTERNS
+
+    text = "x 10.0.0.255 y reach me at +49 30 123456 or a.b@c.de"
+    spark_row = _scrub_row(spark, text)
+    scrubbed_sql = "t"
+    for _, pat, token in PII_PATTERNS:
+        scrubbed_sql = f"regexp_replace({scrubbed_sql}, '{pat}', '{token}', 'g')"
+    duck = duckdb.connect().execute(
+        f"SELECT {scrubbed_sql} FROM (SELECT ? AS t)", [text]
+    ).fetchone()[0]
+    assert spark_row.scrubbed == duck
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from data_pipeline_csv_spark.queries.text import text_repetition_filter
+    import data_pipeline_csv_spark.queries.registry as reg
+
+    # 'a a a a' -> 4 tokens, 1 type, bigrams ['a a']*3 -> share 1.0, drop.
+    # 'w x y z' -> ttr 1.0, 3 distinct bigrams -> share 1/3 > 0.2, drop.
+    spec = reg.REGISTRY["text_repetition_filter"]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(1, "a a a a", "en", "src1"), (2, "w x y z", "en", "src1")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {r.doc_id: r for r in spec.fn(spark, d).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.n_tokens, r1.type_token_ratio, r1.top_bigram_share, r1.keep) == (4, 0.25, 1.0, False)
+    assert r2.n_tokens == 4 and r2.type_token_ratio == 1.0
+    assert abs(r2.top_bigram_share - 1 / 3) < 1e-12 and not r2.keep
