@@ -20,7 +20,9 @@ knob:
   verified), scalar_functions and date_functions (their function
   surfaces are exercised inside many other checked queries — date
   filters/truncation in q1/q4/q6/q15, events rollups; string/math
-  scalars everywhere).
+  scalars everywhere), window_distribution (cume_dist/percent_rank,
+  redundant with the two checked window suites; swapped for the
+  repetition quality filter, a distinct pipeline family).
 - Everything else (granular variants of the combined queries plus
   near-duplicate/lower-signal entries) registers AFTER the priority
   block. They are still full queries with oracles where applicable,
@@ -94,13 +96,13 @@ _PRIORITY = [
     # streaming
     "streaming_session_windows",
     "streaming_dedup_event_ids",
-    # windows (combined suites + the one global-order query)
+    # windows (combined suites cover rank/lag/rolling/first-last)
     "window_orders_suite",
     "window_events_suite",
-    "window_distribution",
     # text
     "text_profile",
     "text_tfidf_terms",
+    "text_repetition_filter",
     # extended TPC-H
     "q7_volume_shipping",
     "q8_market_share",

@@ -69,3 +69,21 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     candidate join never shuffles the training corpus."""
     plan = _plan(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_pure_map_side(spark, sf_dir):
+    """PII redaction is a projection over the scan: no exchange beyond
+    the layout-balancing round-robin, no join, no aggregate."""
+    plan = _plan(REGISTRY["text_pii_scrub"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan  # only roundrobin from balanced()
+
+
+def test_repetition_filter_aggregates_map_side(spark, sf_dir):
+    """Bigram counting must go through partial aggregation (map-side
+    combine) before the doc_id exchange — the explode's output never
+    shuffles at full width — and the bigram expression must not be
+    inlined into per-row lambdas (no HigherOrderFunction recompute)."""
+    plan = _plan(REGISTRY["text_repetition_filter"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
