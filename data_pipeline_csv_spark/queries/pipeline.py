@@ -299,6 +299,61 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(r.k AS INT) AS chunk_idx,
+             CAST(len(list_slice(toks, 1 + 24 * CAST(r.k AS INT), 1 + 24 * CAST(r.k AS INT) + 31)) AS BIGINT) AS n_tokens
+      FROM t JOIN range(0, 1000000) r(k)
+        ON 1 + 24 * r.k <= GREATEST(len(toks), 1)
+    ),
+    assigned AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+        CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 64.0) AS BIGINT) AS pack_id
+      FROM chunks
+    )
+    SELECT doc_id, pack_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      CAST(SUM(n_tokens) AS DOUBLE) / 64.0 AS fill_ratio
+    FROM assigned GROUP BY doc_id, pack_id
+    """,
+    doc="Sequence packing: the 32/24 context-window chunks are packed "
+    "into 64-token training sequences by a per-document running token "
+    "sum (pack_id = floor(exclusive-cumsum / budget)), then each pack "
+    "reports its chunk count, token total, and fill ratio. The window "
+    "partitions by doc_id — never a global ordering — so packing "
+    "scales with the corpus; cross-doc pack merging at 100 TB is a "
+    "downstream concat of already-sized packs. Exact integer sums; "
+    "fill_ratio is one IEEE divide.",
+    tags=("pipeline", "chunking", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(24))
+    chunks = toks.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "_start"), F.col("_toks")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.slice(F.col("_toks"), F.col("_start"), 32)).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("doc_id").orderBy("chunk_idx").rowsBetween(W.unboundedPreceding, 0)
+    assigned = chunks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 64.0).cast("bigint").alias("pack_id"),
+    )
+    return assigned.groupBy("doc_id", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        (F.sum("n_tokens").cast("double") / 64.0).alias("fill_ratio"),
+    )
+
+
 _MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
 
 
