@@ -89,6 +89,76 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_label_knn",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 32),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT t.q_id, e.label AS pred_label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT q_id, pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, pred_label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT b.q_id, e.label AS true_label, b.pred_label, b.votes,
+           e.label = b.pred_label AS agree
+    FROM best b JOIN embeddings e ON b.q_id = e.vec_id
+    """,
+    doc="kNN majority-vote labeling (the weak-supervision / "
+    "auto-labeling op): each of 32 query vectors takes the majority "
+    "label of its exact cosine top-10 neighbors (ties to the smaller "
+    "label), compared against its own label. Composition of the "
+    "broadcast top-k (one corpus pass) with two tiny keyed aggs — at "
+    "scale the corpus side still moves only top-k candidate rows into "
+    "the vote shuffle.",
+    tags=("similarity", "knn", "pipeline", "labeling"),
+)
+def similarity_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    topk = cosine_topk(corpus, list(range(32)), k=10)
+    labels = corpus.select("vec_id", "label")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("q_id", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("pred_label").asc())
+    best = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    own = corpus.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return best.join(own, "q_id").select(
+        "q_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("true_label") == F.col("pred_label")).alias("agree"),
+    )
+
+
+@query(
     "similarity_ann_ivf",
     oracle=None,  # approximate by construction; recall asserted in tests
     doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of 16 lists).",
