@@ -169,3 +169,85 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+@query(
+    "events_conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT '2_click_after_signup', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT stage, n_users,
+      COALESCE(CAST(n_users AS DOUBLE) / LAG(n_users) OVER (ORDER BY stage), 1.0) AS conversion
+    FROM stages
+    """,
+    doc="Ordered conversion funnel: users whose first signup precedes "
+    "a later click precedes a later purchase (strict event-time "
+    "ordering per user), with per-stage counts and step conversion "
+    "rates. Each stage is one filtered scan (predicate pushed to the "
+    "parquet reader) + a keyed min-aggregate joined to the previous "
+    "stage on user_id — all three shuffles share the user_id key, and "
+    "the final window runs over a 3-row frame. Conversion divides "
+    "exact integer counts.",
+    tags=("events", "funnel", "pipeline"),
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.lit("1_signup").alias("stage"), "n_users")
+        .unionAll(
+            s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.lit("2_click_after_signup").alias("stage"), "n_users")
+        )
+        .unionAll(
+            s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.lit("3_purchase_after_click").alias("stage"), "n_users")
+        )
+    )
+    w = W.orderBy("stage")
+    return stages.select(
+        "stage",
+        "n_users",
+        F.coalesce(
+            F.col("n_users").cast("double") / F.lag("n_users").over(w), F.lit(1.0)
+        ).alias("conversion"),
+    )
