@@ -251,3 +251,57 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.lag("n_users").over(w), F.lit(1.0)
         ).alias("conversion"),
     )
+
+
+@query(
+    "events_gapfill_resample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+        make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket, COALESCE(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.bucket = c.bucket
+    """,
+    doc="Dense time-axis resample (hypertable-style gap-fill): each "
+    "user's activity is bucketed to 6-hour windows and the grid "
+    "between their first and last bucket is densified, emitting "
+    "zero-count rows for silent periods. The grid is generated "
+    "map-side per user (sequence + explode, no driver loop, no "
+    "calendar join against a materialized dimension); both the count "
+    "agg and the grid join key on user_id, so the whole plan shares "
+    "one partitioning family.",
+    tags=("events", "time", "gapfill", "resample"),
+)
+def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _events(spark, sf_dir).select(
+        "user_id", F.window("ts", "6 hours").start.alias("bucket")
+    )
+    counts = bucketed.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    grid = (
+        bucketed.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 6 hours"))
+            ).alias("bucket"),
+        )
+    )
+    return grid.join(counts, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events")
+    )
