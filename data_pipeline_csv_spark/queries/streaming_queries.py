@@ -147,6 +147,58 @@ def streaming_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           COUNT(*) AS n_clicks,
+           MAX(c.ts) AS last_click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+    doc="Stream-stream interval join (purchase attribution): the click "
+    "and purchase streams are joined on user within a 1-hour horizon; "
+    "watermarks plus the two-sided time bound make both join-state "
+    "buffers evictable, so the drained unbounded join must equal the "
+    "batch interval self-join (streaming/pipelines.py "
+    "attribution_join_stream).",
+    tags=("streaming", "join", "interval", "watermark"),
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import attribution_join_stream
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    try:
+        stage_events_dir(spark, sf_dir, staged, n_files=4)
+        ev = read_events_stream(spark, staged)
+        joined = attribution_join_stream(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+        )
+        out = run_to_memory(joined, spark, output_mode="append")
+        out = out.groupBy(
+            F.col("purchase_id"),
+            F.col("purchase_user").alias("user_id"),
+            F.col("purchase_ts"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("click_ts").alias("last_click_ts"),
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+@query(
     "streaming_enriched_rollup",
     oracle=f"""
     SELECT c_mktsegment, event_type,

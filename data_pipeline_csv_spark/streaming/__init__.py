@@ -20,6 +20,7 @@ Design notes for cluster scale:
 """
 
 from .pipelines import (
+    attribution_join_stream,
     enriched_rollup_stream,
     hourly_rollup_stream,
     session_window_stream,
@@ -31,6 +32,7 @@ from .sinks import foreach_batch_parquet, run_to_memory
 from .sources import read_events_stream, stage_events_dir
 
 __all__ = [
+    "attribution_join_stream",
     "enriched_rollup_stream",
     "hourly_rollup_stream",
     "session_window_stream",

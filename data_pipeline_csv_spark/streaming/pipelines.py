@@ -128,6 +128,47 @@ def enriched_rollup_stream(
     )
 
 
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases ← clicks within ``horizon``.
+
+    Both inputs are unbounded; the equi-key (user) plus the two-sided
+    time bound make the join state evictable. Spark derives, from the
+    watermarks and the interval condition, how long each side's rows
+    must be buffered (a click can only match purchases up to
+    ``horizon`` later, a purchase only clicks up to ``horizon``
+    earlier), so the state store holds a sliding band of each stream
+    instead of its full history — the property that lets this run
+    forever on a 1000-executor cluster. The join itself is the same
+    hash shuffle on user as the batch twin; no broadcast (both sides
+    unbounded).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            purchase_user = click_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL '{horizon}'
+            """
+        ),
+        "inner",
+    )
+
+
 def stream_dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Keep the first arrival per event_id, state bounded by watermark.
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from data_pipeline_csv_spark.queries.events import events_hourly_rollup, events_sessionize
 from data_pipeline_csv_spark.sources.tables import load_table
 from data_pipeline_csv_spark.streaming import (
+    attribution_join_stream,
     hourly_rollup_stream,
     read_events_stream,
     run_to_memory,
@@ -160,6 +161,36 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir, staged):
     got_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in got.collect()}
     want_rows = {(r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_attribution_join_stream_matches_batch_interval_join(spark, sf_dir, staged):
+    """Stream-stream interval join drained ≡ batch interval self-join."""
+    ev = read_events_stream(spark, staged)
+    joined = attribution_join_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    got = run_to_memory(joined, spark, output_mode="append")
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = events.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    want = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL '1 hour'")),
+    )
+    got_rows = {
+        (r["purchase_id"], r["click_ts"]) for r in got.collect()
+    }
+    want_rows = {(r["pid"], r["cts"]) for r in want.collect()}
+    assert got_rows == want_rows and len(got_rows) > 0
 
 
 def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir, tmp_path):
