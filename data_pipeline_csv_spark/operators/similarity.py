@@ -74,22 +74,26 @@ def ann_ivf_topk(
     nlists: int = 16,
     nprobe: int = 4,
     centroid_stride: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k.
 
-    Centroids are a deterministic corpus subset (every ``stride``-th
-    vec_id) — cheap, reproducible, and good enough for clustered data;
-    swap in k-means centroids for production. Each corpus vector joins
-    its nearest centroid (broadcast); each query probes its ``nprobe``
-    nearest lists and re-ranks only those lists with the fast double
-    cosine. Returns (q_id, vec_id, rank) — approximate by construction.
+    Default centroids are a deterministic corpus subset (every
+    ``stride``-th vec_id) — cheap and reproducible; pass
+    ``centroids=kmeans_centroids_df(...)`` (operators/clustering.py)
+    for trained lists, which tighten the probe/recall trade-off on
+    clustered corpora. Each corpus vector joins its nearest centroid
+    (broadcast); each query probes its ``nprobe`` nearest lists and
+    re-ranks only those lists with the fast double cosine. Returns
+    (q_id, vec_id, rank) — approximate by construction.
     """
     corpus = corpus.select("vec_id", "embedding")
-    n = corpus.count()
-    stride = centroid_stride or max(1, n // nlists)
-    centroids = corpus.filter((F.col("vec_id") % stride) == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
+    if centroids is None:
+        n = corpus.count()
+        stride = centroid_stride or max(1, n // nlists)
+        centroids = corpus.filter((F.col("vec_id") % stride) == 0).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
 
     # assign: nearest centroid per corpus vector (one broadcast join)
     sim_to_c = cosine_fast(F.col("embedding"), F.col("c_emb"))

@@ -17,6 +17,23 @@ def test_ivf_recall_at_10(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
 
 
+def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids_df(spark, corpus, k=16, iters=2)
+    exact = cosine_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id").collect()
+    approx = (
+        ann_ivf_topk(corpus, QUERY_IDS, k=10, nprobe=4, centroids=cents)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    truth = {(r.q_id, r.vec_id) for r in exact}
+    got = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF(kmeans) recall@10 too low: {recall:.2f}"
+
+
 def test_simhash_near_dups_close(spark, sf_dir):
     """Near-dup docs (exact Jaccard >= 0.8) should have small SimHash
     hamming distance; random pairs should not."""
