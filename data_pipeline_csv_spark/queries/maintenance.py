@@ -1,0 +1,132 @@
+"""Table-maintenance queries: CDC merge (Delta-style MERGE INTO core)
+and single-pass profiling — the jobs that bracket every production
+ingest (merge the day's changes, profile the result) re-expressed as
+driver-checked queries over the TPC-H-ish tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import merge_latest_snapshot
+from ..operators.profile import profile_table
+from ..sources.tables import load_table
+from .registry import query
+
+# Deterministic synthetic change log over orders: every row is an
+# insert; every 5th key later gets a reprice update; every 7th key is
+# finally deleted. The modulus derivation keeps the log reproducible
+# from the static table so the oracle can rebuild it in SQL.
+_CHANGES_SQL = """
+    changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 2 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 3 AS seq, 'D' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+"""
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ins = o.withColumn("seq", F.lit(1)).withColumn("op", F.lit("I"))
+    upd = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    return ins.unionByName(upd).unionByName(dels)
+
+
+@query(
+    "cdc_merge_snapshot",
+    oracle=f"""
+    WITH {_CHANGES_SQL},
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderkey) AS nv
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(seq AS BIGINT) AS version,
+           CAST(nv AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC merge to latest snapshot (the batch core of MERGE INTO): "
+    "an insert/update/delete change log keyed on o_orderkey folds to "
+    "the highest-sequence survivor per key; deleted keys vanish. One "
+    "hash shuffle on the key; the version-count window rides the same "
+    "partitioning (operators/cdc.py merge_latest_snapshot).",
+    tags=("cdc", "merge", "upsert", "window"),
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = merge_latest_snapshot(_changes(spark, sf_dir), ["o_orderkey"])
+    return snap.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("seq").cast("bigint").alias("version"),
+        F.col("n_versions").cast("bigint").alias("n_versions"),
+    )
+
+
+# (name, kind) per lineitem column; drives both sides of the profile.
+_LINEITEM_COLS = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _LINEITEM_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn, mx = f"CAST(epoch_us(MIN({c})) AS DOUBLE)", f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT({c}) AS n_nulls,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            {mn} AS min_num, {mx} AS max_num FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "profile_lineitem",
+    oracle=_profile_oracle(),
+    doc="Single-pass per-column profile of lineitem: null count, exact "
+    "distinct count, numeric/temporal range — ONE aggregate computes "
+    "all 4 stats x 11 columns in a single scan, then stack() unpivots "
+    "the 1-row result (operators/profile.py; exact_distinct=False "
+    "switches to one-pass HLL for routine 100 TB profiling).",
+    tags=("profile", "quality", "aggregate"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return profile_table(df).withColumnRenamed("column", "col_name")
