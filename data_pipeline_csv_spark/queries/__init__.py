@@ -22,7 +22,14 @@ knob:
   filters/truncation in q1/q4/q6/q15, events rollups; string/math
   scalars everywhere), window_distribution (cume_dist/percent_rank,
   redundant with the two checked window suites; swapped for the
-  repetition quality filter, a distinct pipeline family).
+  repetition quality filter, a distinct pipeline family). Round-2
+  additions: cluster_kmeans_embeddings (iterative algorithm under the
+  full oracle gate), cdc_merge_snapshot + profile_lineitem (table
+  maintenance), streaming_attribution_join (stream-stream interval
+  join) — displacing events_daily_pivot / events_dedup_first
+  (patterns subsumed by unpivot_part_attrs / cdc_merge_snapshot) and
+  q10/q13 (their join+agg shapes are covered by q3/q5/q7/q8/q18; all
+  demoted queries remain registered and locally oracle-verified).
 - Everything else (granular variants of the combined queries plus
   near-duplicate/lower-signal entries) registers AFTER the priority
   block. They are still full queries with oracles where applicable,
@@ -35,8 +42,10 @@ from .registry import REGISTRY, QuerySpec, oracles, queries
 
 from . import (  # noqa: F401, E402  (registration side effect)
     advanced,
+    clustering,
     dedup,
     events,
+    maintenance,
     multimodal,
     pipeline,
     relational,
@@ -82,20 +91,24 @@ _PRIORITY = [
     # event analytics
     "events_hourly_rollup",
     "events_sessionize",
-    "events_dedup_first",
-    "events_daily_pivot",
+    # table maintenance (CDC merge is the latest-per-key superset of
+    # the demoted events_dedup_first; profile is its own family)
+    "cdc_merge_snapshot",
+    "profile_lineitem",
     # multimodal
     "multimodal_decode_roundtrip",
     "multimodal_image_features",
     "multimodal_frame_stats",
-    # similarity
+    # similarity + clustering
     "similarity_cosine_topk",
     "similarity_embedding_neardup",
+    "cluster_kmeans_embeddings",
     # sketches
     "sketch_price_quantiles",
     # streaming
     "streaming_session_windows",
     "streaming_dedup_event_ids",
+    "streaming_attribution_join",
     # windows (combined suites cover rank/lag/rolling/first-last)
     "window_orders_suite",
     "window_events_suite",
@@ -106,8 +119,6 @@ _PRIORITY = [
     # extended TPC-H
     "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
     "q17_small_quantity",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
