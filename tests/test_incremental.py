@@ -1,0 +1,73 @@
+"""Incremental MV state merge on literal frames: mergeability is the
+contract — any split of the input, merged in any grouping, must be
+bit-identical to the single-pass aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.operators.incremental import (
+    finalize_state,
+    merge_agg_state,
+    partial_agg_state,
+)
+
+SCALE = 100
+
+
+def _rows(spark):
+    data = [
+        ("a", 1.25), ("a", 2.50), ("a", -0.75),
+        ("b", 10.00), ("b", 0.01),
+        ("c", 3.33),
+    ]
+    return spark.createDataFrame(data, "k string, x double")
+
+
+def _finish(states):
+    merged = merge_agg_state(states, ["k"], mins=["min_x"], maxs=["max_x"])
+    out = finalize_state(merged, sums={"sum_x": SCALE}, avgs={"avg_x": "sum_x"})
+    return {
+        (r["k"], r["n_rows"], r["sum_x"], r["avg_x"], r["min_x"], r["max_x"])
+        for r in out.collect()
+    }
+
+
+def test_state_merge_equals_single_pass(spark):
+    df = _rows(spark)
+    spec = dict(
+        sums={"sum_x": (F.col("x"), SCALE)},
+        mins={"min_x": F.col("x")},
+        maxs={"max_x": F.col("x")},
+    )
+    whole = _finish([partial_agg_state(df, ["k"], **spec)])
+
+    # two-way split on an arbitrary predicate
+    two = _finish(
+        [
+            partial_agg_state(df.filter(F.col("x") > 1), ["k"], **spec),
+            partial_agg_state(df.filter(~(F.col("x") > 1)), ["k"], **spec),
+        ]
+    )
+    # three-way split, merged pairwise then with the straggler
+    # (associativity: merge of merged state is still valid state)
+    a = partial_agg_state(df.filter(F.col("x") < 0), ["k"], **spec)
+    b = partial_agg_state(df.filter(F.col("x").between(0, 3)), ["k"], **spec)
+    c = partial_agg_state(df.filter(F.col("x") > 3), ["k"], **spec)
+    ab = merge_agg_state([a, b], ["k"], mins=["min_x"], maxs=["max_x"])
+    three = _finish([ab, c])
+
+    assert whole == two == three
+    assert ("a", 3, 3.0, 1.0, -0.75, 2.5) in whole
+
+
+def test_empty_delta_is_identity(spark):
+    df = _rows(spark)
+    spec = dict(
+        sums={"sum_x": (F.col("x"), SCALE)},
+        mins={"min_x": F.col("x")},
+        maxs={"max_x": F.col("x")},
+    )
+    base = partial_agg_state(df, ["k"], **spec)
+    empty = partial_agg_state(df.filter(F.lit(False)), ["k"], **spec)
+    assert _finish([base, empty]) == _finish([base])
