@@ -1,0 +1,77 @@
+"""Distributed PageRank over an edge DataFrame.
+
+Pregel-without-Pregel: each iteration is one join (edge src -> current
+rank + out-degree) and one aggregation (sum incoming mass by dst) —
+the exact message-passing shape GraphX/Pregel schedules, expressed as
+DataFrame ops so Catalyst handles partitioning. Both the join and the
+agg hash-shuffle on graph keys; with edges pre-partitioned by src the
+join side is shuffle-free and only the mass agg moves data. Rounds
+are O(iterations), each a constant number of stages — the same
+scaling regime as the large-star/small-star connected-components
+operator (operators/components.py).
+
+Determinism (the oracle contract): incoming mass is summed in int64
+fixed point — each contribution floor-quantized at ``scale`` — so the
+result is independent of partitioning and accumulation order, and a
+DuckDB unrolled-CTE replay produces bit-identical doubles
+(queries/canon.py explains why int64 fixed point, not DECIMAL).
+
+Dangling nodes (out-degree 0) are NOT redistributed — callers supply
+a graph where every node has at least one out-edge (e.g. symmetrized
+edges, as queries/graph.py does); documented trade vs the full
+PageRank dangling-mass term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # rank contributions quantized at 1e-9
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Iterate PageRank on directed ``edges(src, dst)``.
+
+    Returns (node, rank). One driver-side scalar (the node count) is
+    collected up front; everything else stays distributed.
+    """
+    edges = edges.select("src", "dst")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n  # python double == SQL double op
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("rank") / F.col("outdeg").cast("double") * scale)
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(base)
+                + F.lit(damping) * (F.sum("c").cast("double") / float(scale))
+            ).alias("rank")
+        )
+        # long loops: truncate lineage so the plan doesn't grow
+        # unboundedly (same pattern as operators/components.py);
+        # cheap at >=8 rounds, pure overhead below that.
+        if iterations > 4 and i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -45,6 +45,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
     clustering,
     dedup,
     events,
+    graph,
     incremental,
     maintenance,
     multimodal,

@@ -1,0 +1,98 @@
+"""Graph analytics: PageRank over the supplier<->part supply graph.
+
+The graph: one node per supplier and per part (parts offset by 1e7 to
+disambiguate key spaces), an undirected edge wherever a supplier ships
+a part (distinct (l_suppkey, l_partkey) pairs, symmetrized). Two
+fixed-point Lloyd-style iterations of PageRank — an ITERATIVE
+algorithm under the full hash-oracle gate, like
+cluster_kmeans_embeddings: the DuckDB oracle replays both rounds as
+unrolled CTE stages and must match bit-for-bit
+(operators/graph.py for the determinism design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import PR_SCALE, pagerank
+from ..sources.tables import load_table
+from .registry import query
+
+_PART_OFFSET = 10_000_000
+_ITERS = 2
+
+# one PageRank round as unrolled SQL; rank literals are CAST to DOUBLE
+# because bare 0.85/1.0 are DECIMAL in DuckDB, and (1.0 - 0.85) must
+# be the same IEEE subtraction Spark's driver computes
+_ROUND = """
+    s{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0 AS mass
+      FROM edges e
+      JOIN r{prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n AS DOUBLE)
+             + CAST(0.85 AS DOUBLE) * mass AS rank
+      FROM s{i}, nn
+    )
+"""
+
+
+def _oracle() -> str:
+    rounds = ",".join(
+        _ROUND.format(i=i, prev=i - 1, scale=PR_SCALE)
+        for i in range(1, _ITERS + 1)
+    )
+    return f"""
+    WITH eu AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(l_partkey + {_PART_OFFSET} AS BIGINT) AS b
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM eu
+      UNION ALL
+      SELECT b AS src, a AS dst FROM eu
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+      FROM nodes, nn
+    ),
+    {rounds}
+    SELECT node, rank FROM r{_ITERS}
+    """
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").cast("bigint").alias("a"),
+        (F.col("l_partkey") + _PART_OFFSET).cast("bigint").alias("b"),
+    ).distinct()
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+@query(
+    "graph_pagerank_suppliers",
+    oracle=_oracle(),
+    doc="Two PageRank iterations on the symmetrized supplier-part "
+    "supply graph (distinct ship pairs). Per round: one edge->rank "
+    "join + one fixed-point mass aggregation — the Pregel "
+    "message-passing shape as DataFrame ops, partition-invariant by "
+    "int64 quantization, oracle-replayed as unrolled DuckDB CTEs "
+    "(operators/graph.py).",
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS)
+    return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")

@@ -1,0 +1,60 @@
+"""PageRank operator: pinned against a numpy power-iteration reference
+on a literal graph, plus partition-invariance (the fixed-point sum
+must make the result independent of layout)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_pipeline_csv_spark.operators.graph import pagerank
+
+# a small symmetric graph: two triangles bridged by one edge
+_EDGES = [
+    (1, 2), (2, 3), (3, 1),
+    (4, 5), (5, 6), (6, 4),
+    (3, 4),
+]
+
+
+def _sym(edges):
+    return [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+
+
+def _numpy_pagerank(edges, iters=2, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in edges:
+        out[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for a, b in edges:
+            nxt[idx[b]] += d * r[idx[a]] / out[idx[a]]
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = _sym(_EDGES)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    want = _numpy_pagerank(edges, iters=2)
+    assert set(got) == set(want)
+    for node in want:
+        # fixed-point quantization costs < 1e-8 per contribution
+        assert abs(got[node] - want[node]) < 1e-6
+    # bridge endpoints (3, 4) outrank pure triangle members
+    assert got[3] > got[1] and got[4] > got[5]
+    # mass conservation up to quantization loss
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_partition_invariant(spark):
+    edges = _sym(_EDGES)
+    one = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    many = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    res_one = {r["node"]: r["rank"] for r in pagerank(one, iterations=3).collect()}
+    res_many = {r["node"]: r["rank"] for r in pagerank(many, iterations=3).collect()}
+    assert res_one == res_many  # bit-identical, not approximately
