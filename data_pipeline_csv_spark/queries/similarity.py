@@ -159,6 +159,77 @@ def similarity_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 32),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id, cosine FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 20
+    ),
+    eligible AS (
+      SELECT t.q_id, t.vec_id AS neg_id, t.cosine
+      FROM topk t
+      JOIN embeddings eq ON t.q_id = eq.vec_id
+      JOIN embeddings en ON t.vec_id = en.vec_id
+      WHERE en.label <> eq.label AND t.cosine < 0.45
+    )
+    SELECT q_id, neg_id, cosine, CAST(neg_rank AS INT) AS neg_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neg_id ASC) AS neg_rank
+      FROM eligible
+    ) WHERE neg_rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor "
+    "(32 query vectors), the 5 MOST similar corpus vectors that are "
+    "neither near-duplicates (cosine >= 0.45, the dedup threshold) "
+    "nor same-label (presumed positives) — exactly the negatives "
+    "that maximize training signal. Composition: broadcast exact "
+    "top-20 (one corpus pass), two broadcast label joins, windowed "
+    "re-rank; only top-k candidate rows ever reach a shuffle.",
+    tags=("similarity", "contrastive", "pipeline", "training-data"),
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    topk = cosine_topk(corpus, list(range(32)), k=20)
+    labels = corpus.select("vec_id", "label")
+    anchor_lab = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    neigh_lab = labels.select(
+        F.col("vec_id").alias("vec_id"), F.col("label").alias("n_label")
+    )
+    eligible = (
+        topk.join(F.broadcast(anchor_lab), "q_id")
+        .join(neigh_lab, "vec_id")
+        .filter((F.col("n_label") != F.col("q_label")) & (F.col("cosine") < 0.45))
+        .select("q_id", F.col("vec_id").alias("neg_id"), "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neg_id").asc())
+    return (
+        eligible.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("q_id", "neg_id", "cosine", "neg_rank")
+    )
+
+
+@query(
     "similarity_ann_ivf",
     oracle=None,  # approximate by construction; recall asserted in tests
     doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of 16 lists).",
