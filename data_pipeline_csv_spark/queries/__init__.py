@@ -30,6 +30,10 @@ knob:
   (patterns subsumed by unpivot_part_attrs / cdc_merge_snapshot) and
   q10/q13 (their join+agg shapes are covered by q3/q5/q7/q8/q18; all
   demoted queries remain registered and locally oracle-verified).
+  Later round-2 swaps: incremental_mv_refresh, graph_pagerank_suppliers,
+  contrastive_hard_negatives in; filter_project (shape present in every
+  other query), multimodal_decode_roundtrip (subset of frame_stats),
+  q7_volume_shipping (star shape ≡ q5/q8) out.
 - Everything else (granular variants of the combined queries plus
   near-duplicate/lower-signal entries) registers AFTER the priority
   block. They are still full queries with oracles where applicable,
@@ -66,7 +70,6 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "revenue_by_nation",
-    "filter_project",
     "count_distinct_parts",
     "semi_anti_customers",
     "full_outer_nation_activity",
@@ -97,14 +100,17 @@ _PRIORITY = [
     # the demoted events_dedup_first; profile is its own family)
     "cdc_merge_snapshot",
     "profile_lineitem",
-    # multimodal
-    "multimodal_decode_roundtrip",
+    "incremental_mv_refresh",
+    # multimodal (frame_stats carries the oracle'd decode path;
+    # decode_roundtrip demoted as its subset)
     "multimodal_image_features",
     "multimodal_frame_stats",
-    # similarity + clustering
+    # similarity + clustering + graph
     "similarity_cosine_topk",
     "similarity_embedding_neardup",
     "cluster_kmeans_embeddings",
+    "contrastive_hard_negatives",
+    "graph_pagerank_suppliers",
     # sketches
     "sketch_price_quantiles",
     # streaming
@@ -118,8 +124,7 @@ _PRIORITY = [
     "text_profile",
     "text_tfidf_terms",
     "text_repetition_filter",
-    # extended TPC-H
-    "q7_volume_shipping",
+    # extended TPC-H (q7's star shape is covered by q5/q8)
     "q8_market_share",
     "q17_small_quantity",
     "q18_large_volume_customers",
