@@ -166,7 +166,7 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     ranked = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_totalprice", "o_orderkey")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("c_mktsegment")))

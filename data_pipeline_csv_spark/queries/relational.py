@@ -112,7 +112,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
     """,
-    doc="3-way join + group + deterministic top-k (TPC-H Q3 shape). Customer side broadcast.",
+    doc="3-way join + group + deterministic top-k (TPC-H Q3 shape). Customer side joins size-adaptively: AQE broadcasts it below threshold, shuffles at 100 TB.",
     tags=("join", "agg", "topk"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_fp_money(_rev(), _REV_SCALE).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -150,7 +150,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="6-way star join, dims broadcast, fact shuffles once on orderkey (TPC-H Q5 shape).",
+    doc="6-way star join: constant dims (nation/region) pinned broadcast, growing dims (customer/supplier) AQE-adaptive, fact shuffles once on orderkey (TPC-H Q5 shape).",
     tags=("join", "agg"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,9 +165,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -194,7 +194,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     ORDER BY revenue DESC, n_name ASC
     """,
-    doc="Flagship: fact-to-dim star join rolled up to nation, dims broadcast.",
+    doc="Flagship: fact-to-dim star join rolled up to nation. Nation pinned broadcast (constant 25 rows); customer left to AQE so the same plan survives 100 TB.",
     tags=("join", "agg", "flagship"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +204,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(_fp_money(_rev(), _REV_SCALE).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
@@ -537,7 +537,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     promo_term = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return (
         joined.agg(
             _fp_money(promo_term, _REV_SCALE).alias("promo_revenue"),

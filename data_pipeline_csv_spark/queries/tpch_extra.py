@@ -2,11 +2,13 @@
 star schema (no partsupp; no commit/receipt dates, phone, container or
 shipmode columns — adaptations noted per query).
 
-Scale notes: every query keeps dims broadcast-able (region/nation
-always; supplier/part/customer below the AQE broadcast threshold at
-real SFs they'd shuffle-hash), facts shuffle only on their join/group
-keys, and all money sums are exact DECIMAL arithmetic so plans can be
-reordered freely without changing results.
+Scale notes: constant-size dims (region/nation) carry explicit
+broadcast hints; scale-growing tables (supplier/part/customer) carry
+NO hint — AQE broadcasts them while they fit (they do at every test
+SF) and shuffle-hashes them at real SFs where a hint would OOM the
+executors. Facts shuffle only on their join/group keys, and all money
+sums are exact fixed-point arithmetic so plans can be reordered
+freely without changing results.
 """
 
 from __future__ import annotations
@@ -67,8 +69,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(
@@ -131,11 +133,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("volume")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == nc.n_nationkey)
         .join(F.broadcast(region), nc.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -185,7 +187,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(fp_money(_rev(), REV_SCALE).alias("revenue"))
@@ -260,7 +262,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -305,7 +307,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(fp_money(F.col("l_quantity"), CENT_SCALE).alias("total_qty"))

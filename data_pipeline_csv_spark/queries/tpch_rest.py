@@ -75,7 +75,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     eu_supply = (
-        supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
+        supply.join(supp, supply.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -88,7 +88,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("mc_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -200,8 +200,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
@@ -245,7 +245,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     j = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("l_partkey", rev_term().alias("v"))
     )
@@ -327,7 +327,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev0.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -362,8 +362,8 @@ def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -409,7 +409,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(fp_money(rev_term(), REV_SCALE).alias("revenue"))
     )
@@ -451,7 +451,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     supp = _t(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(fp_sum(F.col("l_quantity"), CENT_SCALE).cast("bigint").alias("qty_fp"))
     )
@@ -517,7 +517,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") >= 2)
             & (F.col("n_offenders") == 1),
         )
-        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
