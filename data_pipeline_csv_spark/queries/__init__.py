@@ -117,9 +117,10 @@ _PRIORITY = [
     "streaming_session_windows",
     "streaming_dedup_event_ids",
     "streaming_attribution_join",
-    # windows (combined suites cover rank/lag/rolling/first-last)
+    # windows (the orders suite covers rank/lag/rolling/first-last;
+    # the events twin is demoted for the distinct decay/EWMA family)
     "window_orders_suite",
-    "window_events_suite",
+    "events_decay_score",
     # text
     "text_profile",
     "text_tfidf_terms",

@@ -305,3 +305,44 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(counts, ["user_id", "bucket"], "left").select(
         "user_id", "bucket", F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events")
     )
+
+
+@query(
+    "events_decay_score",
+    oracle=f"""
+    WITH mx AS (
+      SELECT user_id, value, CAST(ts AS DATE) AS d,
+             MAX(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS last_day
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * power(CAST(0.5 AS DOUBLE), date_diff('day', d, last_day)) * {VALUE_SCALE}) AS BIGINT)) AS DOUBLE) / {VALUE_SCALE}.0 AS decayed_score
+    FROM mx
+    GROUP BY user_id
+    """,
+    doc="Time-decayed engagement score (EWMA family): each event's "
+    "value is discounted by 0.5^(days before the user's latest day) "
+    "and summed. Decay base 0.5 is deliberate: integer powers of two "
+    "are EXACT in IEEE double in any engine, so the per-term product "
+    "is bit-identical and the fixed-point sum stays engine-portable "
+    "(arbitrary bases differ by ulps between libm and Java pow). The "
+    "partition-max window carries no sort and shares its user_id "
+    "hash partitioning with the final agg: one exchange total.",
+    tags=("events", "decay", "ewma", "window"),
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d"), "value"
+    )
+    last_day = F.max("d").over(W.partitionBy("user_id"))
+    days = F.datediff(last_day, F.col("d")).cast("double")
+    term = F.col("value") * F.pow(F.lit(0.5), days)
+    return (
+        ev.withColumn("term", term)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            fp_money(F.col("term"), VALUE_SCALE).alias("decayed_score"),
+        )
+    )
