@@ -47,3 +47,36 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def diagnose_skew(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Per-key load report: the pre-flight check before sizing salts.
+
+    Emits the ``top`` heaviest key groups with row count, share of the
+    table, and skew ratio (count / mean-count-per-key). One key
+    shuffle for the count; every later step runs on the derived
+    per-key frame (|distinct keys| rows), and the two scalar
+    aggregates (total, key count) broadcast back via crossJoin — no
+    global window, no driver round-trip. The skew_ratio column is
+    what the salting rewrite's ``n_salts`` should be sized from
+    (``salted_join`` above).
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows").cast("double") / F.col("_total").cast("double")).alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                / (F.col("_total").cast("double") / F.col("_n_keys").cast("double"))
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top)
+    )

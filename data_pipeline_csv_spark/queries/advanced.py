@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..operators.asof import asof_join_backward
-from ..operators.skew import salted_join
+from ..operators.skew import diagnose_skew, salted_join
 from ..sources.tables import load_table
 from .canon import CENT_SCALE, REV_SCALE, REV_TERM_SQL, fp_money, fp_sql, rev_term
 from .registry import query
@@ -315,3 +315,30 @@ def udaf_discount_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(sumsq_cents("l_discount").alias("sumsq_cents"))
+
+
+@query(
+    "skew_key_diagnosis",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
+    FROM c, t
+    ORDER BY n_rows DESC, user_id ASC
+    LIMIT 10
+    """,
+    doc="Key-skew diagnosis: the 10 heaviest user_id groups in events "
+    "with row share and skew ratio (count over mean-count-per-key) — "
+    "the pre-flight report that sizes n_salts for salted_join / "
+    "decides AQE skew thresholds. One key shuffle; the scalar "
+    "total/key-count aggregate broadcasts back via crossJoin "
+    "(operators/skew.py diagnose_skew).",
+    tags=("skew", "diagnosis", "profile"),
+)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return diagnose_skew(ev, ["user_id"], top=10)
