@@ -230,3 +230,54 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("_rn = 1")
         .select("c_mktsegment", "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "streaming_incremental_mv",
+    oracle=f"""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {fp_sql('value', VALUE_SCALE)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming incremental MV refresh: the staged event feed "
+    "drains through foreachBatch in 4 epochs; each epoch aggregates "
+    "its micro-batch into mergeable fixed-point state and merges into "
+    "a generation-swapped parquet MV with an epoch-replay guard "
+    "(streaming/sinks.py state_merge_writer). The oracle is the "
+    "full-table GROUP BY: four independent incremental merges land "
+    "bit-identical to one batch recompute — the streaming twin of "
+    "incremental_mv_refresh. State is |keys| rows, so no watermark "
+    "is needed to bound it.",
+    tags=("streaming", "incremental", "mv", "foreachBatch"),
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # local: keep module imports minimal
+
+    from ..operators.incremental import finalize_state
+    from ..streaming.sinks import run_incremental_mv
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    state = tempfile.mkdtemp(prefix="sg_mv_")
+    try:
+        stage_events_dir(spark, sf_dir, staged, n_files=4)
+        stream = read_events_stream(spark, staged).select(
+            "event_type", F.col("ts").cast("date").alias("day"), "value"
+        )
+        raw = run_incremental_mv(
+            stream,
+            spark,
+            state_root=state,
+            checkpoint=f"{state}/_chk",
+            keys=["event_type", "day"],
+            sums={"sum_value": (F.col("value"), VALUE_SCALE)},
+        )
+        out = finalize_state(raw, sums={"sum_value": VALUE_SCALE}).select(
+            "event_type", "day", F.col("n_rows").cast("bigint").alias("n_events"), "sum_value"
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

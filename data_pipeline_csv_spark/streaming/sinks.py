@@ -56,3 +56,82 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def state_merge_writer(state_root: str, keys, sums, mins=(), maxs=()):
+    """foreachBatch writer maintaining an incremental MV (parquet state).
+
+    Each epoch: aggregate the micro-batch into mergeable fixed-point
+    state (operators/incremental.py), merge with the current MV state,
+    write a new generation dir, and atomically repoint the ``current``
+    symlink. State size is |distinct keys| — bounded regardless of
+    stream length, which is why this MV needs NO watermark: it is the
+    streaming twin of batch incremental_mv_refresh, not a windowed agg.
+
+    Exactly-once across retries: the epoch id is recorded with the
+    swap; a replayed epoch (foreachBatch's at-least-once contract)
+    short-circuits instead of double-merging. Production systems get
+    this from a transactional table format (Delta/Iceberg MERGE);
+    the generation-plus-marker dance is the same commit protocol on
+    bare parquet.
+    """
+    import os
+
+    from ..operators.incremental import merge_agg_state, partial_agg_state
+
+    cur = os.path.join(state_root, "current")
+    marker = os.path.join(state_root, "last_epoch")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= epoch_id:
+                    return  # epoch replay: already merged
+        spark = batch_df.sparkSession
+        delta = partial_agg_state(batch_df, keys, sums, dict(mins) or None, dict(maxs) or None)
+        if os.path.lexists(cur):
+            base = spark.read.parquet(cur)
+            merged = merge_agg_state([base, delta], keys, mins=list(mins), maxs=list(maxs))
+        else:
+            merged = delta
+        gen = os.path.join(state_root, f"gen-{epoch_id}")
+        merged.write.mode("overwrite").parquet(gen)
+        tmp = f"{cur}.tmp-{epoch_id}"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(gen, tmp)
+        os.replace(tmp, cur)  # atomic repoint
+        with open(marker, "w") as fh:
+            fh.write(str(epoch_id))
+
+    return write_epoch
+
+
+def run_incremental_mv(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    state_root: str,
+    checkpoint: str,
+    keys,
+    sums,
+    mins=(),
+    maxs=(),
+) -> DataFrame:
+    """Drain a bounded stream through :func:`state_merge_writer`;
+    return the raw (un-finalized) MV state DataFrame."""
+    import os
+
+    os.makedirs(state_root, exist_ok=True)
+    q = (
+        stream_df.writeStream.foreachBatch(
+            state_merge_writer(state_root, keys, sums, mins, maxs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(os.path.join(state_root, "current"))

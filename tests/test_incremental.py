@@ -71,3 +71,27 @@ def test_empty_delta_is_identity(spark):
     base = partial_agg_state(df, ["k"], **spec)
     empty = partial_agg_state(df.filter(F.lit(False)), ["k"], **spec)
     assert _finish([base, empty]) == _finish([base])
+
+
+def test_streaming_state_merge_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once per epoch: a replayed epoch must
+    NOT double-merge into the MV state."""
+    from data_pipeline_csv_spark.operators.incremental import finalize_state
+    from data_pipeline_csv_spark.streaming.sinks import state_merge_writer
+
+    root = str(tmp_path / "mv")
+    import os
+
+    os.makedirs(root)
+    writer = state_merge_writer(
+        root, ["k"], {"sum_x": (F.col("x"), SCALE)}
+    )
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, x double")
+    b1 = spark.createDataFrame([("a", 0.5)], "k string, x double")
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # replayed epoch: must be a no-op
+    state = spark.read.parquet(os.path.join(root, "current"))
+    out = finalize_state(state, sums={"sum_x": SCALE})
+    got = {(r["k"], r["n_rows"], r["sum_x"]) for r in out.collect()}
+    assert got == {("a", 2, 1.5), ("b", 1, 2.0)}
