@@ -52,11 +52,14 @@ def balanced(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects outright. Read it as long nanoseconds (runtime-settable
-        # legacy conf, so this works under any caller's session) and
-        # truncate to microseconds exactly as DuckDB does when it
-        # coerces TIMESTAMP_NS -> TIMESTAMP.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which the
+        # Spark reader rejects -> read as long ns via the legacy conf and
+        # truncate to micros, exactly as DuckDB coerces TIMESTAMP_NS) and
+        # as TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark 4 reads
+        # as TIMESTAMP_NTZ). Normalize both to session-tz TIMESTAMP: the
+        # session tz is pinned to UTC, so the NTZ->LTZ cast preserves the
+        # wall-clock value and epoch arithmetic (unix_micros, window())
+        # is deterministic and matches the timezone-naive DuckDB oracle.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -64,6 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
