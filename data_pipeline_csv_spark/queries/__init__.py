@@ -64,72 +64,75 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
+# Round-3 rotation: r01∪r02 drove 68 of 107 queries green; the 39
+# below had never had a driver CORRECTNESS row. They take positions
+# 1-39 so r03's first-50 window verifies them, making the union over
+# rounds cover the whole registry. Positions 40-50 are retained
+# sentinels: the flagship, one per previously-green heavy family, and
+# every query whose implementation changed THIS round (clustering,
+# similarity near-dup, simhash/sketch oracles, events load path) so
+# the driver re-verifies the changes rather than trusting local runs.
 _PRIORITY = [
-    # relational core (scan/filter/agg/join families/setops/scalars)
+    # --- never-driver-checked block (39) ---
+    # extended TPC-H (14)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    # window family (7)
+    "window_events_suite",
+    "window_rank_orders",
+    "window_running_revenue",
+    "window_moving_avg",
+    "window_lag_lead",
+    "window_distribution",
+    "window_first_last",
+    # text ops (5)
+    "text_token_stats",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_pii_scrub",
+    # streaming (3)
+    "streaming_hourly_rollup",
+    "streaming_enriched_rollup",
+    "streaming_incremental_mv",
+    # advanced (3)
+    "sample_systematic_revenue",
+    "explode_embedding_positions",
+    "skew_key_diagnosis",
+    # events (2)
+    "events_conversion_funnel",
+    "events_gapfill_resample",
+    # corpus pipeline (4)
+    "sample_stratified_docs",
+    "text_chunk_windows",
+    "corpus_pack_sequences",
+    "sample_mixture_weights",
+    # similarity (1)
+    "similarity_label_knn",
+    # --- retained sentinels (11) ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "revenue_by_nation",
-    "count_distinct_parts",
-    "semi_anti_customers",
-    "full_outer_nation_activity",
-    "range_join_price_bands",
-    "rollup_returns",
-    "promo_revenue_share",
-    "setops_customer_keys",
-    "json_extract_props",
-    "unpivot_part_attrs",
-    # advanced operators
-    "asof_purchase_last_click",
-    "grouping_sets_orders",
-    "skew_salted_join_priority",
-    "udf_scalar_normalize_name",
-    "udaf_discount_sumsq",
-    # dedup family
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_cc_clusters",
-    "corpus_dedup_keep_best",
-    "corpus_quality_funnel",
-    "corpus_decontaminate",
-    # event analytics
-    "events_hourly_rollup",
-    "events_sessionize",
-    # table maintenance (CDC merge is the latest-per-key superset of
-    # the demoted events_dedup_first; profile is its own family)
-    "cdc_merge_snapshot",
-    "profile_lineitem",
-    "incremental_mv_refresh",
-    # multimodal (frame_stats carries the oracle'd decode path;
-    # decode_roundtrip demoted as its subset)
-    "multimodal_image_features",
-    "multimodal_frame_stats",
-    # similarity + clustering + graph
-    "similarity_cosine_topk",
-    "similarity_embedding_neardup",
+    "udaf_discount_sumsq",
     "cluster_kmeans_embeddings",
-    "contrastive_hard_negatives",
-    "graph_pagerank_suppliers",
-    # sketches
-    "sketch_price_quantiles",
-    # streaming
-    "streaming_session_windows",
-    "streaming_dedup_event_ids",
-    "streaming_attribution_join",
-    # windows (the orders suite covers rank/lag/rolling/first-last;
-    # the events twin is demoted for the distinct decay/EWMA family)
-    "window_orders_suite",
-    "events_decay_score",
-    # text
-    "text_profile",
-    "text_tfidf_terms",
-    "text_repetition_filter",
-    # extended TPC-H (q7's star shape is covered by q5/q8)
-    "q8_market_share",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q22_sales_opportunity",
+    "similarity_embedding_neardup",
+    "dedup_simhash_neardup",
+    "sketch_distinct_customers",
+    "events_sessionize",
+    "cdc_merge_snapshot",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

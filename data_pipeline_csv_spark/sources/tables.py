@@ -50,25 +50,62 @@ def balanced(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Peek the parquet footer: is events.ts physical TIMESTAMP(NANOS)?
+
+    Read via pyarrow so the legacy ``nanosAsLong`` conf is only set on
+    the caller's session when the file actually needs it (a MICROS/NTZ
+    file reads fine without it, and the conf must stay set for the whole
+    life of the returned lazy DataFrame, so set-and-restore is unsafe).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        inner = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not inner:
+            return False
+        p = os.path.join(p, inner[0])
+    try:
+        t = pq.read_schema(p).field("ts").type
+    except Exception:
+        return False
+    return getattr(t, "unit", None) == "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (which the
         # Spark reader rejects -> read as long ns via the legacy conf and
         # truncate to micros, exactly as DuckDB coerces TIMESTAMP_NS) and
         # as TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark 4 reads
-        # as TIMESTAMP_NTZ). Normalize both to session-tz TIMESTAMP: the
-        # session tz is pinned to UTC, so the NTZ->LTZ cast preserves the
-        # wall-clock value and epoch arithmetic (unix_micros, window())
-        # is deterministic and matches the timezone-naive DuckDB oracle.
+        # as TIMESTAMP_NTZ). Normalize both to TIMESTAMP holding the
+        # wall-clock value AS a UTC instant, via tz-free epoch-micros
+        # arithmetic (timestampdiff on NTZ / integer div on the long ns),
+        # so epoch math (unix_micros, window()) matches the
+        # timezone-naive DuckDB oracle under ANY session timezone — an
+        # NTZ->LTZ cast would shift by the session offset instead.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        if _events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
