@@ -39,13 +39,26 @@ HEADLINE = [
     "events_sessionize",
     # custom operators
     "asof_purchase_last_click",
+    # dedup_exact timing note (r01 0.40s -> r02+ ~0.5-0.7s): r01 was a
+    # single cold iteration; with the warmup+min-of-3 harness the floor
+    # is ~0.5s, dominated by balanced()'s round-robin shuffle of the
+    # full text column — an artifact of the testdata's 1-partition
+    # single-file layout (measured: 0.28s without it). At any real
+    # multi-file scale the repartition is a no-op, so the operator
+    # keeps it rather than optimizing for the benchmark layout.
     "dedup_exact",
     "dedup_minhash_lsh",
     # text / similarity / multimodal
     "text_token_stats",
     "text_tfidf_terms",
     "similarity_cosine_topk",
+    "similarity_neardup_clustered",
     "multimodal_decode_roundtrip",
+    # iterative / maintenance operators (round-4 additions so perf
+    # tracking covers the driver-side-loop algorithms too)
+    "cluster_kmeans_embeddings",
+    "graph_pagerank_suppliers",
+    "cdc_merge_snapshot",
 ]
 
 

@@ -142,6 +142,70 @@ class PipelineEngine:
             .save()
         )
 
+    def _has_sqlite_jdbc(self) -> bool:
+        try:
+            self.spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+            return True
+        except Exception:
+            return False
+
+    def write_sqlite(self, df: DataFrame, db_path: str, table_name: str) -> None:
+        """The reference's literal output artifact: a SQLite table,
+        dropped and recreated (reference src/load.py:7,
+        ``if_exists='replace', index=False``).
+
+        Dispatch: the JDBC writer when a sqlite JDBC driver is on the
+        classpath, else a driver-side sqlite3 writer streaming rows via
+        ``toLocalIterator`` (no full materialization). The fallback is
+        single-writer by nature — which matches the sink: a SQLite db
+        IS one local file, so no distributed writer can do better; the
+        scale sink remains :meth:`load` (parquet). Column names pass
+        through verbatim (the reference dataset has spaces in headers);
+        types map by SQLite affinity, booleans as 0/1 like pandas
+        ``to_sql``.
+        """
+        if self._has_sqlite_jdbc():
+            self.write_jdbc_sqlite(df, db_path, table_name)
+            return
+
+        import sqlite3
+
+        from pyspark.sql import types as T
+
+        def affinity(dt) -> str:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+                return "INTEGER"
+            if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+                return "REAL"
+            return "TEXT"
+
+        d = os.path.dirname(db_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        cols = ", ".join(
+            f'"{f.name}" {affinity(f.dataType)}' for f in df.schema.fields
+        )
+        placeholders = ", ".join(["?"] * len(df.columns))
+        con = sqlite3.connect(db_path)
+        try:
+            con.execute(f'DROP TABLE IF EXISTS "{table_name}"')
+            con.execute(f'CREATE TABLE "{table_name}" ({cols})')
+            batch: list[tuple] = []
+            for row in df.toLocalIterator():
+                batch.append(tuple(row))
+                if len(batch) >= 10_000:
+                    con.executemany(
+                        f'INSERT INTO "{table_name}" VALUES ({placeholders})', batch
+                    )
+                    batch = []
+            if batch:
+                con.executemany(
+                    f'INSERT INTO "{table_name}" VALUES ({placeholders})', batch
+                )
+            con.commit()
+        finally:
+            con.close()
+
     # -- read path (Q1-Q4) ----------------------------------------------
     def table_exists(self, table_name: str) -> bool:
         """Q1 (reference api.py:182-187)."""

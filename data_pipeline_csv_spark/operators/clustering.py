@@ -11,11 +11,12 @@ API):
 - one ``mapInPandas`` pass per iteration assigns every vector to its
   nearest centroid with a vectorized numpy distance and emits PER-BATCH
   PARTIAL SUMS (cluster, count, elementwise fixed-point sum) — k rows
-  per Arrow batch, the map-side-combine shape: shuffle/collect traffic
-  is O(k * dim * n_batches) regardless of corpus size;
-- the driver reduces the partials (integer adds) and re-derives the
-  centroids. No iteration materializes an assignment table; the corpus
-  is scanned ``iters`` times from the persisted input.
+  per Arrow batch, the map-side-combine shape;
+- a Spark-side ``groupBy("cluster")`` reduces the partials (integer
+  sums, order-invariant) so the driver collects AT MOST k rows per
+  iteration — collect traffic is O(k * dim) regardless of corpus size
+  and task count. No iteration materializes an assignment table; the
+  corpus is scanned ``iters`` times from the persisted input.
 
 Determinism contract (what makes an ITERATIVE algorithm oracle-checkable
 against DuckDB SQL): every arithmetic step is either an IEEE-754 double
@@ -68,12 +69,10 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 2):
         alive = np.ones(len(C), dtype=bool)
         sizes = np.zeros(len(C), dtype=np.int64)
         for _ in range(iters):
-            partials = vecs.mapInPandas(
-                _make_partials(C, alive), "cluster int, n long, s array<long>"
-            ).collect()
+            reduced = _reduce_partials(vecs, C, alive)
             cnt = np.zeros(len(C), dtype=np.int64)
             S = np.zeros_like(C, dtype=np.int64)
-            for r in partials:
+            for r in reduced:
                 cnt[r["cluster"]] += r["n"]
                 S[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
             alive = cnt > 0
@@ -86,6 +85,34 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 2):
         return C, sizes, alive
     finally:
         vecs.unpersist()
+
+
+def _reduce_partials(vecs: DataFrame, C, alive) -> list:
+    """One assignment pass + Spark-side second-level reduction.
+
+    The mapInPandas stage emits per-Arrow-batch partial sums; the
+    ``groupBy("cluster")`` merges them executor-side (partial_sum then
+    one k-row exchange), so ``collect()`` returns at most k rows —
+    never O(k * n_batches) — no matter how many tasks scanned the
+    corpus. Every merged quantity is an int64 sum, so the reduction is
+    order-invariant and the resulting centroids are bit-identical to a
+    driver-side merge (pinned by test_kmeans_matches_numpy_reference_
+    bitwise / test_kmeans_repartition_invariant).
+    """
+    from pyspark.sql import functions as F
+
+    dim = C.shape[1]
+    partials = vecs.mapInPandas(
+        _make_partials(C, alive), "cluster int, n long, s array<long>"
+    )
+    return (
+        partials.groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n"),
+            F.array(*[F.sum(F.col("s").getItem(i)) for i in range(dim)]).alias("s"),
+        )
+        .collect()
+    )
 
 
 def _make_partials(C, alive):

@@ -79,18 +79,30 @@ def ann_ivf_topk(
     """IVF-bucketed approximate cosine top-k.
 
     Default centroids are a deterministic corpus subset (every
-    ``stride``-th vec_id) — cheap and reproducible; pass
+    ``centroid_stride``-th vec_id) — cheap and reproducible; pass
     ``centroids=kmeans_centroids_df(...)`` (operators/clustering.py)
     for trained lists, which tighten the probe/recall trade-off on
     clustered corpora. Each corpus vector joins its nearest centroid
     (broadcast); each query probes its ``nprobe`` nearest lists and
     re-ranks only those lists with the fast double cosine. Returns
     (q_id, vec_id, rank) — approximate by construction.
+
+    One of ``centroids`` / ``centroid_stride`` is required: deriving a
+    stride here would need the corpus row count, and an eager
+    ``count()`` at query-construction time is a full extra scan per
+    call. Callers reading the driver testdata get the count for free
+    from parquet footer metadata (sources.tables.table_num_rows).
     """
     corpus = corpus.select("vec_id", "embedding")
     if centroids is None:
-        n = corpus.count()
-        stride = centroid_stride or max(1, n // nlists)
+        if centroid_stride is None:
+            raise ValueError(
+                "ann_ivf_topk needs centroid_stride or centroids: pass "
+                "centroid_stride=max(1, n_rows // nlists) (cheap n_rows: "
+                "sources.tables.table_num_rows) or trained centroids "
+                "(operators.clustering.kmeans_centroids_df)"
+            )
+        stride = max(1, centroid_stride)
         centroids = corpus.filter((F.col("vec_id") % stride) == 0).select(
             F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
         )
@@ -130,6 +142,29 @@ def ann_ivf_topk(
     )
 
 
+def _exact_rescore(corpus2: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Re-score candidate (d1, d2) pairs with the exact fixed-point
+    cosine (JVM-side, bit-identical to the DuckDB oracle), which alone
+    decides membership. Candidates are a vanishing fraction of pairs,
+    so the two embedding joins move only candidate-sized data."""
+    e1 = corpus2.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    e2 = corpus2.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    return (
+        cand.join(e1, "d1")
+        .join(e2, "d2")
+        .select(
+            "d1",
+            "d2",
+            cosine_from_parts(
+                dot_exact(F.col("e1"), F.col("e2")),
+                norm_sq_exact(F.col("e1")),
+                norm_sq_exact(F.col("e2")),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_neardup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -138,11 +173,15 @@ def embedding_cosine_neardup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (d1 < d2, cosine >= t).
 
-    Blocked all-pairs GEMM. Geometric candidate pruning (IVF/LSH) was
-    measured on this corpus and cannot reach recall 1 below ~90% of
-    pairs scanned (near-dups at t=0.45 sit against the background with
-    no angular gap), so the exact O(n^2) similarity is computed — but
-    as BLAS matrix products over block pairs, not per-pair JVM lambdas:
+    Blocked all-pairs GEMM — the EXACT mode (recall 1 by construction);
+    :func:`embedding_cosine_neardup_clustered` is the approximate
+    scale path that replaces the O(n^2) compute with cell-blocked
+    candidate generation. Geometric candidate pruning was measured on
+    this corpus and cannot reach recall 1 below ~90% of pairs scanned
+    at the registered t=0.45 (near-dups sit against the background with
+    no angular gap), so the oracle query keeps the exact O(n^2)
+    similarity — but as BLAS matrix products over block pairs, not
+    per-pair JVM lambdas:
 
     1. each vector lands in block ``vec_id % B`` and map-side-emits
        the B block-pair groups its block participates in (the
@@ -209,20 +248,110 @@ def embedding_cosine_neardup(
         return pd.DataFrame({"d1": lo, "d2": hi, "cos_pre": cs})
 
     cand = repl.groupBy("ba", "bb").applyInPandas(_score, "d1 long, d2 long, cos_pre double")
+    return _exact_rescore(corpus2, cand.select("d1", "d2"), threshold)
 
-    e1 = corpus2.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    e2 = corpus2.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
-    return (
-        cand.join(e1, "d1")
-        .join(e2, "d2")
-        .select(
-            "d1",
-            "d2",
-            cosine_from_parts(
-                dot_exact(F.col("e1"), F.col("e2")),
-                norm_sq_exact(F.col("e1")),
-                norm_sq_exact(F.col("e2")),
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+
+def embedding_cosine_neardup_clustered(
+    corpus: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Approximate cluster-blocked near-duplicate pairs — the 100 TB
+    path that removes the O(n^2) all-pairs compute.
+
+    ``centroids`` is a trained (c_id, c_emb) DataFrame
+    (operators/clustering.py kmeans_centroids_df) or a k x dim numpy
+    array; k x dim doubles are bytes, so the matrix rides into task
+    closures — no centroid join, no assignment shuffle:
+
+    1. one map-side ``mapInPandas`` pass assigns every vector its
+       ``nprobe`` nearest cells (vectorized GEMM against the broadcast
+       centroid matrix; ties break to the lowest cell id via stable
+       argsort) and emits one (cell, vec, cells) row per probed cell —
+       replication factor nprobe, vs factor n_blocks in the exact mode;
+    2. ONE shuffle groups by cell; per cell an Arrow-batched
+       ``applyInPandas`` computes the triangular cosine GEMM among
+       members. A surviving pair can appear in up to nprobe shared
+       cells, so each pair is OWNED by the lowest shared cell id
+       (both rows carry their sorted cell lists) and emitted exactly
+       once — no distinct pass;
+    3. survivors are re-scored with the exact fixed-point cosine
+       (same final stage as the exact mode), so precision is 1 and the
+       output is a subset of the exact answer; recall is the fraction
+       of true pairs whose endpoints share a probed cell. At production
+       thresholds (t >= 0.9, vectors nearly colinear) co-assignment is
+       near-certain and the scanned fraction drops to ~nprobe/k of
+       pairs; tests/test_similarity.py pins recall >= 0.99 and the
+       pruning ratio on a planted-dup corpus.
+
+    Per-cell work is O(|cell|^2) — bound it by training enough
+    centroids that cells fit executor memory (AQE splits skewed cells
+    across tasks only between groups, so k is the real knob).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(centroids, _DF):
+        crows = centroids.select("c_id", "c_emb").collect()
+        C = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in crows])
+        cell_ids = np.asarray([r["c_id"] for r in crows], dtype=np.int64)
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+        cell_ids = np.arange(len(C), dtype=np.int64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    nprobe = min(nprobe, len(C))
+
+    corpus2 = corpus.select("vec_id", "embedding")
+    cut = threshold - margin
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sim = Mn @ Cn.T
+            # stable argsort on -sim: ties break to the lower centroid
+            # INDEX, and cell_ids is emitted sorted by c_id, so ties
+            # break to the lowest cell id — deterministic everywhere.
+            order = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+            cells = np.sort(cell_ids[order], axis=1)
+            emb = list(pdf["embedding"])
+            yield pd.DataFrame(
+                {
+                    "cell": cells.ravel(),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "embedding": [emb[i] for i in range(len(emb)) for _ in range(nprobe)],
+                    "cells": [cells[i].tolist() for i in range(len(emb)) for _ in range(nprobe)],
+                }
+            )
+
+    probed = corpus2.mapInPandas(
+        _assign, "cell long, vec_id long, embedding array<double>, cells array<long>"
     )
+
+    def _cell_pairs(key, pdf):
+        cell = int(key[0])
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = S[iu] >= cut
+        ii, jj = iu[0][hit], iu[1][hit]
+        cells = list(pdf["cells"])
+        d1, d2 = [], []
+        for a, b in zip(ii, jj):
+            shared = set(cells[a]) & set(cells[b])
+            if shared and min(shared) == cell:
+                lo, hi = (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+                d1.append(lo)
+                d2.append(hi)
+        return pd.DataFrame({"d1": np.asarray(d1, dtype=np.int64), "d2": np.asarray(d2, dtype=np.int64)})
+
+    cand = probed.groupBy("cell").applyInPandas(_cell_pairs, "d1 long, d2 long")
+    return _exact_rescore(corpus2, cand, threshold)

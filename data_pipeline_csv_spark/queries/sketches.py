@@ -1,11 +1,13 @@
 """Approximate-sketch queries: HLL distinct counts, quantile sketches.
 
-Approximate by construction — estimates are engine-specific, so no
-DuckDB value oracle (rows-only in the driver); accuracy bounds vs the
-exact answers are pinned in tests/test_sketches.py. These are the
-100 TB workhorses: a single pass + constant-size mergeable state where
-the exact forms (countDistinct, sort-based percentiles) shuffle the
-full key set.
+Approximate by construction — raw estimates are engine-specific, so
+they can't be value-hashed against DuckDB directly. The HLL query is
+still oracle-checked via its ERROR BOUND (exact count + a within-3*rsd
+boolean, SQL-expressible on both sides); the quantile sketch stays
+rows-only with tolerances pinned in tests/test_sketches.py. These are
+the 100 TB workhorses: a single pass + constant-size mergeable state
+where the exact forms (countDistinct, sort-based percentiles) shuffle
+the full key set.
 """
 
 from __future__ import annotations
@@ -19,16 +21,43 @@ from .registry import query
 
 @query(
     "sketch_distinct_customers",
-    oracle=None,  # HLL estimate; tolerance vs exact pinned in tests
+    # The raw HLL estimate is engine-specific, but its ERROR BOUND is
+    # SQL-expressible: the oracle emits the exact distinct count plus a
+    # TRUE bounds flag, and the Spark side hash-matches only if its
+    # sketch landed within 3*rsd of the exact answer it computed
+    # alongside. The exact countDistinct here exists solely to make the
+    # sketch verifiable — the production 100 TB path uses the
+    # approx-only form (constant-size mergeable state, no key shuffle).
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_3rsd
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
     doc="approx_count_distinct (HyperLogLog++, rsd=0.01) of customers per "
-    "order priority — mergeable constant-size state vs a full key shuffle.",
+    "order priority, verified against the exact count via the 3*rsd "
+    "error bound (holds w.p. ~99.7%; deterministic for a fixed corpus "
+    "since the sketch itself is deterministic).",
     tags=("sketch", "hll", "agg"),
 )
 def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.01
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=rsd).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= F.lit(3 * rsd) * F.col("exact_customers")
+            ).alias("within_3rsd"),
+        )
     )
 
 

@@ -50,6 +50,28 @@ def balanced(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job, no
+    data scan (footers carry per-row-group counts). The cheap
+    cardinality source for sizing decisions made at query-CONSTRUCTION
+    time (e.g. the IVF default centroid stride), where triggering an
+    eager full-table count would be an extra scan per call.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Peek the parquet footer: is events.ts physical TIMESTAMP(NANOS)?
 
@@ -57,6 +79,10 @@ def _events_ts_is_nanos(path: str) -> bool:
     the caller's session when the file actually needs it (a MICROS/NTZ
     file reads fine without it, and the conf must stay set for the whole
     life of the returned lazy DataFrame, so set-and-restore is unsafe).
+    Directories are walked recursively (partitioned/nested datasets put
+    their first footer under subdirectories); a probe failure returns
+    False and ``load_table`` falls back to retrying the Spark read with
+    the conf set.
     """
     import os
 
@@ -64,15 +90,39 @@ def _events_ts_is_nanos(path: str) -> bool:
 
     p = path
     if os.path.isdir(p):
-        inner = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        inner = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
         if not inner:
             return False
-        p = os.path.join(p, inner[0])
+        p = inner[0]
     try:
         t = pq.read_schema(p).field("ts").type
     except Exception:
         return False
     return getattr(t, "unit", None) == "ns"
+
+
+# Inferred Spark schema per parquet path: spark.read.parquet without an
+# explicit schema runs a footer/schema-inference JOB on every call, so
+# each query construction would pay one tiny cluster round-trip per
+# table read. The driver testdata is immutable for a process lifetime;
+# inferring once and passing .schema(...) afterwards makes repeat
+# query construction job-free (asserted in tests/test_similarity.py::
+# test_ann_query_construction_runs_no_job).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    cached = _SCHEMA_CACHE.get(path)
+    reader = spark.read if cached is None else spark.read.schema(cached)
+    df = reader.parquet(path)
+    if cached is None:
+        _SCHEMA_CACHE[path] = df.schema
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,17 +133,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # as TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark 4 reads
         # as TIMESTAMP_NTZ). Normalize both to TIMESTAMP holding the
         # wall-clock value AS a UTC instant, via tz-free epoch-micros
-        # arithmetic (timestampdiff on NTZ / integer div on the long ns),
-        # so epoch math (unix_micros, window()) matches the
-        # timezone-naive DuckDB oracle under ANY session timezone — an
-        # NTZ->LTZ cast would shift by the session offset instead.
+        # arithmetic (timestampdiff on NTZ / integer div on the long ns).
+        # Timezone scope: the epoch arithmetic itself (unix_micros,
+        # window()) is session-tz-independent, but ts lands as
+        # TIMESTAMP_LTZ, so FIELD-EXTRACTION expressions downstream
+        # (date_trunc('hour'/'day'), hour(), to_date()) render in the
+        # session timezone and would diverge from the tz-naive DuckDB
+        # oracle on a non-UTC session. UTC session time is the engine's
+        # semantic contract (session.py pins it for engine-owned
+        # sessions); pin it here too so driver-owned sessions get the
+        # same semantics. Like nanosAsLong below, the conf must outlive
+        # this call — the returned DataFrame is lazy and resolves these
+        # settings at action time, so set-and-restore would corrupt it.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         path = f"{sf_dir}/{name}.parquet"
         if _events_ts_is_nanos(path):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = _read_parquet_cached(spark, path)
+        except Exception:
+            # The footer probe is best-effort (it can miss on exotic
+            # layouts or pyarrow errors). A NANOS file read without the
+            # legacy conf fails deterministically at schema resolution,
+            # so one retry with the conf set recovers exactly that case.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = _read_parquet_cached(spark, path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
@@ -107,7 +174,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -63,6 +63,20 @@ def test_kmeans_sizes_partition_corpus(spark, corpus):
     assert alive.any()
 
 
+def test_reduce_partials_collects_at_most_k_rows(spark, corpus):
+    """The Spark-side groupBy must hand the driver <= k rows per
+    iteration — not O(k * n_batches) — regardless of partitioning."""
+    from data_pipeline_csv_spark.operators.clustering import _reduce_partials
+
+    rows = corpus.orderBy("vec_id").limit(4).collect()
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    alive = np.ones(len(C), dtype=bool)
+    reduced = _reduce_partials(corpus.repartition(13), C, alive)
+    assert len(reduced) <= 4
+    n = corpus.count()
+    assert sum(r["n"] for r in reduced) == n
+
+
 def test_kmeans_repartition_invariant(spark, corpus):
     """Partial-sum reduce must not depend on batch/partition layout."""
     a = kmeans_fit(corpus, k=4, iters=2)

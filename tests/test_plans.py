@@ -29,6 +29,23 @@ def test_embedding_neardup_has_no_all_pairs_join(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan  # the GEMM stage is present
 
 
+def test_clustered_neardup_plan_has_no_all_pairs_stage(spark, sf_dir):
+    """The approximate mode must carry NO all-pairs structure: no
+    cartesian/nested-loop join, and none of the exact mode's block-pair
+    replication (an explode over the full block sequence). Assignment is
+    a map-side MapInPandas against the broadcast centroid matrix; the
+    only wide stage is the single groupBy(cell) feeding the per-cell
+    GEMM."""
+    plan = _plan(REGISTRY["similarity_neardup_clustered"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "explode" not in plan  # exact mode's block replication marker
+    assert "MapInPandas" in plan  # map-side cell assignment
+    assert "FlatMapGroupsInPandas" in plan  # per-cell GEMM
+    # exactly one exchange keyed on the cell id feeds the GEMM
+    assert plan.count("hashpartitioning(cell#") == 1
+
+
 def test_minhash_lsh_plan_has_no_window_and_no_shingle_distinct(spark, sf_dir):
     """Bucket capping is an aggregate (not a window pass), and signatures
     aggregate raw shingles (no distinct exchange before groupBy)."""

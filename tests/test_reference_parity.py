@@ -79,6 +79,34 @@ def test_synthetic_products_goldens(spark):
     assert df.na.drop("any").count() == 100  # zero nulls -> clean is identity
 
 
+# ---- K1 literal parity: SQLite sink ----------------------------------
+def test_write_sqlite_roundtrip(spark, engine, tmp_path):
+    """The reference's actual output artifact (a products.db SQLite
+    table, dropped + recreated per run) written and read back via
+    sqlite3 — space-named columns verbatim, booleans as 0/1, overwrite
+    semantics."""
+    import sqlite3
+
+    df = synthetic_products(spark).withColumnRenamed("in_stock", "in stock")
+    db = str(tmp_path / "processed" / "products.db")
+    engine.write_sqlite(df, db, "products")
+    engine.write_sqlite(df, db, "products")  # if_exists='replace': no dup rows
+
+    con = sqlite3.connect(db)
+    try:
+        cols = [r[1] for r in con.execute("PRAGMA table_info(products)")]
+        assert cols == df.columns and "in stock" in cols
+        assert con.execute("SELECT COUNT(*) FROM products").fetchone()[0] == 100
+        n_stock = con.execute('SELECT COUNT(*) FROM products WHERE "in stock" = 1').fetchone()[0]
+        assert n_stock == 50
+        cats = dict(
+            con.execute("SELECT category, COUNT(*) FROM products GROUP BY category")
+        )
+        assert cats == {"Electronics": 33, "Books": 34, "Clothing": 33}
+    finally:
+        con.close()
+
+
 # ---- K1 + Q1-Q4 + EP1: end-to-end pipeline ---------------------------
 def test_pipeline_end_to_end(spark, engine, tmp_path):
     src = tmp_path / "products.csv"

@@ -2,15 +2,23 @@
 top-k (the correctness harness can't check approximate results)."""
 
 from data_pipeline_csv_spark.operators.similarity import ann_ivf_topk, cosine_topk
-from data_pipeline_csv_spark.sources.tables import load_table
+from data_pipeline_csv_spark.sources.tables import load_table, table_num_rows
 
 QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _stride(sf_dir, nlists=16):
+    return max(1, table_num_rows(sf_dir, "embeddings") // nlists)
 
 
 def test_ivf_recall_at_10(spark, sf_dir):
     corpus = load_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id").collect()
-    approx = ann_ivf_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id").collect()
+    approx = (
+        ann_ivf_topk(corpus, QUERY_IDS, k=10, centroid_stride=_stride(sf_dir))
+        .select("q_id", "vec_id")
+        .collect()
+    )
     truth = {(r.q_id, r.vec_id) for r in exact}
     got = {(r.q_id, r.vec_id) for r in approx}
     recall = len(truth & got) / len(truth)
@@ -32,6 +40,115 @@ def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
     got = {(r.q_id, r.vec_id) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF(kmeans) recall@10 too low: {recall:.2f}"
+
+
+def test_ann_query_construction_runs_no_job(spark, sf_dir):
+    """Building the ANN plan (including the registered query, which
+    derives its stride from parquet footer metadata) must trigger no
+    Spark job — the old default ran an eager corpus.count() per call."""
+    from data_pipeline_csv_spark.queries import REGISTRY
+
+    sc = spark.sparkContext
+    # Warm the parquet reader: the FIRST read of a path runs one
+    # driver-coordinated footer/schema job inside spark.read itself —
+    # reader behavior, not query construction. Subsequent reads reuse
+    # the relation cache.
+    corpus = load_table(spark, sf_dir, "embeddings")
+    group = "ann-construction-probe"
+    sc.setJobGroup(group, "assert no jobs during query construction")
+    try:
+        ann_ivf_topk(corpus, QUERY_IDS, k=10, centroid_stride=_stride(sf_dir))
+        REGISTRY["similarity_ann_ivf"].fn(spark, sf_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+
+
+def test_ann_requires_stride_or_centroids(spark, sf_dir):
+    import pytest
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="centroid_stride"):
+        ann_ivf_topk(corpus, QUERY_IDS, k=10)
+
+
+def test_clustered_neardup_matches_exact_on_corpus(spark, sf_dir):
+    """At the registered config (k=16, nprobe=4, t=0.45) the clustered
+    mode must reproduce the exact pair set bit-for-bit — that is what
+    lets it share the exact mode's full DuckDB oracle."""
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_clustered,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids_df(spark, corpus, k=16, iters=2)
+    exact = {
+        (r.d1, r.d2, r.cosine)
+        for r in embedding_cosine_neardup(corpus, threshold=0.45).collect()
+    }
+    got = {
+        (r.d1, r.d2, r.cosine)
+        for r in embedding_cosine_neardup_clustered(
+            corpus, cents, threshold=0.45, nprobe=4
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_clustered_neardup_high_threshold_recall_and_pruning(spark, sf_dir):
+    """The scale story: on a corpus with planted high-similarity dups
+    (t=0.9), cell blocking must keep recall >= 0.99 while scanning a
+    small fraction of all pairs."""
+    import numpy as np
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_clustered,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in base])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in base])
+    rng = np.random.RandomState(7)
+    dup_src = ids[:: max(1, len(ids) // 40)]  # ~40 planted dups
+    rows = [(int(i), [float(x) for x in M[k]]) for k, i in enumerate(ids)]
+    off = int(ids.max()) + 1
+    for j, src in enumerate(dup_src):
+        k = int(np.where(ids == src)[0][0])
+        v = M[k] + rng.normal(0, 0.02, size=M.shape[1])  # cosine ~0.99 to source
+        rows.append((off + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k_cells, nprobe = 16, 2
+    cents = kmeans_centroids_df(spark, corpus, k=k_cells, iters=2)
+    truth = {(r.d1, r.d2) for r in embedding_cosine_neardup(corpus, threshold=0.9).collect()}
+    got = {
+        (r.d1, r.d2)
+        for r in embedding_cosine_neardup_clustered(
+            corpus, cents, threshold=0.9, nprobe=nprobe
+        ).collect()
+    }
+    assert truth, "planted dups must produce true pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"clustered recall too low: {recall:.3f}"
+    assert got <= truth  # precision 1: exact re-score decides membership
+
+    # pruning: replay the deterministic assignment in numpy and bound
+    # the scanned pair fraction
+    crows = cents.collect()
+    C = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in crows])
+    call = np.stack([np.asarray(e, dtype=np.float64) for _, e in rows])
+    calln = call / np.linalg.norm(call, axis=1, keepdims=True)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(calln @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    sizes = np.bincount(order.ravel(), minlength=len(C))
+    scanned = int((sizes * (sizes - 1) // 2).sum())
+    n = len(rows)
+    frac = scanned / (n * (n - 1) // 2)
+    assert frac < 0.35, f"cell blocking scanned too much: {frac:.2f} of all pairs"
 
 
 def test_simhash_near_dups_close(spark, sf_dir):

@@ -9,20 +9,18 @@ from data_pipeline_csv_spark.sources.tables import load_table
 
 
 def test_hll_within_rsd(spark, sf_dir):
-    got = {
-        r["o_orderpriority"]: r["approx_customers"]
-        for r in REGISTRY["sketch_distinct_customers"].fn(spark, sf_dir).collect()
-    }
-    want = {
+    rows = REGISTRY["sketch_distinct_customers"].fn(spark, sf_dir).collect()
+    exact = {
         r["o_orderpriority"]: r["n"]
         for r in load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(got) == set(want)
-    for k in want:
-        assert abs(got[k] - want[k]) <= max(5, 0.05 * want[k]), (k, got[k], want[k])
+    assert {r["o_orderpriority"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_customers"] == exact[r["o_orderpriority"]]
+        assert r["within_3rsd"] is True, r
 
 
 def test_quantile_sketch_brackets_exact(spark, sf_dir):
