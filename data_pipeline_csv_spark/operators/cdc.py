@@ -1,6 +1,8 @@
-"""Change-data-capture merge: a keyed change log (insert/update/delete
-rows with a monotone sequence) folded into its latest snapshot — the
-batch core of Delta/Iceberg's MERGE INTO, expressed as one window.
+"""Change-data-capture operators: a keyed change log (insert/update/
+delete rows with a monotone sequence) folded into its latest snapshot
+(the batch core of Delta/Iceberg's MERGE INTO) or expanded into a
+type-2 slowly-changing-dimension history — each expressed as one
+window.
 
 Scale shape: a single hash shuffle on the merge key routes every
 version of a key to one task; ``row_number`` picks the winner and a
@@ -42,4 +44,31 @@ def merge_latest_snapshot(
         .filter(F.col("_rn") == 1)
         .filter(F.col(op_col) != delete_op)
         .drop("_rn")
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an I/U/D change
+    log: one validity interval per non-delete change, closed by the
+    NEXT change of the same key (updates supersede, deletes tombstone
+    the final interval — so a deleted key has no current row).
+
+    Adds ``valid_from`` (the change's own sequence), ``valid_to`` (the
+    next change's sequence, null while open) and ``is_current``. Same
+    scale shape as :func:`merge_latest_snapshot`: one hash shuffle on
+    the key, per-key window state bounded by version count.
+    """
+    w = W.partitionBy(*keys).orderBy(F.col(seq_col).asc(), F.col(op_col).asc())
+    return (
+        changes.withColumn("valid_to", F.lead(seq_col).over(w))
+        .filter(F.col(op_col) != delete_op)
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(seq_col, "valid_from")
+        .drop(op_col)
     )

@@ -1,0 +1,83 @@
+"""Weighted sampling without replacement — Efraimidis–Spirakis top-k.
+
+The training-data mixture primitive: draw k items per stratum with
+probability proportional to a weight column (quality score, token
+count, domain multiplier) WITHOUT replacement, in one distributed
+pass. Each row gets key = ln(u) / w for a uniform u; the k largest
+keys per stratum are exactly a weight-proportional sample (Efraimidis
+& Spirakis 2006, "Weighted random sampling with a reservoir" — ranking
+by u^(1/w) == ranking by ln(u)/w since ln is monotone).
+
+Scale shape: the key is a pure map-side expression; the per-stratum
+top-k is one window whose rank<=k filter pushes a WindowGroupLimit
+below the exchange, so every task forwards at most k candidate rows
+per stratum — no full sort, no global shuffle of the corpus (same
+plan family as topk_expensive_orders, asserted in tests/test_plans.py).
+
+Determinism (the oracle contract): u comes from a 32-bit
+multiplicative mixer on the id column — plain BIGINT multiply/mod
+arithmetic that never exceeds int64 (max intermediate ~8.6e18), so
+Spark SQL and DuckDB evaluate it identically; ln() and the divide are
+single IEEE-double libm ops on identical inputs. Rank flips would need
+two keys within 1 ulp — distinct ids differ by >= 2^-32 in u, so the
+sample is reproducible across engines, partitionings and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# 32-bit Knuth multiplicative hash + one remix round. Constants chosen
+# so every intermediate stays under int64 max for any 32-bit-ish id
+# domain: id * 2654435761 <= ~1e10 * 2.7e9 is the only caller-bounded
+# product (ids must stay below ~3.4e9; parquet testdata ids are dense
+# small ints), then values are reduced mod 2^32 before the second
+# multiply (4.29e9 * 2.0e9 = 8.6e18 < 9.22e18).
+_M32 = 4294967296  # 2^32
+_C1 = 2654435761  # Knuth's 2^32 / phi
+_C2 = 2654435769  # golden-ratio increment
+_C3 = 2000000011  # odd multiplier < 2^31 (keeps the remix in int64)
+
+
+def uniform_from_id(id_col: Column) -> Column:
+    """Deterministic u in (0, 1) from an integer id — identical SQL
+    arithmetic in Spark and DuckDB (no engine RNG, no xxhash)."""
+    h1 = (id_col.cast("bigint") * F.lit(_C1)) % F.lit(_M32)
+    h2 = ((h1 + F.lit(_C2)) % F.lit(_M32) * F.lit(_C3)) % F.lit(_M32)
+    return (h2 + F.lit(0.5)) / F.lit(float(_M32))
+
+
+def uniform_from_id_sql(id_expr: str) -> str:
+    """The DuckDB-side rendering of :func:`uniform_from_id`."""
+    return (
+        f"((((({id_expr} * {_C1}) % {_M32}) + {_C2}) % {_M32}) * {_C3} % {_M32}"
+        f" + 0.5) / {float(_M32)}"
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """k-item weight-proportional sample without replacement (per
+    stratum when ``stratum_col`` is given). Returns the stratum (if
+    any), id, weight and 1-based rank."""
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.ln(uniform_from_id(F.col(id_col))) / w
+    parts = [stratum_col] if stratum_col else []
+    win = W.partitionBy(*parts).orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    out_cols = ([stratum_col] if stratum_col else []) + [
+        id_col,
+        F.col("_w").cast("bigint").alias("weight"),
+        F.col("rank"),
+    ]
+    return (
+        df.select(*(parts or []), id_col, w.alias("_w"), key.alias("_key"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )

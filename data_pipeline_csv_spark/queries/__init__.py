@@ -9,9 +9,9 @@ used as a ROTATION: each round the 50-slot ``_PRIORITY`` window is
 recomposed so that (a) every query whose implementation changed that
 round is re-verified by the driver rather than trusted from local
 runs, and (b) the union of driver CORRECTNESS rows across rounds keeps
-covering the whole registry (complete since r03: all 108 queries have
-at least one driver row; every oracle-backed one has a hash-green
-row). Queries outside the window remain fully registered and are
+covering the whole registry (complete since r03: every pre-r04 query
+has at least one driver row; every oracle-backed one has a hash-green
+row; queries added later debut inside the window). Queries outside the window remain fully registered and are
 verified every round by tests/test_oracle_parity.py through a
 driver-identical comparison path.
 """
@@ -52,7 +52,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # dedup_simhash_neardup (oracle-less by design) is rotated OUT so no
 # driver slot is spent on a rows-only check of unchanged code.
 _PRIORITY = [
-    # --- changed implementations this round (8) ---
+    # --- changed or new implementations this round (11) ---
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -61,6 +61,9 @@ _PRIORITY = [
     "similarity_ann_ivf",
     "cluster_kmeans_embeddings",
     "sketch_distinct_customers",
+    "sketch_price_quantiles",
+    "sample_weighted_reservoir",
+    "cdc_scd2_history",
     # --- events/streaming surface over the changed loader (20) ---
     "events_sessionize",
     "events_conversion_funnel",
@@ -82,13 +85,12 @@ _PRIORITY = [
     "streaming_attribution_join",
     "asof_purchase_last_click",
     "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (22) ---
+    # --- flagship + heavy-family sentinels (19) ---
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_product_profit",
-    "q18_large_volume_customers",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -98,12 +100,10 @@ _PRIORITY = [
     "graph_pagerank_suppliers",
     "profile_lineitem",
     "multimodal_decode_roundtrip",
-    "multimodal_frame_stats",
     "text_profile",
     "text_tfidf_terms",
     "text_repetition_filter",
     "corpus_dedup_keep_best",
-    "corpus_quality_funnel",
     "corpus_decontaminate",
 ]
 

@@ -130,3 +130,39 @@ def _profile_oracle() -> str:
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem")
     return profile_table(df).withColumnRenamed("column", "col_name")
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH {_CHANGES_SQL},
+    hist AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, seq, op,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS vt
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(seq AS BIGINT) AS valid_from,
+           CAST(vt AS BIGINT) AS valid_to,
+           vt IS NULL AS is_current
+    FROM hist WHERE op <> 'D'
+    """,
+    doc="Type-2 SCD history over the same synthetic change log as "
+    "cdc_merge_snapshot: every insert/update becomes a validity "
+    "interval closed by the key's next change; deletes tombstone the "
+    "final interval (deleted keys carry no current row). One window "
+    "over one key shuffle (operators/cdc.py scd2_history).",
+    tags=("cdc", "scd2", "history", "window"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import scd2_history
+
+    hist = scd2_history(_changes(spark, sf_dir), ["o_orderkey"])
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+        "is_current",
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.text_funcs import STOPWORDS, alpha_ratio, stopword_hits, tokens
 from ..operators.components import connected_components
 from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.sampling import uniform_from_id_sql
 from ..sources.tables import balanced, load_table
 from .dedup import _SHINGLE_CTE
 from .registry import query
@@ -398,4 +399,38 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target / actual).alias("weight"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS w,
+             ln({uniform_from_id_sql('doc_id')})
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS k
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(w AS BIGINT) AS weight, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT lang, doc_id, w,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rank
+      FROM keyed
+    ) WHERE rank <= 20
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "reservoir top-k): 20 docs per language drawn with probability "
+    "proportional to document length — the training-data mixture "
+    "sampler. Map-side key (deterministic 32-bit mixer -> ln(u)/w), "
+    "one per-stratum window whose rank<=k filter pushes a "
+    "WindowGroupLimit below the exchange, so tasks forward at most k "
+    "rows per language; no corpus-wide sort or full shuffle.",
+    tags=("sampling", "pipeline", "reservoir", "weighted"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _docs(spark, sf_dir), k=20, weight_col="n_chars", stratum_col="lang"
     )

