@@ -41,6 +41,14 @@ def pagerank(
     Returns (node, rank). One driver-side scalar (the node count) is
     collected up front; everything else stays distributed.
     """
+    # Deliberately NOT persisted: the edge list is referenced by the
+    # per-iteration message join, the out-degree agg and the node
+    # derivation, but all references produce identical exchange
+    # subtrees, and Spark's ReuseExchange computes the shared shuffle
+    # once per job. Persisting instead was measured 2x SLOWER on the
+    # supplier graph at sf0.1 (cache materialization + InMemoryRelation
+    # read beats nothing; the reused exchange is already "cached" in
+    # shuffle files).
     edges = edges.select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (

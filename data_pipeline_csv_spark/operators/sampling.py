@@ -56,6 +56,42 @@ def uniform_from_id_sql(id_expr: str) -> str:
     )
 
 
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative weight interval contains its hash-uniform
+    u — the standard production split (stable across re-runs, shuffles
+    and corpus growth: a row's split depends only on its own id, never
+    on partitioning or row order). Pure map-side expression, no
+    shuffle, no RNG state."""
+    u = uniform_from_id(F.col(id_col))
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql_case(weights: dict[str, float], id_expr: str) -> str:
+    """DuckDB rendering of :func:`split_assign`'s CASE expression."""
+    u = uniform_from_id_sql(id_expr)
+    total = sum(weights.values())
+    names = list(weights)
+    parts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        parts.append(f"WHEN ({u}) < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int,

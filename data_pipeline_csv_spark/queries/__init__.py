@@ -52,7 +52,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # dedup_simhash_neardup (oracle-less by design) is rotated OUT so no
 # driver slot is spent on a rows-only check of unchanged code.
 _PRIORITY = [
-    # --- changed or new implementations this round (11) ---
+    # --- changed or new implementations this round (12) ---
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -63,6 +63,7 @@ _PRIORITY = [
     "sketch_distinct_customers",
     "sketch_price_quantiles",
     "sample_weighted_reservoir",
+    "corpus_split_report",
     "cdc_scd2_history",
     # --- events/streaming surface over the changed loader (20) ---
     "events_sessionize",
@@ -85,7 +86,7 @@ _PRIORITY = [
     "streaming_attribution_join",
     "asof_purchase_last_click",
     "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (19) ---
+    # --- flagship + heavy-family sentinels (18) ---
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
@@ -100,7 +101,6 @@ _PRIORITY = [
     "graph_pagerank_suppliers",
     "profile_lineitem",
     "multimodal_decode_roundtrip",
-    "text_profile",
     "text_tfidf_terms",
     "text_repetition_filter",
     "corpus_dedup_keep_best",

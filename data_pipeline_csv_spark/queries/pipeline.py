@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.text_funcs import STOPWORDS, alpha_ratio, stopword_hits, tokens
 from ..operators.components import connected_components
 from ..operators.dedup import ngram_jaccard_pairs
-from ..operators.sampling import uniform_from_id_sql
+from ..operators.sampling import split_assign_sql_case, uniform_from_id_sql
 from ..sources.tables import balanced, load_table
 from .dedup import _SHINGLE_CTE
 from .registry import query
@@ -433,4 +433,35 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return weighted_sample_topk(
         _docs(spark, sf_dir), k=20, weight_col="n_chars", stratum_col="lang"
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "corpus_split_report",
+    oracle=f"""
+    SELECT lang,
+           {split_assign_sql_case(_SPLIT_WEIGHTS, 'doc_id')} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic hash-based train/val/test split (90/5/5) with a "
+    "per-language audit report: each doc's split depends only on its "
+    "own id (the same 32-bit mixer as the weighted reservoir), so "
+    "assignments survive re-runs, repartitioning and corpus growth. "
+    "The assignment itself is a pure map-side CASE; the report is one "
+    "small (lang, split) agg.",
+    tags=("sampling", "pipeline", "split", "training-data"),
+)
+def corpus_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import split_assign
+
+    docs = split_assign(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+    return docs.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
     )

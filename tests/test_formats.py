@@ -74,3 +74,55 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         back.filter(F.col("o_orderstatus") == "F").explain("formatted")
     assert "PushedFilters: [" in plan.getvalue()
     assert "o_orderstatus" in plan.getvalue()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    """Z-ordered files must have footer min/max stats that let a range
+    predicate on EITHER interleaved column skip most files; a
+    round-robin layout of the same rows cannot skip any."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.engine import PipelineEngine
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    engine = PipelineEngine(spark, str(tmp_path / "wh"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("o_day", F.datediff("o_orderdate", F.lit("1992-01-01")))
+        .drop("o_orderdate")
+    )
+    res = engine.write_zordered(orders, "orders_z", ("o_custkey", "o_day"), n_files=8)
+    assert res.rows_written == orders.count()
+    plain = str(tmp_path / "wh" / "orders_plain")
+    orders.repartition(8).write.mode("overwrite").parquet(plain)
+
+    def overlapping_files(path, col, lo, hi):
+        total, hit = 0, 0
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, total
+
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_day"), F.max("o_day")
+    ).first()
+    ranges = (
+        ("o_custkey", b[0], b[0] + (b[1] - b[0]) // 8),
+        ("o_day", b[2], b[2] + (b[3] - b[2]) // 8),
+    )
+    for col, lo, hi in ranges:
+        z_hit, z_tot = overlapping_files(res.table_path, col, lo, hi)
+        p_hit, p_tot = overlapping_files(plain, col, lo, hi)
+        assert p_hit == p_tot, f"baseline should not prune ({col})"
+        assert z_hit < p_hit, f"z-order must prune files on {col}: {z_hit}/{z_tot}"

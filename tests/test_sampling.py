@@ -56,3 +56,23 @@ def test_weighted_sample_global_no_stratum(spark, sf_dir):
     rows = weighted_sample_topk(docs, k=25, weight_col="n_chars").collect()
     assert len(rows) == 25
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, 26))
+
+
+def test_split_assign_stable_and_proportional(spark, sf_dir):
+    from data_pipeline_csv_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {(r["doc_id"], r["split"]) for r in split_assign(docs, w).select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(docs.repartition(13), w).select("doc_id", "split").collect()
+    }
+    assert a == b  # partition/order invariant
+    n = len(a)
+    counts = {}
+    for _, s in a:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts["train"] / n > 0.8
+    assert 0.005 < counts.get("val", 0) / n < 0.15
+    assert 0.005 < counts.get("test", 0) / n < 0.15
