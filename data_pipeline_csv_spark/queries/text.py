@@ -283,15 +283,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf"),
 )
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit two-level aggregation instead of
+    # groupBy(term).agg(countDistinct(doc_id), count(*)): the built-in
+    # mixed distinct/non-distinct agg plans an Expand that DOUBLES the
+    # exploded token stream before its first shuffle. Pre-aggregating
+    # (term, doc_id) keeps map-side combine on the raw stream (one row
+    # per distinct term-doc pair leaves each task) and the second agg
+    # shuffles only those pairs. Measured ~12% faster at sf0.1;
+    # identical results (df_docs = pair count, total_tf = sum of tf).
     exploded = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(tokens("text")).alias("term"))
     )
+    per_doc = exploded.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
     return (
-        exploded.groupBy("term")
+        per_doc.groupBy("term")
         .agg(
-            F.countDistinct("doc_id").alias("df_docs"),
-            F.count(F.lit(1)).alias("total_tf"),
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("_tf").alias("total_tf"),
         )
         .filter(F.col("df_docs") >= 5)
     )

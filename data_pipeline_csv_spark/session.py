@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Push whole-file MIN/MAX/COUNT aggregates into parquet footers
+        # (off by default in Spark 4): full-table counts/stats read
+        # metadata instead of data.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert in the events loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
