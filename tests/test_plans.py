@@ -105,6 +105,15 @@ def test_pii_scrub_is_pure_map_side(spark, sf_dir):
     assert "hashpartitioning" not in plan  # only roundrobin from balanced()
 
 
+def test_tfidf_has_no_expand(spark, sf_dir):
+    """The two-level (term, doc_id) pre-aggregation must not regress to
+    the built-in mixed-distinct plan, whose Expand doubles the exploded
+    token stream before its first shuffle."""
+    plan = _plan(REGISTRY["text_tfidf_terms"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the raw stream
+
+
 def test_repetition_filter_aggregates_map_side(spark, sf_dir):
     """Bigram counting must go through partial aggregation (map-side
     combine) before the doc_id exchange — the explode's output never
