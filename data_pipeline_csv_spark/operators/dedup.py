@@ -277,19 +277,19 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit fingerprint into
+    Pigeonhole banding: split the 60-bit fingerprint into
     (max_hamming + 1) bands — any pair within distance k must agree
     EXACTLY on at least one band, so an equi-join per band finds every
     candidate (no misses), and ``bit_count(xor)`` verifies the exact
-    distance. At scale each band join shuffles on a 16-bit-band value
+    distance. At scale each band join shuffles on a 15-bit-band value
     whose buckets are tiny unless the corpus is near-identical —
     the same cost shape as MinHash-LSH banding.
     """
     bands = max_hamming + 1
-    width = 64 // bands
+    width = SIMHASH_BITS // bands
     # signed-long-safe band mask; width==64 (max_hamming=0) is all bits
     mask = F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
-    fp = simhash(df, text_col, id_col, 64, n)
+    fp = simhash(df, text_col, id_col, SIMHASH_BITS, n)
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -328,15 +328,56 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, n: int = 3) -> DataFrame:
-    """64-bit SimHash fingerprint per document (deterministic xxhash64).
+# 60-bit shingle hash from the top 15 hex nibbles of md5. md5 is
+# available with identical output in Spark AND DuckDB, and the nibble
+# parse is plain integer arithmetic (max value 16^15-1 ~ 1.15e18,
+# inside int64) — so unlike xxhash64, the whole SimHash pipeline is
+# replayable by the SQL oracle. 60 well-mixed bits lose nothing
+# relevant vs 64 for near-dup detection.
+SIMHASH_BITS = 60
+
+
+def _md5_hash60_sql(col: str) -> str:
+    """Spark-SQL expression: 60-bit integer from md5(col)'s first 15
+    hex chars. ``instr`` is 1-based; a hex digit's value is its
+    position in '0123456789abcdef' minus 1."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(encode({col}, 'utf-8')), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def md5_hash60_duckdb_sql(col: str) -> str:
+    """The DuckDB twin of :func:`_md5_hash60_sql` (strpos == instr)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash fingerprint per document (60-bit md5-derived hash).
 
     Each shingle votes +-1 on every bit of its hash; the fingerprint
-    takes the sign. Near-duplicate docs land within a few bits of
-    hamming distance. All arithmetic is JVM bit-ops: the per-shingle
-    bit vote explodes to (doc, bit) rows, one shuffle on doc_id.
+    takes the sign (ties -> 0). Near-duplicate docs land within a few
+    bits of hamming distance. All arithmetic is JVM bit-ops: the
+    per-shingle bit vote explodes to (doc, bit) rows, one shuffle on
+    doc_id. The hash is md5-derived (not xxhash64) so the DuckDB
+    oracle replays fingerprints exactly — see queries/dedup.py.
     """
-    sh = shingle_sets(df, text_col, id_col, n).withColumn("h", F.xxhash64("shingle"))
+    sh = shingle_sets(df, text_col, id_col, n).withColumn(
+        "h", F.expr(_md5_hash60_sql("shingle"))
+    )
     votes = sh.select(
         "doc_id",
         "h",

@@ -49,14 +49,14 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     query, so the events/streaming families that depend on its
 #     timestamp normalization are ALL in-window;
 # (b) flagship + heavy-family sentinels for the rest of the surface.
-# dedup_simhash_neardup (oracle-less by design) is rotated OUT so no
-# driver slot is spent on a rows-only check of unchanged code;
 # similarity_ann_ivf's slot goes to similarity_ann_recall_audit, which
 # runs the same IVF probe AND the exact top-k under a recall-bound
-# oracle — a strictly stronger driver check; the window is now 50/50
-# oracle-backed.
+# oracle — a strictly stronger driver check. The simhash family,
+# formerly oracle-less (xxhash64), now uses a DuckDB-replayable
+# md5-derived hash and is back IN the window with full value oracles.
+# The window is 50/50 oracle-backed.
 _PRIORITY = [
-    # --- changed or new implementations this round (12) ---
+    # --- changed or new implementations this round (14) ---
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -66,6 +66,8 @@ _PRIORITY = [
     "cluster_kmeans_embeddings",
     "sketch_distinct_customers",
     "sketch_price_quantiles",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
     "sample_weighted_reservoir",
     "corpus_split_report",
     "cdc_scd2_history",
@@ -90,7 +92,7 @@ _PRIORITY = [
     "streaming_attribution_join",
     "asof_purchase_last_click",
     "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (18) ---
+    # --- flagship + heavy-family sentinels (16) ---
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
@@ -98,7 +100,6 @@ _PRIORITY = [
     "q9_product_profit",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     "udaf_discount_sumsq",
     "cdc_merge_snapshot",
@@ -107,7 +108,6 @@ _PRIORITY = [
     "multimodal_decode_roundtrip",
     "text_tfidf_terms",
     "text_repetition_filter",
-    "corpus_dedup_keep_best",
     "corpus_decontaminate",
 ]
 

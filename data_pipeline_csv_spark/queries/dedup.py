@@ -4,8 +4,9 @@ The exact operators carry full DuckDB oracles. The MinHash-LSH result
 equals the exact all-pairs result for this corpus (threshold 0.8 sits
 in a wide empirical gap — measured: no pairs in [0.3, 0.9) at sf0.01 —
 and the band config's miss probability at J>=0.9 is ~1e-11), so it is
-registered against the same exact-Jaccard oracle. SimHash uses
-xxhash64, which DuckDB cannot replicate -> rows-only check.
+registered against the same exact-Jaccard oracle. SimHash uses a
+60-bit md5-derived hash both engines evaluate identically, so its
+fingerprints and hamming pairs carry full value oracles too.
 """
 
 from __future__ import annotations
@@ -13,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..operators.dedup import (
+    exact_dedup,
+    md5_hash60_duckdb_sql,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from ..sources.tables import balanced, load_table
 from .registry import query
 
@@ -93,10 +100,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fingerprint replay shared by both simhash oracles: the 60-bit
+# md5-nibble hash (operators/dedup.py md5_hash60_duckdb_sql) is plain
+# arithmetic both engines evaluate identically, so the ITERATIVE vote
+# aggregation replays exactly — this is what made the simhash family
+# oracle-able (it was rows-only while it used xxhash64).
+_SIMHASH_FP_CTE = f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (
+      SELECT doc_id, {md5_hash60_duckdb_sql('shingle')} AS h FROM sh
+    ),
+    fpvotes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hs, range(0, 60) b(bit)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM fpvotes GROUP BY 1
+    )
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64 fingerprints are not reproducible in DuckDB
-    doc="64-bit SimHash fingerprint per doc (sign of per-bit shingle votes).",
+    oracle=f"""
+    {_SIMHASH_FP_CTE}
+    SELECT doc_id, simhash FROM fp
+    """,
+    doc="60-bit SimHash fingerprint per doc (sign of per-bit shingle "
+    "votes over the md5-derived hash) — full value oracle: DuckDB "
+    "replays hash, votes and sign bit-for-bit.",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,10 +142,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_neardup",
-    oracle=None,  # xxhash64 fingerprints; DuckDB can't replicate — invariants in tests
+    oracle=f"""
+    {_SIMHASH_FP_CTE},
+    sp AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM sp WHERE hamming <= 3
+    """,
     doc="SimHash near-dup pairs (hamming <= 3) via pigeonhole banding: "
-    "4 x 16-bit band equi-joins find every candidate, bit_count(xor) "
-    "verifies. operators/dedup.py simhash_neardup_pairs.",
+    "4 x 15-bit band equi-joins find every candidate (no misses by "
+    "pigeonhole), bit_count(xor) verifies. The oracle brute-forces all "
+    "pairs — banding must produce the identical set. "
+    "operators/dedup.py simhash_neardup_pairs.",
     tags=("dedup", "simhash", "hamming"),
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
