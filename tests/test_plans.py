@@ -105,6 +105,27 @@ def test_pii_scrub_is_pure_map_side(spark, sf_dir):
     assert "hashpartitioning" not in plan  # only roundrobin from balanced()
 
 
+def test_q6_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """The filter-heavy single-table Q6 must reach the parquet scan
+    with its predicates pushed and only the 4 referenced columns in
+    ReadSchema — a scan reading all 16 lineitem columns for a
+    4-column query is wrong at any scale."""
+    plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(l_shipdate" in pushed[0]
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read  # pruned
+    assert read.count(":") <= 6  # struct< + 4 columns
+
+
+def test_filter_project_scan_is_minimal(spark, sf_dir):
+    plan = _plan(REGISTRY["filter_project"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThan(l_quantity" in pushed[0]
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read and "l_comment" not in read
+
+
 def test_tfidf_has_no_expand(spark, sf_dir):
     """The two-level (term, doc_id) pre-aggregation must not regress to
     the built-in mixed-distinct plan, whose Expand doubles the exploded
