@@ -171,34 +171,7 @@ def minhash_lsh_pairs(
     the corpus size has degenerated into exact-dup territory and
     should run exact_dedup first.
     """
-    bands = num_hashes // rows_per_band
-    # Signatures without the distinct shuffle: minhash is invariant to
-    # shingle multiplicity, so the exploded shingles feed groupBy(min)
-    # directly. min is algebraic, so map-side partial aggregation
-    # collapses each doc to ONE row before the exchange — the only
-    # full-corpus data movement in the signature stage is one narrow
-    # row per doc. (A transform/array_min formulation with no shuffle
-    # at all was measured 12x SLOWER: CollapseProject inlines the
-    # shingle-array expression into all k transforms, recomputing it
-    # k times per row; explode evaluates it exactly once.)
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
-    sh_all = toks.select("doc_id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
-    sig = sh_all.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-
-    band_entries = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band_id"),
-                    F.xxhash64(*[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]).alias("band_hash"),
-                )
-                for j in range(bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    band_entries = lsh_band_entries(df, num_hashes, rows_per_band, text_col, id_col, n)
 
     # One shuffle on (band_id, band_hash) builds the bucket arrays;
     # the size cap and the pairwise expansion are then map-side array
@@ -227,20 +200,79 @@ def minhash_lsh_pairs(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _verify_candidates(df, candidates, threshold, text_col, id_col, n)
+
+
+def lsh_band_entries(
+    df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the LSH index rows for a corpus.
+
+    This is the persistable index: write it once per corpus version
+    (ideally bucketed by (band_id, band_hash)) and every later batch
+    probes it with an equi-join instead of re-signing the corpus.
+
+    Signatures without the distinct shuffle: minhash is invariant to
+    shingle multiplicity, so the exploded shingles feed groupBy(min)
+    directly. min is algebraic, so map-side partial aggregation
+    collapses each doc to ONE row before the exchange — the only
+    full-corpus data movement in the signature stage is one narrow
+    row per doc. (A transform/array_min formulation with no shuffle
+    at all was measured 12x SLOWER: CollapseProject inlines the
+    shingle-array expression into all k transforms, recomputing it
+    k times per row; explode evaluates it exactly once.)
+    """
+    bands = num_hashes // rows_per_band
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    sh_all = toks.select("doc_id", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
+    sig = sh_all.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.xxhash64(*[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]).alias("band_hash"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def _verify_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (d1, d2) pairs against
+    ``docs`` (which must contain both sides' documents).
+
+    Scores each pair with array_intersect over per-doc DISTINCT
+    shingle arrays — a map-side projection plus two joins of
+    (candidate pairs) x (candidate docs), both small by the same
+    assumption that justifies the cand_docs broadcast; AQE converts
+    them to broadcasts at runtime. This replaces the explode/
+    distinct/self-join verification (7 wide stages) with 2 joins.
+    The _toks projection must stay separate: word_shingles reads the
+    token array 3n times per shingle (see shingle_sets docstring).
+    """
     cand_docs = (
         candidates.select(F.explode(F.array("d1", "d2")).alias("_cid")).distinct()
     )
-    cand_df = df.join(
+    cand_df = docs.join(
         F.broadcast(cand_docs), F.col(id_col) == F.col("_cid"), "leftsemi"
     )
-    # Verification scores each pair with array_intersect over per-doc
-    # DISTINCT shingle arrays — a map-side projection plus two joins
-    # of (candidate pairs) x (candidate docs), both small by the same
-    # assumption that justifies the cand_docs broadcast; AQE converts
-    # them to broadcasts at runtime. This replaces the explode/
-    # distinct/self-join verification (7 wide stages) with 2 joins.
-    # The _toks projection must stay separate: word_shingles reads the
-    # token array 3n times per shingle (see shingle_sets docstring).
     cand_toks = cand_df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
     cand_sh = cand_toks.select(
         "doc_id", F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shset")
@@ -266,6 +298,58 @@ def minhash_lsh_pairs(
             / (F.col("_n1") + F.col("_n2") - F.col("_shared"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and an existing corpus — the
+    daily-increment dedup workflow. Returns (d1=old id, d2=new id,
+    jaccard >= threshold).
+
+    Cost shape at 100 TB: signature work is O(|new batch|) only; the
+    corpus side is touched through its PRE-BUILT index
+    (:func:`lsh_band_entries`, pass ``index=``; stored bucketed by
+    (band_id, band_hash) the probe join is shuffle-free on the index
+    side) plus the candidate-pruned verification reads. Nothing
+    quadratic in the corpus ever runs — re-running all-pairs dedup per
+    batch is exactly what this avoids. The new batch's band entries
+    are broadcast (a batch is small by definition); candidates then
+    verify with the same exact-Jaccard stage as the full-corpus LSH,
+    so false positives are removed and misses have the same ~1e-11
+    band-miss probability. ``old_docs`` and ``new_docs`` must have
+    disjoint ids (a batch re-containing an existing id belongs to CDC
+    merge, not dedup).
+    """
+    idx = (
+        index
+        if index is not None
+        else lsh_band_entries(old_docs, num_hashes, rows_per_band, text_col, id_col, n)
+    )
+    probe = lsh_band_entries(new_docs, num_hashes, rows_per_band, text_col, id_col, n)
+    candidates = (
+        idx.alias("o")
+        .join(
+            F.broadcast(probe.alias("p")),
+            (F.col("o.band_id") == F.col("p.band_id"))
+            & (F.col("o.band_hash") == F.col("p.band_hash"))
+            & (F.col("o.doc_id") != F.col("p.doc_id")),
+        )
+        .select(F.col("o.doc_id").alias("d1"), F.col("p.doc_id").alias("d2"))
+        .distinct()
+    )
+    all_docs = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col))
+    )
+    return _verify_candidates(all_docs, candidates, threshold, text_col, id_col, n)
 
 
 def simhash_neardup_pairs(

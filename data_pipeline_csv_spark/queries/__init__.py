@@ -56,7 +56,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # md5-derived hash and is back IN the window with full value oracles.
 # The window is 50/50 oracle-backed.
 _PRIORITY = [
-    # --- changed or new implementations this round (14) ---
+    # --- changed or new implementations this round (15) ---
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -68,6 +68,7 @@ _PRIORITY = [
     "sketch_price_quantiles",
     "dedup_simhash",
     "dedup_simhash_neardup",
+    "dedup_incremental_batch",
     "sample_weighted_reservoir",
     "corpus_split_report",
     "cdc_scd2_history",
@@ -92,7 +93,7 @@ _PRIORITY = [
     "streaming_attribution_join",
     "asof_purchase_last_click",
     "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (16) ---
+    # --- flagship + heavy-family sentinels (15) ---
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
@@ -108,7 +109,6 @@ _PRIORITY = [
     "multimodal_decode_roundtrip",
     "text_tfidf_terms",
     "text_repetition_filter",
-    "corpus_decontaminate",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -207,3 +207,42 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     ).withColumn("cluster_size", F.count(F.lit(1)).over(W.partitionBy("canonical_id")))
+
+
+@query(
+    "dedup_incremental_batch",
+    # Same exact-Jaccard equivalence argument as dedup_minhash_lsh:
+    # the threshold sits in the corpus's empirical similarity gap and
+    # the band config's miss probability is ~1e-11, so the LSH-probed
+    # result must equal the exact cross-side pair join.
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    """,
+    doc="Incremental batch dedup (the daily-increment workflow): docs "
+    "with doc_id % 5 == 0 play the 'new batch', the rest the existing "
+    "corpus. The batch's band hashes probe the corpus's LSH index "
+    "(operators/dedup.py lsh_band_entries — persistable, bucketable) "
+    "and only cross-side candidates verify with exact Jaccard. "
+    "Signature work is O(|batch|); nothing quadratic in the corpus "
+    "runs.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_incremental
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_incremental(old, new, threshold=0.8)

@@ -82,3 +82,41 @@ def test_bucketed_join_drops_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_a")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
+    """The index-probed incremental result must equal the full-corpus
+    LSH pair set restricted to (old, new) cross pairs — and accept a
+    pre-built index without changing the answer."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.dedup import (
+        lsh_band_entries,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    full = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    want = set()
+    for r in full:  # normalize full-corpus pairs (d1<d2) to (old, new)
+        a_new, b_new = r.d1 % 5 == 0, r.d2 % 5 == 0
+        if a_new != b_new:
+            want.add((r.d2, r.d1) if a_new else (r.d1, r.d2))
+
+    got = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_incremental(old, new, threshold=0.8).collect()
+    }
+    assert got == want
+
+    idx = lsh_band_entries(old)
+    got_idx = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_incremental(old, new, threshold=0.8, index=idx).collect()
+    }
+    assert got_idx == want
