@@ -56,7 +56,8 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # md5-derived hash and is back IN the window with full value oracles.
 # The window is 50/50 oracle-backed.
 _PRIORITY = [
-    # --- changed or new implementations this round (15) ---
+    # --- changed or new implementations this round (16) ---
+    "streaming_dedup_neardup",
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -72,7 +73,7 @@ _PRIORITY = [
     "sample_weighted_reservoir",
     "corpus_split_report",
     "cdc_scd2_history",
-    # --- events/streaming surface over the changed loader (20) ---
+    # --- events/streaming surface over the changed loader (19) ---
     "events_sessionize",
     "events_conversion_funnel",
     "events_gapfill_resample",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "window_events_suite",
     "window_moving_avg",
     "window_lag_lead",
-    "window_first_last",
     "streaming_hourly_rollup",
     "streaming_enriched_rollup",
     "streaming_incremental_mv",

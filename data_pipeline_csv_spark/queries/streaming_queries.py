@@ -25,6 +25,7 @@ from ..streaming import (
     stream_dedup_within_watermark,
 )
 from .canon import VALUE_SCALE, fp_sql
+from .dedup import _EXACT_PAIRS_SQL
 from .registry import query
 
 
@@ -281,3 +282,39 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+@query(
+    "streaming_dedup_neardup",
+    # Same exact-pairs oracle as dedup_minhash_lsh: within-batch LSH +
+    # index-probed cross pairs partition every pair by the batch of its
+    # later side, so the drained accumulation equals one-shot LSH over
+    # the full corpus (which equals the exact pair join — see
+    # queries/dedup.py for the equivalence argument).
+    oracle=_EXACT_PAIRS_SQL,
+    doc="Continuous near-dup dedup of an arriving document corpus: the "
+    "id-ordered staged feed drains through foreachBatch; each epoch "
+    "dedups WITHIN its batch (full MinHash-LSH) and AGAINST all "
+    "previously seen docs via the accumulated, batch-keyed LSH index "
+    "(signature work O(batch) per epoch), with idempotent epoch "
+    "writes. The drained pair set must equal the one-shot batch LSH "
+    "over the whole corpus (streaming/sinks.py run_streaming_neardup).",
+    tags=("streaming", "dedup", "minhash", "incremental"),
+)
+def streaming_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_docs_stream, run_streaming_neardup, stage_docs_dir
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    state = tempfile.mkdtemp(prefix="sg_nd_")
+    try:
+        stage_docs_dir(spark, sf_dir, staged, n_files=4)
+        stream = read_docs_stream(spark, staged)
+        out = run_streaming_neardup(
+            stream, spark, state_root=state, checkpoint=f"{state}/_chk", threshold=0.8
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+

@@ -28,8 +28,8 @@ from .pipelines import (
     stream_dedup_within_watermark,
     user_running_totals_stream,
 )
-from .sinks import foreach_batch_parquet, run_to_memory
-from .sources import read_events_stream, stage_events_dir
+from .sinks import foreach_batch_parquet, run_streaming_neardup, run_to_memory
+from .sources import read_docs_stream, read_events_stream, stage_docs_dir, stage_events_dir
 
 __all__ = [
     "attribution_join_stream",
@@ -43,4 +43,7 @@ __all__ = [
     "run_to_memory",
     "read_events_stream",
     "stage_events_dir",
+    "stage_docs_dir",
+    "read_docs_stream",
+    "run_streaming_neardup",
 ]

@@ -135,3 +135,72 @@ def run_incremental_mv(
     finally:
         q.stop()
     return spark.read.parquet(os.path.join(state_root, "current"))
+
+
+def run_streaming_neardup(
+    stream_docs,
+    spark,
+    state_root: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Continuous near-duplicate dedup over an arriving document feed.
+
+    Each foreachBatch epoch (a) finds near-dup pairs WITHIN the batch
+    with the full MinHash-LSH pipeline, (b) probes the ACCUMULATED LSH
+    index for cross pairs against everything seen so far
+    (operators/dedup.py minhash_lsh_incremental — signature work is
+    O(batch), the history is touched only through its index and the
+    candidate-pruned verification), then (c) appends the batch's band
+    entries + docs to the state. Every epoch's writes land in
+    batch_id-keyed subdirectories with overwrite semantics, so a
+    replayed epoch (foreachBatch's at-least-once contract) rewrites
+    identical content — idempotent.
+
+    Because every pair's two sides either share a batch (within) or
+    the later side probes the earlier side's index (cross), the
+    accumulated pair set after draining the feed equals the one-shot
+    batch LSH over the whole corpus — which is what the driver oracle
+    checks.
+
+    Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
+    """
+    import os
+
+    from ..operators.dedup import (
+        lsh_band_entries,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    idx_root = os.path.join(state_root, "lsh_index")
+    docs_root = os.path.join(state_root, "seen_docs")
+    pairs_root = os.path.join(state_root, "pairs")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "text")
+        pairs = minhash_lsh_pairs(batch, threshold=threshold)
+        if os.path.isdir(docs_root) and any(
+            d.startswith("batch=") and d != f"batch={epoch_id}"
+            for d in os.listdir(docs_root)
+        ):
+            seen = spark.read.parquet(docs_root).select("doc_id", "text")
+            idx = spark.read.parquet(idx_root).select("doc_id", "band_id", "band_hash")
+            cross = minhash_lsh_incremental(seen, batch, threshold=threshold, index=idx)
+            pairs = pairs.unionByName(cross)
+        pairs.write.mode("overwrite").parquet(f"{pairs_root}/batch={epoch_id}")
+        lsh_band_entries(batch).write.mode("overwrite").parquet(
+            f"{idx_root}/batch={epoch_id}"
+        )
+        batch.write.mode("overwrite").parquet(f"{docs_root}/batch={epoch_id}")
+
+    (
+        stream_docs.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(pairs_root).select("d1", "d2", "jaccard")

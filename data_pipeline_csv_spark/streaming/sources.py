@@ -36,11 +36,15 @@ def stage_events_dir(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    # The file source replays in modification-time order, but parallel
-    # write tasks finish in arbitrary order — stamp strictly increasing
-    # mtimes in part-number order (range partition 0 = lowest ts range)
-    # so replay order == event-time order and the watermark never
-    # drops in-order data as late.
+    _stamp_mtimes_in_part_order(out_dir)
+    return out_dir
+
+
+def _stamp_mtimes_in_part_order(out_dir: str) -> None:
+    """The file source replays in modification-time order, but parallel
+    write tasks finish in arbitrary order — stamp strictly increasing
+    mtimes in part-number order (range partition 0 = lowest key range)
+    so replay order == key order."""
     import time
 
     parts = sorted(
@@ -49,7 +53,38 @@ def stage_events_dir(
     base = time.time() - len(parts) * 10
     for i, f in enumerate(parts):
         os.utime(os.path.join(out_dir, f), (base + i * 10, base + i * 10))
+
+
+def stage_docs_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Write documents as ``n_files`` id-ordered parquet files — the
+    arriving-corpus feed for continuous dedup (file N's max doc_id <
+    file N+1's min, so each micro-batch's ids exceed everything already
+    indexed)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.repartitionByRange(n_files, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _stamp_mtimes_in_part_order(out_dir)
     return out_dir
+
+
+def read_docs_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Incremental parquet file source over a staged documents dir."""
+    schema = spark.read.parquet(staged_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
 
 
 def read_events_stream(

@@ -227,3 +227,25 @@ def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == total                      # nothing lost, nothing duplicated
     assert got.select("event_id").distinct().count() == total
+
+
+def test_streaming_neardup_converges_to_batch_lsh(spark, sf_dir):
+    """Draining the id-ordered document feed through the per-epoch
+    within-batch + index-probe dedup must yield exactly the one-shot
+    batch LSH pair set (same threshold) — the streaming result is the
+    batch result, incrementally."""
+    from data_pipeline_csv_spark.operators.dedup import minhash_lsh_pairs
+    from data_pipeline_csv_spark.queries import REGISTRY
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    got = {
+        (r.d1, r.d2, r.jaccard)
+        for r in REGISTRY["streaming_dedup_neardup"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.8
+        ).collect()
+    }
+    assert got == want
