@@ -56,8 +56,9 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # md5-derived hash and is back IN the window with full value oracles.
 # The window is 50/50 oracle-backed.
 _PRIORITY = [
-    # --- changed or new implementations this round (16) ---
+    # --- changed or new implementations this round (17) ---
     "streaming_dedup_neardup",
+    "udtf_sentence_split",
     "similarity_neardup_clustered",
     "similarity_embedding_neardup",
     "similarity_cosine_topk",
@@ -93,7 +94,7 @@ _PRIORITY = [
     "streaming_attribution_join",
     "asof_purchase_last_click",
     "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (15) ---
+    # --- flagship + heavy-family sentinels (14) ---
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
@@ -106,7 +107,6 @@ _PRIORITY = [
     "cdc_merge_snapshot",
     "graph_pagerank_suppliers",
     "profile_lineitem",
-    "multimodal_decode_roundtrip",
     "text_tfidf_terms",
     "text_repetition_filter",
 ]

@@ -342,3 +342,49 @@ def udaf_discount_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     return diagnose_skew(ev, ["user_id"], top=10)
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '.'), 1) AS raw_idx,
+             trim(unnest(string_split(text, '.'))) AS sentence
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS INT) AS sent_idx,
+           sentence,
+           CAST(length(sentence) AS INT) AS n_chars
+    FROM parts WHERE sentence <> ''
+    """,
+    doc="Python UDTF (Spark 4 table function) splitting documents into "
+    "sentences via LATERAL — completes the UDF/UDAF/UDTF extension "
+    "surface (SURVEY §2.6). Row-at-a-time Python is the SLOW path by "
+    "design here: this demonstrates the user-extension hook; the "
+    "engine-native equivalent of this particular op is "
+    "split+posexplode (used throughout queries/text.py).",
+    tags=("udtf", "extension", "text"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s, len(s)
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM _udtf_docs d, LATERAL sentence_split(d.text) s"
+    )
