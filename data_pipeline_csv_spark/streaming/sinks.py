@@ -163,6 +163,13 @@ def run_streaming_neardup(
     batch LSH over the whole corpus — which is what the driver oracle
     checks.
 
+    Long-running feeds: the state accumulates one subdirectory per
+    epoch, and partition discovery over thousands of epoch dirs slows
+    the per-epoch index read — periodically compact the batch-keyed
+    state into a single index table bucketed by (band_id, band_hash)
+    (engine.write_bucketed), which also makes the probe join
+    shuffle-free on the index side.
+
     Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
     """
     import os
