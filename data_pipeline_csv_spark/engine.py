@@ -41,6 +41,24 @@ class LoadResult:
     rows_written: int
 
 
+def clear_managed_table(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed table AND its warehouse location.
+
+    The default catalog is in-memory per process while the warehouse
+    directory persists on disk, so a table created by a dead process
+    leaves a location the new process's catalog doesn't know about —
+    and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS.
+    Clearing both makes managed-table writes re-runnable across
+    process restarts.
+    """
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, table_name), ignore_errors=True)
+
+
 class PipelineEngine:
     """CSV -> clean -> warehouse table, plus the preview/stats read path."""
 
@@ -122,6 +140,7 @@ class PipelineEngine:
         between them. This is the amortize-once primitive for a fact
         table joined on the same key every day at 100 TB.
         """
+        clear_managed_table(self.spark, table_name)
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             w = w.sortBy(*sort_cols)

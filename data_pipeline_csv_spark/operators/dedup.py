@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_bucket: int = 1000,
+    drop_observation=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact verification.
 
@@ -156,7 +157,14 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` drops degenerate buckets (e.g. boilerplate-heavy
     corpora) to bound the quadratic pair expansion; dropped buckets are
-    all-identical content better handled by exact_dedup first.
+    all-identical content better handled by exact_dedup first. The
+    drop is OBSERVABLE: pass ``drop_observation`` (a
+    ``pyspark.sql.Observation``) and, once the returned plan has run an
+    action, ``observation.get`` holds ``dropped_buckets`` (buckets over
+    the cap) and ``dropped_doc_slots`` (sum of their sizes) — an
+    accumulator-style metric collected during the normal pass, no extra
+    job. A boilerplate-heavy corpus silently losing near-dup pairs to
+    the cap is now countable by the caller.
 
     Plan shape (the 100 TB budget): the signature stage's only
     exchange carries ONE narrow row per doc (minhash is multiplicity-
@@ -182,8 +190,16 @@ def minhash_lsh_pairs(
     buckets = (
         band_entries.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") >= 2)
     )
+    if drop_observation is not None:
+        over = F.size("ids") > max_bucket
+        buckets = buckets.observe(
+            drop_observation,
+            F.sum(over.cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("dropped_doc_slots"),
+        )
+    buckets = buckets.filter(F.size("ids") <= max_bucket)
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
@@ -300,6 +316,35 @@ def _verify_candidates(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def lsh_probe_candidates(
+    index: DataFrame, probe: DataFrame, broadcast_probe: bool = True
+) -> DataFrame:
+    """Candidate (d1=index doc, d2=probe doc) pairs from an equi-join of
+    probe band entries against an LSH index on (band_id, band_hash).
+
+    ``broadcast_probe=True`` is the small-batch path (one map-side pass
+    over the index, no shuffle anywhere). With ``False`` the join runs
+    as a sort-merge join on the band key — the path for LARGE probe
+    batches against an index stored as a table bucketed by
+    (band_id, band_hash) (compact_neardup_state / engine.write_bucketed):
+    the bucketed side needs NO exchange, only the probe shuffles, so
+    probing a 100 TB corpus index moves O(|batch|) rows
+    (tests/test_plans.py::test_compacted_lsh_probe_index_side_shuffle_free).
+    """
+    p = F.broadcast(probe) if broadcast_probe else probe
+    return (
+        index.alias("o")
+        .join(
+            p.alias("p"),
+            (F.col("o.band_id") == F.col("p.band_id"))
+            & (F.col("o.band_hash") == F.col("p.band_hash"))
+            & (F.col("o.doc_id") != F.col("p.doc_id")),
+        )
+        .select(F.col("o.doc_id").alias("d1"), F.col("p.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
 def minhash_lsh_incremental(
     old_docs: DataFrame,
     new_docs: DataFrame,
@@ -310,6 +355,7 @@ def minhash_lsh_incremental(
     id_col: str = "doc_id",
     n: int = 3,
     index: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new batch and an existing corpus — the
     daily-increment dedup workflow. Returns (d1=old id, d2=new id,
@@ -322,12 +368,15 @@ def minhash_lsh_incremental(
     side) plus the candidate-pruned verification reads. Nothing
     quadratic in the corpus ever runs — re-running all-pairs dedup per
     batch is exactly what this avoids. The new batch's band entries
-    are broadcast (a batch is small by definition); candidates then
-    verify with the same exact-Jaccard stage as the full-corpus LSH,
-    so false positives are removed and misses have the same ~1e-11
-    band-miss probability. ``old_docs`` and ``new_docs`` must have
-    disjoint ids (a batch re-containing an existing id belongs to CDC
-    merge, not dedup).
+    are broadcast when ``broadcast_probe`` (a daily batch is small by
+    definition); pass ``broadcast_probe=False`` for a large batch
+    probing a BUCKETED index table, where the sort-merge join leaves
+    the index side shuffle-free (:func:`lsh_probe_candidates`).
+    Candidates then verify with the same exact-Jaccard stage as the
+    full-corpus LSH, so false positives are removed and misses have
+    the same ~1e-11 band-miss probability. ``old_docs`` and
+    ``new_docs`` must have disjoint ids (a batch re-containing an
+    existing id belongs to CDC merge, not dedup).
     """
     idx = (
         index
@@ -335,17 +384,7 @@ def minhash_lsh_incremental(
         else lsh_band_entries(old_docs, num_hashes, rows_per_band, text_col, id_col, n)
     )
     probe = lsh_band_entries(new_docs, num_hashes, rows_per_band, text_col, id_col, n)
-    candidates = (
-        idx.alias("o")
-        .join(
-            F.broadcast(probe.alias("p")),
-            (F.col("o.band_id") == F.col("p.band_id"))
-            & (F.col("o.band_hash") == F.col("p.band_hash"))
-            & (F.col("o.doc_id") != F.col("p.doc_id")),
-        )
-        .select(F.col("o.doc_id").alias("d1"), F.col("p.doc_id").alias("d2"))
-        .distinct()
-    )
+    candidates = lsh_probe_candidates(idx, probe, broadcast_probe=broadcast_probe)
     all_docs = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col))
     )

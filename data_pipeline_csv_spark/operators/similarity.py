@@ -10,9 +10,11 @@
 - :func:`ann_ivf_topk` — IVF-style approximate search: a deterministic
   centroid subset partitions the corpus into inverted lists; queries
   probe the ``nprobe`` nearest centroids and re-rank only those lists.
-  At 100 TB the corpus is bucketed/partitioned by list id on disk so a
-  probe reads only matching partitions; here the pruning join expresses
-  the same plan shape.
+  At 100 TB the corpus lives on disk partitioned by list id
+  (:func:`write_ivf_layout`) and a probe reads ONLY the matching
+  partitions (:func:`ann_ivf_probe_ondisk` — static partition pruning,
+  pinned by tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions);
+  the in-memory form expresses the same pruning as a join.
 
 Scale notes: brute force is O(|corpus| * |queries| * dim) map-side —
 the right baseline when |queries| is small and broadcastable. IVF cuts
@@ -107,22 +109,33 @@ def ann_ivf_topk(
             F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
         )
 
-    # assign: nearest centroid per corpus vector (one broadcast join)
-    sim_to_c = cosine_fast(F.col("embedding"), F.col("c_emb"))
+    assigned = ivf_assign_lists(corpus, centroids)
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = ivf_probe_lists(queries, centroids, nprobe)
+    return _ivf_rerank(probes, assigned, k)
+
+
+def ivf_assign_lists(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): nearest centroid per corpus vector
+    (one broadcast join; ties to the lowest c_id)."""
     w_assign = W.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("c_id").asc())
-    assigned = (
+    return (
         corpus.join(F.broadcast(centroids), how="cross")
-        .withColumn("_cs", sim_to_c)
+        .withColumn("_cs", cosine_fast(F.col("embedding"), F.col("c_emb")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", F.col("c_id").alias("list_id"))
     )
 
-    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+
+def ivf_probe_lists(queries: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(q_id, q_emb, list_id): each query's ``nprobe`` nearest lists
+    (same tie-break as assignment, so a vector always probes its own
+    list first)."""
     w_probe = W.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("c_id").asc())
-    probes = (
+    return (
         queries.join(F.broadcast(centroids), how="cross")
         .withColumn("_cs", cosine_fast(F.col("q_emb"), F.col("c_emb")))
         .withColumn("_rn", F.row_number().over(w_probe))
@@ -130,7 +143,9 @@ def ann_ivf_topk(
         .select("q_id", "q_emb", F.col("c_id").alias("list_id"))
     )
 
-    # re-rank only vectors in probed lists (list-pruned join)
+
+def _ivf_rerank(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Re-rank only vectors in probed lists (list-pruned join)."""
     w_rank = W.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id").asc())
     return (
         probes.join(assigned, "list_id")
@@ -140,6 +155,60 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank")
     )
+
+
+def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Materialize the IVF index AS the storage layout: the corpus
+    written Hive-partitioned by its inverted-list id.
+
+    This is the amortize-once artifact a 100 TB ANN deployment keeps
+    per corpus version: assignment (the only full-corpus pass) runs at
+    write time, and every probe afterwards reads ONLY the ``nprobe``
+    matching partitions (:func:`ann_ivf_probe_ondisk`) instead of
+    scanning the corpus. list_id cardinality = nlists (bounded, the
+    partition-column requirement); within a partition, files stay
+    row-group-sized by the normal writer path.
+    """
+    (
+        ivf_assign_lists(corpus.select("vec_id", "embedding"), centroids)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ann_ivf_probe_ondisk(
+    spark,
+    layout_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    return_lists: bool = False,
+):
+    """IVF top-k against a :func:`write_ivf_layout` corpus — the probe
+    reads only the probed lists' partitions.
+
+    The probed list ids are computed from queries x centroids (a
+    |queries|*nlists-row job, independent of corpus size) and inlined
+    as LITERALS into the scan filter, so Catalyst statically prunes
+    non-matching partitions — the scan never opens them (plan pinned by
+    tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions).
+    Results are identical to :func:`ann_ivf_topk` with the same
+    centroids: assignment was computed by the same operator at write
+    time and the per-query list restriction is enforced by the same
+    probes join. Returns (q_id, vec_id, rank); with
+    ``return_lists=True``, a (DataFrame, sorted probed list ids) pair.
+    """
+    probes = ivf_probe_lists(
+        queries.select("q_id", "q_emb"), centroids, nprobe
+    )
+    lists = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    pruned = spark.read.parquet(layout_path).where(F.col("list_id").isin(lists))
+    out = _ivf_rerank(F.broadcast(probes), pruned, k)
+    return (out, lists) if return_lists else out
 
 
 def _exact_rescore(corpus2: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:

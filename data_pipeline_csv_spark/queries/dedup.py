@@ -246,3 +246,54 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     return minhash_lsh_incremental(old, new, threshold=0.8)
+
+
+@query(
+    "dedup_incremental_compacted",
+    # Identical semantics (and oracle) to dedup_incremental_batch — the
+    # difference under test is WHERE the index lives: a parquet table
+    # bucketed by (band_id, band_hash), probed without broadcasting.
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    """,
+    doc="Incremental dedup against an ON-DISK index: the corpus's LSH "
+    "band entries are materialized as a catalog table bucketed by "
+    "(band_id, band_hash) (engine.write_bucketed — the amortize-once "
+    "layout a 100 TB corpus keeps between daily batches), and the new "
+    "batch probes it with a non-broadcast join, so the index side "
+    "needs no exchange (plan pinned by tests/test_plans.py::"
+    "test_compacted_lsh_probe_index_side_shuffle_free). Must return "
+    "exactly what the in-memory probe returns.",
+    tags=("dedup", "minhash", "lsh", "incremental", "layout"),
+)
+def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import PipelineEngine
+    from ..operators.dedup import lsh_band_entries, minhash_lsh_incremental
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    # Fixed table name, overwritten per call (a DROP here would pull the
+    # files out from under the lazily-evaluated result it returns).
+    table = "sg_lsh_idx_compacted"
+    eng = PipelineEngine(spark, "spark-warehouse")
+    eng.write_bucketed(
+        lsh_band_entries(old), table, ["band_id", "band_hash"], 8,
+        ["band_id", "band_hash"],
+    )
+    return minhash_lsh_incremental(
+        old, new, threshold=0.8, index=spark.table(table),
+        broadcast_probe=False,
+    )

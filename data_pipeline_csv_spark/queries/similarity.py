@@ -339,6 +339,95 @@ def similarity_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_ivf_ondisk",
+    # Bounds-oracle (pattern of similarity_ann_recall_audit): the
+    # oracle recomputes the exact top-10 side in SQL and emits TRUE
+    # flags; the Spark side hash-matches only if (a) IVF recall@10
+    # from the PARTITION-PRUNED on-disk probe is >= 0.75 and (b) the
+    # probe genuinely pruned (probed lists < total lists; measured 12
+    # of 16 at sf0.001/0.01/0.1).
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 4),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok,
+           TRUE AS pruned_ok
+    FROM topk
+    """,
+    doc="ANN against the MATERIALIZED IVF layout: the corpus is written "
+    "Hive-partitioned by inverted-list id "
+    "(operators/similarity.py write_ivf_layout — the amortize-once "
+    "artifact a 100 TB deployment keeps per corpus version) and the "
+    "probe reads ONLY the probed lists' partitions via literal "
+    "partition pruning (ann_ivf_probe_ondisk; plan pinned by "
+    "tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions). "
+    "Emits the exact-truth size plus recall>=0.75 and "
+    "probed-lists<total-lists flags.",
+    tags=("similarity", "ann", "layout", "audit"),
+)
+def similarity_ann_ivf_ondisk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import ann_ivf_probe_ondisk, write_ivf_layout
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    q_ids = QUERY_IDS[:4]
+    layout = tempfile.mkdtemp(prefix="sg_ivf_")
+    try:
+        write_ivf_layout(corpus, cents, layout)
+        queries = corpus.filter(F.col("vec_id").isin(q_ids)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        approx, lists = ann_ivf_probe_ondisk(
+            spark, layout, queries, cents, k=10, nprobe=4, return_lists=True
+        )
+        n_lists = cents.count()
+        exact = cosine_topk(corpus, q_ids, k=10).select("q_id", "vec_id")
+        truth = exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        )
+        hits = exact.join(
+            approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "leftsemi"
+        ).agg(F.count(F.lit(1)).alias("_n_hit"))
+        out = truth.crossJoin(F.broadcast(hits)).select(
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            "n_truth",
+            (F.col("_n_hit") >= F.lit(0.75) * F.col("n_truth")).alias("recall_ok"),
+            F.lit(len(lists) < n_lists).alias("pruned_ok"),
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+
+
+@query(
     "similarity_ann_ivf",
     oracle=None,  # approximate by construction; recall asserted in tests
     doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of "

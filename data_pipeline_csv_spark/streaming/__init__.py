@@ -28,7 +28,13 @@ from .pipelines import (
     stream_dedup_within_watermark,
     user_running_totals_stream,
 )
-from .sinks import foreach_batch_parquet, run_streaming_neardup, run_to_memory
+from .sinks import (
+    compact_neardup_state,
+    foreach_batch_parquet,
+    neardup_epoch_writer,
+    run_streaming_neardup,
+    run_to_memory,
+)
 from .sources import read_docs_stream, read_events_stream, stage_docs_dir, stage_events_dir
 
 __all__ = [
@@ -46,4 +52,6 @@ __all__ = [
     "stage_docs_dir",
     "read_docs_stream",
     "run_streaming_neardup",
+    "neardup_epoch_writer",
+    "compact_neardup_state",
 ]

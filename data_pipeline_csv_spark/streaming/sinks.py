@@ -137,40 +137,82 @@ def run_incremental_mv(
     return spark.read.parquet(os.path.join(state_root, "current"))
 
 
-def run_streaming_neardup(
-    stream_docs,
-    spark,
-    state_root: str,
-    checkpoint: str,
-    threshold: float = 0.8,
-):
-    """Continuous near-duplicate dedup over an arriving document feed.
+def _neardup_paths(state_root: str) -> dict:
+    import os
 
-    Each foreachBatch epoch (a) finds near-dup pairs WITHIN the batch
-    with the full MinHash-LSH pipeline, (b) probes the ACCUMULATED LSH
-    index for cross pairs against everything seen so far
+    return {
+        "idx": os.path.join(state_root, "lsh_index"),
+        "docs": os.path.join(state_root, "seen_docs"),
+        "pairs": os.path.join(state_root, "pairs"),
+        "cidx": os.path.join(state_root, "compacted_index"),
+        "cdocs": os.path.join(state_root, "compacted_docs"),
+        "cmark": os.path.join(state_root, "compacted_index_table"),
+    }
+
+
+def _neardup_state(spark, state_root: str, epoch_id: int):
+    """(seen_docs, index) DataFrames visible to an epoch, or (None, None).
+
+    Two tiers: the COMPACTED tier (one bucketed index table + one docs
+    dir, see :func:`compact_neardup_state`) plus the batch-keyed tail
+    written since the last compaction. The epoch's own batch={epoch_id}
+    partitions are excluded — a replayed epoch's dirs may already exist
+    on disk (failure between the state writes and the checkpoint
+    commit), and including them would break minhash_lsh_incremental's
+    disjoint-ids precondition and change the replayed output.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = _neardup_paths(state_root)
+    docs_parts, idx_parts = [], []
+    if os.path.exists(p["cmark"]):
+        with open(p["cmark"]) as fh:
+            table = fh.read().strip()
+        idx_parts.append(spark.table(table).select("doc_id", "band_id", "band_hash"))
+        docs_parts.append(spark.read.parquet(p["cdocs"]).select("doc_id", "text"))
+    if os.path.isdir(p["docs"]) and any(
+        d.startswith("batch=") and d != f"batch={epoch_id}"
+        for d in os.listdir(p["docs"])
+    ):
+        docs_parts.append(
+            spark.read.parquet(p["docs"])
+            .where(F.col("batch") != epoch_id)
+            .select("doc_id", "text")
+        )
+        idx_parts.append(
+            spark.read.parquet(p["idx"])
+            .where(F.col("batch") != epoch_id)
+            .select("doc_id", "band_id", "band_hash")
+        )
+    if not docs_parts:
+        return None, None
+    seen = docs_parts[0]
+    for extra in docs_parts[1:]:
+        seen = seen.unionByName(extra)
+    idx = idx_parts[0]
+    for extra in idx_parts[1:]:
+        idx = idx.unionByName(extra)
+    return seen, idx
+
+
+def neardup_epoch_writer(spark, state_root: str, threshold: float = 0.8):
+    """foreachBatch writer for continuous near-dup dedup (module-level
+    so replay/compaction behavior is unit-testable without a stream).
+
+    Each epoch (a) finds near-dup pairs WITHIN the batch with the full
+    MinHash-LSH pipeline, (b) probes the ACCUMULATED LSH index for
+    cross pairs against everything seen so far
     (operators/dedup.py minhash_lsh_incremental — signature work is
     O(batch), the history is touched only through its index and the
     candidate-pruned verification), then (c) appends the batch's band
     entries + docs to the state. Every epoch's writes land in
-    batch_id-keyed subdirectories with overwrite semantics, so a
-    replayed epoch (foreachBatch's at-least-once contract) rewrites
-    identical content — idempotent.
-
-    Because every pair's two sides either share a batch (within) or
-    the later side probes the earlier side's index (cross), the
-    accumulated pair set after draining the feed equals the one-shot
-    batch LSH over the whole corpus — which is what the driver oracle
-    checks.
-
-    Long-running feeds: the state accumulates one subdirectory per
-    epoch, and partition discovery over thousands of epoch dirs slows
-    the per-epoch index read — periodically compact the batch-keyed
-    state into a single index table bucketed by (band_id, band_hash)
-    (engine.write_bucketed), which also makes the probe join
-    shuffle-free on the index side.
-
-    Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
+    batch_id-keyed subdirectories with overwrite semantics, AND the
+    state reads exclude the epoch's own batch partition
+    (:func:`_neardup_state`) — so a replayed epoch (foreachBatch's
+    at-least-once contract) sees exactly the pre-epoch state and
+    rewrites identical content — idempotent.
     """
     import os
 
@@ -180,34 +222,116 @@ def run_streaming_neardup(
         minhash_lsh_pairs,
     )
 
-    idx_root = os.path.join(state_root, "lsh_index")
-    docs_root = os.path.join(state_root, "seen_docs")
-    pairs_root = os.path.join(state_root, "pairs")
+    p = _neardup_paths(state_root)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = batch_df.select("doc_id", "text")
         pairs = minhash_lsh_pairs(batch, threshold=threshold)
-        if os.path.isdir(docs_root) and any(
-            d.startswith("batch=") and d != f"batch={epoch_id}"
-            for d in os.listdir(docs_root)
-        ):
-            seen = spark.read.parquet(docs_root).select("doc_id", "text")
-            idx = spark.read.parquet(idx_root).select("doc_id", "band_id", "band_hash")
+        seen, idx = _neardup_state(spark, state_root, epoch_id)
+        if seen is not None:
             cross = minhash_lsh_incremental(seen, batch, threshold=threshold, index=idx)
             pairs = pairs.unionByName(cross)
-        pairs.write.mode("overwrite").parquet(f"{pairs_root}/batch={epoch_id}")
+        pairs.write.mode("overwrite").parquet(f"{p['pairs']}/batch={epoch_id}")
         lsh_band_entries(batch).write.mode("overwrite").parquet(
-            f"{idx_root}/batch={epoch_id}"
+            f"{p['idx']}/batch={epoch_id}"
         )
-        batch.write.mode("overwrite").parquet(f"{docs_root}/batch={epoch_id}")
+        batch.write.mode("overwrite").parquet(f"{p['docs']}/batch={epoch_id}")
+
+    return write_epoch
+
+
+def compact_neardup_state(
+    spark, state_root: str, index_table: str, n_buckets: int = 16
+) -> None:
+    """Fold the batch-keyed epoch state into ONE bucketed index table +
+    ONE docs dir — the maintenance job a long-running feed needs.
+
+    Without it, state accumulates a subdirectory per epoch and
+    partition discovery over thousands of dirs degrades every epoch's
+    index read. After compaction the probe side reads a single catalog
+    table bucketed by (band_id, band_hash) — the probe join against it
+    is shuffle-free on the index side
+    (tests/test_plans.py::test_compacted_lsh_probe_index_side_shuffle_free)
+    — plus whatever small batch tail arrived since.
+
+    Run ONLY while the stream is stopped/quiescent: compaction folds
+    every on-disk epoch into the table, so an epoch whose checkpoint
+    had not committed would afterwards see its own docs in the
+    compacted tier on replay. (After awaitTermination every drained
+    epoch is committed, so stop-compact-restart is safe.)
+
+    Re-runnable: each compaction folds the previous compacted tier plus
+    the tail into a fresh generation of ``index_table`` (staged through
+    parquet because saveAsTable cannot overwrite a table it reads).
+    """
+    import os
+    import shutil
+
+    p = _neardup_paths(state_root)
+    seen, idx = _neardup_state(spark, state_root, epoch_id=-1)
+    if seen is None:
+        return
+    staging = os.path.join(state_root, "_compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    idx.write.mode("overwrite").parquet(os.path.join(staging, "idx"))
+    seen.write.mode("overwrite").parquet(os.path.join(staging, "docs"))
+    from ..engine import clear_managed_table
+
+    clear_managed_table(spark, index_table)
+    (
+        spark.read.parquet(os.path.join(staging, "idx"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .format("parquet")
+        .saveAsTable(index_table)
+    )
+    shutil.rmtree(p["cdocs"], ignore_errors=True)
+    os.rename(os.path.join(staging, "docs"), p["cdocs"])
+    for root in (p["idx"], p["docs"]):
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith("batch="):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    with open(p["cmark"], "w") as fh:
+        fh.write(index_table)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def run_streaming_neardup(
+    stream_docs,
+    spark,
+    state_root: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Continuous near-duplicate dedup over an arriving document feed
+    (see :func:`neardup_epoch_writer` for the per-epoch algorithm and
+    the idempotency argument).
+
+    Because every pair's two sides either share a batch (within) or
+    the later side probes the earlier side's index (cross), the
+    accumulated pair set after draining the feed equals the one-shot
+    batch LSH over the whole corpus — which is what the driver oracle
+    checks. Between feeds, :func:`compact_neardup_state` folds the
+    epoch-keyed state into one bucketed index table so per-epoch reads
+    stay O(1) dirs on long-running feeds.
+
+    Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
+    """
+    import os
 
     (
-        stream_docs.writeStream.foreachBatch(write_epoch)
+        stream_docs.writeStream.foreachBatch(
+            neardup_epoch_writer(spark, state_root, threshold=threshold)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(pairs_root).select("d1", "d2", "jaccard")
+    return spark.read.parquet(os.path.join(state_root, "pairs")).select(
+        "d1", "d2", "jaccard"
+    )

@@ -84,6 +84,33 @@ def test_bucketed_join_drops_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_lsh_bucket_cap_drop_is_observable(spark):
+    """A bucket over the cap is dropped — but countably: the attached
+    Observation reports how many buckets/doc-slots the cap removed,
+    while pairs outside the degenerate bucket still come through."""
+    from pyspark.sql import Observation
+
+    from data_pipeline_csv_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "terms of service apply to all users of this site without exception"
+    long_a = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm stone fireplace tonight"
+    rows = [(i, boiler) for i in range(12)]
+    rows.append((100, long_a))
+    rows.append((101, long_a + " peacefully"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("lsh_drops")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, max_bucket=5, drop_observation=obs
+    )
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert got == {(100, 101)}  # boilerplate pairs dropped by the cap
+    m = obs.get
+    # 12 identical docs share every one of the 16 band buckets
+    assert m["dropped_buckets"] == 16
+    assert m["dropped_doc_slots"] == 16 * 12
+
+
 def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
     """The index-probed incremental result must equal the full-corpus
     LSH pair set restricted to (old, new) cross pairs — and accept a
