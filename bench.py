@@ -59,6 +59,11 @@ HEADLINE = [
     "cluster_kmeans_embeddings",
     "graph_pagerank_suppliers",
     "cdc_merge_snapshot",
+    # streaming (round-5 additions): epoch-state cost of the continuous
+    # near-dup feed (incl. per-epoch index reads) and the incremental
+    # MV merge loop become measurable round-over-round
+    "streaming_dedup_neardup",
+    "streaming_incremental_mv",
 ]
 
 

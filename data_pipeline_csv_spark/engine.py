@@ -276,13 +276,30 @@ class PipelineEngine:
             f'"{f.name}" {affinity(f.dataType)}' for f in df.schema.fields
         )
         placeholders = ", ".join(["?"] * len(df.columns))
+
+        import datetime
+
+        def bindable(v):
+            # Explicit conversions instead of sqlite3's default adapters
+            # (deprecated for date/datetime since Python 3.12) and for
+            # types sqlite3 cannot bind at all (array/map/struct rows
+            # raise InterfaceError): ISO text for temporals, str() for
+            # complex types — matching pandas to_sql's TEXT rendering.
+            if v is None or isinstance(v, (int, float, str, bytes)):
+                return v
+            if isinstance(v, datetime.datetime):
+                return v.isoformat(sep=" ")
+            if isinstance(v, datetime.date):
+                return v.isoformat()
+            return str(v)
+
         con = sqlite3.connect(db_path)
         try:
             con.execute(f'DROP TABLE IF EXISTS "{table_name}"')
             con.execute(f'CREATE TABLE "{table_name}" ({cols})')
             batch: list[tuple] = []
             for row in df.toLocalIterator():
-                batch.append(tuple(row))
+                batch.append(tuple(bindable(v) for v in row))
                 if len(batch) >= 10_000:
                     con.executemany(
                         f'INSERT INTO "{table_name}" VALUES ({placeholders})', batch

@@ -19,7 +19,10 @@ DuckDB unrolled-CTE replay produces bit-identical doubles
 Dangling nodes (out-degree 0) are NOT redistributed — callers supply
 a graph where every node has at least one out-edge (e.g. symmetrized
 edges, as queries/graph.py does); documented trade vs the full
-PageRank dangling-mass term.
+PageRank dangling-mass term. The precondition is ENFORCED, not just
+documented: the up-front node-count job also counts out-degree-0
+nodes (one left join folded into the same aggregation — no extra
+job) and raises before iterating if any exist.
 """
 
 from __future__ import annotations
@@ -35,11 +38,16 @@ def pagerank(
     iterations: int = 2,
     damping: float = 0.85,
     scale: int = PR_SCALE,
+    check_dangling: bool = True,
 ) -> DataFrame:
     """Iterate PageRank on directed ``edges(src, dst)``.
 
-    Returns (node, rank). One driver-side scalar (the node count) is
-    collected up front; everything else stays distributed.
+    Returns (node, rank). One driver-side row (node count + dangling
+    count) is collected up front; everything else stays distributed.
+    Raises ``ValueError`` on a dangling node (out-degree 0) unless
+    ``check_dangling=False`` — without at least one out-edge per node
+    the iteration silently drops that node's mass and the result is
+    not the PageRank of the supplied graph.
     """
     # Deliberately NOT persisted: the edge list is referenced by the
     # per-iteration message join, the out-degree agg and the node
@@ -56,7 +64,22 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
+    stats = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias("dangling"),
+        )
+        .collect()[0]
+    )
+    n = stats["n"]
+    if check_dangling and (stats["dangling"] or 0) > 0:
+        raise ValueError(
+            f"pagerank: {stats['dangling']} dangling node(s) (out-degree 0); "
+            "their mass would be dropped, not redistributed. Symmetrize the "
+            "edge list or add self-loops (or pass check_dangling=False to "
+            "accept the truncated-mass semantics)."
+        )
     base = (1.0 - damping) / n  # python double == SQL double op
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

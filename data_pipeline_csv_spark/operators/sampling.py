@@ -42,7 +42,10 @@ _C3 = 2000000011  # odd multiplier < 2^31 (keeps the remix in int64)
 
 def uniform_from_id(id_col: Column) -> Column:
     """Deterministic u in (0, 1) from an integer id — identical SQL
-    arithmetic in Spark and DuckDB (no engine RNG, no xxhash)."""
+    arithmetic in Spark and DuckDB (no engine RNG, no xxhash).
+    Domain: ids must be integers in [0, ~3.4e9]; beyond that the first
+    product exceeds int64 (see module constants) and the result is
+    silently wrong."""
     h1 = (id_col.cast("bigint") * F.lit(_C1)) % F.lit(_M32)
     h2 = ((h1 + F.lit(_C2)) % F.lit(_M32) * F.lit(_C3)) % F.lit(_M32)
     return (h2 + F.lit(0.5)) / F.lit(float(_M32))
@@ -101,7 +104,24 @@ def weighted_sample_topk(
 ) -> DataFrame:
     """k-item weight-proportional sample without replacement (per
     stratum when ``stratum_col`` is given). Returns the stratum (if
-    any), id, weight and 1-based rank."""
+    any), id, weight and 1-based rank.
+
+    API contract (not just implementation detail):
+
+    - Weights are EFFECTIVELY ``max(weight, 1.0)``: every weight below
+      1 — including zero and negative — is clamped UP to 1, so
+      "proportional to weight" holds only on the >= 1 domain (the
+      intended inputs are counts/scores like token counts). Rows with
+      zero weight therefore remain sampleable at weight 1; filter them
+      out beforehand if they must be excluded. The clamp is part of
+      the cross-engine oracle contract (the DuckDB replay computes the
+      same ``greatest``), so it cannot silently change.
+    - ``id_col`` must be integers in [0, ~3.4e9] (see the module
+      mixer-constant comment): larger ids overflow the int64
+      intermediate product and negative ids produce ln() of a
+      non-(0,1) value — both yield NaN/garbage keys with no error.
+      Dense non-negative ids (the parquet testdata shape) are safe.
+    """
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
     key = F.ln(uniform_from_id(F.col(id_col))) / w
     parts = [stratum_col] if stratum_col else []

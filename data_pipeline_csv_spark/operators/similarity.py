@@ -362,6 +362,45 @@ def embedding_cosine_neardup_clustered(
     import numpy as np
     import pandas as pd
 
+    corpus2 = corpus.select("vec_id", "embedding")
+    cut = threshold - margin
+    probed = clustered_cell_assignment(corpus2, centroids, nprobe)
+
+    def _cell_pairs(key, pdf):
+        cell = int(key[0])
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = S[iu] >= cut
+        ii, jj = iu[0][hit], iu[1][hit]
+        cells = list(pdf["cells"])
+        d1, d2 = [], []
+        for a, b in zip(ii, jj):
+            shared = set(cells[a]) & set(cells[b])
+            if shared and min(shared) == cell:
+                lo, hi = (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+                d1.append(lo)
+                d2.append(hi)
+        return pd.DataFrame({"d1": np.asarray(d1, dtype=np.int64), "d2": np.asarray(d2, dtype=np.int64)})
+
+    cand = probed.groupBy("cell").applyInPandas(_cell_pairs, "d1 long, d2 long")
+    return _exact_rescore(corpus2, cand, threshold)
+
+
+def clustered_cell_assignment(corpus: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """Map-side nprobe-nearest-cell assignment for the clustered
+    near-dup mode: (cell, vec_id, embedding, cells) with one row per
+    probed cell (replication factor nprobe, broadcast centroid matrix,
+    no shuffle). Exposed separately so callers can MEASURE the pruning
+    — sum over cells of C(|cell|, 2) is exactly the pair work the
+    per-cell GEMM performs (see queries/similarity.py
+    similarity_neardup_pruned, which emits the scanned-pair fraction
+    under the driver gate)."""
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import DataFrame as _DF
 
     if isinstance(centroids, _DF):
@@ -373,9 +412,6 @@ def embedding_cosine_neardup_clustered(
         cell_ids = np.arange(len(C), dtype=np.int64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     nprobe = min(nprobe, len(C))
-
-    corpus2 = corpus.select("vec_id", "embedding")
-    cut = threshold - margin
 
     def _assign(batches):
         for pdf in batches:
@@ -399,28 +435,6 @@ def embedding_cosine_neardup_clustered(
                 }
             )
 
-    probed = corpus2.mapInPandas(
+    return corpus.select("vec_id", "embedding").mapInPandas(
         _assign, "cell long, vec_id long, embedding array<double>, cells array<long>"
     )
-
-    def _cell_pairs(key, pdf):
-        cell = int(key[0])
-        ids = pdf["vec_id"].to_numpy()
-        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        S = M @ M.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = S[iu] >= cut
-        ii, jj = iu[0][hit], iu[1][hit]
-        cells = list(pdf["cells"])
-        d1, d2 = [], []
-        for a, b in zip(ii, jj):
-            shared = set(cells[a]) & set(cells[b])
-            if shared and min(shared) == cell:
-                lo, hi = (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
-                d1.append(lo)
-                d2.append(hi)
-        return pd.DataFrame({"d1": np.asarray(d1, dtype=np.int64), "d2": np.asarray(d2, dtype=np.int64)})
-
-    cand = probed.groupBy("cell").applyInPandas(_cell_pairs, "d1 long, d2 long")
-    return _exact_rescore(corpus2, cand, threshold)

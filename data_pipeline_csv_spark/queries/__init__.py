@@ -38,77 +38,78 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-4 rotation. Union coverage has been complete since r03, so
-# this round's window is pure re-verification of changed code:
-# (a) every query touched by this round's implementation changes —
-#     the similarity file (exact-rescore refactor, job-free ANN
-#     stride, NEW clustered near-dup mode), clustering (Spark-side
-#     partial reduction), sketches (the HLL bounds oracle replaces
-#     the oracle-less form, per the r03 ADVICE), and the table loader
-#     (schema cache, UTC pin, NANOS fallback) — the loader feeds every
-#     query, so the events/streaming families that depend on its
-#     timestamp normalization are ALL in-window;
-# (b) flagship + heavy-family sentinels for the rest of the surface.
-# similarity_ann_ivf's slot goes to similarity_ann_recall_audit, which
-# runs the same IVF probe AND the exact top-k under a recall-bound
-# oracle — a strictly stronger driver check. The simhash family,
-# formerly oracle-less (xxhash64), now uses a DuckDB-replayable
-# md5-derived hash and is back IN the window with full value oracles.
-# The window is 50/50 oracle-backed.
+# Round-5 rotation, two halves:
+# (a) every query whose implementation changed this round — the three
+#     NEW on-disk-layout/pruning audits (compacted LSH probe, IVF
+#     partition-pruned probe, high-threshold clustered near-dup), the
+#     whole dedup module (lsh_probe_candidates refactor, observable
+#     bucket cap, non-broadcast probe mode), the similarity operators
+#     touched by the IVF/assignment refactors, multimodal_image_features
+#     (now a FULL value oracle: DuckDB replays the splitmix64 payload),
+#     streaming_dedup_neardup (replay-idempotency fix + compaction
+#     tiers), and graph_pagerank_suppliers (dangling-node guard);
+# (b) union RECENCY: the entire r01 long tail (11), all of the r02
+#     long tail (22), plus the oldest r03 query — after this round no
+#     query's latest driver verification is older than r03 (and most
+#     are r04/r05). text/pipeline r03 stragglers rotate next round.
+# The window is again 50/50 oracle-backed (the rows-only
+# similarity_ann_ivf remains superseded by the on-disk + recall
+# audits, both in-window).
 _PRIORITY = [
-    # --- changed or new implementations this round (17) ---
+    # --- new or changed implementations this round (16) ---
+    "dedup_incremental_compacted",
+    "similarity_neardup_pruned",
+    "similarity_ann_ivf_ondisk",
+    "multimodal_image_features",
     "streaming_dedup_neardup",
-    "udtf_sentence_split",
-    "similarity_neardup_clustered",
-    "similarity_embedding_neardup",
-    "similarity_cosine_topk",
-    "similarity_label_knn",
-    "contrastive_hard_negatives",
-    "similarity_ann_recall_audit",
-    "cluster_kmeans_embeddings",
-    "sketch_distinct_customers",
-    "sketch_price_quantiles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_neardup",
-    "dedup_incremental_batch",
-    "sample_weighted_reservoir",
-    "corpus_split_report",
-    "cdc_scd2_history",
-    # --- events/streaming surface over the changed loader (19) ---
-    "events_sessionize",
-    "events_conversion_funnel",
-    "events_gapfill_resample",
-    "events_hourly_rollup",
-    "events_dedup_first",
-    "events_daily_pivot",
-    "events_sliding_counts",
-    "events_decay_score",
-    "window_events_suite",
-    "window_moving_avg",
-    "window_lag_lead",
-    "streaming_hourly_rollup",
-    "streaming_enriched_rollup",
-    "streaming_incremental_mv",
-    "streaming_session_windows",
-    "streaming_dedup_event_ids",
-    "streaming_attribution_join",
-    "asof_purchase_last_click",
-    "incremental_mv_refresh",
-    # --- flagship + heavy-family sentinels (14) ---
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_cc_clusters",
-    "udaf_discount_sumsq",
-    "cdc_merge_snapshot",
+    "dedup_incremental_batch",
+    "similarity_neardup_clustered",
+    "similarity_embedding_neardup",
+    "similarity_ann_recall_audit",
     "graph_pagerank_suppliers",
-    "profile_lineitem",
-    "text_tfidf_terms",
-    "text_repetition_filter",
+    # --- last driver-verified in r01 (11) ---
+    "percentiles_order_value",
+    "multimodal_decode_roundtrip",
+    "filter_project",
+    "distinct_order_attrs",
+    "topk_expensive_orders",
+    "left_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_never_urgent",
+    "cube_order_status",
+    "scalar_functions",
+    "date_functions",
+    # --- last driver-verified in r02 (22) ---
+    "grouping_sets_orders",
+    "unpivot_part_attrs",
+    "skew_salted_join_priority",
+    "udf_scalar_normalize_name",
+    "multimodal_frame_stats",
+    "text_profile",
+    "corpus_dedup_keep_best",
+    "corpus_quality_funnel",
+    "corpus_decontaminate",
+    "count_distinct_parts",
+    "semi_anti_customers",
+    "full_outer_nation_activity",
+    "range_join_price_bands",
+    "rollup_returns",
+    "promo_revenue_share",
+    "setops_customer_keys",
+    "json_extract_props",
+    "q8_market_share",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q22_sales_opportunity",
+    "window_orders_suite",
+    # --- oldest r03 straggler (1) ---
+    "q7_volume_shipping",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

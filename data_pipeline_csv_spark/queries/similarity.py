@@ -339,6 +339,117 @@ def similarity_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_neardup_pruned",
+    # Bounds-oracle: DuckDB computes the exact near-dup pair count at
+    # t=0.9 over the PLANTED corpus (embeddings + a perturbed twin of
+    # each vec_id < 16) and emits TRUE flags; the Spark side
+    # hash-matches only if the clustered mode's recall >= 0.9 AND the
+    # per-cell GEMM scanned < half of all pairs. This drives the
+    # pruning claim the t=0.45 registration cannot (no angular gap
+    # there -> ~100% of pair work for recall 1): at production
+    # thresholds one probe suffices and the scanned fraction collapses
+    # to ~1/k.
+    oracle=f"""
+    WITH tw AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS xf
+      FROM embeddings WHERE vec_id < 16
+    ),
+    ce AS (
+      SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS x
+        FROM embeddings
+      )
+      UNION ALL
+      SELECT vec_id, i,
+             CAST(xf AS DOUBLE) + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END
+      FROM tw
+    ),
+    norms AS (
+      SELECT vec_id, SUM({_PROD.format(a='x', b='x')}) AS nrm
+      FROM ce GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             SUM({_PROD.format(a='a.x', b='b.x')}) AS dxy
+      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok,
+           TRUE AS pruned_ok
+    FROM dots
+    JOIN norms n1 ON d1 = n1.vec_id
+    JOIN norms n2 ON d2 = n2.vec_id
+    WHERE CAST(dxy AS DOUBLE) / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.9
+    """,
+    doc="High-threshold (0.9) cluster-blocked near-dup on a planted-twin "
+    "corpus, auditing BOTH quality and cost under the driver gate: "
+    "recall vs the exact blocked-GEMM answer >= 0.9, and the per-cell "
+    "pair work (sum over cells of C(|cell|,2), measured from the "
+    "actual assignment) < 50% of all pairs — the pruning that the "
+    "registered t=0.45 config cannot exhibit on this corpus. "
+    "nprobe=1 of 16 trained cells; near-identical vectors co-assign "
+    "with near-certainty at this threshold.",
+    tags=("similarity", "dedup", "ann", "scale", "audit"),
+)
+def similarity_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import (
+        clustered_cell_assignment,
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_clustered,
+    )
+
+    base = balanced(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == F.lit(0), F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(twins)
+    cents = kmeans_centroids_df(
+        spark, aug, k=16, iters=2, cache_key=(sf_dir, "embeddings_aug16")
+    )
+    exact = embedding_cosine_neardup(aug, threshold=0.9).select("d1", "d2")
+    approx = embedding_cosine_neardup_clustered(
+        aug, cents, threshold=0.9, nprobe=1
+    ).select("d1", "d2")
+
+    truth = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    hits = exact.join(approx, ["d1", "d2"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("_n_hit")
+    )
+    sizes = clustered_cell_assignment(aug, cents, nprobe=1).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scanned = sizes.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("_scanned"),
+        F.sum("n").alias("_n_rows"),
+    )
+    return (
+        truth.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(scanned))
+        .select(
+            "n_truth",
+            (F.col("_n_hit") >= F.lit(0.9) * F.col("n_truth")).alias("recall_ok"),
+            (
+                F.col("_scanned")
+                < F.lit(0.5) * F.col("_n_rows") * (F.col("_n_rows") - 1) / 2
+            ).alias("pruned_ok"),
+        )
+    )
+
+
+@query(
     "similarity_ann_ivf_ondisk",
     # Bounds-oracle (pattern of similarity_ann_recall_audit): the
     # oracle recomputes the exact top-10 side in SQL and emits TRUE

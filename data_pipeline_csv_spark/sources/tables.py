@@ -109,23 +109,50 @@ def _events_ts_is_nanos(path: str) -> bool:
 # Inferred Spark schema per parquet path: spark.read.parquet without an
 # explicit schema runs a footer/schema-inference JOB on every call, so
 # each query construction would pay one tiny cluster round-trip per
-# table read. The driver testdata is immutable for a process lifetime;
-# inferring once and passing .schema(...) afterwards makes repeat
-# query construction job-free (asserted in tests/test_similarity.py::
-# test_ann_query_construction_runs_no_job).
+# table read. Inferring once and passing .schema(...) afterwards makes
+# repeat query construction job-free (asserted in
+# tests/test_similarity.py::test_ann_query_construction_runs_no_job).
+# Keyed by (path, mtime) so a rewrite at the same path within a
+# long-lived process invalidates naturally; clear_caches() is the
+# explicit hook.
 _SCHEMA_CACHE: dict = {}
 
 
+def clear_caches() -> None:
+    """Drop all cached inferred schemas (long-lived-process hook; the
+    (path, mtime) keying already handles in-place rewrites that touch
+    the file/dir mtime)."""
+    _SCHEMA_CACHE.clear()
+
+
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    cached = _SCHEMA_CACHE.get(path)
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    cached = _SCHEMA_CACHE.get(key)
     reader = spark.read if cached is None else spark.read.schema(cached)
     df = reader.parquet(path)
     if cached is None:
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table lazily (schema-cached, see above).
+
+    SESSION-LEVEL SIDE EFFECT — ``load_table(..., "events")`` pins
+    ``spark.sql.session.timeZone`` to UTC for the REST of the session
+    (and sets the legacy ``nanosAsLong`` conf when the file needs it).
+    UTC field-extraction semantics are the engine's contract
+    (session.py pins engine-owned sessions); the pin here extends that
+    contract to driver-owned sessions, but it also changes the
+    rendering of timestamp field extraction in any unrelated query the
+    same session runs later. It cannot be save-and-restored: the
+    returned DataFrame is lazy and resolves the conf at action time.
+    """
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (which the
         # Spark reader rejects -> read as long ns via the legacy conf and

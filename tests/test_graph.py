@@ -51,6 +51,21 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_rejects_dangling_nodes(spark):
+    """A node with no out-edge (7 below, an in-edge only) would have
+    its mass silently dropped; the precondition check must fail fast,
+    and the opt-out must preserve the documented truncated semantics."""
+    import pytest
+
+    edges = _sym(_EDGES) + [(1, 7)]  # 7 is dangling: in-edge only
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, iterations=2)
+    # opt-out still runs (truncated-mass semantics, mass < 1)
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2, check_dangling=False).collect()}
+    assert 7 in got and sum(got.values()) < 1.0
+
+
 def test_pagerank_partition_invariant(spark):
     edges = _sym(_EDGES)
     one = spark.createDataFrame(edges, "src long, dst long").coalesce(1)

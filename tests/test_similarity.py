@@ -150,6 +150,21 @@ def test_clustered_neardup_high_threshold_recall_and_pruning(spark, sf_dir):
     frac = scanned / (n * (n - 1) // 2)
     assert frac < 0.35, f"cell blocking scanned too much: {frac:.2f} of all pairs"
 
+    # the Spark-side assignment (what similarity_neardup_pruned measures
+    # under the driver gate) must count exactly the replayed pair work
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import clustered_cell_assignment
+
+    spark_scanned = (
+        clustered_cell_assignment(corpus, cents, nprobe)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert int(spark_scanned) == scanned
+
 
 def test_simhash_near_dups_close(spark, sf_dir):
     """Near-dup docs (exact Jaccard >= 0.8) should have small SimHash
