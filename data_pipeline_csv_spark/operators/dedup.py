@@ -146,8 +146,14 @@ def minhash_lsh_pairs(
     n: int = 3,
     max_bucket: int = 1000,
     drop_observation=None,
+    band_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact verification.
+
+    ``band_entries``: precomputed (and ideally persisted)
+    :func:`lsh_band_entries` for ``df`` — callers that also probe an
+    index or write the entries out (the streaming epoch writer) pass
+    them once instead of re-signing the batch per consumer.
 
     bands = num_hashes / rows_per_band; a pair lands in the same bucket
     of band j iff its signatures agree on that band's rows. With
@@ -179,7 +185,8 @@ def minhash_lsh_pairs(
     the corpus size has degenerated into exact-dup territory and
     should run exact_dedup first.
     """
-    band_entries = lsh_band_entries(df, num_hashes, rows_per_band, text_col, id_col, n)
+    if band_entries is None:
+        band_entries = lsh_band_entries(df, num_hashes, rows_per_band, text_col, id_col, n)
 
     # One shuffle on (band_id, band_hash) builds the bucket arrays;
     # the size cap and the pairwise expansion are then map-side array
@@ -356,6 +363,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     index: DataFrame | None = None,
     broadcast_probe: bool = True,
+    probe_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new batch and an existing corpus — the
     daily-increment dedup workflow. Returns (d1=old id, d2=new id,
@@ -383,7 +391,11 @@ def minhash_lsh_incremental(
         if index is not None
         else lsh_band_entries(old_docs, num_hashes, rows_per_band, text_col, id_col, n)
     )
-    probe = lsh_band_entries(new_docs, num_hashes, rows_per_band, text_col, id_col, n)
+    probe = (
+        probe_entries
+        if probe_entries is not None
+        else lsh_band_entries(new_docs, num_hashes, rows_per_band, text_col, id_col, n)
+    )
     candidates = lsh_probe_candidates(idx, probe, broadcast_probe=broadcast_probe)
     all_docs = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col))

@@ -64,11 +64,20 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Node count + dangling count in ONE job with the same exchange
+    # shape the old distinct-count had: a src row carries has_out=1, a
+    # dst row 0; max per node tells whether any out-edge exists. (A
+    # nodes LEFT JOIN out_deg formulation was measured ~0.5 s slower
+    # at sf0.1 — it adds a join to the count job for nothing.)
+    flags = edges.select(F.col("src").alias("node"), F.lit(1).alias("_o")).unionByName(
+        edges.select(F.col("dst").alias("node"), F.lit(0).alias("_o"))
+    )
     stats = (
-        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
+        flags.groupBy("node")
+        .agg(F.max("_o").alias("_o"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias("dangling"),
+            F.sum(F.lit(1) - F.col("_o")).alias("dangling"),
         )
         .collect()[0]
     )

@@ -56,6 +56,35 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_year" in buf.getvalue()
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must inject a
+    dynamic partition-pruning subquery: the fact scan reads only the
+    partitions the dim's surviving keys name, discovered at runtime —
+    the other half of the pruning story next to the static literal
+    pruning the IVF probe uses."""
+    eng = PipelineEngine(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    eng.write_partitioned(orders, "orders_dpp", ["o_year"])
+    fact = eng.read_table("orders_dpp")
+
+    dim_path = str(tmp_path / "dim_years")
+    spark.createDataFrame(
+        [(y, "keep" if y == 1995 else "drop") for y in range(1992, 1999)],
+        "d_year int, tag string",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+
+    joined = fact.join(dim, fact.o_year == dim.d_year)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(o_year" in plan
+    assert joined.count() == orders.filter("o_year = 1995").count()
+
+
 def test_bucketed_join_drops_shuffle(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
