@@ -221,6 +221,47 @@ class PipelineEngine:
         rows = self.spark.read.parquet(path).count()
         return LoadResult(table_path=path, rows_written=rows)
 
+    def compact_table(
+        self, table_name: str, target_file_bytes: int = 128 << 20
+    ) -> LoadResult:
+        """Rewrite a table's files at ~``target_file_bytes`` each — the
+        small-files maintenance job (Delta/Iceberg OPTIMIZE, on bare
+        parquet).
+
+        Streaming sinks and incremental loads accrete many small files;
+        at 100 TB a scan's task count and footer-read overhead are
+        dominated by file count, so periodic compaction is what keeps
+        read amortization healthy. The target file count comes from
+        on-disk byte totals (a directory walk — no data scan); the
+        rewrite is staged next to the table and swapped in only after
+        the row count is verified, so a failed compaction leaves the
+        original table untouched.
+        """
+        import math
+
+        path = self._table_path(table_name)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = self.read_table(table_name)
+        before = df.count()
+        tmp = f"{path}._compact_tmp"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        after = self.spark.read.parquet(tmp).count()
+        if after != before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_table({table_name}): rewrite produced {after} rows, "
+                f"expected {before}; original left in place"
+            )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return LoadResult(table_path=path, rows_written=after)
+
     def write_jdbc_sqlite(self, df: DataFrame, db_path: str, table_name: str) -> None:
         """Literal-parity SQLite sink via JDBC; requires a sqlite JDBC
         driver on the Spark classpath (not bundled here)."""

@@ -44,6 +44,33 @@ def cosine_from_parts(dxy: Column, nxx: Column, nyy: Column) -> Column:
     return dxy.cast("double") / F.sqrt(nxx.cast("double") * nyy.cast("double"))
 
 
+def absmax(a: Column) -> Column:
+    """max(|x_i|) over a float-array column — the per-vector int8
+    quantization scale source. Single IEEE comparisons, identical in
+    any engine."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+
+
+def quantize_int8(x: Column, amax: Column) -> Column:
+    """Symmetric per-tensor int8 quantization of one element:
+    round(x * 127 / amax) as TINYINT (0 when the vector is all-zero).
+
+    The training-data storage primitive — int8 embeddings are 4x
+    smaller on disk and in shuffle than float32, and reconstruction
+    error is bounded by amax/254 per element. Every step is an IEEE
+    double op + round-half-away-from-zero, which Spark and DuckDB
+    evaluate identically, so quantized values carry a FULL value
+    oracle (queries/similarity.py embedding_quantize_int8).
+    """
+    return (
+        F.when(amax == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * F.lit(127.0) / amax))
+        .cast("tinyint")
+    )
+
+
 def dot_fast(a: Column, b: Column) -> Column:
     """Double-accumulation dot product (throughput path)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

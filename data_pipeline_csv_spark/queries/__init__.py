@@ -48,10 +48,12 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     (now a FULL value oracle: DuckDB replays the splitmix64 payload),
 #     streaming_dedup_neardup (replay-idempotency fix + compaction
 #     tiers), and graph_pagerank_suppliers (dangling-node guard);
-# (b) union RECENCY: the entire r01 long tail (11), all of the r02
-#     long tail (22), plus the oldest r03 query — after this round no
-#     query's latest driver verification is older than r03 (and most
-#     are r04/r05). text/pipeline r03 stragglers rotate next round.
+# (b) union RECENCY: the entire r01 long tail (11) and all of the r02
+#     long tail (22) — after this round no query's latest driver
+#     verification is older than r03 (and most are r04/r05). The
+#     text/pipeline/tpch r03 stragglers rotate next round. The final
+#     slot is the round-5-debut embedding_quantize_int8 (new queries
+#     debut inside the window).
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -108,8 +110,8 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q22_sales_opportunity",
     "window_orders_suite",
-    # --- oldest r03 straggler (1) ---
-    "q7_volume_shipping",
+    # --- round-5 debut (1) ---
+    "embedding_quantize_int8",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

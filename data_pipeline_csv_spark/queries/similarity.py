@@ -539,6 +539,50 @@ def similarity_ann_ivf_ondisk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ce AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    am AS (SELECT vec_id, MAX(abs(x)) AS amax FROM ce GROUP BY vec_id)
+    SELECT ce.vec_id,
+           CAST(ce.i AS INT) AS pos,
+           CAST(CASE WHEN am.amax = 0 THEN 0
+                     ELSE round(ce.x * 127.0 / am.amax) END AS TINYINT) AS qval,
+           am.amax AS amax
+    FROM ce JOIN am ON ce.vec_id = am.vec_id
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding corpus "
+    "(round(x*127/absmax) per element) — the 4x storage/shuffle "
+    "reduction step before writing a training shard. Pure map-side "
+    "projection (absmax via one array fold, no shuffle, no UDF); "
+    "emitted long-form (vec_id, pos, qval, amax) under a FULL value "
+    "oracle — DuckDB recomputes every quantized byte.",
+    tags=("similarity", "embedding", "quantization", "storage"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import absmax, quantize_int8
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    with_amax = corpus.select(
+        "vec_id", F.col("embedding").alias("_e"), absmax(F.col("embedding")).alias("amax")
+    )
+    exploded = with_amax.select(
+        "vec_id", "amax", F.posexplode("_e").alias("_pos0", "_x")
+    )
+    return exploded.select(
+        "vec_id",
+        (F.col("_pos0") + 1).cast("int").alias("pos"),
+        quantize_int8(F.col("_x"), F.col("amax")).alias("qval"),
+        "amax",
+    )
+
+
+@query(
     "similarity_ann_ivf",
     oracle=None,  # approximate by construction; recall asserted in tests
     doc="IVF-bucketed ANN top-10 (deterministic centroid subset, nprobe=4 of "

@@ -113,6 +113,31 @@ def test_bucketed_join_drops_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_compact_table_collapses_small_files(spark, sf_dir, tmp_path):
+    """The small-files maintenance job must cut file count to the
+    byte-budget target while preserving every row, and must not swap
+    in a bad rewrite."""
+    eng = PipelineEngine(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    # simulate a fragmented table: 32 tiny files
+    orders.repartition(32).write.mode("overwrite").parquet(
+        str(tmp_path / "wh" / "orders_frag")
+    )
+    frag_files = [
+        f for f in os.listdir(tmp_path / "wh" / "orders_frag") if f.endswith(".parquet")
+    ]
+    assert len(frag_files) == 32
+
+    res = eng.compact_table("orders_frag", target_file_bytes=1 << 30)
+    assert res.rows_written == n
+    compacted = [
+        f for f in os.listdir(tmp_path / "wh" / "orders_frag") if f.endswith(".parquet")
+    ]
+    assert len(compacted) == 1  # whole table fits one 1 GiB target file
+    assert eng.read_table("orders_frag").count() == n
+
+
 def test_lsh_bucket_cap_drop_is_observable(spark):
     """A bucket over the cap is dropped — but countably: the attached
     Observation reports how many buckets/doc-slots the cap removed,
