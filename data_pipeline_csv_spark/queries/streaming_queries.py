@@ -309,8 +309,12 @@ def streaming_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stage_docs_dir(spark, sf_dir, staged, n_files=4)
         stream = read_docs_stream(spark, staged)
+        # epoch_partitions=4: the staged feed's micro-batches are far
+        # below one 128 MB file each; unbounded they'd fan into the
+        # session's 32 shuffle partitions of tiny files per state dir.
         out = run_streaming_neardup(
-            stream, spark, state_root=state, checkpoint=f"{state}/_chk", threshold=0.8
+            stream, spark, state_root=state, checkpoint=f"{state}/_chk",
+            threshold=0.8, epoch_partitions=4,
         )
         out.persist().count()
         return out

@@ -197,7 +197,10 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
     return seen, idx
 
 
-def neardup_epoch_writer(spark, state_root: str, threshold: float = 0.8):
+def neardup_epoch_writer(
+    spark, state_root: str, threshold: float = 0.8,
+    epoch_partitions: int | None = None,
+):
     """foreachBatch writer for continuous near-dup dedup (module-level
     so replay/compaction behavior is unit-testable without a stream).
 
@@ -213,6 +216,15 @@ def neardup_epoch_writer(spark, state_root: str, threshold: float = 0.8):
     (:func:`_neardup_state`) — so a replayed epoch (foreachBatch's
     at-least-once contract) sees exactly the pre-epoch state and
     rewrites identical content — idempotent.
+
+    ``epoch_partitions`` bounds the FILE COUNT of each epoch's state
+    writes (coalesce before write). Without it, every epoch inherits
+    the session's shuffle-partition count and a small micro-batch
+    fans out into that many tiny files per state dir — the small-files
+    accretion that slows every later epoch's state read. Size it to
+    ~128 MB files for the expected micro-batch volume (None = leave
+    the write parallelism alone; compact_neardup_state remains the
+    backstop for long feeds either way).
     """
     import os
 
@@ -244,9 +256,24 @@ def neardup_epoch_writer(spark, state_root: str, threshold: float = 0.8):
                     probe_entries=entries,
                 )
                 pairs = pairs.unionByName(cross)
+            # pairs: leave alone — AQE already coalesces the post-shuffle
+            # output to few files, and a coalesce here would collapse the
+            # verification pipeline's parallelism (coalesce reaches up
+            # through the whole stage; measured 28% slower).
             pairs.write.mode("overwrite").parquet(f"{p['pairs']}/batch={epoch_id}")
-            entries.write.mode("overwrite").parquet(f"{p['idx']}/batch={epoch_id}")
-            batch.write.mode("overwrite").parquet(f"{p['docs']}/batch={epoch_id}")
+
+            def sized(df: DataFrame) -> DataFrame:
+                return df.coalesce(epoch_partitions) if epoch_partitions else df
+
+            # entries (cache-backed) and docs (a straight staged-file
+            # scan) have no expensive upstream to throttle — capping
+            # their file fan-out is pure small-files win.
+            sized(entries).write.mode("overwrite").parquet(
+                f"{p['idx']}/batch={epoch_id}"
+            )
+            sized(batch).write.mode("overwrite").parquet(
+                f"{p['docs']}/batch={epoch_id}"
+            )
         finally:
             entries.unpersist()
 
@@ -317,6 +344,7 @@ def run_streaming_neardup(
     state_root: str,
     checkpoint: str,
     threshold: float = 0.8,
+    epoch_partitions: int | None = None,
 ):
     """Continuous near-duplicate dedup over an arriving document feed
     (see :func:`neardup_epoch_writer` for the per-epoch algorithm and
@@ -336,7 +364,10 @@ def run_streaming_neardup(
 
     (
         stream_docs.writeStream.foreachBatch(
-            neardup_epoch_writer(spark, state_root, threshold=threshold)
+            neardup_epoch_writer(
+                spark, state_root, threshold=threshold,
+                epoch_partitions=epoch_partitions,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
