@@ -119,6 +119,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Pairs where the SMALLER document's shingles are >= threshold
+    contained in the other: containment C = |A∩B| / min(|A|,|B|).
+
+    The subsumption/quotation detector Jaccard misses: a short doc
+    fully quoted inside a long one has tiny Jaccard (union is the big
+    doc) but containment ~1 — exactly the boilerplate-inclusion and
+    doc-embedding case a pretraining dedup pass must catch. Same
+    exact shingle self-join as :func:`ngram_jaccard_pairs` (any pair
+    with C > 0 shares a shingle, so no candidates are missed); at
+    corpus scale, swap the candidate stage for the LSH band join —
+    containment-LSH probes with the smaller side's minhash exactly as
+    :func:`minhash_lsh_incremental` probes the index.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        pairs.join(sizes.alias("s1"), pairs.d1 == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), pairs.d2 == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared").cast("double")
+                / F.least(F.col("s1.n_sh"), F.col("s2.n_sh"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 32
 ) -> DataFrame:

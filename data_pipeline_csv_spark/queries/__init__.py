@@ -39,21 +39,25 @@ from . import (  # noqa: F401, E402  (registration side effect)
 )
 
 # Round-5 rotation, two halves:
-# (a) every query whose implementation changed this round — the three
-#     NEW on-disk-layout/pruning audits (compacted LSH probe, IVF
+# (a) every query whose implementation changed this round — the NEW
+#     on-disk-layout/pruning audits (compacted LSH probe, IVF
 #     partition-pruned probe, high-threshold clustered near-dup), the
-#     whole dedup module (lsh_probe_candidates refactor, observable
-#     bucket cap, non-broadcast probe mode), the similarity operators
-#     touched by the IVF/assignment refactors, multimodal_image_features
-#     (now a FULL value oracle: DuckDB replays the splitmix64 payload),
-#     streaming_dedup_neardup (replay-idempotency fix + compaction
-#     tiers), and graph_pagerank_suppliers (dangling-node guard);
+#     changed dedup paths (lsh_probe_candidates refactor, observable
+#     bucket cap, non-broadcast probe mode; the simhash pair sits out
+#     — simhash()/simhash_neardup_pairs themselves are untouched since
+#     their r04 green and stay locally sweep-verified), the similarity
+#     operators touched by the IVF/assignment refactors,
+#     multimodal_image_features (now a FULL value oracle: DuckDB
+#     replays the splitmix64 payload), streaming_dedup_neardup
+#     (replay-idempotency fix + compaction tiers + epoch file-fan-out
+#     bound), and graph_pagerank_suppliers (dangling-node guard);
 # (b) union RECENCY: the entire r01 long tail (11) and all of the r02
 #     long tail (22) — after this round no query's latest driver
 #     verification is older than r03 (and most are r04/r05). The
-#     text/pipeline/tpch r03 stragglers rotate next round. The final
-#     slot is the round-5-debut embedding_quantize_int8 (new queries
-#     debut inside the window).
+#     text/pipeline/tpch r03 stragglers rotate next round. The last
+#     three slots are the round-5 debuts (new queries debut inside
+#     the window): dedup_containment, embedding_quantize_int8,
+#     text_unigram_logprob.
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -67,8 +71,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
+    "dedup_containment",
     "dedup_cc_clusters",
     "dedup_incremental_batch",
     "similarity_neardup_clustered",
@@ -110,8 +113,9 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q22_sales_opportunity",
     "window_orders_suite",
-    # --- round-5 debut (1) ---
+    # --- round-5 debuts (2) ---
     "embedding_quantize_int8",
+    "text_unigram_logprob",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -165,6 +165,37 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) AS containment
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) >= 0.9
+    """,
+    doc="Containment near-dup pairs (|A∩B| / min-set-size >= 0.9): the "
+    "subsumption/quotation detector — a short doc fully embedded in a "
+    "long one has tiny Jaccard but containment ~1, the case symmetric "
+    "near-dup passes miss. Exact shingle self-join candidates "
+    "(operators/dedup.py containment_pairs).",
+    tags=("dedup", "containment", "jaccard"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.9
+    )
+
+
+@query(
     "dedup_cc_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},

@@ -413,3 +413,56 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("top_bigram_share"),
         ((ttr >= 0.25) & (share <= 0.2)).alias("keep"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    # The float avg-NLL itself is NOT emitted: ln() is a libm call and
+    # last-ulp rounding may differ across engines, and a sum of ~100
+    # such terms is accumulation-order-sensitive. What IS emitted is
+    # ulp-robust: exact integer token/rare-token counts, plus the keep
+    # verdict — a cutoff comparison that could only flip if a doc's
+    # avg NLL sat within ~1e-12 of 3.404 (the corpus values are
+    # generic reals spaced ~1e-3 apart; measured range 3.38-3.70).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           (SUM(-ln(f.cnt / tot.total)) / COUNT(*)) <= 3.404 AS keep
+    FROM tok t JOIN freq f ON t.tok = f.tok, tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality filter (the CCNet-style perplexity proxy "
+    "without an external LM): train token frequencies on the corpus "
+    "itself in one pass, score each doc by average negative "
+    "log-likelihood, keep docs below the cutoff; also emits the exact "
+    "rare-token count (global freq < 5). Plan shape: one explode -> "
+    "one freq groupBy (map-side combinable) -> broadcast-back join -> "
+    "per-doc agg; the frequency table is vocabulary-sized, so at "
+    "100 TB it broadcasts while the corpus streams.",
+    tags=("text", "quality", "pipeline", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") < 5, 1).otherwise(0)).cast("bigint").alias("n_rare"),
+            (
+                (F.sum(-F.log(F.col("cnt") / F.col("total"))) / F.count(F.lit(1)))
+                <= F.lit(3.404)
+            ).alias("keep"),
+        )
+    )

@@ -165,6 +165,26 @@ def test_lsh_bucket_cap_drop_is_observable(spark):
     assert m["dropped_doc_slots"] == 16 * 12
 
 
+def test_containment_catches_subsumption_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1 but
+    Jaccard small — the pair the symmetric near-dup passes drop."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"word{i}" for i in range(40)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[10:20])  # fully contained quote
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+    cont = {(r.d1, r.d2): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}  # all 8 of the short doc's shingles shared
+    jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert jac == []  # Jaccard 8/38 — symmetric near-dup misses it
+
+
 def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
     """The index-probed incremental result must equal the full-corpus
     LSH pair set restricted to (old, new) cross pairs — and accept a
