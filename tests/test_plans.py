@@ -238,6 +238,25 @@ def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx_plan_test")
 
 
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The corpus-trained frequency table must broadcast back onto the
+    token stream (vocabulary-sized build side), leaving exactly two
+    wide exchanges: the freq groupBy and the per-doc agg — the corpus
+    itself never shuffles at token width for the join."""
+    plan = _plan(REGISTRY["text_unigram_logprob"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_int8_is_pure_projection(spark, sf_dir):
+    """int8 quantization must stay a map-side projection: no join, no
+    aggregate, no hash exchange (only balanced()'s layout round-robin)."""
+    plan = _plan(REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
 def test_repetition_filter_aggregates_map_side(spark, sf_dir):
     """Bigram counting must go through partial aggregation (map-side
     combine) before the doc_id exchange — the explode's output never
