@@ -233,11 +233,32 @@ def minhash_lsh_pairs(
         band_entries = lsh_band_entries(df, num_hashes, rows_per_band, text_col, id_col, n)
 
     # One shuffle on (band_id, band_hash) builds the bucket arrays;
-    # the size cap and the pairwise expansion are then map-side array
-    # ops — this replaces the window-count + bucket self-join (two
-    # passes over the band shuffle) of the earlier design. Each doc_id
-    # appears at most once per bucket (one signature per doc), and
-    # array_sort guarantees d1 < d2 without a post-filter.
+    # Candidates are a tiny fraction of the corpus, so persist THEM
+    # (a few rows) rather than the shingle frame, and run the exact-
+    # Jaccard verification only over candidate docs: the semi-join
+    # in _verify_candidates prunes the corpus BEFORE tokenization, so
+    # the shingle-set work touches candidate docs only.
+    candidates = lsh_bucket_candidates(
+        band_entries, max_bucket=max_bucket, drop_observation=drop_observation
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_candidates(df, candidates, threshold, text_col, id_col, n)
+
+
+def lsh_bucket_candidates(
+    band_entries: DataFrame,
+    max_bucket: int = 1000,
+    drop_observation=None,
+) -> DataFrame:
+    """Within-corpus candidate (d1 < d2) pairs from band entries.
+
+    One shuffle on (band_id, band_hash) builds the bucket arrays; the
+    size cap and the pairwise expansion are then map-side array ops —
+    this replaces the window-count + bucket self-join (two passes over
+    the band shuffle) of the earlier design. Each doc_id appears at
+    most once per bucket (one signature per doc), and array_sort
+    guarantees d1 < d2 without a post-filter. See
+    :func:`minhash_lsh_pairs` for the cap/drop-observation contract.
+    """
     buckets = (
         band_entries.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
@@ -256,18 +277,11 @@ def minhash_lsh_pairs(
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
         "y -> named_struct('d1', x, 'd2', y))))"
     )
-    # Candidates are a tiny fraction of the corpus, so persist THEM
-    # (a few rows) rather than the shingle frame, and run the exact-
-    # Jaccard verification only over candidate docs: the semi-join
-    # below prunes the corpus BEFORE tokenization, so the shingle-set
-    # work touches candidate docs only.
-    candidates = (
+    return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.d1", "p.d2")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _verify_candidates(df, candidates, threshold, text_col, id_col, n)
 
 
 def lsh_band_entries(
@@ -627,4 +641,79 @@ def cross_corpus_overlap(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    drop_frac: float = 0.3,
+) -> DataFrame:
+    """Per-doc duplicated-span profile (exact-substring dedup signal).
+
+    A SPAN is one word-n-gram occurrence; a span is DUPLICATED when its
+    n-gram appears in >= ``min_docs`` distinct documents corpus-wide.
+    For every input doc emit (doc_id, n_spans, n_dup_spans, dup_frac,
+    keep) where keep = dup_frac < ``drop_frac`` — the "how much of this
+    document is boilerplate that exists elsewhere" filter (exact
+    n-gram-match dedup a la training-data substring dedup; pairwise
+    Jaccard ops here catch whole-doc twins, this catches the long tail
+    of shared passages below any pairwise threshold).
+
+    Scale shape (100 TB): three key-partitioned shuffles, each with
+    map-side partial aggregation — (1) span occurrences to
+    (ngram, doc_id), (2) the doc-frequency flag to ngram, (3) the
+    per-doc rollup to doc_id. The occurrence->flag join keys both
+    sides on ngram, so the flag side reuses its aggregation exchange,
+    and hot n-grams (stopword runs, boilerplate) are split by AQE's
+    skew-join handling rather than landing on one task (the flag side
+    is ngram-unique, so splitting the occurrence side is always
+    valid). n-grams shuffle as strings for oracle-exactness; at 100 TB
+    key on xxhash64(ngram) instead (64-bit keys, collision odds ~n^2 /
+    2^64 merge two n-grams' doc counts, which can only over-count
+    dup flags).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    # word_shingles assumes size >= n (its index arithmetic walks off
+    # the array below that); guard short docs to "no spans".
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("_toks") >= n, word_shingles(F.col("_toks"), n))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    occ = grams.groupBy("ngram", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    flag = occ.groupBy("ngram").agg((F.count(F.lit(1)) >= min_docs).alias("is_dup"))
+    per = (
+        occ.join(flag, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup"), F.col("occ")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias("n_dup_spans"),
+        )
+    )
+    dup_frac = F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+        F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        dup_frac.alias("dup_frac"),
+        (dup_frac < F.lit(drop_frac)).alias("keep"),
     )

@@ -51,13 +51,13 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     replays the splitmix64 payload), streaming_dedup_neardup
 #     (replay-idempotency fix + compaction tiers + epoch file-fan-out
 #     bound), and graph_pagerank_suppliers (dangling-node guard);
-# (b) union RECENCY: the entire r01 long tail (11) and all of the r02
-#     long tail (22) — after this round no query's latest driver
-#     verification is older than r03 (and most are r04/r05). The
-#     text/pipeline/tpch r03 stragglers rotate next round. The last
-#     three slots are the round-5 debuts (new queries debut inside
-#     the window): dedup_containment, embedding_quantize_int8,
-#     text_unigram_logprob.
+# (b) union RECENCY: the entire r01 long tail (11) and the r02 long
+#     tail (21 of 22 — window_orders_suite, unchanged since its r02
+#     green, yields its slot to a debut and rotates r6 with the
+#     text/pipeline/tpch r03 stragglers). The last slots are the
+#     round-5 debuts (new queries debut inside the window):
+#     dedup_containment, embedding_quantize_int8,
+#     text_unigram_logprob, dedup_dup_spans.
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -112,10 +112,10 @@ _PRIORITY = [
     "q17_small_quantity",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
-    "window_orders_suite",
-    # --- round-5 debuts (2) ---
+    # --- round-5 debuts (3) ---
     "embedding_quantize_int8",
     "text_unigram_logprob",
+    "dedup_dup_spans",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

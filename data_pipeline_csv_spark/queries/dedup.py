@@ -328,3 +328,54 @@ def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, threshold=0.8, index=spark.table(table),
         broadcast_probe=False,
     )
+
+
+@query(
+    "dedup_dup_spans",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1],
+                            toks[CAST(r.i AS INT)+2], toks[CAST(r.i AS INT)+3],
+                            toks[CAST(r.i AS INT)+4], toks[CAST(r.i AS INT)+5],
+                            toks[CAST(r.i AS INT)+6], toks[CAST(r.i AS INT)+7]) AS ngram
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 7
+    ),
+    occ AS (SELECT doc_id, ngram, COUNT(*) AS occ FROM grams GROUP BY 1, 2),
+    flag AS (SELECT ngram, COUNT(*) >= 2 AS is_dup FROM occ GROUP BY 1),
+    per AS (
+      SELECT o.doc_id,
+             SUM(o.occ) AS n_spans,
+             SUM(CASE WHEN f.is_dup THEN o.occ ELSE 0 END) AS n_dup_spans
+      FROM occ o JOIN flag f USING (ngram)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+           END AS dup_frac,
+           CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+           END < 0.3 AS keep
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Exact duplicated-span profile: for every doc, how many of its "
+    "word-8-gram occurrences also appear in at least one other doc, "
+    "plus the dup fraction and a keep verdict (dup_frac < 0.3). The "
+    "corpus-wide exact-substring-dedup signal that catches shared "
+    "passages below any pairwise-Jaccard threshold (operators/dedup.py "
+    "dup_span_profile; three key-partitioned shuffles, all with "
+    "map-side partial agg; AQE skew-split covers hot n-grams).",
+    tags=("dedup", "text", "spans"),
+)
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_span_profile
+
+    return dup_span_profile(balanced(spark, load_table(spark, sf_dir, "documents")))

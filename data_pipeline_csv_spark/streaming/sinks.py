@@ -228,10 +228,13 @@ def neardup_epoch_writer(
     """
     import os
 
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.dedup import (
+        _verify_candidates,
         lsh_band_entries,
-        minhash_lsh_incremental,
-        minhash_lsh_pairs,
+        lsh_bucket_candidates,
+        lsh_probe_candidates,
     )
 
     p = _neardup_paths(state_root)
@@ -245,17 +248,26 @@ def neardup_epoch_writer(
         # persist for the epoch instead of recomputing the signature
         # pipeline per consumer (measured ~25% off the per-epoch cost).
         entries = lsh_band_entries(batch).persist()
+        cand = None
         try:
-            pairs = minhash_lsh_pairs(
-                batch, threshold=threshold, band_entries=entries
-            )
+            # Within-batch and cross-history candidates run through ONE
+            # exact-Jaccard verification pass (vs one per candidate
+            # source): the candidate sets are disjoint by construction
+            # (cross pairs always carry one pre-epoch side), so the
+            # union verifies each pair once, halves the per-epoch
+            # verification stages, and fetches each candidate doc's
+            # shingle set once even when a doc shows up in both sets.
+            cand = lsh_bucket_candidates(entries)
             seen, idx = _neardup_state(spark, state_root, epoch_id)
+            verify_docs = batch
             if seen is not None:
-                cross = minhash_lsh_incremental(
-                    seen, batch, threshold=threshold, index=idx,
-                    probe_entries=entries,
-                )
-                pairs = pairs.unionByName(cross)
+                # d1 = history doc, d2 = batch doc (lsh_probe_candidates
+                # orientation) — same orientation minhash_lsh_incremental
+                # emits, so the drained union is unchanged.
+                cand = cand.unionByName(lsh_probe_candidates(idx, entries))
+                verify_docs = seen.unionByName(batch)
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            pairs = _verify_candidates(verify_docs, cand, threshold)
             # pairs: leave alone — AQE already coalesces the post-shuffle
             # output to few files, and a coalesce here would collapse the
             # verification pipeline's parallelism (coalesce reaches up
@@ -276,6 +288,8 @@ def neardup_epoch_writer(
             )
         finally:
             entries.unpersist()
+            if cand is not None:
+                cand.unpersist()
 
     return write_epoch
 

@@ -221,3 +221,33 @@ def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
         for r in minhash_lsh_incremental(old, new, threshold=0.8, index=idx).collect()
     }
     assert got_idx == want
+
+
+def test_dup_span_profile_planted_passage(spark):
+    """A shared 8-gram passage marks exactly its spans as duplicated;
+    unique docs keep dup_frac 0; sub-n docs get 0 spans and keep=True."""
+    from data_pipeline_csv_spark.operators.dedup import dup_span_profile
+
+    passage = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    rows = [
+        (1, passage + " alpha beta gamma delta"),       # passage + 4 unique
+        (2, "zero one two three " + passage),           # passage + 4 unique
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),      # all unique 8-grams
+        (4, "tiny doc below n tokens"),                 # 5 toks -> no spans
+    ]
+    out = {
+        r.doc_id: r
+        for r in dup_span_profile(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: 14 toks -> 7 spans; the 3 8-grams fully inside the passage
+    # (starts 1..3 of the 10-token passage) also occur in doc 2.
+    assert out[1].n_spans == 7 and out[1].n_dup_spans == 3
+    assert out[2].n_spans == 7 and out[2].n_dup_spans == 3
+    assert out[3].n_spans == 4 and out[3].n_dup_spans == 0
+    assert out[3].keep and out[3].dup_frac == 0.0
+    assert out[4].n_spans == 0 and out[4].dup_frac == 0.0 and out[4].keep
+    # dup_frac 3/7 >= 0.3 -> both passage docs are flagged for drop
+    assert not out[1].keep and not out[2].keep
