@@ -312,9 +312,15 @@ def streaming_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch_partitions=4: the staged feed's micro-batches are far
         # below one 128 MB file each; unbounded they'd fan into the
         # session's 32 shuffle partitions of tiny files per state dir.
+        # compact_every=3: epoch 3 folds epochs 0-2 into the bucketed
+        # index table IN-STREAM, so the registered query drives the
+        # bounded-state path a long-running feed depends on (the
+        # drained pairs are unchanged — test_neardup_state.py proves
+        # compaction equivalence and replay safety).
         out = run_streaming_neardup(
             stream, spark, state_root=state, checkpoint=f"{state}/_chk",
-            threshold=0.8, epoch_partitions=4,
+            threshold=0.8, epoch_partitions=4, compact_every=3,
+            index_table="sg_neardup_stream_idx_q",
         )
         out.persist().count()
         return out

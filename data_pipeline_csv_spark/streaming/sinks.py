@@ -200,6 +200,8 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
 def neardup_epoch_writer(
     spark, state_root: str, threshold: float = 0.8,
     epoch_partitions: int | None = None,
+    compact_every: int | None = None,
+    index_table: str = "sg_neardup_stream_idx",
 ):
     """foreachBatch writer for continuous near-dup dedup (module-level
     so replay/compaction behavior is unit-testable without a stream).
@@ -225,6 +227,15 @@ def neardup_epoch_writer(
     ~128 MB files for the expected micro-batch volume (None = leave
     the write parallelism alone; compact_neardup_state remains the
     backstop for long feeds either way).
+
+    ``compact_every=N`` compacts IN-STREAM: every Nth epoch first folds
+    all committed state into the bucketed ``index_table`` + one docs
+    dir (:func:`compact_neardup_state` with ``exclude_epoch`` — see
+    there for why this is replay-safe), so the batch-keyed tail never
+    exceeds N dirs no matter how long the feed runs — the unbounded
+    epoch-dir growth a continuous feed otherwise accretes. After
+    compaction the cross-probe's index side is the bucketed table, so
+    the probe join is shuffle-free on the corpus side.
     """
     import os
 
@@ -242,6 +253,10 @@ def neardup_epoch_writer(
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_neardup_state(
+                spark, state_root, index_table, exclude_epoch=epoch_id
+            )
         batch = batch_df.select("doc_id", "text")
         # The batch's band entries feed THREE consumers (within-batch
         # bucketing, the cross-probe, the index write); sign once and
@@ -295,7 +310,8 @@ def neardup_epoch_writer(
 
 
 def compact_neardup_state(
-    spark, state_root: str, index_table: str, n_buckets: int = 16
+    spark, state_root: str, index_table: str, n_buckets: int = 16,
+    exclude_epoch: int = -1,
 ) -> None:
     """Fold the batch-keyed epoch state into ONE bucketed index table +
     ONE docs dir — the maintenance job a long-running feed needs.
@@ -308,21 +324,33 @@ def compact_neardup_state(
     (tests/test_plans.py::test_compacted_lsh_probe_index_side_shuffle_free)
     — plus whatever small batch tail arrived since.
 
-    Run ONLY while the stream is stopped/quiescent: compaction folds
-    every on-disk epoch into the table, so an epoch whose checkpoint
-    had not committed would afterwards see its own docs in the
-    compacted tier on replay. (After awaitTermination every drained
-    epoch is committed, so stop-compact-restart is safe.)
+    Safe to run from two places: (a) while the stream is
+    stopped/quiescent (after awaitTermination every drained epoch is
+    committed) with the default ``exclude_epoch=-1``, folding
+    everything; (b) INSIDE epoch N's foreachBatch before N writes its
+    own state, passing ``exclude_epoch=N`` — every batch dir < N is
+    checkpoint-committed by the time N runs, and excluding N's own
+    (possibly replayed-leftover) partitions keeps the replay-
+    idempotency argument of :func:`_neardup_state` intact. This is how
+    ``compact_every`` in :func:`neardup_epoch_writer` keeps a long
+    feed's state dir count bounded without stopping the stream.
 
     Re-runnable: each compaction folds the previous compacted tier plus
     the tail into a fresh generation of ``index_table`` (staged through
-    parquet because saveAsTable cannot overwrite a table it reads).
+    parquet because saveAsTable cannot overwrite a table it reads); a
+    replayed epoch that re-triggers its compaction folds an empty tail
+    and regenerates identical content.
+
+    At 100 TB scale the rewrite-the-world shape here becomes a tiered
+    (LSM-style) fold — compact only the tail into a new generation and
+    merge generations geometrically — but the read path (ONE bucketed
+    table + small tail) and the probe plan are already the end state.
     """
     import os
     import shutil
 
     p = _neardup_paths(state_root)
-    seen, idx = _neardup_state(spark, state_root, epoch_id=-1)
+    seen, idx = _neardup_state(spark, state_root, epoch_id=exclude_epoch)
     if seen is None:
         return
     staging = os.path.join(state_root, "_compact_staging")
@@ -359,6 +387,8 @@ def run_streaming_neardup(
     checkpoint: str,
     threshold: float = 0.8,
     epoch_partitions: int | None = None,
+    compact_every: int | None = None,
+    index_table: str = "sg_neardup_stream_idx",
 ):
     """Continuous near-duplicate dedup over an arriving document feed
     (see :func:`neardup_epoch_writer` for the per-epoch algorithm and
@@ -381,6 +411,7 @@ def run_streaming_neardup(
             neardup_epoch_writer(
                 spark, state_root, threshold=threshold,
                 epoch_partitions=epoch_partitions,
+                compact_every=compact_every, index_table=index_table,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -85,3 +85,39 @@ def test_compaction_folds_epochs_and_preserves_equivalence(spark, sf_dir, tmp_pa
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nd_idx_compact_test")
+
+
+def test_in_stream_auto_compaction_bounds_tail_and_preserves_pairs(
+    spark, sf_dir, tmp_path
+):
+    """compact_every=2 compacts INSIDE the feed (at epochs 2 and 4):
+    the batch-keyed tail stays bounded, the drained pair set still
+    equals the one-shot LSH, and replaying the compaction-triggering
+    epoch (leftover state dirs, re-triggered compaction) is a no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 5 == i) for i in range(5)]
+    state = str(tmp_path / "state")
+    w = neardup_epoch_writer(
+        spark, state, threshold=0.8, compact_every=2,
+        index_table="t_nd_idx_auto_compact_test",
+    )
+    try:
+        for i, b in enumerate(batches):
+            w(b, i)
+            tail = [
+                d
+                for d in os.listdir(os.path.join(state, "lsh_index"))
+                if d.startswith("batch=")
+            ]
+            assert len(tail) <= 2, f"tail unbounded at epoch {i}: {tail}"
+        drained = _pairs(spark, state)
+        assert drained == _oneshot(spark, sf_dir)
+        # replay epoch 4 (the last compaction trigger): its own leftover
+        # dirs exist, the compaction re-fires over an empty tail, and
+        # the rewritten state must leave the drained pairs unchanged
+        w(batches[4], 4)
+        assert _pairs(spark, state) == drained
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        clear_managed_table(spark, "t_nd_idx_auto_compact_test")
