@@ -48,6 +48,10 @@ HEADLINE = [
     # keeps it rather than optimizing for the benchmark layout.
     "dedup_exact",
     "dedup_minhash_lsh",
+    # corpus-wide duplicated-span profile (round-5 debut, tracked from
+    # its first round): the heaviest pure-shuffle text op in the
+    # registry — three key-partitioned shuffles over all 8-grams
+    "dedup_dup_spans",
     # text / similarity / multimodal
     "text_token_stats",
     "text_tfidf_terms",

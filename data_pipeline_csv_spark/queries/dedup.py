@@ -371,8 +371,8 @@ def dedup_incremental_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus the dup fraction and a keep verdict (dup_frac < 0.3). The "
     "corpus-wide exact-substring-dedup signal that catches shared "
     "passages below any pairwise-Jaccard threshold (operators/dedup.py "
-    "dup_span_profile; three key-partitioned shuffles, all with "
-    "map-side partial agg; AQE skew-split covers hot n-grams).",
+    "dup_span_profile; one gram pipeline, doc-frequency via a window "
+    "over the reduced (ngram, doc) set, spill-safe on hot n-grams).",
     tags=("dedup", "text", "spans"),
 )
 def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

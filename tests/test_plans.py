@@ -265,3 +265,16 @@ def test_repetition_filter_aggregates_map_side(spark, sf_dir):
     plan = _plan(REGISTRY["text_repetition_filter"].fn(spark, sf_dir))
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_single_gram_pipeline(spark, sf_dir):
+    """The duplicated-span profile must tokenize/explode the corpus
+    ONCE: the df-flag comes from a window over the reduced (ngram,
+    doc_id) set, not a second gram pipeline (a groupBy+join flag
+    recomputes scan->explode->shuffle; measured 1.7x slower)."""
+    import re
+
+    plan = _plan(REGISTRY["dedup_dup_spans"].fn(spark, sf_dir))
+    # formatted explain lists each node twice (tree + detail section)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "Window" in plan
