@@ -56,6 +56,9 @@ HEADLINE = [
     "text_token_stats",
     "text_tfidf_terms",
     "similarity_cosine_topk",
+    # r5 semantics change: now an exact-vs-approx recall AUDIT, so its
+    # timing includes BOTH the clustered mode and the exact blocked
+    # GEMM — not comparable to the r4 pairs-only number.
     "similarity_neardup_clustered",
     "multimodal_decode_roundtrip",
     # iterative / maintenance operators (round-4 additions so perf

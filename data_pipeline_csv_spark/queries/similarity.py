@@ -98,25 +98,47 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_neardup_clustered",
-    # Same full-value oracle as the exact mode: the clustered mode's
-    # output is a SUBSET of the exact answer (precision 1 by exact
-    # re-score), and at k=16/nprobe=4 its measured recall on this
-    # corpus is 1.0 — every true pair's endpoints share a probed cell
-    # — so the approximate plan must still hash-match the exact pairs.
-    # The whole pipeline (fixed-point k-means training -> stable-argsort
-    # cell assignment -> exact re-score) is deterministic.
-    oracle=_NEARDUP_ORACLE,
+    # Bounds-oracle (round 5, replacing the r4 exact-pair oracle): the
+    # clustered mode's recall is an EMPIRICAL property of the corpus —
+    # 1.0 at sf0.01 but measured 136/144 = 0.944 at sf0.1 (eight true
+    # pairs sit just above t=0.45 with endpoints split across probed
+    # cells) — so asserting set equality against the exact oracle
+    # breaks on any corpus/scale change (the failure mode the r4
+    # advice predicted; the sf0.1 sweep confirmed it). The audit emits
+    # the exact/approx comparison instead: DuckDB replays the exact
+    # pair count and TRUE flags; the hash matches only if the approx
+    # side produced zero false pairs (precision 1 by exact fixed-point
+    # re-score, structural) and recall >= 0.9 (empirical, bounded).
+    oracle=f"""
+    WITH {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             SUM({_PROD.format(a='a.x', b='b.x')}) AS dxy
+      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_pairs,
+           TRUE AS recall_ok
+    FROM dots
+    JOIN norms n1 ON d1 = n1.vec_id
+    JOIN norms n2 ON d2 = n2.vec_id
+    WHERE CAST(dxy AS DOUBLE) / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.45
+    """,
     doc="Cluster-blocked approximate near-dup (trained k-means cells, "
-    "nprobe=4 of 16): the 100 TB path — map-side cell assignment "
-    "(broadcast centroid matrix, no assignment shuffle), ONE "
-    "groupBy(cell) shuffle with replication nprobe, per-cell triangular "
-    "GEMM, pair-once ownership by lowest shared cell, exact fixed-point "
-    "re-score. Replaces the exact mode's O(n^2) all-pairs compute; at "
-    "production thresholds (>= 0.9) the scanned pair fraction drops to "
-    "~nprobe/k.",
-    tags=("similarity", "dedup", "ann", "scale"),
+    "nprobe=4 of 16) audited against the exact blocked-GEMM answer "
+    "under the driver gate: zero false pairs (precision 1 by exact "
+    "fixed-point re-score) and recall >= 0.9. The approximate plan is "
+    "the 100 TB path — map-side cell assignment (broadcast centroid "
+    "matrix), ONE groupBy(cell) shuffle, per-cell triangular GEMM, "
+    "pair-once ownership (plan pinned on the operator by "
+    "tests/test_plans.py); the pruning economics are driven by "
+    "similarity_neardup_pruned at t=0.9.",
+    tags=("similarity", "dedup", "ann", "scale", "audit"),
 )
 def similarity_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from ..operators.clustering import kmeans_centroids_df
 
     corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
@@ -125,7 +147,30 @@ def similarity_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids_df(
         spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
     )
-    return embedding_cosine_neardup_clustered(corpus, cents, threshold=0.45, nprobe=4)
+    approx = embedding_cosine_neardup_clustered(
+        corpus, cents, threshold=0.45, nprobe=4
+    ).select("d1", "d2")
+    exact = embedding_cosine_neardup(corpus, threshold=0.45).select("d1", "d2")
+    # single-row aggregates cross-joined = the scalar-subquery pattern
+    # (each side broadcasts one row); false pairs via anti-join are
+    # approx \ exact, so matched = n_approx - n_false.
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    return n_e.crossJoin(n_a).crossJoin(n_f).select(
+        F.col("n_exact").cast("bigint").alias("n_exact_pairs"),
+        F.col("n_false").cast("bigint").alias("n_false_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (
+                (F.col("n_approx") - F.col("n_false")).cast("double")
+                / F.col("n_exact").cast("double")
+                >= 0.9
+            )
+        ).alias("recall_ok"),
+    )
 
 
 @query(

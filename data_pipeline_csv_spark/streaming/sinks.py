@@ -398,9 +398,11 @@ def run_streaming_neardup(
     the later side probes the earlier side's index (cross), the
     accumulated pair set after draining the feed equals the one-shot
     batch LSH over the whole corpus — which is what the driver oracle
-    checks. Between feeds, :func:`compact_neardup_state` folds the
-    epoch-keyed state into one bucketed index table so per-epoch reads
-    stay O(1) dirs on long-running feeds.
+    checks. ``compact_every=N`` folds the epoch-keyed state into one
+    bucketed index table every Nth epoch IN-STREAM (replay-safe; see
+    :func:`compact_neardup_state`), so per-epoch reads stay O(1) dirs
+    on long-running feeds; between feeds the same fold can be run
+    manually.
 
     Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
     """

@@ -35,8 +35,22 @@ def test_clustered_neardup_plan_has_no_all_pairs_stage(spark, sf_dir):
     replication (an explode over the full block sequence). Assignment is
     a map-side MapInPandas against the broadcast centroid matrix; the
     only wide stage is the single groupBy(cell) feeding the per-cell
-    GEMM."""
-    plan = _plan(REGISTRY["similarity_neardup_clustered"].fn(spark, sf_dir))
+    GEMM. Asserted on the operator pipeline itself — the registered
+    query is an exact-vs-approx AUDIT whose plan necessarily also
+    contains the exact side."""
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        embedding_cosine_neardup_clustered,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    plan = _plan(
+        embedding_cosine_neardup_clustered(corpus, cents, threshold=0.45, nprobe=4)
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "explode" not in plan  # exact mode's block replication marker

@@ -251,3 +251,44 @@ def test_dup_span_profile_planted_passage(spark):
     assert out[4].n_spans == 0 and out[4].dup_frac == 0.0 and out[4].keep
     # dup_frac 3/7 >= 0.3 -> both passage docs are flagged for drop
     assert not out[1].keep and not out[2].keep
+
+
+def test_dup_span_profile_matches_python_reference(spark):
+    """Randomized corpus (seeded): the Spark profile must equal a
+    dictionary-counting reference implementation exactly."""
+    import random
+
+    from data_pipeline_csv_spark.operators.dedup import dup_span_profile
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        n_tok = rng.randint(3, 40)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+    n = 5
+    grams: dict[int, list] = {}
+    for doc_id, text in rows:
+        t = text.split()
+        grams[doc_id] = (
+            [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            if len(t) >= n
+            else []
+        )
+    df_count: dict[str, set] = {}
+    for doc_id, gs in grams.items():
+        for g in gs:
+            df_count.setdefault(g, set()).add(doc_id)
+    expected = {}
+    for doc_id, gs in grams.items():
+        n_spans = len(gs)
+        n_dup = sum(1 for g in gs if len(df_count[g]) >= 2)
+        frac = (n_dup / n_spans) if n_spans else 0.0
+        expected[doc_id] = (n_spans, n_dup, frac, frac < 0.3)
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac, r.keep)
+        for r in dup_span_profile(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=n
+        ).collect()
+    }
+    assert got == expected
