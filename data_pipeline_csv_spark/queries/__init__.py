@@ -52,12 +52,12 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     (replay-idempotency fix + compaction tiers + epoch file-fan-out
 #     bound), and graph_pagerank_suppliers (dangling-node guard);
 # (b) union RECENCY: the entire r01 long tail (11) and the r02 long
-#     tail (21 of 22 — window_orders_suite, unchanged since its r02
-#     green, yields its slot to a debut and rotates r6 with the
-#     text/pipeline/tpch r03 stragglers). The last slots are the
-#     round-5 debuts (new queries debut inside the window):
-#     dedup_containment, embedding_quantize_int8,
-#     text_unigram_logprob, dedup_dup_spans.
+#     tail (20 of 22 — window_orders_suite and q17_small_quantity,
+#     unchanged since their r02 greens, yield their slots to debuts
+#     and rotate r6 with the text/pipeline/tpch r03 stragglers). The
+#     last slots are the round-5 debuts (new queries debut inside the
+#     window): dedup_containment, embedding_quantize_int8,
+#     text_unigram_logprob, dedup_dup_spans, corpus_e2e_prep.
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -109,13 +109,13 @@ _PRIORITY = [
     "setops_customer_keys",
     "json_extract_props",
     "q8_market_share",
-    "q17_small_quantity",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
-    # --- round-5 debuts (3) ---
+    # --- round-5 debuts (4) ---
     "embedding_quantize_int8",
     "text_unigram_logprob",
     "dedup_dup_spans",
+    "corpus_e2e_prep",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -465,3 +465,110 @@ def corpus_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@query(
+    "corpus_e2e_prep",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    q AS ({_QUALITY_SQL}),
+    kept AS (
+      SELECT doc_id, lang, n_tokens, quality FROM q
+      WHERE n_tokens >= 16 AND a_ratio >= 0.5 AND stop_ratio >= 0.05
+    ),
+    surv AS (
+      SELECT d.doc_id, k.lang, k.n_tokens, k.quality,
+             trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nrm
+      FROM documents d JOIN kept k USING (doc_id)
+    ),
+    uniq AS (
+      SELECT doc_id, lang, n_tokens, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn FROM surv
+      ) WHERE rn = 1
+    ),
+    sh2 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN uniq u USING (doc_id)),
+    prs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT d1, d2 FROM prs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 AS u, d2 AS v FROM nd UNION SELECT d2, d1 FROM nd),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    labels AS (SELECT node AS doc_id, MIN(reach) AS comp FROM walk GROUP BY node),
+    together AS (
+      SELECT u.doc_id, u.lang, u.n_tokens, u.quality,
+             COALESCE(l.comp, u.doc_id) AS cluster_id
+      FROM uniq u LEFT JOIN labels l USING (doc_id)
+    ),
+    winners AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY COALESCE(quality, -1.0) DESC, doc_id ASC
+        ) AS rw FROM together
+      ) WHERE rw = 1
+    )
+    SELECT {split_assign_sql_case(_SPLIT_WEIGHTS, 'doc_id')} AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM winners GROUP BY 1, 2
+    """,
+    doc="The WHOLE training-corpus prep as ONE lazy plan: quality gate "
+    "(the funnel's keep rule) -> exact dedup (keep lowest id per "
+    "normalized text) -> near-dup clusters (exact-Jaccard pairs -> "
+    "connected components) -> highest-quality doc per cluster -> "
+    "deterministic 90/5/5 split -> per-(split, lang) doc/token counts. "
+    "Every stage is an individually oracle-checked operator; this "
+    "registration proves they COMPOSE — no driver-side loop, no "
+    "intermediate materialization beyond the components iteration, "
+    "and the DuckDB oracle replays the full chain end to end. Scale "
+    "budget is the sum of its parts: one norm-text window, the pair "
+    "join, O(log^2 n) component rounds, one cluster window, and a "
+    "map-side split CASE into a tiny final agg.",
+    tags=("pipeline", "dedup", "quality", "split", "e2e"),
+)
+def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_funcs import normalize_text
+    from ..operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    q = _quality_cols(docs)
+    kept = q.filter(
+        (F.col("n_tokens") >= 16)
+        & (F.col("a_ratio") >= 0.5)
+        & (F.col("stop_ratio") >= 0.05)
+    ).select("doc_id", "lang", "n_tokens", "quality")
+    survivors = docs.select("doc_id", "text").join(kept, "doc_id")
+    w_exact = W.partitionBy(normalize_text("text")).orderBy("doc_id")
+    uniq = (
+        survivors.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = ngram_jaccard_pairs(uniq, threshold=0.8)
+    cc = connected_components(pairs, src="d1", dst="d2")
+    labeled = uniq.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("component", "doc_id"))
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.coalesce(F.col("quality"), F.lit(-1.0)).desc(), F.col("doc_id").asc()
+    )
+    winners = (
+        labeled.withColumn("_rw", F.row_number().over(w_rank))
+        .filter(F.col("_rw") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return split_assign(winners, _SPLIT_WEIGHTS).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
