@@ -52,12 +52,13 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     (replay-idempotency fix + compaction tiers + epoch file-fan-out
 #     bound), and graph_pagerank_suppliers (dangling-node guard);
 # (b) union RECENCY: the entire r01 long tail (11) and the r02 long
-#     tail (20 of 22 — window_orders_suite and q17_small_quantity,
-#     unchanged since their r02 greens, yield their slots to debuts
-#     and rotate r6 with the text/pipeline/tpch r03 stragglers). The
-#     last slots are the round-5 debuts (new queries debut inside the
-#     window): dedup_containment, embedding_quantize_int8,
-#     text_unigram_logprob, dedup_dup_spans, corpus_e2e_prep.
+#     tail (19 of 22 — window_orders_suite, q17_small_quantity and
+#     grouping_sets_orders, unchanged since their r02 greens, yield
+#     their slots to debuts and rotate r6 with the text/pipeline/tpch
+#     r03 stragglers). The last slots are the round-5 debuts (new
+#     queries debut inside the window): dedup_containment,
+#     embedding_quantize_int8, text_unigram_logprob, dedup_dup_spans,
+#     dedup_span_coverage, corpus_e2e_prep.
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -90,8 +91,7 @@ _PRIORITY = [
     "cube_order_status",
     "scalar_functions",
     "date_functions",
-    # --- last driver-verified in r02 (22) ---
-    "grouping_sets_orders",
+    # --- last driver-verified in r02 (19 of 22) ---
     "unpivot_part_attrs",
     "skew_salted_join_priority",
     "udf_scalar_normalize_name",
@@ -111,10 +111,11 @@ _PRIORITY = [
     "q8_market_share",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
-    # --- round-5 debuts (4) ---
+    # --- round-5 debuts (5) ---
     "embedding_quantize_int8",
     "text_unigram_logprob",
     "dedup_dup_spans",
+    "dedup_span_coverage",
     "corpus_e2e_prep",
 ]
 

@@ -379,3 +379,73 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_span_profile
 
     return dup_span_profile(balanced(spark, load_table(spark, sf_dir, "documents")))
+
+
+@query(
+    "dedup_span_coverage",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1],
+                            toks[CAST(r.i AS INT)+2], toks[CAST(r.i AS INT)+3],
+                            toks[CAST(r.i AS INT)+4], toks[CAST(r.i AS INT)+5],
+                            toks[CAST(r.i AS INT)+6], toks[CAST(r.i AS INT)+7]) AS ngram
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 7
+    ),
+    dup AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY ngram) AS mn,
+                  MAX(doc_id) OVER (PARTITION BY ngram) AS mx
+        FROM grams
+      ) WHERE mn <> mx
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(l) AS BIGINT) AS n_covered FROM (
+        SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS l
+        FROM isl2 GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(len(n.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+           CASE WHEN len(n.toks) = 0 THEN 0.0
+                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(n.toks) AS DOUBLE)
+           END AS coverage,
+           CASE WHEN len(n.toks) = 0 THEN 0.0
+                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(n.toks) AS DOUBLE)
+           END < 0.5 AS keep
+    FROM norm n LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Duplicated-span TOKEN COVERAGE per doc: the fraction of tokens "
+    "inside at least one cross-doc-duplicated word-8-gram, with "
+    "overlapping spans merged by gaps-and-islands interval union — "
+    "the removal metric of exact-substring dedup (what span surgery "
+    "would actually delete), complementing dedup_dup_spans' occurrence "
+    "counts. All-integer interval arithmetic; duplicated-ness via "
+    "min!=max of doc_id over the ngram window keeps the corpus to ONE "
+    "gram pipeline (operators/dedup.py dup_span_coverage).",
+    tags=("dedup", "text", "spans", "coverage"),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_span_coverage
+
+    return dup_span_coverage(balanced(spark, load_table(spark, sf_dir, "documents")))

@@ -292,3 +292,31 @@ def test_dup_span_profile_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_dup_span_coverage_merges_overlapping_islands(spark):
+    """The 3 overlapping dup 8-grams of a shared 10-token passage must
+    merge into ONE island covering 10 tokens (not 3x8 = 24)."""
+    from data_pipeline_csv_spark.operators.dedup import dup_span_coverage
+
+    passage = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    rows = [
+        (1, passage + " alpha beta gamma delta"),   # 14 toks
+        (2, "zero one two three " + passage),       # 14 toks
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),  # no dups
+        (4, "tiny doc below n tokens"),             # 5 toks -> no grams
+    ]
+    out = {
+        r.doc_id: r
+        for r in dup_span_coverage(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=8
+        ).collect()
+    }
+    # doc 1: dup gram starts 0,1,2 -> one island [0, 9] -> 10 tokens
+    assert out[1].n_tokens == 14 and out[1].n_covered == 10
+    # doc 2: passage starts at token 4 -> dup starts 4,5,6 -> island [4, 13]
+    assert out[2].n_tokens == 14 and out[2].n_covered == 10
+    assert out[3].n_covered == 0 and out[3].keep
+    assert out[4].n_covered == 0 and out[4].coverage == 0.0 and out[4].keep
+    # 10/14 > 0.5 -> both passage docs flagged
+    assert not out[1].keep and not out[2].keep
