@@ -1,12 +1,13 @@
 """Deduplication operators over a document corpus.
 
-Four families, all shuffle-aware compositions of built-in DataFrame
+Five families, all shuffle-aware compositions of built-in DataFrame
 ops (no Python in the hot path):
 
 - exact:      hash-groupBy on (normalized) content, keep min id.
 - n-gram Jaccard: exact similarity join — explode distinct shingles,
               self-join on shingle (only pairs sharing >=1 shingle can
-              have J>0), count shared, filter by threshold.
+              have J>0), count shared, filter by threshold (plus the
+              containment variant for subsumption/quotation).
 - MinHash+LSH: k minhashes per doc -> band buckets -> candidate pairs
               from bucket self-join -> exact-Jaccard verification.
               At scale this replaces the quadratic shingle self-join
@@ -14,6 +15,10 @@ ops (no Python in the hot path):
               candidates.
 - SimHash:    64-bit sign fingerprint of hashed shingles; near-dups
               differ in few bits (hamming distance banding).
+- duplicated spans: corpus-wide exact-substring signals below any
+              pairwise threshold — per-doc duplicated n-gram counts
+              (dup_span_profile) and merged-interval token coverage
+              (dup_span_coverage).
 
 Scale notes (100 TB): the shingle explode is map-side only; the LSH
 band join shuffles on (band_id, band_hash) whose cardinality grows
