@@ -466,3 +466,78 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    # Same ulp-robustness contract as text_unigram_logprob: the float
+    # avg NLL is NOT emitted (ln is libm, sums are order-sensitive);
+    # the exact integer counts and a cutoff verdict are. 3.395 sits
+    # >= 6e-6 from every doc's value at sf0.001/0.01/0.1 (measured),
+    # ~7 orders of magnitude above cross-engine ln noise.
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[CAST(r.i AS INT)] AS l,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1]) AS b
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 1
+    ),
+    fb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    fl AS (SELECT l, COUNT(*) AS cl FROM bg GROUP BY l)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN fb.cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (SUM(-ln(CAST(fb.cb AS DOUBLE) / fl.cl)) / COUNT(*)) <= 3.395 AS keep
+    FROM bg g JOIN fb ON g.b = fb.b JOIN fl ON g.l = fl.l
+    GROUP BY g.doc_id
+    """,
+    doc="Bigram-LM quality filter (the CCNet-style next-step beyond "
+    "text_unigram_logprob): P(w_i | w_{i-1}) = corpus bigram count / "
+    "left-context count — trained on the corpus itself, so every "
+    "scored bigram exists and no smoothing is needed. Per doc: exact "
+    "bigram and hapax (global count = 1) counts, plus keep = avg NLL "
+    "<= 3.395. Plan: one bigram explode -> two vocabulary-sized freq "
+    "aggs that BROADCAST back over the streaming corpus -> per-doc "
+    "agg; at 100 TB the corpus is never shuffled, only the vocab "
+    "tables move.",
+    tags=("text", "quality", "pipeline", "lm"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("_toks"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_toks"), i).alias("l"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_toks"), i),
+                            F.element_at(F.col("_toks"), i + 1),
+                        ).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,b:string>>"))
+        ).alias("_g"),
+    ).select("doc_id", F.col("_g.l").alias("l"), F.col("_g.b").alias("b"))
+    fb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    fl = bg.groupBy("l").agg(F.count(F.lit(1)).alias("cl"))
+    return (
+        bg.join(F.broadcast(fb), "b")
+        .join(F.broadcast(fl), "l")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("cb") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+            (
+                (
+                    F.sum(-F.log(F.col("cb").cast("double") / F.col("cl")))
+                    / F.count(F.lit(1))
+                )
+                <= F.lit(3.395)
+            ).alias("keep"),
+        )
+    )

@@ -320,3 +320,44 @@ def test_dup_span_coverage_merges_overlapping_islands(spark):
     assert out[4].n_covered == 0 and out[4].coverage == 0.0 and out[4].keep
     # 10/14 > 0.5 -> both passage docs flagged
     assert not out[1].keep and not out[2].keep
+
+
+def test_dup_span_coverage_matches_python_reference(spark):
+    """Randomized corpus (seeded): Spark coverage must equal a python
+    interval-union reference exactly."""
+    import random
+
+    from data_pipeline_csv_spark.operators.dedup import dup_span_coverage
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for doc_id in range(50):
+        n_tok = rng.randint(3, 35)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+    n = 5
+    grams: dict[int, list] = {}
+    for doc_id, text in rows:
+        t = text.split()
+        grams[doc_id] = [
+            (" ".join(t[i : i + n]), i) for i in range(max(len(t) - n + 1, 0))
+        ]
+    docs_of: dict[str, set] = {}
+    for doc_id, gs in grams.items():
+        for g, _ in gs:
+            docs_of.setdefault(g, set()).add(doc_id)
+    expected = {}
+    for doc_id, text in rows:
+        t = text.split()
+        covered: set[int] = set()
+        for g, i in grams[doc_id]:
+            if len(docs_of[g]) >= 2:
+                covered.update(range(i, i + n))
+        expected[doc_id] = (len(t), len(covered))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered)
+        for r in dup_span_coverage(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=n
+        ).collect()
+    }
+    assert got == expected
