@@ -438,3 +438,142 @@ def clustered_cell_assignment(corpus: DataFrame, centroids, nprobe: int) -> Data
     return corpus.select("vec_id", "embedding").mapInPandas(
         _assign, "cell long, vec_id long, embedding array<double>, cells array<long>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the faiss-style IVF/SQ8/PQ triad's third member:
+# 64-dim float32 vector -> m=4 one-byte codes = 64x compression)
+# ---------------------------------------------------------------------------
+
+_PQ_BOOK_CACHE: dict = {}
+
+
+def pq_train(spark, corpus: DataFrame, dim: int, m: int = 4, k: int = 16,
+             iters: int = 2, cache_key=None):
+    """Train m per-subspace codebooks with the deterministic k-means
+    trainer (operators/clustering.kmeans_fit) on coordinate slices.
+
+    Returns a list of m (code_ids, centroid_matrix) pairs — dead
+    clusters are dropped so every code is assignable. Training cost is
+    m small k-means runs over (dim/m)-dim slices; memoized per
+    (cache_key, dim, m, k, iters) like kmeans_centroids_df, since a
+    production system trains codebooks once per corpus version.
+    """
+    import numpy as np
+
+    from .clustering import kmeans_fit
+
+    key = (cache_key, dim, m, k, iters) if cache_key is not None else None
+    if key is not None and key in _PQ_BOOK_CACHE:
+        return _PQ_BOOK_CACHE[key]
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            "vec_id", F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding")
+        )
+        C, _, alive = kmeans_fit(sliced, k=k, iters=iters)
+        ids = np.where(alive)[0].astype(np.int64)
+        books.append((ids, np.asarray(C, dtype=np.float64)[alive]))
+    if key is not None:
+        _PQ_BOOK_CACHE[key] = books
+    return books
+
+
+def pq_encode(corpus: DataFrame, books, m: int = 4) -> DataFrame:
+    """(vec_id, codes array<bigint>) — nearest codebook entry per
+    subspace (euclidean, stable ties to the lower code id). One
+    Arrow-batched map-side pass, no shuffle at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [B for _, B in books]
+    idlists = [ids for ids, _ in books]
+    d_sub = mats[0].shape[1]
+
+    def _enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            codes = np.empty((len(M), len(mats)), dtype=np.int64)
+            for s, (ids, B) in enumerate(zip(idlists, mats)):
+                X = M[:, s * d_sub : (s + 1) * d_sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is
+                # constant per row -> argmin over (-2 x.c + ||c||^2)
+                d2 = -2.0 * (X @ B.T) + (B * B).sum(axis=1)[None, :]
+                codes[:, s] = ids[np.argmin(d2, axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        _enc, "vec_id long, codes array<bigint>"
+    )
+
+
+def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, cosine
+    against the RECONSTRUCTED vector, computed entirely from two
+    broadcast lookup tables (per-subspace dot and squared-norm of each
+    codebook entry — subspaces are disjoint coordinates, so norms add).
+
+    LUT values are fixed-point BIGINT (functions/vector.DOT_SCALE), so
+    the per-vector sums are exact integers in any order and the final
+    score is one deterministic double divide — same determinism recipe
+    as the exact cosine path. Plan: posexplode codes (m rows/vec) ->
+    broadcast LUT join -> groupBy (q_id, vec_id) with map-side partial
+    agg -> WindowGroupLimit top-k. The corpus never moves more than
+    m narrow rows per vector; the LUT is m*k*|queries| rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vector import DOT_SCALE
+
+    d_sub = books[0][1].shape[1]
+    lut_rows = []
+    for q_id, qv in query_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+        for s, (ids, B) in enumerate(books):
+            dots = B @ q[s * d_sub : (s + 1) * d_sub]
+            nrm2 = (B * B).sum(axis=1)
+            for code, dv, nv in zip(ids, dots, nrm2):
+                lut_rows.append(
+                    (int(q_id), int(s), int(code),
+                     int(np.floor(dv * DOT_SCALE)),
+                     int(np.floor(nv * DOT_SCALE)), qn)
+                )
+    spark = codes_df.sparkSession
+    lut = spark.createDataFrame(
+        pd.DataFrame(
+            lut_rows, columns=["q_id", "s", "code", "dot_fp", "nrm2_fp", "q_norm"]
+        ),
+        "q_id long, s long, code long, dot_fp long, nrm2_fp long, q_norm double",
+    )
+    exploded = codes_df.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum("dot_fp").alias("_d"),
+            F.sum("nrm2_fp").alias("_n"),
+            F.first("q_norm").alias("_qn"),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.col("_d").cast("double")
+                / (F.col("_qn") * F.sqrt(F.col("_n").cast("double") * F.lit(DOT_SCALE)))
+            ).alias("score_adc"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score_adc").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score_adc", F.col("rank").cast("int").alias("rank"))
+    )

@@ -52,14 +52,15 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     (replay-idempotency fix + compaction tiers + epoch file-fan-out
 #     bound), and graph_pagerank_suppliers (dangling-node guard);
 # (b) union RECENCY: the entire r01 long tail (11) and the r02 long
-#     tail (18 of 22 — window_orders_suite, q17_small_quantity,
-#     grouping_sets_orders and unpivot_part_attrs, unchanged since
-#     their r02 greens, yield their slots to debuts and rotate r6
-#     with the text/pipeline/tpch r03 stragglers). The last slots are
-#     the round-5 debuts (new queries debut inside the window):
-#     dedup_containment, embedding_quantize_int8,
-#     text_unigram_logprob, text_bigram_logprob, dedup_dup_spans,
-#     dedup_span_coverage, corpus_e2e_prep.
+#     tail (17 of 22 — window_orders_suite, q17_small_quantity,
+#     grouping_sets_orders, unpivot_part_attrs and
+#     setops_customer_keys, unchanged since their r02 greens, yield
+#     their slots to debuts and rotate r6 with the text/pipeline/tpch
+#     r03 stragglers). The last slots are the round-5 debuts (new
+#     queries debut inside the window): dedup_containment,
+#     embedding_quantize_int8, text_unigram_logprob,
+#     text_bigram_logprob, dedup_dup_spans, dedup_span_coverage,
+#     similarity_ann_pq_rerank, corpus_e2e_prep.
 # The window is again 50/50 oracle-backed (the rows-only
 # similarity_ann_ivf remains superseded by the on-disk + recall
 # audits, both in-window).
@@ -92,7 +93,7 @@ _PRIORITY = [
     "cube_order_status",
     "scalar_functions",
     "date_functions",
-    # --- last driver-verified in r02 (18 of 22) ---
+    # --- last driver-verified in r02 (17 of 22) ---
     "skew_salted_join_priority",
     "udf_scalar_normalize_name",
     "multimodal_frame_stats",
@@ -106,17 +107,17 @@ _PRIORITY = [
     "range_join_price_bands",
     "rollup_returns",
     "promo_revenue_share",
-    "setops_customer_keys",
     "json_extract_props",
     "q8_market_share",
     "q18_large_volume_customers",
     "q22_sales_opportunity",
-    # --- round-5 debuts (6) ---
+    # --- round-5 debuts (7) ---
     "embedding_quantize_int8",
     "text_unigram_logprob",
     "text_bigram_logprob",
     "dedup_dup_spans",
     "dedup_span_coverage",
+    "similarity_ann_pq_rerank",
     "corpus_e2e_prep",
 ]
 

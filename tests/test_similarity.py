@@ -186,3 +186,39 @@ def test_simhash_near_dups_close(spark, sf_dir):
     # docs are short (~18 shingles) so individual pairs are noisy;
     # planted near-dups must still be clearly separated from random.
     assert near_mean < base_mean - 10, f"simhash separation too weak: {near_mean:.1f} vs {base_mean:.1f}"
+
+
+def test_pq_rerank_finds_planted_twin(spark, sf_dir):
+    """A near-identical twin of a query vector must come back rank 1
+    from the PQ shortlist -> exact rerank pipeline (the twin encodes to
+    the same codes, so ADC scores it at the query's own reconstruction
+    ceiling), and pq_encode must be partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = corpus.filter(F.col("vec_id") == 0).collect()[0]
+    twin_vec = [float(x) + (0.001 if i == 0 else 0.0) for i, x in enumerate(q["embedding"])]
+    twin_id = 10_000_000
+    planted = corpus.unionByName(
+        spark.createDataFrame([(twin_id, twin_vec)], "vec_id long, embedding array<float>")
+    )
+    books = pq_train(spark, planted, dim=64, m=8, k=16, iters=2)
+    codes = pq_encode(planted, books, m=8)
+    short = pq_adc_topk(codes, books, [(0, q["embedding"])], k=100)
+    top = short.orderBy("rank").limit(1).collect()[0]
+    assert top["vec_id"] == twin_id
+
+    # determinism: codes identical under a different partitioning
+    a = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(planted.repartition(7), books, m=8).collect()
+    }
+    assert a == b
