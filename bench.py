@@ -60,6 +60,9 @@ HEADLINE = [
     # timing includes BOTH the clustered mode and the exact blocked
     # GEMM — not comparable to the r4 pairs-only number.
     "similarity_neardup_clustered",
+    # r5 debut: PQ encode + ADC shortlist + exact rerank + exact-truth
+    # audit side — tracked from its first round
+    "similarity_ann_pq_rerank",
     "multimodal_decode_roundtrip",
     # iterative / maintenance operators (round-4 additions so perf
     # tracking covers the driver-side-loop algorithms too)

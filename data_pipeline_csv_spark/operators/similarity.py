@@ -523,6 +523,11 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
     broadcast LUT join -> groupBy (q_id, vec_id) with map-side partial
     agg -> WindowGroupLimit top-k. The corpus never moves more than
     m narrow rows per vector; the LUT is m*k*|queries| rows.
+
+    Downstream exact rerank note (100 TB): fetching the shortlist's
+    full vectors via a semi-join re-scans the embedding table; a real
+    deployment serves that point lookup from a row store or from the
+    IVF layout's partition-pruned scan (write_ivf_layout) instead.
     """
     import numpy as np
     import pandas as pd
