@@ -361,3 +361,26 @@ def test_dup_span_coverage_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_dup_span_ops_on_boilerplate_hot_ngram(spark):
+    """Degenerate corpus: one boilerplate 8-gram shared by EVERY doc
+    (the hot-window-group case the scale notes call out). Results must
+    stay exact: every doc's 3 boilerplate spans are duplicated, its
+    10 boilerplate tokens covered; unique tails stay uncovered."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        dup_span_coverage,
+        dup_span_profile,
+    )
+
+    boiler = "all rights reserved contact us at example dot com now"  # 10 toks
+    rows = [(i, boiler + f" tail{i} x{i} y{i} z{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = {r.doc_id: r for r in dup_span_profile(df, n=8).collect()}
+    cov = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+    assert len(prof) == 200 and len(cov) == 200
+    for i in range(200):
+        # 14 tokens -> 7 spans; spans starting at 0,1,2 lie fully in
+        # the shared passage and occur in all 200 docs
+        assert prof[i].n_spans == 7 and prof[i].n_dup_spans == 3
+        assert cov[i].n_tokens == 14 and cov[i].n_covered == 10
