@@ -50,13 +50,24 @@ def clear_managed_table(spark: SparkSession, table_name: str) -> None:
     and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS.
     Clearing both makes managed-table writes re-runnable across
     process restarts.
+
+    DESTRUCTIVE by design — callers must not pass a table whose files
+    back a DataFrame they still intend to evaluate. Default-database
+    unqualified names only: Spark stores managed-table dirs lowercased
+    and db-qualified tables under ``<db>.db/``, so a naive path join
+    would miss (or hit the wrong) location.
     """
     from urllib.parse import urlparse
 
+    if "." in table_name:
+        raise ValueError(
+            f"clear_managed_table: unqualified default-db name required, got {table_name!r}"
+        )
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if wh:
-        shutil.rmtree(os.path.join(wh, table_name), ignore_errors=True)
+        # managed-table dirs are the LOWERCASED table name
+        shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
 
 
 class PipelineEngine:
@@ -139,8 +150,17 @@ class PipelineEngine:
         Catalyst drops the shuffle AND the sort from a sort-merge join
         between them. This is the amortize-once primitive for a fact
         table joined on the same key every day at 100 TB.
+
+        The stale-location sweep runs ONLY when the catalog does not
+        know the table (a dead process's leftover dir would otherwise
+        fail saveAsTable with LOCATION_ALREADY_EXISTS). When the table
+        IS registered, plain overwrite semantics apply — in particular
+        Spark still refuses to overwrite a table the input ``df`` is
+        reading, instead of silently deleting the source out from
+        under it.
         """
-        clear_managed_table(self.spark, table_name)
+        if not self.spark.catalog.tableExists(table_name):
+            clear_managed_table(self.spark, table_name)
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             w = w.sortBy(*sort_cols)
@@ -234,12 +254,30 @@ class PipelineEngine:
         read amortization healthy. The target file count comes from
         on-disk byte totals (a directory walk — no data scan); the
         rewrite is staged next to the table and swapped in only after
-        the row count is verified, so a failed compaction leaves the
-        original table untouched.
+        the row count is verified, so a FAILED compaction leaves the
+        original table untouched. The swap itself is two renames via a
+        trash dir — not atomic (bare-parquet limitation; table formats
+        exist for exactly this), but a complete copy of the data exists
+        on disk at every instant: a crash mid-swap is recoverable from
+        ``._compact_tmp`` / ``._compact_trash``, never a loss.
+
+        Unpartitioned tables only: a plain rewrite would silently
+        FLATTEN a Hive-partitioned layout (and its pruning), so
+        partitioned inputs are rejected.
         """
         import math
 
         path = self._table_path(table_name)
+        if any(
+            "=" in d
+            for root, dirs, _files in os.walk(path)
+            for d in dirs
+        ):
+            raise ValueError(
+                f"compact_table({table_name}): table is Hive-partitioned; a "
+                "flat rewrite would destroy the partition layout (and its "
+                "pruning). Compact per-partition instead."
+            )
         total_bytes = sum(
             os.path.getsize(os.path.join(root, f))
             for root, _dirs, files in os.walk(path)
@@ -258,8 +296,11 @@ class PipelineEngine:
                 f"compact_table({table_name}): rewrite produced {after} rows, "
                 f"expected {before}; original left in place"
             )
-        shutil.rmtree(path)
+        trash = f"{path}._compact_trash"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(path, trash)
         os.rename(tmp, path)
+        shutil.rmtree(trash, ignore_errors=True)
         return LoadResult(table_path=path, rows_written=after)
 
     def write_jdbc_sqlite(self, df: DataFrame, db_path: str, table_name: str) -> None:

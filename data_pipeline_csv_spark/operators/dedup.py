@@ -271,10 +271,15 @@ def lsh_bucket_candidates(
     )
     if drop_observation is not None:
         over = F.size("ids") > max_bucket
+        # coalesce: SUM over zero observed rows (no bucket of size >= 2
+        # anywhere) is NULL, and callers doing arithmetic on the metric
+        # contract ("drops are countable") expect 0.
         buckets = buckets.observe(
             drop_observation,
-            F.sum(over.cast("long")).alias("dropped_buckets"),
-            F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("dropped_doc_slots"),
+            F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(over, F.size("ids")).otherwise(0)), F.lit(0)
+            ).alias("dropped_doc_slots"),
         )
     buckets = buckets.filter(F.size("ids") <= max_bucket)
     pair_expr = (
@@ -764,7 +769,6 @@ def dup_span_coverage(
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
     grams = toks.select(
         "doc_id",
-        F.size("_toks").cast("bigint").alias("_n_toks"),
         F.posexplode(
             F.when(F.size("_toks") >= n, word_shingles(F.col("_toks"), n))
             .otherwise(F.array().cast("array<string>"))

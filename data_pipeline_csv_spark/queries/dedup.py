@@ -425,15 +425,22 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) GROUP BY 1
     )
     SELECT n.doc_id,
-           CAST(len(n.toks) AS BIGINT) AS n_tokens,
+           nt.n AS n_tokens,
            CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
-           CASE WHEN len(n.toks) = 0 THEN 0.0
-                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(n.toks) AS DOUBLE)
+           CASE WHEN nt.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE)
            END AS coverage,
-           CASE WHEN len(n.toks) = 0 THEN 0.0
-                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(n.toks) AS DOUBLE)
+           CASE WHEN nt.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE)
            END < 0.5 AS keep
-    FROM norm n LEFT JOIN cov c USING (doc_id)
+    FROM norm n
+    -- empty-norm guard: string_split('') is [''] (len 1), but Spark's
+    -- tokens('') is an empty array — 0 tokens, like text.py's _TOKS
+    JOIN LATERAL (
+      SELECT CASE WHEN array_to_string(n.toks, '') = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(n.toks) AS BIGINT) END AS n
+    ) nt ON TRUE
+    LEFT JOIN cov c USING (doc_id)
     """,
     doc="Duplicated-span TOKEN COVERAGE per doc: the fraction of tokens "
     "inside at least one cross-doc-duplicated word-8-gram, with "

@@ -577,8 +577,11 @@ def similarity_ann_ivf_ondisk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n_hit") >= F.lit(0.75) * F.col("n_truth")).alias("recall_ok"),
             F.lit(len(lists) < n_lists).alias("pruned_ok"),
         )
-        out.persist().count()
-        return out
+        # Materialize the one-row audit DRIVER-SIDE and rebuild it as a
+        # local DataFrame: a persist().count() would only pin the result
+        # until cache eviction, after which recomputation would reread
+        # the temp layout this function deletes below.
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(layout, ignore_errors=True)
 

@@ -150,16 +150,32 @@ def _neardup_paths(state_root: str) -> dict:
     }
 
 
+def _read_neardup_marker(cmark_path: str):
+    """(table, docs_dir, folded_upto) from the compaction marker, or
+    (None, None, -1) when no compaction has committed yet."""
+    import os
+
+    if not os.path.exists(cmark_path):
+        return None, None, -1
+    with open(cmark_path) as fh:
+        table, docs_dir, upto = fh.read().strip().splitlines()
+    return table, docs_dir, int(upto)
+
+
 def _neardup_state(spark, state_root: str, epoch_id: int):
     """(seen_docs, index) DataFrames visible to an epoch, or (None, None).
 
     Two tiers: the COMPACTED tier (one bucketed index table + one docs
-    dir, see :func:`compact_neardup_state`) plus the batch-keyed tail
-    written since the last compaction. The epoch's own batch={epoch_id}
-    partitions are excluded — a replayed epoch's dirs may already exist
-    on disk (failure between the state writes and the checkpoint
-    commit), and including them would break minhash_lsh_incremental's
-    disjoint-ids precondition and change the replayed output.
+    dir, named by the marker — see :func:`compact_neardup_state`) plus
+    the batch-keyed tail. Tail visibility is ``folded_upto < batch !=
+    epoch_id``: the marker's watermark excludes batches already folded
+    into the compacted tier (so a crash between the marker swap and
+    the tail cleanup can never double-read a folded batch), and the
+    epoch's own batch={epoch_id} partitions are excluded — a replayed
+    epoch's dirs may already exist on disk (failure between the state
+    writes and the checkpoint commit), and including them would break
+    minhash_lsh_incremental's disjoint-ids precondition and change the
+    replayed output.
     """
     import os
 
@@ -167,23 +183,23 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
 
     p = _neardup_paths(state_root)
     docs_parts, idx_parts = [], []
-    if os.path.exists(p["cmark"]):
-        with open(p["cmark"]) as fh:
-            table = fh.read().strip()
+    table, docs_dir, folded_upto = _read_neardup_marker(p["cmark"])
+    if table is not None:
         idx_parts.append(spark.table(table).select("doc_id", "band_id", "band_hash"))
-        docs_parts.append(spark.read.parquet(p["cdocs"]).select("doc_id", "text"))
+        docs_parts.append(spark.read.parquet(docs_dir).select("doc_id", "text"))
     if os.path.isdir(p["docs"]) and any(
-        d.startswith("batch=") and d != f"batch={epoch_id}"
+        d.startswith("batch=")
+        and d != f"batch={epoch_id}"
+        and int(d.split("=", 1)[1]) > folded_upto
         for d in os.listdir(p["docs"])
     ):
+        cond = (F.col("batch") != epoch_id) & (F.col("batch") > folded_upto)
         docs_parts.append(
-            spark.read.parquet(p["docs"])
-            .where(F.col("batch") != epoch_id)
-            .select("doc_id", "text")
+            spark.read.parquet(p["docs"]).where(cond).select("doc_id", "text")
         )
         idx_parts.append(
             spark.read.parquet(p["idx"])
-            .where(F.col("batch") != epoch_id)
+            .where(cond)
             .select("doc_id", "band_id", "band_hash")
         )
     if not docs_parts:
@@ -335,11 +351,20 @@ def compact_neardup_state(
     ``compact_every`` in :func:`neardup_epoch_writer` keeps a long
     feed's state dir count bounded without stopping the stream.
 
-    Re-runnable: each compaction folds the previous compacted tier plus
-    the tail into a fresh generation of ``index_table`` (staged through
-    parquet because saveAsTable cannot overwrite a table it reads); a
-    replayed epoch that re-triggers its compaction folds an empty tail
-    and regenerates identical content.
+    CRASH-SAFE commit protocol (every window leaves a readable,
+    never-double-counted state): the fold is written to a NEW
+    generation (table ``{index_table}_g{N}`` + docs dir
+    ``compacted_docs_g{N}``, N = highest folded batch id), then the
+    marker file — (table, docs dir, folded_upto watermark) — is
+    swapped in atomically via os.replace, and ONLY THEN is anything
+    deleted. A crash before the swap leaves the old marker + full
+    tail (the orphaned new generation is garbage-collected by the
+    next run); a crash after the swap leaves folded tail dirs on disk
+    that readers already ignore via the watermark
+    (:func:`_neardup_state` reads only ``batch > folded_upto``), so
+    cleanup is resumable. A replayed epoch that re-triggers its
+    compaction folds an empty visible tail and regenerates identical
+    content.
 
     At 100 TB scale the rewrite-the-world shape here becomes a tiered
     (LSM-style) fold — compact only the tail into a new generation and
@@ -349,34 +374,65 @@ def compact_neardup_state(
     import os
     import shutil
 
+    from ..engine import clear_managed_table
+
     p = _neardup_paths(state_root)
+    _old_table, _old_docs, folded_upto = _read_neardup_marker(p["cmark"])
+    tail_ids = [
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(p["docs"]) if os.path.isdir(p["docs"]) else [])
+        if d.startswith("batch=")
+        and d != f"batch={exclude_epoch}"
+        and int(d.split("=", 1)[1]) > folded_upto
+    ]
+    if _old_table is not None and not tail_ids:
+        # nothing new to fold (e.g. a replayed epoch re-triggering its
+        # compaction): a re-fold would regenerate identical content —
+        # skip it entirely so the committed generation is never dropped
+        # and rebuilt in place.
+        return
     seen, idx = _neardup_state(spark, state_root, epoch_id=exclude_epoch)
     if seen is None:
         return
+    gen = max([folded_upto, *tail_ids])
+    new_table = f"{index_table}_g{gen}"
+    new_docs = os.path.join(state_root, f"compacted_docs_g{gen}")
+    # 1. stage the fold (a crashed prior attempt at this gen is swept)
     staging = os.path.join(state_root, "_compact_staging")
     shutil.rmtree(staging, ignore_errors=True)
     idx.write.mode("overwrite").parquet(os.path.join(staging, "idx"))
     seen.write.mode("overwrite").parquet(os.path.join(staging, "docs"))
-    from ..engine import clear_managed_table
-
-    clear_managed_table(spark, index_table)
+    clear_managed_table(spark, new_table)
     (
         spark.read.parquet(os.path.join(staging, "idx"))
         .write.mode("overwrite")
         .bucketBy(n_buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
         .format("parquet")
-        .saveAsTable(index_table)
+        .saveAsTable(new_table)
     )
-    shutil.rmtree(p["cdocs"], ignore_errors=True)
-    os.rename(os.path.join(staging, "docs"), p["cdocs"])
+    shutil.rmtree(new_docs, ignore_errors=True)
+    os.rename(os.path.join(staging, "docs"), new_docs)
+    # 2. COMMIT: atomic marker swap — readers now see the new tier and
+    #    ignore tail batches <= gen
+    tmp_mark = f"{p['cmark']}.tmp"
+    with open(tmp_mark, "w") as fh:
+        fh.write(f"{new_table}\n{new_docs}\n{gen}\n")
+    os.replace(tmp_mark, p["cmark"])
+    # 3. cleanup, all resumable garbage collection: folded tail dirs,
+    #    prior generations (incl. orphans from crashed runs), staging
     for root in (p["idx"], p["docs"]):
         if os.path.isdir(root):
             for d in os.listdir(root):
-                if d.startswith("batch="):
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) <= gen:
                     shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    with open(p["cmark"], "w") as fh:
-        fh.write(index_table)
+    for d in os.listdir(state_root):
+        full = os.path.join(state_root, d)
+        if d.startswith("compacted_docs_g") and full != new_docs:
+            shutil.rmtree(full, ignore_errors=True)
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"{index_table}_g".lower()) and t.name != new_table.lower():
+            clear_managed_table(spark, t.name)
     shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -65,6 +65,9 @@ def test_compaction_folds_epochs_and_preserves_equivalence(spark, sf_dir, tmp_pa
     state = str(tmp_path / "state")
     w = neardup_epoch_writer(spark, state, threshold=0.8)
     try:
+        from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+        mark = os.path.join(state, "compacted_index_table")
         w(batches[0], 0)
         w(batches[1], 1)
         compact_neardup_state(spark, state, "t_nd_idx_compact_test")
@@ -72,19 +75,26 @@ def test_compaction_folds_epochs_and_preserves_equivalence(spark, sf_dir, tmp_pa
         for sub in ("lsh_index", "seen_docs"):
             root = os.path.join(state, sub)
             assert not [d for d in os.listdir(root) if d.startswith("batch=")]
-        assert os.path.isdir(os.path.join(state, "compacted_docs"))
-        assert spark.table("t_nd_idx_compact_test").count() > 0
+        tbl, docs_dir, upto = _read_neardup_marker(mark)
+        assert upto == 1 and os.path.isdir(docs_dir)
+        assert spark.table(tbl).count() > 0
 
         w(batches[2], 2)  # probes compacted tier
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
 
-        # fold the new tail into a second generation of the same table
+        # fold the new tail into a second generation; the first
+        # generation is garbage-collected after the marker swap
         compact_neardup_state(spark, state, "t_nd_idx_compact_test")
-        n_docs = spark.read.parquet(os.path.join(state, "compacted_docs")).count()
-        assert n_docs == docs.count()
+        tbl2, docs_dir2, upto2 = _read_neardup_marker(mark)
+        assert upto2 == 2 and tbl2 != tbl and docs_dir2 != docs_dir
+        assert not os.path.isdir(docs_dir)
+        assert not spark.catalog.tableExists(tbl)
+        assert spark.read.parquet(docs_dir2).count() == docs.count()
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_nd_idx_compact_test")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_compact_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def test_in_stream_auto_compaction_bounds_tail_and_preserves_pairs(
@@ -120,4 +130,63 @@ def test_in_stream_auto_compaction_bounds_tail_and_preserves_pairs(
     finally:
         from data_pipeline_csv_spark.engine import clear_managed_table
 
-        clear_managed_table(spark, "t_nd_idx_auto_compact_test")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_auto_compact_test"):
+                clear_managed_table(spark, t.name)
+
+
+def test_compaction_watermark_ignores_resurrected_folded_tail(
+    spark, sf_dir, tmp_path
+):
+    """The crash window AFTER the marker swap and BEFORE tail cleanup
+    leaves folded batch dirs on disk; the marker's folded_upto
+    watermark must make readers ignore them (no double-counted docs),
+    and the next compaction must garbage-collect them."""
+    import shutil
+
+    from data_pipeline_csv_spark.streaming.sinks import (
+        _neardup_state,
+        _read_neardup_marker,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    w = neardup_epoch_writer(spark, state, threshold=0.8)
+    try:
+        w(batches[0], 0)
+        w(batches[1], 1)
+        # preserve copies of the tail dirs, then compact (which folds
+        # and deletes them)
+        saved = str(tmp_path / "saved")
+        for sub in ("lsh_index", "seen_docs"):
+            shutil.copytree(os.path.join(state, sub), os.path.join(saved, sub))
+        compact_neardup_state(spark, state, "t_nd_idx_wm_test")
+        n_state_docs = _neardup_state(spark, state, epoch_id=-1)[0].count()
+        # simulate the crash window: folded batch dirs reappear on disk
+        for sub in ("lsh_index", "seen_docs"):
+            for d in os.listdir(os.path.join(saved, sub)):
+                shutil.copytree(
+                    os.path.join(saved, sub, d), os.path.join(state, sub, d)
+                )
+        seen, idx = _neardup_state(spark, state, epoch_id=-1)
+        assert seen.count() == n_state_docs  # not double-counted
+        assert seen.select("doc_id").distinct().count() == n_state_docs
+        # next epoch + compaction still converge and GC the stale dirs
+        w(batches[2], 2)
+        compact_neardup_state(spark, state, "t_nd_idx_wm_test")
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+        _tbl, _dir, upto = _read_neardup_marker(
+            os.path.join(state, "compacted_index_table")
+        )
+        assert upto == 2
+        for sub in ("lsh_index", "seen_docs"):
+            assert not [
+                d
+                for d in os.listdir(os.path.join(state, sub))
+                if d.startswith("batch=")
+            ]
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_wm_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -233,9 +233,16 @@ def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
     state = str(tmp_path / "state")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        import os
+
+        from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
         neardup_epoch_writer(spark, state)(old, 0)
         compact_neardup_state(spark, state, "t_lsh_idx_plan_test", n_buckets=4)
-        idx = spark.table("t_lsh_idx_plan_test")
+        tbl, _docs_dir, _upto = _read_neardup_marker(
+            os.path.join(state, "compacted_index_table")
+        )
+        idx = spark.table(tbl)
         probe = lsh_band_entries(docs.filter(F.col("doc_id") % 5 == 0))
         # force the SMJ path the buckets exist for (a tiny test probe
         # would broadcast; at scale a large backfill batch cannot)
@@ -249,7 +256,9 @@ def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
         assert plan.count("hashpartitioning(band_id") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS t_lsh_idx_plan_test")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_lsh_idx_plan_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
