@@ -259,7 +259,11 @@ class PipelineEngine:
         trash dir — not atomic (bare-parquet limitation; table formats
         exist for exactly this), but a complete copy of the data exists
         on disk at every instant: a crash mid-swap is recoverable from
-        ``._compact_tmp`` / ``._compact_trash``, never a loss.
+        ``._compact_tmp`` / ``._compact_trash`` — and the recovery is
+        AUTOMATIC: on entry, a leftover trash dir with no live table
+        (the crash window between the two renames) is restored before
+        anything else runs, so the next compaction self-heals instead
+        of walking a missing path as 0 bytes.
 
         Unpartitioned tables only: a plain rewrite would silently
         FLATTEN a Hive-partitioned layout (and its pruning), so
@@ -268,6 +272,11 @@ class PipelineEngine:
         import math
 
         path = self._table_path(table_name)
+        trash = f"{path}._compact_trash"
+        if os.path.isdir(trash) and not os.path.isdir(path):
+            # crash between rename(path, trash) and rename(tmp, path):
+            # the original data is intact in the trash dir — restore it.
+            os.rename(trash, path)
         if any(
             "=" in d
             for root, dirs, _files in os.walk(path)
@@ -296,7 +305,6 @@ class PipelineEngine:
                 f"compact_table({table_name}): rewrite produced {after} rows, "
                 f"expected {before}; original left in place"
             )
-        trash = f"{path}._compact_trash"
         shutil.rmtree(trash, ignore_errors=True)
         os.rename(path, trash)
         os.rename(tmp, path)

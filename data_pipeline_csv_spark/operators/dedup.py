@@ -140,9 +140,9 @@ def containment_pairs(
     doc-embedding case a pretraining dedup pass must catch. Same
     exact shingle self-join as :func:`ngram_jaccard_pairs` (any pair
     with C > 0 shares a shingle, so no candidates are missed); at
-    corpus scale, swap the candidate stage for the LSH band join —
-    containment-LSH probes with the smaller side's minhash exactly as
-    :func:`minhash_lsh_incremental` probes the index.
+    corpus scale, swap the candidate stage for
+    :func:`containment_lsh_pairs`, which replaces the quadratic
+    self-join with one-row-per-minhash band buckets.
     """
     sh = shingle_sets(df, text_col, id_col, n)
     a = sh.alias("a")
@@ -165,6 +165,56 @@ def containment_pairs(
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1000,
+    drop_observation=None,
+) -> DataFrame:
+    """Containment pairs (C = |A∩B| / min >= threshold) with an LSH
+    candidate stage — the corpus-scale path :func:`containment_pairs`'
+    quadratic shingle self-join cannot walk.
+
+    Banding is ONE ROW PER BAND (r=1, b=num_hashes): a pair collides
+    in a band with probability J per band, so the candidate-miss
+    probability is (1-J)^b even when the JACCARD of a high-containment
+    pair is small. For C >= 0.9 and size ratio rho = max/min set size,
+    J = C / (1 + rho - C); with b=32 the miss probability is ~1e-24 at
+    rho=1, ~2e-5 at rho=3, ~5% at rho=10 — so the envelope covers
+    quotation/subsumption up to an order-of-magnitude size gap.
+    Extreme-ratio containment search (a paragraph inside a book) needs
+    LSH-Ensemble-style size-stratified banding on the index side
+    (Zhu et al., VLDB 2016) — the same bucket machinery with per-
+    stratum (b, r); not implemented here.
+
+    Cost shape: identical exchanges to :func:`minhash_lsh_pairs` (one
+    narrow row per doc into the signature agg, 32 band rows per doc
+    into the bucket groupBy, candidates verified by exact containment
+    after a semi-join prune) — nothing quadratic in the corpus. r=1
+    buckets are hotter than r=2 (a single shared min-shingle anchors a
+    bucket), so the ``max_bucket`` cap + ``drop_observation``
+    observability matter more here; capped buckets are boilerplate
+    better handled by exact_dedup first. Precision is structurally 1
+    (exact containment decides membership); recall is the band bound
+    above, audited corpus-wide by queries/dedup.py
+    dedup_containment_lsh under the driver gate.
+    """
+    entries = lsh_band_entries(
+        df, num_hashes=num_hashes, rows_per_band=1,
+        text_col=text_col, id_col=id_col, n=n,
+    )
+    candidates = lsh_bucket_candidates(
+        entries, max_bucket=max_bucket, drop_observation=drop_observation
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_candidates(
+        df, candidates, threshold, text_col, id_col, n, score="containment"
     )
 
 
@@ -345,9 +395,13 @@ def _verify_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    score: str = "jaccard",
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate (d1, d2) pairs against
-    ``docs`` (which must contain both sides' documents).
+    """Exact verification of candidate (d1, d2) pairs against ``docs``
+    (which must contain both sides' documents) — ``score`` picks the
+    set measure: "jaccard" (|A∩B|/|A∪B|) or "containment"
+    (|A∩B|/min(|A|,|B|)); the exact value alone decides membership, so
+    the output has no false positives regardless of candidate source.
 
     Scores each pair with array_intersect over per-doc DISTINCT
     shingle arrays — a map-side projection plus two joins of
@@ -381,14 +435,15 @@ def _verify_candidates(
             F.size("s2").alias("_n2"),
         )
     )
-    return scored.select(
-        "d1",
-        "d2",
-        (
-            F.col("_shared").cast("double")
-            / (F.col("_n1") + F.col("_n2") - F.col("_shared"))
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    if score == "containment":
+        measure = F.col("_shared").cast("double") / F.least("_n1", "_n2")
+    else:
+        measure = F.col("_shared").cast("double") / (
+            F.col("_n1") + F.col("_n2") - F.col("_shared")
+        )
+    return scored.select("d1", "d2", measure.alias(score)).filter(
+        F.col(score) >= threshold
+    )
 
 
 def lsh_probe_candidates(

@@ -463,6 +463,14 @@ def pq_train(spark, corpus: DataFrame, dim: int, m: int = 4, k: int = 16,
 
     from .clustering import kmeans_fit
 
+    if dim % m != 0:
+        # Without this, the trailing dim % m coordinates silently drop
+        # out of encoding AND ADC scoring while the exact rerank uses
+        # full vectors — recall quietly degrades instead of erroring.
+        raise ValueError(
+            f"pq_train: dim={dim} is not divisible by m={m}; pad the "
+            "vectors or pick m | dim so every coordinate is quantized"
+        )
     key = (cache_key, dim, m, k, iters) if cache_key is not None else None
     if key is not None and key in _PQ_BOOK_CACHE:
         return _PQ_BOOK_CACHE[key]
@@ -537,6 +545,13 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
     d_sub = books[0][1].shape[1]
     lut_rows = []
     for q_id, qv in query_rows:
+        if len(qv) != d_sub * len(books):
+            # books trained on a different dim than the queries: the
+            # slice arithmetic below would silently score a prefix.
+            raise ValueError(
+                f"pq_adc_topk: query dim {len(qv)} != m*d_sub = "
+                f"{d_sub * len(books)} of the trained codebooks"
+            )
         q = np.asarray(qv, dtype=np.float64)
         qn = float(np.sqrt((q * q).sum()))
         for s, (ids, B) in enumerate(books):

@@ -196,6 +196,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_lsh",
+    # Bounds-oracle (the approximate-op policy, see COVERAGE.md): the
+    # LSH candidate stage can in principle miss a pair (miss prob
+    # (1-J)^32 per pair — ~1e-24 at size ratio 1, ~5% at ratio 10), so
+    # the audit emits the exact containment-pair count (DuckDB replays
+    # it), a structural zero false-pair count (exact containment
+    # decides membership), and a recall >= 0.9 flag (measured 1.0 at
+    # sf0.001/0.01/0.1 — this corpus's containment pairs are
+    # near-symmetric in size, where the band bound is ~1e-24).
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_pairs,
+           TRUE AS recall_ok
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) >= 0.9
+    """,
+    doc="Containment dedup with the LSH candidate stage — the corpus-"
+    "scale path that replaces dedup_containment's quadratic shingle "
+    "self-join with one-row-per-minhash band buckets "
+    "(operators/dedup.py containment_lsh_pairs; no shingle self-join "
+    "anywhere in the plan, pinned by tests/test_plans.py::"
+    "test_containment_lsh_has_no_shingle_self_join). Audited under "
+    "the driver gate against the exact answer: zero false pairs "
+    "(structural — exact containment decides membership) and recall "
+    ">= 0.9.",
+    tags=("dedup", "containment", "lsh", "scale", "audit"),
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_lsh_pairs, containment_pairs
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    exact = containment_pairs(docs, threshold=0.9).select("d1", "d2")
+    approx = containment_lsh_pairs(docs, threshold=0.9).select("d1", "d2")
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    n_m = approx.join(exact, ["d1", "d2"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return n_e.crossJoin(n_f).crossJoin(n_m).select(
+        F.col("n_exact").cast("bigint").alias("n_exact_pairs"),
+        F.col("n_false").cast("bigint").alias("n_false_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (
+                F.col("n_matched").cast("double") / F.col("n_exact").cast("double")
+                >= 0.9
+            )
+        ).alias("recall_ok"),
+    )
+
+
+@query(
     "dedup_cc_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},

@@ -442,9 +442,14 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "itself in one pass, score each doc by average negative "
     "log-likelihood, keep docs below the cutoff; also emits the exact "
     "rare-token count (global freq < 5). Plan shape: one explode -> "
-    "one freq groupBy (map-side combinable) -> broadcast-back join -> "
-    "per-doc agg; the frequency table is vocabulary-sized, so at "
-    "100 TB it broadcasts while the corpus streams.",
+    "one freq groupBy (map-side combinable, so hot tokens collapse "
+    "per-task before the exchange) -> UNHINTED join back onto the "
+    "token stream -> per-doc agg. The token vocabulary GROWS with a "
+    "web-scale corpus (Heaps' law), so the freq side carries no "
+    "broadcast hint: AQE broadcasts it at small scale and falls back "
+    "to a tok-keyed shuffle join (with skew-partition splitting) when "
+    "the vocab outgrows the broadcast limit — the only forced "
+    "broadcast left is the 1-row corpus-total scalar.",
     tags=("text", "quality", "pipeline", "lm"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +459,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
     return (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -496,10 +501,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left-context count — trained on the corpus itself, so every "
     "scored bigram exists and no smoothing is needed. Per doc: exact "
     "bigram and hapax (global count = 1) counts, plus keep = avg NLL "
-    "<= 3.395. Plan: one bigram explode -> two vocabulary-sized freq "
-    "aggs that BROADCAST back over the streaming corpus -> per-doc "
-    "agg; at 100 TB the corpus is never shuffled, only the vocab "
-    "tables move.",
+    "<= 3.395. Plan: one bigram explode -> two freq aggs (map-side "
+    "combinable) joined back WITHOUT broadcast hints: the bigram "
+    "vocabulary is hapax-heavy and grows near-linearly with the "
+    "corpus, so a forced broadcast is an executor OOM at scale — AQE "
+    "broadcasts at small SFs and runs b-/l-keyed shuffle joins (with "
+    "skew splitting) once the vocab tables outgrow the limit.",
     tags=("text", "quality", "pipeline", "lm"),
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,8 +533,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
     fl = bg.groupBy("l").agg(F.count(F.lit(1)).alias("cl"))
     return (
-        bg.join(F.broadcast(fb), "b")
-        .join(F.broadcast(fl), "l")
+        bg.join(fb, "b")
+        .join(fl, "l")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

@@ -261,15 +261,53 @@ def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
-def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
-    """The corpus-trained frequency table must broadcast back onto the
-    token stream (vocabulary-sized build side), leaving exactly two
-    wide exchanges: the freq groupBy and the per-doc agg — the corpus
-    itself never shuffles at token width for the join."""
-    plan = _plan(REGISTRY["text_unigram_logprob"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert plan.count("hashpartitioning(") <= 2
-    assert "SortMergeJoin" not in plan
+def test_containment_lsh_has_no_shingle_self_join(spark, sf_dir):
+    """containment_lsh_pairs' candidate stage must come from the band
+    buckets, never from a shingle-equality self-join (the quadratic
+    stage it exists to replace): every join in the plan is keyed on
+    ids/band columns, and the band pipeline is present."""
+    from data_pipeline_csv_spark.operators.dedup import containment_lsh_pairs
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    plan = _plan(containment_lsh_pairs(docs, threshold=0.9))
+    assert "band_hash" in plan  # the banding candidate stage
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines and not [l for l in join_lines if "shingle" in l]
+    # verification keys on intersect of per-doc shingle ARRAYS — no
+    # exploded-shingle equi-join may reappear anywhere
+    assert "Join condition: (shingle" not in plan
+
+
+def test_lm_filters_do_not_force_vocab_broadcast(spark, sf_dir):
+    """The corpus-trained frequency tables GROW with the corpus (token
+    vocab by Heaps' law, bigram vocab near-linearly), so neither LM
+    filter may carry a forced broadcast hint on them — a hint pins the
+    plan to an executor OOM at 100 TB and disables AQE's fail-over to
+    a skew-splittable shuffle join. The only allowed hint is
+    text_unigram_logprob's 1-row corpus-total scalar (constant-size by
+    construction). AQE still broadcasts the small vocab at test SFs —
+    that choice belongs to the runtime, not the query."""
+
+    def _opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    uni = REGISTRY["text_unigram_logprob"].fn(spark, sf_dir)
+    opt = _opt(uni)
+    # exactly one hint: the scalar total on the cross join
+    assert opt.count("=broadcast") == 1
+    hinted = [l for l in opt.splitlines() if "=broadcast" in l]
+    assert "Join Cross" in hinted[0]
+    # the freq join + per-doc agg remain the only wide exchanges at
+    # this SF (AQE broadcast); at scale AQE may add one tok-keyed
+    # corpus exchange for the shuffle join — that is the accepted plan
+    plan = _plan(uni)
+    assert plan.count("hashpartitioning(") <= 3
+    assert "CartesianProduct" not in plan
+
+    big = REGISTRY["text_bigram_logprob"].fn(spark, sf_dir)
+    assert "=broadcast" not in _opt(big)
+    assert "CartesianProduct" not in _plan(big)
 
 
 def test_quantize_int8_is_pure_projection(spark, sf_dir):

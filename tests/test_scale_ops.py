@@ -138,6 +138,26 @@ def test_compact_table_collapses_small_files(spark, sf_dir, tmp_path):
     assert eng.read_table("orders_frag").count() == n
 
 
+def test_compact_table_recovers_orphaned_trash(spark, sf_dir, tmp_path):
+    """Crash window between the two swap renames: the table path is
+    gone and the data lives only in ._compact_trash. The next
+    compact_table call must restore it on entry and complete normally
+    (instead of walking the missing path as 0 bytes)."""
+    eng = PipelineEngine(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    path = str(tmp_path / "wh" / "orders_crash")
+    orders.repartition(4).write.mode("overwrite").parquet(path)
+    # simulate the mid-swap crash: original renamed to trash, no table
+    os.rename(path, f"{path}._compact_trash")
+    assert not os.path.isdir(path)
+
+    res = eng.compact_table("orders_crash", target_file_bytes=1 << 30)
+    assert res.rows_written == n
+    assert eng.read_table("orders_crash").count() == n
+    assert not os.path.isdir(f"{path}._compact_trash")
+
+
 def test_lsh_bucket_cap_drop_is_observable(spark):
     """A bucket over the cap is dropped — but countably: the attached
     Observation reports how many buckets/doc-slots the cap removed,
@@ -183,6 +203,36 @@ def test_containment_catches_subsumption_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}  # all 8 of the short doc's shingles shared
     jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
     assert jac == []  # Jaccard 8/38 — symmetric near-dup misses it
+
+
+def test_containment_lsh_catches_planted_quotes(spark):
+    """The LSH candidate stage must recover asymmetric quotation pairs
+    (short doc inside a long one, size ratio ~4 — squarely in the r=1
+    band envelope) and agree exactly with the quadratic-candidate
+    operator on the real-corpus-shaped data it verifies against."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_pairs,
+        containment_pairs,
+    )
+
+    rows = []
+    for d in range(12):
+        words = [f"w{d}x{i}" for i in range(40)]
+        rows.append((d, " ".join(words)))
+        # a fully-quoted 10-word excerpt of each doc (8 shingles, all
+        # shared with the source: containment 1.0, Jaccard 8/38)
+        rows.append((100 + d, " ".join(words[10:20])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.d1, r.d2): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact == {(d, 100 + d): 1.0 for d in range(12)}
+    lsh = {
+        (r.d1, r.d2): r.containment
+        for r in containment_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert lsh == exact
 
 
 def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):

@@ -222,3 +222,25 @@ def test_pq_rerank_finds_planted_twin(spark, sf_dir):
         for r in pq_encode(planted.repartition(7), books, m=8).collect()
     }
     assert a == b
+
+
+def test_pq_rejects_mismatched_dims(spark, sf_dir):
+    """dim % m != 0 must raise at train time (not silently drop the
+    trailing coordinates from encoding/ADC), and ADC must reject
+    queries whose dim disagrees with the trained codebooks."""
+    import pytest
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(spark, corpus, dim=64, m=7)
+    books = pq_train(spark, corpus, dim=64, m=8, k=16, iters=1)
+    codes = pq_encode(corpus, books, m=8)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(codes, books, [(0, [0.0] * 32)], k=5)
