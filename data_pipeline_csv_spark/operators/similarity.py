@@ -206,9 +206,23 @@ def ann_ivf_probe_ondisk(
     lists = sorted(
         r["list_id"] for r in probes.select("list_id").distinct().collect()
     )
-    pruned = spark.read.parquet(layout_path).where(F.col("list_id").isin(lists))
+    pruned = read_ivf_lists(spark, layout_path, lists)
     out = _ivf_rerank(F.broadcast(probes), pruned, k)
     return (out, lists) if return_lists else out
+
+
+def read_ivf_lists(spark, layout_path: str, lists) -> DataFrame:
+    """Partition-pruned scan of a :func:`write_ivf_layout` corpus: the
+    list ids are inlined as LITERALS so Catalyst statically prunes
+    every other partition — the scan never opens them. This is the
+    point-lookup primitive shared by the IVF probe
+    (:func:`ann_ivf_probe_ondisk`) and the PQ rerank's shortlist
+    vector fetch (queries/similarity.similarity_ann_pq_rerank): at
+    100 TB, fetching a few hundred shortlist vectors must read the
+    shortlist's lists, not re-scan the embedding table."""
+    return spark.read.parquet(layout_path).where(
+        F.col("list_id").isin([int(x) for x in lists])
+    )
 
 
 def _exact_rescore(corpus2: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
@@ -488,16 +502,27 @@ def pq_train(spark, corpus: DataFrame, dim: int, m: int = 4, k: int = 16,
     return books
 
 
-def pq_encode(corpus: DataFrame, books, m: int = 4) -> DataFrame:
+def pq_encode(corpus: DataFrame, books, m: int = 4, carry: tuple = ()) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest codebook entry per
     subspace (euclidean, stable ties to the lower code id). One
-    Arrow-batched map-side pass, no shuffle at any corpus size."""
+    Arrow-batched map-side pass, no shuffle at any corpus size.
+
+    ``carry`` names passthrough columns copied onto the code rows —
+    e.g. the IVF layout's ``list_id`` when encoding from
+    :func:`write_ivf_layout` output, so downstream consumers (the PQ
+    rerank fetch) can partition-prune their point lookups without a
+    corpus join."""
     import numpy as np
     import pandas as pd
 
     mats = [B for _, B in books]
     idlists = [ids for ids, _ in books]
     d_sub = mats[0].shape[1]
+    carry = tuple(carry)
+    by_name = {f.name: f for f in corpus.schema.fields}
+    schema = "vec_id long, codes array<bigint>" + "".join(
+        f", {c} {by_name[c].dataType.simpleString()}" for c in carry
+    )
 
     def _enc(batches):
         for pdf in batches:
@@ -511,14 +536,17 @@ def pq_encode(corpus: DataFrame, books, m: int = 4) -> DataFrame:
                 # constant per row -> argmin over (-2 x.c + ||c||^2)
                 d2 = -2.0 * (X @ B.T) + (B * B).sum(axis=1)[None, :]
                 codes[:, s] = ids[np.argmin(d2, axis=1)]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+            out = {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(
-        _enc, "vec_id long, codes array<bigint>"
-    )
+    return corpus.select("vec_id", "embedding", *carry).mapInPandas(_enc, schema)
 
 
-def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFrame:
+def pq_adc_topk(
+    codes_df: DataFrame, books, query_rows, k: int = 10, carry: str | None = None
+) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, cosine
     against the RECONSTRUCTED vector, computed entirely from two
     broadcast lookup tables (per-subspace dot and squared-norm of each
@@ -532,10 +560,13 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
     agg -> WindowGroupLimit top-k. The corpus never moves more than
     m narrow rows per vector; the LUT is m*k*|queries| rows.
 
-    Downstream exact rerank note (100 TB): fetching the shortlist's
-    full vectors via a semi-join re-scans the embedding table; a real
-    deployment serves that point lookup from a row store or from the
-    IVF layout's partition-pruned scan (write_ivf_layout) instead.
+    ``carry`` names ONE passthrough column on ``codes_df`` (e.g. the
+    IVF layout's list_id, see :func:`pq_encode`) kept on the shortlist
+    rows — how the exact rerank serves its shortlist vector fetch from
+    :func:`read_ivf_lists`' partition-pruned scan instead of a
+    full-corpus join (queries/similarity.similarity_ann_pq_rerank;
+    plan pinned by
+    tests/test_plans.py::test_pq_rerank_fetch_prunes_partitions).
     """
     import numpy as np
     import pandas as pd
@@ -570,8 +601,9 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
         ),
         "q_id long, s long, code long, dot_fp long, nrm2_fp long, q_norm double",
     )
+    carry_cols = [carry] if carry else []
     exploded = codes_df.select(
-        "vec_id", F.posexplode("codes").alias("s", "code")
+        "vec_id", *carry_cols, F.posexplode("codes").alias("s", "code")
     )
     scored = (
         exploded.join(F.broadcast(lut), ["s", "code"])
@@ -581,6 +613,9 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
             F.sum("dot_fp").alias("_d"),
             F.sum("nrm2_fp").alias("_n"),
             F.first("q_norm").alias("_qn"),
+            # constant within the (q_id, vec_id) group: every exploded
+            # row of a vector carries the vector's own value
+            *[F.first(c).alias(c) for c in carry_cols],
         )
         .select(
             "q_id",
@@ -589,11 +624,18 @@ def pq_adc_topk(codes_df: DataFrame, books, query_rows, k: int = 10) -> DataFram
                 F.col("_d").cast("double")
                 / (F.col("_qn") * F.sqrt(F.col("_n").cast("double") * F.lit(DOT_SCALE)))
             ).alias("score_adc"),
+            *carry_cols,
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("score_adc").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "score_adc", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "q_id",
+            "vec_id",
+            "score_adc",
+            F.col("rank").cast("int").alias("rank"),
+            *carry_cols,
+        )
     )

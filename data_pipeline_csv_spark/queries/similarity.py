@@ -669,64 +669,115 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the codes (fixed-point sums -> deterministic), keeps a "
     "100-candidate shortlist, exact-rescoring only those (2% of the "
     "sf0.1 corpus) with the fixed-point cosine, then audits final "
-    "top-10 recall against the exact answer. At 100 TB the corpus "
-    "side of the shortlist pass moves m narrow rows per vector and "
-    "the rerank reads only shortlist rows (operators/similarity.py "
-    "pq_train / pq_encode / pq_adc_topk).",
+    "top-10 recall against the exact answer. The shortlist vector "
+    "fetch is a POINT LOOKUP against the materialized IVF layout: "
+    "codes carry their list_id (pq_encode carry), so the rerank "
+    "reads only the shortlist's list partitions via "
+    "read_ivf_lists' statically pruned scan "
+    "(test_pq_rerank_fetch_prunes_partitions) — at 100 TB the "
+    "shortlist pass moves m narrow rows per vector and the rerank "
+    "never re-scans the embedding table (operators/similarity.py "
+    "pq_train / pq_encode / pq_adc_topk / read_ivf_lists).",
     tags=("similarity", "ann", "pq", "scale", "audit"),
 )
 def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from ..functions.vector import cosine_from_parts, dot_exact, norm_sq_exact
-    from ..operators.similarity import pq_adc_topk, pq_encode, pq_train
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        read_ivf_lists,
+        write_ivf_layout,
+    )
 
     corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
     books = pq_train(
         spark, corpus, dim=64, m=8, k=16, iters=2, cache_key=(sf_dir, "pq8")
     )
-    codes = pq_encode(corpus, books, m=8)
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
     qrows = [
         (r["vec_id"], r["embedding"])
         for r in corpus.filter(F.col("vec_id") < 8).collect()
     ]
-    short = pq_adc_topk(codes, books, qrows, k=100).select("q_id", "vec_id")
-    # exact rerank of shortlist candidates only (fixed-point cosine)
-    qdf = spark.createDataFrame(
-        [(int(q), list(map(float, v))) for q, v in qrows],
-        "q_id long, q_emb array<double>",
-    )
-    cand = (
-        short.join(corpus.select("vec_id", "embedding"), "vec_id")
-        .join(F.broadcast(qdf), "q_id")
-        .select(
-            "q_id",
-            "vec_id",
-            cosine_from_parts(
-                dot_exact(F.col("embedding"), F.col("q_emb")),
-                norm_sq_exact(F.col("embedding")),
-                norm_sq_exact(F.col("q_emb")),
-            ).alias("cosine"),
+    layout = tempfile.mkdtemp(prefix="sg_pq_ivf_")
+    short = None
+    try:
+        # codes are encoded FROM the IVF layout so every code row
+        # carries its vector's list_id — the key the rerank fetch
+        # prunes on
+        write_ivf_layout(corpus, cents, layout)
+        codes = pq_encode(
+            spark.read.parquet(layout).withColumn(
+                "list_id", F.col("list_id").cast("bigint")
+            ),
+            books,
+            m=8,
+            carry=("list_id",),
         )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    final = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("q_id", "vec_id")
-    )
-    exact = cosine_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id")
-    n_m = final.join(exact, ["q_id", "vec_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_matched")
-    )
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_r = short.agg(F.count(F.lit(1)).alias("n_rr"))
-    return n_e.crossJoin(n_r).crossJoin(n_m).select(
-        F.col("n_exact").cast("bigint").alias("n_exact_rows"),
-        F.col("n_rr").cast("bigint").alias("n_reranked"),
-        (
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double")
-            >= 0.65
-        ).alias("recall_ok"),
-    )
+        short = pq_adc_topk(codes, books, qrows, k=100, carry="list_id").select(
+            "q_id", "vec_id", "list_id"
+        )
+        # the shortlist is tiny (|queries| x 100); pin it so the list
+        # collect below and the rerank reuse one ADC pass
+        short = short.persist()
+        lists = sorted(
+            r["list_id"] for r in short.select("list_id").distinct().collect()
+        )
+        # exact rerank of shortlist candidates only, vectors served by
+        # the layout's partition-pruned point lookup (never a corpus
+        # re-scan)
+        qdf = spark.createDataFrame(
+            [(int(q), list(map(float, v))) for q, v in qrows],
+            "q_id long, q_emb array<double>",
+        )
+        cand = (
+            short.select("q_id", "vec_id")
+            .join(read_ivf_lists(spark, layout, lists).select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(qdf), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                cosine_from_parts(
+                    dot_exact(F.col("embedding"), F.col("q_emb")),
+                    norm_sq_exact(F.col("embedding")),
+                    norm_sq_exact(F.col("q_emb")),
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        final = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("q_id", "vec_id")
+        )
+        exact = cosine_topk(corpus, QUERY_IDS, k=10).select("q_id", "vec_id")
+        n_m = final.join(exact, ["q_id", "vec_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        n_r = short.agg(F.count(F.lit(1)).alias("n_rr"))
+        out = n_e.crossJoin(n_r).crossJoin(n_m).select(
+            F.col("n_exact").cast("bigint").alias("n_exact_rows"),
+            F.col("n_rr").cast("bigint").alias("n_reranked"),
+            (
+                F.col("n_matched").cast("double") / F.col("n_exact").cast("double")
+                >= 0.65
+            ).alias("recall_ok"),
+        )
+        # one-row audit materialized DRIVER-SIDE and rebuilt as a local
+        # DataFrame: the temp layout is deleted below, so a lazy plan
+        # over it could not be recomputed after cache eviction
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if short is not None:
+            short.unpersist()
+        shutil.rmtree(layout, ignore_errors=True)

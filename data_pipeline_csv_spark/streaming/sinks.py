@@ -151,29 +151,70 @@ def _neardup_paths(state_root: str) -> dict:
 
 
 def _read_neardup_marker(cmark_path: str):
-    """(table, docs_dir, folded_upto) from the compaction marker, or
-    (None, None, -1) when no compaction has committed yet."""
+    """(generations, folded_upto) from the compaction marker, or
+    ([], -1) when no compaction has committed yet.
+
+    ``generations`` is oldest-first; each is a dict with ``table``
+    (bucketed index table name), ``docs`` (parquet dir of that
+    generation's documents) and ``rows`` (doc count, used by the
+    geometric merge policy; None for migrated legacy generations —
+    counted lazily on the next compaction).
+
+    Three on-disk formats are readable, so a state_root written by any
+    prior version of this module keeps working after an upgrade:
+    v2 JSON (current, multi-generation), the 3-line
+    ``table\\ndocs\\nfolded_upto`` single-generation format, and the
+    oldest 1-line table-name-only format (docs at the fixed
+    ``compacted_docs`` path, no watermark — its tail dirs were always
+    deleted synchronously, so ``folded_upto=-1`` cannot double-read)."""
+    import json
     import os
 
     if not os.path.exists(cmark_path):
-        return None, None, -1
+        return [], -1
     with open(cmark_path) as fh:
-        table, docs_dir, upto = fh.read().strip().splitlines()
-    return table, docs_dir, int(upto)
+        raw = fh.read().strip()
+    if raw.startswith("{"):
+        doc = json.loads(raw)
+        return doc["generations"], int(doc["folded_upto"])
+    lines = raw.splitlines()
+    if len(lines) == 1:  # legacy v0: table name only
+        cdocs = os.path.join(os.path.dirname(cmark_path), "compacted_docs")
+        return [{"table": lines[0], "docs": cdocs, "rows": None}], -1
+    table, docs_dir, upto = lines
+    return [{"table": table, "docs": docs_dir, "rows": None}], int(upto)
+
+
+def _write_neardup_marker(cmark_path: str, generations: list, folded_upto: int) -> None:
+    """Atomically commit the marker (os.replace of a same-dir temp)."""
+    import json
+    import os
+
+    tmp = f"{cmark_path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"v": 2, "folded_upto": folded_upto, "generations": generations}))
+    os.replace(tmp, cmark_path)
 
 
 def _neardup_state(spark, state_root: str, epoch_id: int):
-    """(seen_docs, index) DataFrames visible to an epoch, or (None, None).
+    """(seen_docs, index_parts) visible to an epoch, or (None, []).
 
-    Two tiers: the COMPACTED tier (one bucketed index table + one docs
-    dir, named by the marker — see :func:`compact_neardup_state`) plus
-    the batch-keyed tail. Tail visibility is ``folded_upto < batch !=
-    epoch_id``: the marker's watermark excludes batches already folded
-    into the compacted tier (so a crash between the marker swap and
-    the tail cleanup can never double-read a folded batch), and the
-    epoch's own batch={epoch_id} partitions are excluded — a replayed
-    epoch's dirs may already exist on disk (failure between the state
-    writes and the checkpoint commit), and including them would break
+    Tiers: every COMPACTED generation (a bucketed index table + a docs
+    dir each, listed oldest-first in the marker — see
+    :func:`compact_neardup_state`) plus the batch-keyed tail. The
+    index comes back as a LIST of DataFrames, one per tier, instead of
+    one union: a union would discard the generations' bucketing and
+    every probe against it would shuffle the corpus-sized index, while
+    probing each generation separately keeps the index side
+    shuffle-free (generation count is logarithmic in corpus size under
+    the geometric merge policy, so the per-part probe fan-out is
+    bounded). Tail visibility is ``folded_upto < batch != epoch_id``:
+    the marker's watermark excludes batches already folded into the
+    compacted tiers (so a crash between the marker swap and the tail
+    cleanup can never double-read a folded batch), and the epoch's own
+    batch={epoch_id} partitions are excluded — a replayed epoch's dirs
+    may already exist on disk (failure between the state writes and
+    the checkpoint commit), and including them would break
     minhash_lsh_incremental's disjoint-ids precondition and change the
     replayed output.
     """
@@ -183,10 +224,12 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
 
     p = _neardup_paths(state_root)
     docs_parts, idx_parts = [], []
-    table, docs_dir, folded_upto = _read_neardup_marker(p["cmark"])
-    if table is not None:
-        idx_parts.append(spark.table(table).select("doc_id", "band_id", "band_hash"))
-        docs_parts.append(spark.read.parquet(docs_dir).select("doc_id", "text"))
+    gens, folded_upto = _read_neardup_marker(p["cmark"])
+    for g in gens:
+        idx_parts.append(
+            spark.table(g["table"]).select("doc_id", "band_id", "band_hash")
+        )
+        docs_parts.append(spark.read.parquet(g["docs"]).select("doc_id", "text"))
     if os.path.isdir(p["docs"]) and any(
         d.startswith("batch=")
         and d != f"batch={epoch_id}"
@@ -203,14 +246,11 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
             .select("doc_id", "band_id", "band_hash")
         )
     if not docs_parts:
-        return None, None
+        return None, []
     seen = docs_parts[0]
     for extra in docs_parts[1:]:
         seen = seen.unionByName(extra)
-    idx = idx_parts[0]
-    for extra in idx_parts[1:]:
-        idx = idx.unionByName(extra)
-    return seen, idx
+    return seen, idx_parts
 
 
 def neardup_epoch_writer(
@@ -244,14 +284,15 @@ def neardup_epoch_writer(
     the write parallelism alone; compact_neardup_state remains the
     backstop for long feeds either way).
 
-    ``compact_every=N`` compacts IN-STREAM: every Nth epoch first folds
-    all committed state into the bucketed ``index_table`` + one docs
-    dir (:func:`compact_neardup_state` with ``exclude_epoch`` — see
-    there for why this is replay-safe), so the batch-keyed tail never
-    exceeds N dirs no matter how long the feed runs — the unbounded
-    epoch-dir growth a continuous feed otherwise accretes. After
-    compaction the cross-probe's index side is the bucketed table, so
-    the probe join is shuffle-free on the corpus side.
+    ``compact_every=N`` compacts IN-STREAM: every Nth epoch (empty or
+    not) first folds the committed batch-keyed tail into a new
+    bucketed ``index_table`` GENERATION, merging generations
+    geometrically (:func:`compact_neardup_state` with ``exclude_epoch``
+    — see there for the tiering and why this is replay-safe), so the
+    batch-keyed tail never exceeds N dirs and per-compaction rewrite
+    work is O(tail), no matter how long the feed runs. After
+    compaction the cross-probe's index side is a handful of bucketed
+    tables, each probed shuffle-free on the corpus side.
     """
     import os
 
@@ -267,12 +308,16 @@ def neardup_epoch_writer(
     p = _neardup_paths(state_root)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # Compaction fires BEFORE the empty-batch return: an empty Nth
+        # micro-batch (sparse feed) must still fold the tail, or the
+        # documented "tail never exceeds N dirs" bound silently slips
+        # to the next non-empty multiple of N.
         if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
             compact_neardup_state(
                 spark, state_root, index_table, exclude_epoch=epoch_id
             )
+        if batch_df.isEmpty():
+            return
         batch = batch_df.select("doc_id", "text")
         # The batch's band entries feed THREE consumers (within-batch
         # bucketing, the cross-probe, the index write); sign once and
@@ -289,13 +334,20 @@ def neardup_epoch_writer(
             # verification stages, and fetches each candidate doc's
             # shingle set once even when a doc shows up in both sets.
             cand = lsh_bucket_candidates(entries)
-            seen, idx = _neardup_state(spark, state_root, epoch_id)
+            seen, idx_parts = _neardup_state(spark, state_root, epoch_id)
             verify_docs = batch
             if seen is not None:
                 # d1 = history doc, d2 = batch doc (lsh_probe_candidates
                 # orientation) — same orientation minhash_lsh_incremental
-                # emits, so the drained union is unchanged.
-                cand = cand.unionByName(lsh_probe_candidates(idx, entries))
+                # emits, so the drained union is unchanged. Each index
+                # tier is probed SEPARATELY: a pre-probe union would
+                # discard the generations' (band_id, band_hash)
+                # bucketing and shuffle the corpus-sized index; per-part
+                # probes keep every compacted side shuffle-free and the
+                # candidate sets are disjoint by construction (a doc
+                # lives in exactly one tier).
+                for part in idx_parts:
+                    cand = cand.unionByName(lsh_probe_candidates(part, entries))
                 verify_docs = seen.unionByName(batch)
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
             pairs = _verify_candidates(verify_docs, cand, threshold)
@@ -327,18 +379,29 @@ def neardup_epoch_writer(
 
 def compact_neardup_state(
     spark, state_root: str, index_table: str, n_buckets: int = 16,
-    exclude_epoch: int = -1,
+    exclude_epoch: int = -1, merge_ratio: float = 0.5,
 ) -> None:
-    """Fold the batch-keyed epoch state into ONE bucketed index table +
-    ONE docs dir — the maintenance job a long-running feed needs.
+    """TIERED (LSM-style) fold of the batch-keyed epoch state into
+    bucketed index generations — the maintenance job a long-running
+    feed needs, with per-compaction work proportional to the TAIL, not
+    to the total accumulated state.
 
     Without it, state accumulates a subdirectory per epoch and
     partition discovery over thousands of dirs degrades every epoch's
-    index read. After compaction the probe side reads a single catalog
-    table bucketed by (band_id, band_hash) — the probe join against it
-    is shuffle-free on the index side
-    (tests/test_plans.py::test_compacted_lsh_probe_index_side_shuffle_free)
-    — plus whatever small batch tail arrived since.
+    index read. Each compaction folds ONLY the batch-keyed tail into a
+    NEW generation (a catalog table bucketed by (band_id, band_hash) +
+    one docs dir), leaving prior generations' bytes untouched
+    (tests/test_neardup_state.py::test_tiered_compaction_rewrites_only_tail),
+    then applies the geometric merge policy: while the youngest
+    generation holds >= ``merge_ratio`` x the rows of the one before
+    it, the two merge into one. Generation sizes therefore decrease
+    geometrically youngest-first, the generation count stays
+    O(log(total/tail)), and total rewrite cost over the feed's life is
+    O(n log n) — vs the O(n) PER COMPACTION of a rewrite-the-world
+    fold. Probes stay shuffle-free on every generation
+    (tests/test_plans.py::test_compacted_lsh_probe_index_side_shuffle_free):
+    :func:`_neardup_state` hands the tiers back unmixed precisely so
+    each keeps its bucketing.
 
     Safe to run from two places: (a) while the stream is
     stopped/quiescent (after awaitTermination every drained epoch is
@@ -352,32 +415,30 @@ def compact_neardup_state(
     feed's state dir count bounded without stopping the stream.
 
     CRASH-SAFE commit protocol (every window leaves a readable,
-    never-double-counted state): the fold is written to a NEW
-    generation (table ``{index_table}_g{N}`` + docs dir
-    ``compacted_docs_g{N}``, N = highest folded batch id), then the
-    marker file — (table, docs dir, folded_upto watermark) — is
-    swapped in atomically via os.replace, and ONLY THEN is anything
-    deleted. A crash before the swap leaves the old marker + full
-    tail (the orphaned new generation is garbage-collected by the
-    next run); a crash after the swap leaves folded tail dirs on disk
-    that readers already ignore via the watermark
-    (:func:`_neardup_state` reads only ``batch > folded_upto``), so
-    cleanup is resumable. A replayed epoch that re-triggers its
-    compaction folds an empty visible tail and regenerates identical
-    content.
-
-    At 100 TB scale the rewrite-the-world shape here becomes a tiered
-    (LSM-style) fold — compact only the tail into a new generation and
-    merge generations geometrically — but the read path (ONE bucketed
-    table + small tail) and the probe plan are already the end state.
+    never-double-counted state): all new generations — the tail fold
+    and any merges — are written under names the current marker does
+    not reference, then the marker (generation list + folded_upto
+    watermark) is swapped in atomically via os.replace, and ONLY THEN
+    is anything deleted. A crash before the swap leaves the old marker
+    + full tail authoritative (the orphaned new tables/dirs are
+    garbage-collected by the next successful run); a crash after the
+    swap leaves folded tail dirs and retired generations on disk that
+    readers already ignore via the marker, so cleanup is resumable. A
+    replayed epoch that re-triggers its compaction sees an empty
+    visible tail and skips. Markers written by older versions of this
+    module (single-generation, see :func:`_read_neardup_marker`) read
+    as one legacy generation and their fixed-path docs/index dirs are
+    swept here once that generation merges away.
     """
     import os
     import shutil
 
+    from pyspark.sql import functions as F
+
     from ..engine import clear_managed_table
 
     p = _neardup_paths(state_root)
-    _old_table, _old_docs, folded_upto = _read_neardup_marker(p["cmark"])
+    old_gens, folded_upto = _read_neardup_marker(p["cmark"])
     tail_ids = [
         int(d.split("=", 1)[1])
         for d in (os.listdir(p["docs"]) if os.path.isdir(p["docs"]) else [])
@@ -385,55 +446,109 @@ def compact_neardup_state(
         and d != f"batch={exclude_epoch}"
         and int(d.split("=", 1)[1]) > folded_upto
     ]
-    if _old_table is not None and not tail_ids:
+    if not tail_ids:
         # nothing new to fold (e.g. a replayed epoch re-triggering its
-        # compaction): a re-fold would regenerate identical content —
-        # skip it entirely so the committed generation is never dropped
-        # and rebuilt in place.
+        # compaction, or an all-empty window): merges are applied
+        # eagerly at fold time, so no pending work can exist either —
+        # skip entirely, never drop and rebuild committed generations.
         return
-    seen, idx = _neardup_state(spark, state_root, epoch_id=exclude_epoch)
-    if seen is None:
-        return
-    gen = max([folded_upto, *tail_ids])
-    new_table = f"{index_table}_g{gen}"
-    new_docs = os.path.join(state_root, f"compacted_docs_g{gen}")
-    # 1. stage the fold (a crashed prior attempt at this gen is swept)
-    staging = os.path.join(state_root, "_compact_staging")
-    shutil.rmtree(staging, ignore_errors=True)
-    idx.write.mode("overwrite").parquet(os.path.join(staging, "idx"))
-    seen.write.mode("overwrite").parquet(os.path.join(staging, "docs"))
-    clear_managed_table(spark, new_table)
-    (
-        spark.read.parquet(os.path.join(staging, "idx"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "band_id", "band_hash")
-        .sortBy("band_id", "band_hash")
-        .format("parquet")
-        .saveAsTable(new_table)
+
+    def _rows(g: dict) -> int:
+        # legacy generations carry rows=None; count once, lazily
+        if g["rows"] is None:
+            g["rows"] = spark.read.parquet(g["docs"]).count()
+        return g["rows"]
+
+    def _next_names() -> tuple[str, str]:
+        # smallest unused generation id: never collides with live
+        # generations (any marker version) or crashed-run orphans
+        s = 0
+        while True:
+            t = f"{index_table}_g{s}"
+            d = os.path.join(state_root, f"compacted_docs_g{s}")
+            if (
+                not spark.catalog.tableExists(t)
+                and not os.path.exists(d)
+                and t not in {g["table"] for g in gens}
+            ):
+                return t, d
+            s += 1
+
+    def _save(idx_df, docs_df, rows: int | None) -> dict:
+        table, docs_dir = _next_names()
+        clear_managed_table(spark, table)
+        (
+            idx_df.write.mode("overwrite")
+            .bucketBy(n_buckets, "band_id", "band_hash")
+            .sortBy("band_id", "band_hash")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        docs_df.write.mode("overwrite").parquet(docs_dir)
+        if rows is None:
+            rows = spark.read.parquet(docs_dir).count()
+        return {"table": table, "docs": docs_dir, "rows": rows}
+
+    gens = list(old_gens)
+    # 1. fold ONLY the tail into a new youngest generation
+    cond = (F.col("batch") != exclude_epoch) & (F.col("batch") > folded_upto)
+    gens.append(
+        _save(
+            spark.read.parquet(p["idx"]).where(cond).select(
+                "doc_id", "band_id", "band_hash"
+            ),
+            spark.read.parquet(p["docs"]).where(cond).select("doc_id", "text"),
+            rows=None,
+        )
     )
-    shutil.rmtree(new_docs, ignore_errors=True)
-    os.rename(os.path.join(staging, "docs"), new_docs)
-    # 2. COMMIT: atomic marker swap — readers now see the new tier and
-    #    ignore tail batches <= gen
-    tmp_mark = f"{p['cmark']}.tmp"
-    with open(tmp_mark, "w") as fh:
-        fh.write(f"{new_table}\n{new_docs}\n{gen}\n")
-    os.replace(tmp_mark, p["cmark"])
-    # 3. cleanup, all resumable garbage collection: folded tail dirs,
-    #    prior generations (incl. orphans from crashed runs), staging
+    # 2. geometric merge: youngest absorbs upward while it has grown to
+    #    >= merge_ratio of its elder — each surviving generation is
+    #    >= 1/merge_ratio x its junior, so |gens| is logarithmic
+    while len(gens) >= 2 and _rows(gens[-1]) >= merge_ratio * _rows(gens[-2]):
+        young, elder = gens.pop(), gens.pop()
+        merged = _save(
+            spark.table(elder["table"])
+            .select("doc_id", "band_id", "band_hash")
+            .unionByName(
+                spark.table(young["table"]).select("doc_id", "band_id", "band_hash")
+            ),
+            spark.read.parquet(elder["docs"])
+            .select("doc_id", "text")
+            .unionByName(spark.read.parquet(young["docs"]).select("doc_id", "text")),
+            rows=elder["rows"] + young["rows"],
+        )
+        gens.append(merged)
+    new_upto = max([folded_upto, *tail_ids])
+    # 3. COMMIT: atomic marker swap — readers now see the new tiers and
+    #    ignore tail batches <= new_upto and retired generations
+    _write_neardup_marker(p["cmark"], gens, new_upto)
+    # 4. cleanup, all resumable garbage collection: folded tail dirs,
+    #    retired/orphaned generations (incl. legacy fixed-path dirs and
+    #    crashed-run leftovers)
+    live_tables = {g["table"].lower() for g in gens}
+    live_docs = {os.path.abspath(g["docs"]) for g in gens}
     for root in (p["idx"], p["docs"]):
         if os.path.isdir(root):
             for d in os.listdir(root):
-                if d.startswith("batch=") and int(d.split("=", 1)[1]) <= gen:
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) <= new_upto:
                     shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     for d in os.listdir(state_root):
-        full = os.path.join(state_root, d)
-        if d.startswith("compacted_docs_g") and full != new_docs:
+        full = os.path.abspath(os.path.join(state_root, d))
+        if d.startswith("compacted_docs") and full not in live_docs:
             shutil.rmtree(full, ignore_errors=True)
+    if os.path.abspath(p["cidx"]) not in live_docs:
+        shutil.rmtree(p["cidx"], ignore_errors=True)  # legacy v0 index dir
+    retired = {
+        g["table"].lower() for g in old_gens if g["table"].lower() not in live_tables
+    }
     for t in spark.catalog.listTables():
-        if t.name.startswith(f"{index_table}_g".lower()) and t.name != new_table.lower():
+        if t.name in retired or (
+            t.name.startswith(f"{index_table}_g".lower())
+            and t.name not in live_tables
+        ):
             clear_managed_table(spark, t.name)
-    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(state_root, "_compact_staging"), ignore_errors=True)
 
 
 def run_streaming_neardup(
@@ -454,11 +569,12 @@ def run_streaming_neardup(
     the later side probes the earlier side's index (cross), the
     accumulated pair set after draining the feed equals the one-shot
     batch LSH over the whole corpus — which is what the driver oracle
-    checks. ``compact_every=N`` folds the epoch-keyed state into one
-    bucketed index table every Nth epoch IN-STREAM (replay-safe; see
-    :func:`compact_neardup_state`), so per-epoch reads stay O(1) dirs
-    on long-running feeds; between feeds the same fold can be run
-    manually.
+    checks. ``compact_every=N`` folds the epoch-keyed tail into a new
+    bucketed index generation every Nth epoch IN-STREAM, merging
+    generations geometrically (replay-safe, O(tail) rewrite per
+    compaction; see :func:`compact_neardup_state`), so per-epoch reads
+    stay O(log n) sources on long-running feeds; between feeds the
+    same fold can be run manually.
 
     Returns the accumulated (d1, d2, jaccard) pairs DataFrame.
     """

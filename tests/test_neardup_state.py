@@ -56,10 +56,14 @@ def test_epoch_replay_rewrites_identical_state(spark, sf_dir, tmp_path):
 
 
 def test_compaction_folds_epochs_and_preserves_equivalence(spark, sf_dir, tmp_path):
-    """compact_neardup_state folds the batch-keyed tail into one
-    bucketed index table + one docs dir; epochs written after it probe
-    the compacted tier and the drained pair set still equals the
-    one-shot LSH. Re-compaction (compacted tier + new tail) also works."""
+    """compact_neardup_state folds the batch-keyed tail into a bucketed
+    index generation; epochs written after it probe the compacted tier
+    and the drained pair set still equals the one-shot LSH.
+    Re-compaction (compacted tier + new tail) also works — here the new
+    tail (1/3 of the corpus) crosses the explicit merge_ratio=0.45
+    threshold against the 2/3-corpus first generation (166 vs 334 rows
+    at sf0.001 — just under the 0.5 default), so the two generations
+    merge back to one and the retired one is garbage-collected."""
     docs = load_table(spark, sf_dir, "documents")
     batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     state = str(tmp_path / "state")
@@ -75,21 +79,30 @@ def test_compaction_folds_epochs_and_preserves_equivalence(spark, sf_dir, tmp_pa
         for sub in ("lsh_index", "seen_docs"):
             root = os.path.join(state, sub)
             assert not [d for d in os.listdir(root) if d.startswith("batch=")]
-        tbl, docs_dir, upto = _read_neardup_marker(mark)
-        assert upto == 1 and os.path.isdir(docs_dir)
+        gens, upto = _read_neardup_marker(mark)
+        assert upto == 1 and len(gens) == 1
+        tbl, docs_dir = gens[0]["table"], gens[0]["docs"]
+        assert os.path.isdir(docs_dir)
         assert spark.table(tbl).count() > 0
+        assert gens[0]["rows"] == spark.read.parquet(docs_dir).count()
 
         w(batches[2], 2)  # probes compacted tier
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
 
-        # fold the new tail into a second generation; the first
-        # generation is garbage-collected after the marker swap
-        compact_neardup_state(spark, state, "t_nd_idx_compact_test")
-        tbl2, docs_dir2, upto2 = _read_neardup_marker(mark)
-        assert upto2 == 2 and tbl2 != tbl and docs_dir2 != docs_dir
-        assert not os.path.isdir(docs_dir)
-        assert not spark.catalog.tableExists(tbl)
+        # fold the new tail; 1/3 >= 0.45 * 2/3 -> geometric merge back
+        # to ONE generation; the retired constituents are GC'd
+        compact_neardup_state(
+            spark, state, "t_nd_idx_compact_test", merge_ratio=0.45
+        )
+        gens2, upto2 = _read_neardup_marker(mark)
+        assert upto2 == 2 and len(gens2) == 1
+        tbl2, docs_dir2 = gens2[0]["table"], gens2[0]["docs"]
+        assert not spark.catalog.tableExists(tbl) or tbl2 == tbl
         assert spark.read.parquet(docs_dir2).count() == docs.count()
+        live = {t.name for t in spark.catalog.listTables()}
+        assert {
+            n for n in live if n.startswith("t_nd_idx_compact_test")
+        } == {tbl2.lower()}
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
     finally:
         for t in spark.catalog.listTables():
@@ -169,14 +182,14 @@ def test_compaction_watermark_ignores_resurrected_folded_tail(
                 shutil.copytree(
                     os.path.join(saved, sub, d), os.path.join(state, sub, d)
                 )
-        seen, idx = _neardup_state(spark, state, epoch_id=-1)
+        seen, _idx_parts = _neardup_state(spark, state, epoch_id=-1)
         assert seen.count() == n_state_docs  # not double-counted
         assert seen.select("doc_id").distinct().count() == n_state_docs
         # next epoch + compaction still converge and GC the stale dirs
         w(batches[2], 2)
         compact_neardup_state(spark, state, "t_nd_idx_wm_test")
         assert _pairs(spark, state) == _oneshot(spark, sf_dir)
-        _tbl, _dir, upto = _read_neardup_marker(
+        _gens, upto = _read_neardup_marker(
             os.path.join(state, "compacted_index_table")
         )
         assert upto == 2
@@ -190,3 +203,186 @@ def test_compaction_watermark_ignores_resurrected_folded_tail(
         for t in spark.catalog.listTables():
             if t.name.startswith("t_nd_idx_wm_test"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def _snapshot_dir(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            out[full] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_tiered_compaction_rewrites_only_tail(spark, sf_dir, tmp_path):
+    """The LSM property: each compaction folds ONLY the batch-keyed
+    tail; elder generations' bytes are untouched. A 90% generation
+    followed by two 5% tails produces [0.9, 0.05] then (geometric
+    merge of the two youngest) [0.9, 0.1] — the big generation's files
+    are byte-identical across both compactions, so rewrite work per
+    compaction is O(tail), not O(total state)."""
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 20 > 1)  # ~90%
+    b1 = docs.filter(F.col("doc_id") % 20 == 0)  # ~5%
+    b2 = docs.filter(F.col("doc_id") % 20 == 1)  # ~5%
+    state = str(tmp_path / "state")
+    mark = os.path.join(state, "compacted_index_table")
+    w = neardup_epoch_writer(spark, state, threshold=0.8)
+    try:
+        w(b0, 0)
+        compact_neardup_state(spark, state, "t_nd_idx_tier_test")
+        gens, _ = _read_neardup_marker(mark)
+        assert len(gens) == 1
+        big = gens[0]
+        before = _snapshot_dir(big["docs"])
+
+        w(b1, 1)
+        compact_neardup_state(spark, state, "t_nd_idx_tier_test")
+        gens, upto = _read_neardup_marker(mark)
+        # small tail does NOT merge into the big generation
+        assert upto == 1 and len(gens) == 2
+        assert gens[0] == big, "elder generation must survive unchanged"
+        assert _snapshot_dir(big["docs"]) == before, "elder bytes rewritten"
+        assert gens[1]["rows"] < 0.5 * big["rows"]
+
+        w(b2, 2)
+        compact_neardup_state(spark, state, "t_nd_idx_tier_test")
+        gens, upto = _read_neardup_marker(mark)
+        # the two young 5% generations merged; the 90% elder still
+        # byte-identical (its rewrite would be the O(total) behavior
+        # this tiering removes)
+        assert upto == 2 and len(gens) == 2
+        assert gens[0] == big
+        assert _snapshot_dir(big["docs"]) == before, "elder bytes rewritten"
+        assert gens[1]["rows"] == docs.count() - big["rows"]
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_tier_test"):
+                clear_managed_table(spark, t.name)
+
+
+def test_legacy_three_line_marker_migrates(spark, sf_dir, tmp_path):
+    """A state_root committed by the previous (single-generation,
+    3-line marker) version of this module must keep working: the
+    marker reads as one legacy generation (rows unknown -> counted
+    lazily), later epochs probe it, and the next compaction folds new
+    tail against it under the geometric policy."""
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    mark = os.path.join(state, "compacted_index_table")
+    w = neardup_epoch_writer(spark, state, threshold=0.8)
+    try:
+        w(batches[0], 0)
+        w(batches[1], 1)
+        compact_neardup_state(spark, state, "t_nd_idx_legacy3_test")
+        gens, upto = _read_neardup_marker(mark)
+        # rewrite the marker in the legacy 3-line format
+        with open(mark, "w") as fh:
+            fh.write(f"{gens[0]['table']}\n{gens[0]['docs']}\n{upto}\n")
+        gens2, upto2 = _read_neardup_marker(mark)
+        assert upto2 == upto and gens2[0]["rows"] is None
+        assert gens2[0]["table"] == gens[0]["table"]
+
+        w(batches[2], 2)  # probes the legacy generation
+        compact_neardup_state(spark, state, "t_nd_idx_legacy3_test")
+        gens3, upto3 = _read_neardup_marker(mark)
+        assert upto3 == 2
+        assert sum(g["rows"] for g in gens3) == docs.count()
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_legacy3_test"):
+                clear_managed_table(spark, t.name)
+
+
+def test_legacy_one_line_marker_migrates_and_gc(spark, sf_dir, tmp_path):
+    """The oldest marker format (one line: table name; docs at the
+    fixed compacted_docs path) must read as a legacy generation, and
+    once that generation merges away the fixed-path dir is swept by
+    compaction GC."""
+    import shutil
+
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    mark = os.path.join(state, "compacted_index_table")
+    w = neardup_epoch_writer(spark, state, threshold=0.8)
+    try:
+        w(batches[0], 0)
+        w(batches[1], 1)
+        compact_neardup_state(spark, state, "t_nd_idx_legacy1_test")
+        gens, _ = _read_neardup_marker(mark)
+        legacy_docs = os.path.join(state, "compacted_docs")
+        shutil.move(gens[0]["docs"], legacy_docs)
+        with open(mark, "w") as fh:
+            fh.write(gens[0]["table"])
+        gens2, upto2 = _read_neardup_marker(mark)
+        assert upto2 == -1 and gens2[0]["docs"] == legacy_docs
+
+        w(batches[2], 2)  # probes the legacy generation
+        # 1/3 >= 0.45 * 2/3 -> the tail fold merges with the legacy
+        # generation, which retires it; GC must sweep the fixed path
+        compact_neardup_state(
+            spark, state, "t_nd_idx_legacy1_test", merge_ratio=0.45
+        )
+        gens3, upto3 = _read_neardup_marker(mark)
+        assert upto3 == 2 and len(gens3) == 1
+        assert not os.path.exists(legacy_docs)
+        assert not spark.catalog.tableExists(gens2[0]["table"])
+        assert spark.read.parquet(gens3[0]["docs"]).count() == docs.count()
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_legacy1_test"):
+                clear_managed_table(spark, t.name)
+
+
+def test_empty_nth_batch_still_triggers_compaction(spark, sf_dir, tmp_path):
+    """An EMPTY Nth micro-batch (sparse feed) must still fire the
+    in-stream compaction — otherwise the documented 'tail never
+    exceeds N dirs' bound silently slips until the next non-empty
+    multiple of N."""
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = str(tmp_path / "state")
+    w = neardup_epoch_writer(
+        spark, state, threshold=0.8, compact_every=2,
+        index_table="t_nd_idx_empty_test",
+    )
+    try:
+        w(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        w(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        w(docs.limit(0), 2)  # empty compaction-trigger epoch
+        gens, upto = _read_neardup_marker(
+            os.path.join(state, "compacted_index_table")
+        )
+        assert upto == 1 and len(gens) == 1
+        tail = [
+            d
+            for d in os.listdir(os.path.join(state, "lsh_index"))
+            if d.startswith("batch=")
+        ]
+        assert not tail, f"tail not folded by the empty trigger epoch: {tail}"
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_empty_test"):
+                clear_managed_table(spark, t.name)

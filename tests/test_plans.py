@@ -239,10 +239,10 @@ def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
 
         neardup_epoch_writer(spark, state)(old, 0)
         compact_neardup_state(spark, state, "t_lsh_idx_plan_test", n_buckets=4)
-        tbl, _docs_dir, _upto = _read_neardup_marker(
+        gens, _upto = _read_neardup_marker(
             os.path.join(state, "compacted_index_table")
         )
-        idx = spark.table(tbl)
+        idx = spark.table(gens[-1]["table"])
         probe = lsh_band_entries(docs.filter(F.col("doc_id") % 5 == 0))
         # force the SMJ path the buckets exist for (a tiny test probe
         # would broadcast; at scale a large backfill batch cannot)
