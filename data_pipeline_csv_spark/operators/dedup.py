@@ -405,18 +405,25 @@ def _verify_candidates(
 
     Scores each pair with array_intersect over per-doc DISTINCT
     shingle arrays — a map-side projection plus two joins of
-    (candidate pairs) x (candidate docs), both small by the same
-    assumption that justifies the cand_docs broadcast; AQE converts
-    them to broadcasts at runtime. This replaces the explode/
-    distinct/self-join verification (7 wide stages) with 2 joins.
-    The _toks projection must stay separate: word_shingles reads the
-    token array 3n times per shingle (see shingle_sets docstring).
+    (candidate pairs) x (candidate docs). NO join here carries a
+    forced broadcast hint: in the corpora dedup exists for, duplicates
+    are a large constant fraction, so cand_docs (the distinct doc ids
+    appearing in any candidate pair) grows ~linearly with the corpus —
+    a pinned broadcast of it is an executor OOM at 100 TB and disables
+    AQE's fail-over to a skew-splittable shuffle join. AQE broadcasts
+    all three joins at small scale on measured sizes; the no-hint
+    shape is pinned by tests/test_plans.py::
+    test_dedup_verification_does_not_force_broadcasts. This replaces
+    the explode/distinct/self-join verification (7 wide stages) with
+    2 joins. The _toks projection must stay separate: word_shingles
+    reads the token array 3n times per shingle (see shingle_sets
+    docstring).
     """
     cand_docs = (
         candidates.select(F.explode(F.array("d1", "d2")).alias("_cid")).distinct()
     )
     cand_df = docs.join(
-        F.broadcast(cand_docs), F.col(id_col) == F.col("_cid"), "leftsemi"
+        cand_docs, F.col(id_col) == F.col("_cid"), "leftsemi"
     )
     cand_toks = cand_df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
     cand_sh = cand_toks.select(

@@ -211,6 +211,76 @@ def test_ivf_ondisk_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_pq_rerank_fetch_prunes_partitions(spark, sf_dir, tmp_path):
+    """The PQ rerank's shortlist vector fetch must be a POINT LOOKUP
+    against the IVF layout: the shortlist's list_ids reach the scan as
+    a literal partition filter, so the exact rerank never re-scans the
+    embedding table — it opens only the shortlist's list directories.
+    Mirrors test_ivf_ondisk_probe_prunes_partitions for the rerank's
+    cand plan (the pipeline queries/similarity.similarity_ann_pq_rerank
+    builds)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        read_ivf_lists,
+        write_ivf_layout,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    books = pq_train(spark, corpus, dim=64, m=8, k=16, iters=2, cache_key=(sf_dir, "pq8"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    layout = str(tmp_path / "pq_ivf_layout")
+    write_ivf_layout(corpus, cents, layout)
+    all_lists = {d for d in os.listdir(layout) if d.startswith("list_id=")}
+    assert len(all_lists) > 2  # a real multi-partition layout
+
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < 3).collect()
+    ]
+    codes = pq_encode(
+        spark.read.parquet(layout).withColumn(
+            "list_id", F.col("list_id").cast("bigint")
+        ),
+        books,
+        m=8,
+        carry=("list_id",),
+    )
+    short = pq_adc_topk(codes, books, qrows, k=20, carry="list_id").select(
+        "q_id", "vec_id", "list_id"
+    )
+    lists = sorted(r["list_id"] for r in short.select("list_id").distinct().collect())
+    assert 0 < len(lists) <= len(all_lists)
+
+    # the rerank's cand fetch, exactly as the registered query builds it
+    cand = short.select("q_id", "vec_id").join(
+        read_ivf_lists(spark, layout, lists).select("vec_id", "embedding"), "vec_id"
+    )
+    plan = _plan(cand)
+    ppf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert ppf and "list_id" in ppf[0]  # static pruning reached the scan
+
+    # physical check: the fetch opens only shortlist-list files
+    files = {
+        r[0]
+        for r in read_ivf_lists(spark, layout, lists)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    read_lists = {int(f.split("list_id=")[1].split("/")[0]) for f in files}
+    assert read_lists <= set(lists)
+
+
 def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
     """Probing a compacted LSH index table bucketed by (band_id,
     band_hash) must not shuffle the index side: only the probe batch
@@ -308,6 +378,30 @@ def test_lm_filters_do_not_force_vocab_broadcast(spark, sf_dir):
     big = REGISTRY["text_bigram_logprob"].fn(spark, sf_dir)
     assert "=broadcast" not in _opt(big)
     assert "CartesianProduct" not in _plan(big)
+
+
+def test_dedup_verification_does_not_force_broadcasts(spark, sf_dir):
+    """In the corpora dedup exists for, duplicates are a large constant
+    fraction, so the candidate-pair doc-id set (cand_docs inside
+    _verify_candidates) grows ~linearly with the corpus — no join in a
+    batch dedup plan may carry a forced broadcast hint on it (the same
+    argument that removed the LM filters' vocab hints: a pinned
+    broadcast is an executor OOM at 100 TB and disables AQE's
+    fail-over to a skew-splittable shuffle join). AQE still broadcasts
+    the small sides at test SFs — that choice belongs to the runtime,
+    not the operator."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    def _opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    assert "=broadcast" not in _opt(minhash_lsh_pairs(docs, threshold=0.8))
+    assert "=broadcast" not in _opt(containment_lsh_pairs(docs, threshold=0.9))
 
 
 def test_quantize_int8_is_pure_projection(spark, sf_dir):
