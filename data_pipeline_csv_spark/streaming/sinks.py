@@ -431,6 +431,7 @@ def compact_neardup_state(
     swept here once that generation merges away.
     """
     import os
+    import re
     import shutil
 
     from pyspark.sql import functions as F
@@ -439,13 +440,28 @@ def compact_neardup_state(
 
     p = _neardup_paths(state_root)
     old_gens, folded_upto = _read_neardup_marker(p["cmark"])
-    tail_ids = [
-        int(d.split("=", 1)[1])
-        for d in (os.listdir(p["docs"]) if os.path.isdir(p["docs"]) else [])
-        if d.startswith("batch=")
-        and d != f"batch={exclude_epoch}"
-        and int(d.split("=", 1)[1]) > folded_upto
-    ]
+
+    def _batch_ids(root: str) -> set:
+        return {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if d.startswith("batch=")
+        }
+
+    # A foldable epoch is one whose state write COMPLETED: the epoch
+    # writer commits idx then docs, so an idx-only batch dir is a
+    # crash-window partial whose epoch WILL replay (its checkpoint
+    # never committed). Folding from the intersection — and bounding
+    # the fold reads by isin(tail_ids) below rather than a bare
+    # `batch > folded_upto` — keeps such a partial out of the new
+    # generation entirely; otherwise its index rows would be folded
+    # now AND re-ingested after the replay rewrites the dir, breaking
+    # the cross-tier disjointness the per-part probe union relies on.
+    tail_ids = sorted(
+        b
+        for b in _batch_ids(p["idx"]) & _batch_ids(p["docs"])
+        if b != exclude_epoch and b > folded_upto
+    )
     if not tail_ids:
         # nothing new to fold (e.g. a replayed epoch re-triggering its
         # compaction, or an all-empty window): merges are applied
@@ -491,8 +507,10 @@ def compact_neardup_state(
         return {"table": table, "docs": docs_dir, "rows": rows}
 
     gens = list(old_gens)
-    # 1. fold ONLY the tail into a new youngest generation
-    cond = (F.col("batch") != exclude_epoch) & (F.col("batch") > folded_upto)
+    # 1. fold ONLY the tail into a new youngest generation — membership
+    #    by the completed-epoch id list, never an open-ended watermark
+    #    comparison (see tail_ids above)
+    cond = F.col("batch").isin(tail_ids)
     gens.append(
         _save(
             spark.read.parquet(p["idx"]).where(cond).select(
@@ -542,10 +560,14 @@ def compact_neardup_state(
     retired = {
         g["table"].lower() for g in old_gens if g["table"].lower() not in live_tables
     }
+    # Orphan sweep matches EXACTLY this index_table's generation names
+    # (^{index_table}_g\d+$) — a bare prefix match would also capture a
+    # prefix-overlapping pipeline's LIVE generations sharing the
+    # catalog (index_table='idx' matching 'idx_gold_g0').
+    orphan = re.compile(re.escape(index_table.lower()) + r"_g\d+$")
     for t in spark.catalog.listTables():
         if t.name in retired or (
-            t.name.startswith(f"{index_table}_g".lower())
-            and t.name not in live_tables
+            orphan.fullmatch(t.name) and t.name not in live_tables
         ):
             clear_managed_table(spark, t.name)
     shutil.rmtree(os.path.join(state_root, "_compact_staging"), ignore_errors=True)

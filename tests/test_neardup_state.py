@@ -386,3 +386,101 @@ def test_empty_nth_batch_still_triggers_compaction(spark, sf_dir, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("t_nd_idx_empty_test"):
                 clear_managed_table(spark, t.name)
+
+
+def test_compaction_skips_idx_only_partial_epoch(spark, sf_dir, tmp_path):
+    """An idx-only batch dir (crash between the epoch's index write and
+    its docs write — the epoch WILL replay, its checkpoint never
+    committed) must not be folded: a fold that ingested it would
+    re-ingest the same index rows after the replay rewrites the dir,
+    duplicating entries across tiers and breaking the cross-tier
+    disjointness the per-part probe union relies on. The fold's
+    membership comes from the completed-epoch intersection of idx and
+    docs batch dirs, bounded by isin(tail_ids), never a bare
+    `batch > folded_upto` watermark."""
+    import shutil
+
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    mark = os.path.join(state, "compacted_index_table")
+    w = neardup_epoch_writer(spark, state, threshold=0.8)
+    try:
+        w(batches[0], 0)
+        w(batches[1], 1)
+        w(batches[2], 2)
+        # simulate the crash window: epoch 2's docs write never landed
+        shutil.rmtree(os.path.join(state, "seen_docs", "batch=2"))
+        compact_neardup_state(spark, state, "t_nd_idx_partial_test")
+        gens, upto = _read_neardup_marker(mark)
+        # the partial epoch is NOT folded and NOT swept — it belongs to
+        # the replay
+        assert upto == 1
+        assert os.path.isdir(os.path.join(state, "lsh_index", "batch=2"))
+        w(batches[2], 2)  # the replay rewrites epoch 2's state
+        compact_neardup_state(spark, state, "t_nd_idx_partial_test")
+        gens2, upto2 = _read_neardup_marker(mark)
+        assert upto2 == 2
+        # cross-tier disjointness: every (doc_id, band_id) index row
+        # appears exactly once across all generations
+        idx_all = None
+        for g in gens2:
+            t = spark.table(g["table"]).select("doc_id", "band_id")
+            idx_all = t if idx_all is None else idx_all.unionByName(t)
+        dup = (
+            idx_all.groupBy("doc_id", "band_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert dup == 0, f"{dup} duplicated index rows across tiers"
+        assert _pairs(spark, state) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_idx_partial_test"):
+                clear_managed_table(spark, t.name)
+
+
+def test_generation_gc_spares_prefix_overlapping_index(spark, sf_dir, tmp_path):
+    """Two pipelines sharing a Spark catalog with prefix-overlapping
+    index_table names ('t_nd_gcpfx' vs 't_nd_gcpfx_gold' — note
+    'gold' starts with 'g') must never GC each other's LIVE
+    generations: the orphan sweep matches ^{index_table}_g\\d+$
+    exactly, not a bare prefix."""
+    from data_pipeline_csv_spark.streaming.sinks import _read_neardup_marker
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state_a = str(tmp_path / "state_a")
+    state_b = str(tmp_path / "state_b")
+    try:
+        wb = neardup_epoch_writer(spark, state_b, threshold=0.8)
+        wb(b0, 0)
+        compact_neardup_state(spark, state_b, "t_nd_gcpfx_gold")
+        gens_b, _ = _read_neardup_marker(
+            os.path.join(state_b, "compacted_index_table")
+        )
+        assert spark.catalog.tableExists(gens_b[0]["table"])
+
+        wa = neardup_epoch_writer(spark, state_a, threshold=0.8)
+        wa(b0, 0)
+        # pipeline A's compaction GC must not delete B's live generation
+        compact_neardup_state(spark, state_a, "t_nd_gcpfx")
+        assert spark.catalog.tableExists(gens_b[0]["table"]), (
+            "prefix-overlapping GC deleted a live generation of another "
+            "pipeline"
+        )
+        # B keeps working: its next epoch probes the surviving generation
+        wb(b1, 1)
+        assert _pairs(spark, state_b) == _oneshot(spark, sf_dir)
+    finally:
+        from data_pipeline_csv_spark.engine import clear_managed_table
+
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t_nd_gcpfx"):
+                clear_managed_table(spark, t.name)
