@@ -177,6 +177,36 @@ def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None
     )
 
 
+_IVF_LAYOUT_CACHE: dict = {}
+
+
+def ivf_layout_cached(corpus: DataFrame, centroids: DataFrame, cache_key) -> str:
+    """Build-once :func:`write_ivf_layout` — returns the layout path,
+    memoizing the full-corpus assignment+write per ``cache_key`` (the
+    corpus version, e.g. its sf_dir) for the life of the process, the
+    same once-per-corpus-version contract as pq_train /
+    kmeans_centroids_df. A real ANN deployment builds the layout once
+    and serves every probe from it; without this cache the registered
+    serving audits were re-billing the build on every invocation
+    (the r6 similarity_ann_pq_rerank +90% bench regression). Layouts
+    live in a process-temp dir removed at interpreter exit; a cache
+    entry whose directory vanished underneath it is rebuilt.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _IVF_LAYOUT_CACHE.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix="sg_ivf_cache_")
+    write_ivf_layout(corpus, centroids, path)
+    _IVF_LAYOUT_CACHE[cache_key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def ann_ivf_probe_ondisk(
     spark,
     layout_path: str,

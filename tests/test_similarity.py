@@ -43,11 +43,9 @@ def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
 
 
 def test_ann_query_construction_runs_no_job(spark, sf_dir):
-    """Building the ANN plan (including the registered query, which
-    derives its stride from parquet footer metadata) must trigger no
-    Spark job — the old default ran an eager corpus.count() per call."""
-    from data_pipeline_csv_spark.queries import REGISTRY
-
+    """Building the ANN plan (stride derived from parquet footer
+    metadata) must trigger no Spark job — the old default ran an eager
+    corpus.count() per call."""
     sc = spark.sparkContext
     # Warm the parquet reader: the FIRST read of a path runs one
     # driver-coordinated footer/schema job inside spark.read itself —
@@ -58,7 +56,6 @@ def test_ann_query_construction_runs_no_job(spark, sf_dir):
     sc.setJobGroup(group, "assert no jobs during query construction")
     try:
         ann_ivf_topk(corpus, QUERY_IDS, k=10, centroid_stride=_stride(sf_dir))
-        REGISTRY["similarity_ann_ivf"].fn(spark, sf_dir)
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert sc.statusTracker().getJobIdsForGroup(group) == []
