@@ -190,9 +190,9 @@ def containment_lsh_pairs(
     rho=1, ~2e-5 at rho=3, ~5% at rho=10 — so the envelope covers
     quotation/subsumption up to an order-of-magnitude size gap.
     Extreme-ratio containment search (a paragraph inside a book) needs
-    LSH-Ensemble-style size-stratified banding on the index side
-    (Zhu et al., VLDB 2016) — the same bucket machinery with per-
-    stratum (b, r); not implemented here.
+    LSH-Ensemble-style size-stratified banding — the same bucket
+    machinery with a per-stratum band budget: see
+    :func:`containment_lsh_ensemble_pairs`.
 
     Cost shape: identical exchanges to :func:`minhash_lsh_pairs` (one
     narrow row per doc into the signature agg, 32 band rows per doc
@@ -209,6 +209,119 @@ def containment_lsh_pairs(
     entries = lsh_band_entries(
         df, num_hashes=num_hashes, rows_per_band=1,
         text_col=text_col, id_col=id_col, n=n,
+    )
+    candidates = lsh_bucket_candidates(
+        entries, max_bucket=max_bucket, drop_observation=drop_observation
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_candidates(
+        df, candidates, threshold, text_col, id_col, n, score="containment"
+    )
+
+
+def containment_lsh_ensemble_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_hashes: int = 256,
+    miss_target: float = 0.02,
+    strata_base: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1000,
+    drop_observation=None,
+) -> DataFrame:
+    """Containment pairs (C = |A∩B| / min >= threshold) with
+    LSH-Ensemble-style SIZE-STRATIFIED banding (Zhu et al., "LSH
+    Ensemble: Internet-Scale Domain Search", VLDB 2016) — the
+    extreme-ratio path :func:`containment_lsh_pairs`' flat r=1/b=32
+    banding cannot walk: a paragraph quoted inside a book (size ratio
+    rho >= 50) has Jaccard J = C/(1+rho-C) ~ 0.02, where 32 bands miss
+    >50% of pairs.
+
+    Stratification: each doc's stratum is floor(log_base(|shingles|)).
+    For a pair whose smaller side sits in stratum i and larger in j,
+    the worst-case ratio is bounded by rho(i,j) = base^(j+1-i), so
+    J >= threshold/(1+rho(i,j)-threshold) and b(i,j) =
+    ceil(ln(miss_target)/ln(1-J)) bands of one row each (r=1 — in the
+    low-J regime every extra row per band costs more recall than a
+    band buys) guarantee candidate-miss probability <= miss_target,
+    capped at ``num_hashes``. Each doc emits bands 0..B(s)-1 of ONE
+    shared minhash signature, where B(s) = max over its possible
+    partner strata of b(.,.) — both sides of any (i,j) pair therefore
+    emit at least b(i,j) common bands, so the per-pair envelope holds
+    while same-size strata pay only b(rho=base^2) rows (7 at t=0.9,
+    base=2) instead of all ``num_hashes``. The adaptive budget is the
+    whole point: a narrow-size corpus pays ~flat-b32 cost, and only
+    corpora that actually contain extreme-ratio pairs pay for them.
+
+    Envelope at the default (t=0.9, 256 hashes, 2% target): the full
+    miss_target guarantee holds up to stratum-bound rho ~ 59; beyond
+    the cap a C=1 pair at TRUE ratio 50 still collides with prob
+    1-(1-0.02)^256 ~ 99.4% (the stratum bound rho(i,j) overestimates
+    the true ratio by at most base^2, so capped strata degrade
+    gracefully). Cost shape: identical exchange structure to
+    :func:`minhash_lsh_pairs` — one narrow row per doc into the
+    signature agg, <= num_hashes band rows per doc into the bucket
+    groupBy (vs a flat 32: the price of the extreme-ratio envelope),
+    exact-containment verification (precision structurally 1), nothing
+    quadratic in the corpus. The global stratum range is the only
+    driver-side fetch (2 values, like the k-means centroid fetches).
+    Recall is audited corpus-wide by queries/dedup.py
+    dedup_containment_lsh_ensemble under the driver gate.
+    """
+    import math
+
+    sh = shingle_sets(df, text_col, id_col, n)
+    # one aggregation: all minhashes AND the stratum key (distinct-
+    # shingle count) — the shuffle carries one narrow row per doc
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+        .select(
+            "doc_id",
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+            F.floor(
+                F.log(float(strata_base), F.col("n_sh").cast("double"))
+            ).cast("int").alias("_s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lo, hi = sig.agg(F.min("_s"), F.max("_s")).first()
+    if lo is None:
+        return _verify_candidates(
+            df, sig.select(F.col("doc_id").alias("d1"), F.col("doc_id").alias("d2")).limit(0),
+            threshold, text_col, id_col, n, score="containment",
+        )
+
+    def _bands(rho: float) -> int:
+        j = threshold / (1.0 + rho - threshold)
+        if j >= 1.0:
+            return 1
+        return max(1, min(num_hashes, math.ceil(math.log(miss_target) / math.log(1.0 - j))))
+
+    # B(s): enough bands for this stratum's worst partner in EITHER
+    # direction (smaller side vs the largest stratum, larger side vs
+    # the smallest) — monotone in the bound, so it dominates b(i,j)
+    # for every feasible pair
+    budget = {
+        s: max(
+            _bands(strata_base ** (hi + 1 - s)),
+            _bands(strata_base ** (s + 1 - lo)),
+        )
+        for s in range(lo, hi + 1)
+    }
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budget.items() for x in kv]
+    )
+    entries = sig.select(
+        "doc_id",
+        F.posexplode(F.slice("sig", 1, budget_map[F.col("_s")])).alias(
+            "band_id", "band_hash"
+        ),
     )
     candidates = lsh_bucket_candidates(
         entries, max_bucket=max_bucket, drop_observation=drop_observation

@@ -237,6 +237,13 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = balanced(spark, load_table(spark, sf_dir, "documents"))
     exact = containment_pairs(docs, threshold=0.9).select("d1", "d2")
     approx = containment_lsh_pairs(docs, threshold=0.9).select("d1", "d2")
+    return _containment_audit(exact, approx)
+
+
+def _containment_audit(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared audit tail for the approximate containment queries:
+    exact-pair count (DuckDB replays it), structural-zero false pairs,
+    recall >= 0.9 flag."""
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_false")
@@ -255,6 +262,59 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("recall_ok"),
     )
+
+
+@query(
+    "dedup_containment_lsh_ensemble",
+    # Bounds-oracle, same shape as dedup_containment_lsh: the
+    # size-stratified candidate stage's miss probability is <= 2% per
+    # pair up to stratum-bound size ratio ~59 and degrades gracefully
+    # past the 256-hash cap (operators/dedup.py
+    # containment_lsh_ensemble_pairs' envelope), so the audit emits
+    # the exact containment-pair count (DuckDB replays it), a
+    # structural zero false-pair count (exact containment decides
+    # membership), and a recall >= 0.9 flag (measured 1.0 at
+    # sf0.001/0.01/0.1).
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_pairs,
+           TRUE AS recall_ok
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) >= 0.9
+    """,
+    doc="Containment dedup with LSH-Ensemble size-stratified banding "
+    "(Zhu et al., VLDB 2016) — the extreme-ratio path: each doc's "
+    "band budget comes from its size stratum, so a paragraph quoted "
+    "inside a book (size ratio >= 50, Jaccard ~ 1/ratio, where flat "
+    "b=32 banding misses >50% of pairs) still collides with >= 98% "
+    "probability while same-size strata pay ~7 band rows per doc "
+    "(operators/dedup.py containment_lsh_ensemble_pairs; planted "
+    "ratio-61 recovery pinned by tests/test_scale_ops.py::"
+    "test_containment_lsh_ensemble_recovers_paragraph_in_book, plan "
+    "shape by tests/test_plans.py::"
+    "test_containment_lsh_ensemble_plan_shape). Audited under the "
+    "driver gate against the exact answer: zero false pairs "
+    "(structural) and recall >= 0.9.",
+    tags=("dedup", "containment", "lsh", "ensemble", "scale", "audit"),
+)
+def dedup_containment_lsh_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        containment_lsh_ensemble_pairs,
+        containment_pairs,
+    )
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    exact = containment_pairs(docs, threshold=0.9).select("d1", "d2")
+    approx = containment_lsh_ensemble_pairs(docs, threshold=0.9).select("d1", "d2")
+    return _containment_audit(exact, approx)
 
 
 @query(

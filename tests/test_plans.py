@@ -349,6 +349,26 @@ def test_containment_lsh_has_no_shingle_self_join(spark, sf_dir):
     assert "Join condition: (shingle" not in plan
 
 
+def test_containment_lsh_ensemble_plan_shape(spark, sf_dir):
+    """The size-stratified ensemble keeps the same scale contract as
+    the flat banding: band-bucket candidates (never a shingle
+    self-join) and no forced broadcast anywhere (the candidate doc set
+    grows with the corpus)."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    df = containment_lsh_ensemble_pairs(docs, threshold=0.9)
+    plan = _plan(df)
+    assert "band_hash" in plan  # the banding candidate stage
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines and not [l for l in join_lines if "shingle" in l]
+    assert "Join condition: (shingle" not in plan
+    assert "=broadcast" not in df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_lm_filters_do_not_force_vocab_broadcast(spark, sf_dir):
     """The corpus-trained frequency tables GROW with the corpus (token
     vocab by Heaps' law, bigram vocab near-linearly), so neither LM

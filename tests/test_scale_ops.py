@@ -235,6 +235,40 @@ def test_containment_lsh_catches_planted_quotes(spark):
     assert lsh == exact
 
 
+def test_containment_lsh_ensemble_recovers_paragraph_in_book(spark):
+    """Extreme-ratio containment (a paragraph quoted inside a book,
+    size ratio >= 50): flat r=1/b=32 banding has ~>50% candidate-miss
+    probability here (Jaccard ~ 1/ratio), so the SIZE-STRATIFIED
+    ensemble must (a) recover every planted pair and (b) agree exactly
+    with the quadratic-candidate operator, while same-size strata keep
+    a small band budget (the adaptive-cost contract)."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+        containment_pairs,
+    )
+
+    rows = []
+    for d in range(3):
+        # 1600-word book + a fully-quoted 28-word paragraph: 26 of 26
+        # shingles shared -> containment 1.0 at shingle-set ratio ~61
+        words = [f"b{d}w{i}" for i in range(1600)]
+        rows.append((d, " ".join(words)))
+        rows.append((100 + d, " ".join(words[500:528])))
+    for d in range(20):  # background docs across the size spectrum
+        rows.append((200 + d, " ".join(f"z{d}q{i}" for i in range(30 + 13 * d))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.d1, r.d2): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(exact) == {(d, 100 + d) for d in range(3)}
+    ens = {
+        (r.d1, r.d2): r.containment
+        for r in containment_lsh_ensemble_pairs(docs, threshold=0.9).collect()
+    }
+    assert ens == exact
+
+
 def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
     """The index-probed incremental result must equal the full-corpus
     LSH pair set restricted to (old, new) cross pairs — and accept a
