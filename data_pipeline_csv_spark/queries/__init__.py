@@ -38,87 +38,82 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-5 rotation, two halves:
-# (a) every query whose implementation changed this round — the NEW
-#     on-disk-layout/pruning audits (compacted LSH probe, IVF
-#     partition-pruned probe, high-threshold clustered near-dup), the
-#     changed dedup paths (lsh_probe_candidates refactor, observable
-#     bucket cap, non-broadcast probe mode; the simhash pair sits out
-#     — simhash()/simhash_neardup_pairs themselves are untouched since
-#     their r04 green and stay locally sweep-verified), the similarity
-#     operators touched by the IVF/assignment refactors,
-#     multimodal_image_features (now a FULL value oracle: DuckDB
-#     replays the splitmix64 payload), streaming_dedup_neardup
-#     (replay-idempotency fix + compaction tiers + epoch file-fan-out
-#     bound), and graph_pagerank_suppliers (dangling-node guard);
-# (b) union RECENCY: the entire r01 long tail (11) and the r02 long
-#     tail (17 of 22 — window_orders_suite, q17_small_quantity,
-#     grouping_sets_orders, unpivot_part_attrs and
-#     setops_customer_keys, unchanged since their r02 greens, yield
-#     their slots to debuts and rotate r6 with the text/pipeline/tpch
-#     r03 stragglers). The last slots are the round-5 debuts (new
-#     queries debut inside the window): dedup_containment,
-#     embedding_quantize_int8, text_unigram_logprob,
-#     text_bigram_logprob, dedup_dup_spans, dedup_span_coverage,
-#     similarity_ann_pq_rerank, corpus_e2e_prep.
-# The window is again 50/50 oracle-backed (the rows-only
-# similarity_ann_ivf remains superseded by the on-disk + recall
-# audits, both in-window).
+# Round-7 rotation, two halves:
+# (a) every query whose implementation changed this round — the whole
+#     _verify_candidates family (the forced cand_docs broadcast was
+#     dropped: dedup_minhash_lsh, dedup_containment_lsh, both
+#     incremental dedups, streaming_dedup_neardup — the last also
+#     carries the compaction fixes: completed-epoch tail intersection
+#     + exact-regex generation GC), dedup_containment (audit-tail
+#     refactor into _containment_audit), both on-disk ANN audits (the
+#     IVF layout build is now amortized via ivf_layout_cached), and
+#     the round-7 DEBUT dedup_containment_lsh_ensemble (size-
+#     stratified containment banding) plus the r6 debut
+#     dedup_containment_lsh, which gets its FIRST driver row here —
+#     it slipped out of the unrotated r6 window against policy;
+# (b) union RECENCY: the five r02 stragglers (window_orders_suite,
+#     q17_small_quantity, grouping_sets_orders, unpivot_part_attrs,
+#     setops_customer_keys), the ENTIRE 29-query r03 tail, and 7 of
+#     the 41-query r04 tail — after this round no query's latest
+#     driver row is older than r03, and the r04 tail starts rotating.
+# The window is 50/50 oracle-backed; the registry itself is now
+# all-oracle-backed too (the rows-only similarity_ann_ivf was retired
+# this round in favor of the on-disk + recall audits).
 _PRIORITY = [
-    # --- new or changed implementations this round (16) ---
-    "dedup_incremental_compacted",
-    "similarity_neardup_pruned",
-    "similarity_ann_ivf_ondisk",
-    "multimodal_image_features",
-    "streaming_dedup_neardup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # --- new or changed implementations this round (9) ---
+    "dedup_containment_lsh",
+    "dedup_containment_lsh_ensemble",
     "dedup_minhash_lsh",
     "dedup_containment",
-    "dedup_cc_clusters",
     "dedup_incremental_batch",
-    "similarity_neardup_clustered",
-    "similarity_embedding_neardup",
-    "similarity_ann_recall_audit",
-    "graph_pagerank_suppliers",
-    # --- last driver-verified in r01 (11) ---
-    "percentiles_order_value",
-    "multimodal_decode_roundtrip",
-    "filter_project",
-    "distinct_order_attrs",
-    "topk_expensive_orders",
-    "left_join_order_counts",
-    "semi_join_active_customers",
-    "anti_join_never_urgent",
-    "cube_order_status",
-    "scalar_functions",
-    "date_functions",
-    # --- last driver-verified in r02 (17 of 22) ---
-    "skew_salted_join_priority",
-    "udf_scalar_normalize_name",
-    "multimodal_frame_stats",
-    "text_profile",
-    "corpus_dedup_keep_best",
-    "corpus_quality_funnel",
-    "corpus_decontaminate",
-    "count_distinct_parts",
-    "semi_anti_customers",
-    "full_outer_nation_activity",
-    "range_join_price_bands",
-    "rollup_returns",
-    "promo_revenue_share",
-    "json_extract_props",
-    "q8_market_share",
-    "q18_large_volume_customers",
-    "q22_sales_opportunity",
-    # --- round-5 debuts (7) ---
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "dedup_dup_spans",
-    "dedup_span_coverage",
+    "dedup_incremental_compacted",
+    "streaming_dedup_neardup",
+    "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
-    "corpus_e2e_prep",
+    # --- last driver-verified in r02 (5) ---
+    "window_orders_suite",
+    "q17_small_quantity",
+    "grouping_sets_orders",
+    "unpivot_part_attrs",
+    "setops_customer_keys",
+    # --- last driver-verified in r03 (all 29) ---
+    "corpus_pack_sequences",
+    "explode_embedding_positions",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "sample_mixture_weights",
+    "sample_stratified_docs",
+    "sample_systematic_revenue",
+    "skew_key_diagnosis",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_token_stats",
+    "window_distribution",
+    "window_first_last",
+    "window_rank_orders",
+    "window_running_revenue",
+    # --- r04-tail rotation starts (7 of 41) ---
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "similarity_cosine_topk",
+    "cluster_kmeans_embeddings",
+    "streaming_incremental_mv",
+    "events_sessionize",
+    "q1_pricing_summary",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"
