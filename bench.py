@@ -64,11 +64,13 @@ HEADLINE = [
     # audit side — tracked from its first round.
     # Comparability: r6 (1.61->3.07s) added a full IVF-layout WRITE per
     # invocation (the rerank fetch became a partition-pruned point
-    # lookup against it); r7 amortizes that build via
-    # ivf_layout_cached — the warmup iteration builds the layout once
-    # and the timed min-of-3 measures the SERVING path only, which is
-    # what a deployment pays per query. r7 numbers are therefore
-    # comparable to r5's shape, not r6's.
+    # lookup against it); r7 amortizes the whole build artifact —
+    # layout via ivf_layout_cached AND the full-corpus encode via
+    # pq_codes_cached (the codes ARE the index, faiss-style) — so the
+    # warmup iteration builds once and the timed min-of-3 measures
+    # serving + the audit's exact-truth side only (measured split at
+    # sf0.1: ~0.7 s ADC shortlist, ~0.5 s exact truth, rest audit
+    # joins). Comparable to r5's shape, not r6's.
     "similarity_ann_pq_rerank",
     "multimodal_decode_roundtrip",
     # iterative / maintenance operators (round-4 additions so perf

@@ -574,6 +574,43 @@ def pq_encode(corpus: DataFrame, books, m: int = 4, carry: tuple = ()) -> DataFr
     return corpus.select("vec_id", "embedding", *carry).mapInPandas(_enc, schema)
 
 
+_PQ_CODES_CACHE: dict = {}
+
+
+def pq_codes_cached(spark, layout_path: str, books, m: int, cache_key) -> str:
+    """Encode-once PQ codes artifact — returns a parquet path of
+    (vec_id, codes, list_id) rows encoded FROM a
+    :func:`write_ivf_layout` corpus, memoized per ``cache_key`` for
+    the life of the process. The codes ARE part of the ANN index a
+    deployment builds once per corpus version (faiss persists them in
+    the index file); serving then reads this m-bytes-per-vector table
+    instead of re-running the full-corpus encode pass per query.
+    Cache-eviction/cleanup contract identical to
+    :func:`ivf_layout_cached`.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _PQ_CODES_CACHE.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix="sg_pq_codes_")
+    codes = pq_encode(
+        spark.read.parquet(layout_path).withColumn(
+            "list_id", F.col("list_id").cast("bigint")
+        ),
+        books,
+        m=m,
+        carry=("list_id",),
+    )
+    codes.write.mode("overwrite").parquet(path)
+    _PQ_CODES_CACHE[cache_key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def pq_adc_topk(
     codes_df: DataFrame, books, query_rows, k: int = 10, carry: str | None = None
 ) -> DataFrame:

@@ -662,8 +662,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shortlist pass moves m narrow rows per vector and the rerank "
     "never re-scans the embedding table (operators/similarity.py "
     "pq_train / pq_encode / pq_adc_topk / read_ivf_lists). The "
-    "layout itself comes from ivf_layout_cached (built once per "
-    "corpus version, shared with similarity_ann_ivf_ondisk), so the "
+    "layout comes from ivf_layout_cached and the codes table from "
+    "pq_codes_cached (both built once per corpus version — the "
+    "layout shared with similarity_ann_ivf_ondisk), so the "
     "registered query bills serving cost, not a per-call rebuild.",
     tags=("similarity", "ann", "pq", "scale", "audit"),
 )
@@ -676,7 +677,7 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         ivf_layout_cached,
         pq_adc_topk,
-        pq_encode,
+        pq_codes_cached,
         pq_train,
         read_ivf_lists,
     )
@@ -700,14 +701,13 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # codes are encoded FROM the IVF layout so every code row
         # carries its vector's list_id — the key the rerank fetch
-        # prunes on
-        codes = pq_encode(
-            spark.read.parquet(layout).withColumn(
-                "list_id", F.col("list_id").cast("bigint")
-            ),
-            books,
-            m=8,
-            carry=("list_id",),
+        # prunes on; the encode is part of the build artifact
+        # (pq_codes_cached, once per corpus version), so serving reads
+        # the m-bytes-per-vector codes table instead of re-encoding
+        codes = spark.read.parquet(
+            pq_codes_cached(
+                spark, layout, books, m=8, cache_key=(sf_dir, "pq8-ivf16")
+            )
         )
         short = pq_adc_topk(codes, books, qrows, k=100, carry="list_id").select(
             "q_id", "vec_id", "list_id"
