@@ -29,6 +29,8 @@ pair expansion. MinHash values use xxhash64 (JVM codegen).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -827,6 +829,119 @@ def cross_corpus_overlap(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _bloom_positions(shingle_col, num_hashes: int, m_bits: int):
+    """array<long> of ``num_hashes`` bit positions for one shingle —
+    the classic k-salted-hash Bloom mapping, computed ENTIRELY
+    JVM-side (xxhash64 + pmod inside whole-stage codegen); Python only
+    ever tests bits."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(1000 + i), shingle_col), F.lit(m_bits))
+        for i in range(num_hashes)
+    ])
+
+
+def bloom_candidate_docs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Train doc ids that MIGHT share a word-n-gram shingle with the
+    eval set, tested against a broadcast BLOOM FILTER of the eval
+    shingles (Bloom 1970) — the 100 TB prefilter for benchmark
+    decontamination.
+
+    Scale story: :func:`cross_corpus_overlap` broadcasts the eval
+    side's exploded SHINGLE STRINGS; fine for one benchmark, but a
+    real decontamination pass screens against many benchmarks at once
+    and the string set grows into gigabytes. The Bloom bitset is
+    ``m_bits/8`` bytes FLAT (128 KiB at the default) regardless of
+    shingle length, with zero false negatives — so it can prune the
+    corpus down to candidate docs before any join runs, and only the
+    candidates (a vanishing fraction) enter the exact-overlap
+    verification. False positives (rate ~(1-e^{-kn/m})^k; ~1% at 10
+    bits/shingle, k=7) cost only wasted verification work, never a
+    wrong answer.
+
+    Plan shape: shingle -> k bit positions via salted xxhash64 + pmod
+    (JVM-side, whole-stage codegen); the eval side's set bits are ONE
+    driver collect bounded by m_bits values (the same order as the
+    bitset itself); membership is a vectorized Arrow-batched
+    pandas_udf AND-of-bits against the numpy bitset broadcast once per
+    executor; a doc survives iff ANY of its shingles hits. One narrow
+    aggregation per train doc — no train/eval join of any kind before
+    the prune.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = train.sparkSession
+    e_pos = (
+        shingle_sets(eval_set, text_col, id_col, n)
+        .select(F.explode(_bloom_positions(F.col("shingle"), num_hashes, m_bits)).alias("p"))
+        .distinct()
+    )
+    bitset = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    pos = np.array([r["p"] for r in e_pos.collect()], dtype=np.int64)
+    if pos.size:
+        np.bitwise_or.at(bitset, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+    bc = spark.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def _hits(positions: pd.Series) -> pd.Series:
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        bs = bc.value
+        P = np.stack(positions.to_numpy())  # (rows, k)
+        hit = (bs[P // 8] & (np.uint8(1) << (P % 8).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
+
+    t_sh = shingle_sets(train, text_col, id_col, n)
+    return (
+        t_sh.select(
+            "doc_id",
+            _hits(_bloom_positions(F.col("shingle"), num_hashes, m_bits)).alias("_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("_hit").alias("_any"))
+        .filter(F.col("_any"))
+        .select("doc_id")
+    )
+
+
+def cross_corpus_overlap_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.5,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """:func:`cross_corpus_overlap` behind the Bloom prefilter —
+    BIT-IDENTICAL output (same exact Jaccard over full shingle sets
+    decides membership; the Bloom has no false negatives, and a train
+    doc with no shingle in the eval set can never reach a positive
+    threshold, so pruning the non-candidates changes nothing), with
+    the training-corpus side reduced to candidate docs before the
+    overlap join runs. Audited by queries/pipeline.py
+    corpus_decontaminate_bloom under the SAME full SQL oracle as the
+    broadcast-join path."""
+    cand = bloom_candidate_docs(
+        train, eval_set, m_bits, num_hashes, text_col, id_col, n
+    )
+    pruned = train.join(
+        cand.withColumnRenamed("doc_id", "_cid"),
+        F.col(id_col) == F.col("_cid"),
+        "leftsemi",
+    )
+    return cross_corpus_overlap(pruned, eval_set, threshold, text_col, id_col, n)
 
 
 def dup_span_profile(

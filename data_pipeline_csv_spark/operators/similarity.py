@@ -157,6 +157,112 @@ def _ivf_rerank(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
     )
 
 
+def assign_nearest_centroid_fp(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster, dist_fp): nearest centroid by the
+    k-means trainer's FIXED-POINT squared L2 distance (per-dimension
+    floor((v-c)^2 * 2^20) summed as int64 — order-invariant, ties to
+    the lower c_id), i.e. exactly the d/a CTE step of the kmeans SQL
+    oracle. Unlike ivf_assign_lists' float cosine assignment, this one
+    is bit-replayable by DuckDB, which is what lets a whole
+    clustering-derived pipeline (SemDeDup) sit under a FULL value
+    oracle. One broadcast cross join + per-vec argmin window; no
+    corpus shuffle beyond the window's vec_id partitioning."""
+    from ..operators.clustering import SCALE
+
+    def _sq(x, c):
+        d = x.cast("double") - c.cast("double")
+        return F.floor(d * d * F.lit(float(SCALE))).cast("bigint")
+
+    dist = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("c_emb"), _sq),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("c_id").asc())
+    return (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .withColumn("_d", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id", "embedding",
+            F.col("c_id").alias("cluster"), F.col("_d").alias("dist_fp"),
+        )
+    )
+
+
+def semdedup_verdicts(
+    corpus: DataFrame, centroids: DataFrame, eps: float = 0.45
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster, then WITHIN each
+    cluster drop every vector that has a semantic duplicate
+    (cosine >= eps) of higher keep-priority, where priority follows
+    the paper's rule of keeping LOW-centroid-similarity examples
+    (here: rank by fixed-point centroid distance DESC, ties to the
+    lower vec_id). Returns one verdict row per vector:
+    (vec_id, cluster, keep).
+
+    This is the embedding-space complement of the text near-dup
+    family: it catches paraphrases and re-renderings that share no
+    n-grams. Cost shape is SemDeDup's own: pairwise work is
+    sum-over-clusters C(|cell|, 2), never corpus-quadratic, and the
+    pair join is partitioned by cluster. Every step — fixed-point
+    assignment (:func:`assign_nearest_centroid_fp`), rank window,
+    fixed-point pairwise cosine — is engine-exact, so the registered
+    audit (queries/clustering.py dedup_semantic_semdedup) runs under
+    a FULL value oracle: DuckDB replays training, assignment, ranking
+    and every pairwise verdict bit-for-bit. Drop rule: ANY
+    better-ranked clustermate above eps suppresses — whether or not
+    that clustermate was itself dropped — i.e. the released SemDeDup
+    code's upper-triangular similarity-matrix procedure, pinned by
+    tests/test_similarity.py::test_semdedup_triu_chain_semantics.
+    """
+    ranked = assign_nearest_centroid_fp(corpus, centroids).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(
+                F.col("dist_fp").desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    x = ranked.select(
+        "cluster",
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_emb"),
+        F.col("rank").alias("x_rank"),
+    )
+    y = ranked.select(
+        "cluster",
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_emb"),
+        F.col("rank").alias("y_rank"),
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("y_rank") < F.col("x_rank"))
+        .filter(
+            cosine_from_parts(
+                dot_exact(F.col("x_emb"), F.col("y_emb")),
+                norm_sq_exact(F.col("x_emb")),
+                norm_sq_exact(F.col("y_emb")),
+            )
+            >= eps
+        )
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None:
     """Materialize the IVF index AS the storage layout: the corpus
     written Hive-partitioned by its inverted-list id.

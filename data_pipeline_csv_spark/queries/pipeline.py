@@ -265,6 +265,50 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_decontaminate_bloom",
+    # SAME full SQL oracle as corpus_decontaminate: the Bloom prefilter
+    # has zero false negatives and exact Jaccard over full shingle sets
+    # decides membership, so the output is bit-identical to the
+    # broadcast-join path — the oracle proves it every round.
+    oracle=f"""
+    WITH {_CONTAM_SHINGLE_CTE},
+    pairs AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+      FROM sh t JOIN sh e ON t.shingle = e.shingle
+      WHERE t.source <> 'src0' AND e.source = 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id,
+           CAST(shared AS DOUBLE) / (ts.n_sh + es.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes ts ON train_id = ts.doc_id
+    JOIN sizes es ON eval_id = es.doc_id
+    WHERE CAST(shared AS DOUBLE) / (ts.n_sh + es.n_sh - shared) >= 0.5
+    """,
+    doc="Benchmark decontamination behind a broadcast BLOOM FILTER of "
+    "the eval shingles (Bloom 1970) — the many-benchmark scale path: "
+    "the bitset is m/8 bytes flat (128 KiB at the default) however "
+    "large the eval shingle STRINGS grow, has zero false negatives, "
+    "and prunes the training corpus to candidate docs before any "
+    "join runs (positions via salted xxhash64+pmod JVM-side; "
+    "membership a vectorized Arrow-batched bit test; ~1% false "
+    "positives cost only wasted verification). Output bit-identical "
+    "to corpus_decontaminate — same exact-Jaccard verification, same "
+    "full SQL oracle (operators/dedup.py cross_corpus_overlap_bloom; "
+    "pruning pinned by tests/test_scale_ops.py::"
+    "test_bloom_decontaminate_matches_exact_and_prunes).",
+    tags=("dedup", "pipeline", "contamination", "bloom", "scale"),
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_overlap_bloom
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return cross_corpus_overlap_bloom(train, eval_set, threshold=0.5)
+
+
+@query(
     "text_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

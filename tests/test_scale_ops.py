@@ -468,3 +468,54 @@ def test_dup_span_ops_on_boilerplate_hot_ngram(spark):
         # the shared passage and occur in all 200 docs
         assert prof[i].n_spans == 7 and prof[i].n_dup_spans == 3
         assert cov[i].n_tokens == 14 and cov[i].n_covered == 10
+
+
+def test_bloom_decontaminate_matches_exact_and_prunes(spark, sf_dir):
+    """The Bloom-prefiltered decontamination must (a) return the exact
+    broadcast-join path's pairs bit-for-bit (zero false negatives is
+    structural: every set bit of a shared shingle is set by the eval
+    side) and (b) genuinely prune — the candidate doc set must be a
+    strict subset of the training docs on this corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.dedup import (
+        bloom_candidate_docs,
+        cross_corpus_overlap,
+        cross_corpus_overlap_bloom,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    want = {
+        (r.train_id, r.eval_id, r.jaccard)
+        for r in cross_corpus_overlap(train, eval_set, threshold=0.5).collect()
+    }
+    got = {
+        (r.train_id, r.eval_id, r.jaccard)
+        for r in cross_corpus_overlap_bloom(train, eval_set, threshold=0.5).collect()
+    }
+    assert got == want and want  # non-trivial on this corpus
+
+    n_cand = bloom_candidate_docs(train, eval_set).count()
+    n_train = train.count()
+    assert n_cand < n_train, f"no pruning: {n_cand} of {n_train}"
+    # every contaminated train doc is among the candidates (no false
+    # negatives end-to-end)
+    assert {t for t, _, _ in want} <= {
+        r.doc_id for r in bloom_candidate_docs(train, eval_set).collect()
+    }
+
+
+def test_bloom_candidates_empty_eval_set(spark):
+    """An empty eval set -> all-zero bitset -> no candidates (and no
+    crash in the Arrow batch path)."""
+    from data_pipeline_csv_spark.operators.dedup import bloom_candidate_docs
+
+    train = spark.createDataFrame(
+        [(1, "some training text here"), (2, "other words entirely")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bloom_candidate_docs(train, empty).count() == 0

@@ -241,3 +241,54 @@ def test_pq_rejects_mismatched_dims(spark, sf_dir):
     codes = pq_encode(corpus, books, m=8)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(codes, books, [(0, [0.0] * 32)], k=5)
+
+
+def test_semdedup_drops_planted_paraphrase(spark):
+    """Two near-identical vectors in one cluster: exactly the
+    closer-to-centroid one is dropped (the paper keeps LOW
+    centroid-similarity examples); a lone vector in another cluster
+    is untouched."""
+    from data_pipeline_csv_spark.operators.similarity import semdedup_verdicts
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),        # sits ON centroid 0
+            (1, [0.995, 0.09987, 0.0, 0.0]),  # cos(0,1) ~ 0.995
+            (2, [0.0, 1.0, 0.0, 0.0]),        # alone near centroid 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "c_id long, c_emb array<double>",
+    )
+    got = {r.vec_id: (r.cluster, r.keep) for r in semdedup_verdicts(corpus, cents, eps=0.9).collect()}
+    assert got[1] == (0, True)   # farther from centroid -> kept
+    assert got[0] == (0, False)  # its near-twin, closer to centroid -> dropped
+    assert got[2] == (1, True)
+
+
+def test_semdedup_triu_chain_semantics(spark):
+    """Chain x1-x2-x3 (cos(x1,x2) and cos(x2,x3) above eps,
+    cos(x1,x3) below): x1 (farthest from centroid) is kept, and BOTH
+    x2 and x3 are dropped — a better-ranked vector suppresses even
+    when it was itself dropped, the released SemDeDup code's
+    upper-triangular matrix procedure (NOT connected-components
+    keep-one-per-group)."""
+    import math
+
+    from data_pipeline_csv_spark.operators.similarity import semdedup_verdicts
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # centroid at 90 degrees: x1 (0 deg) is farthest -> rank 1
+    corpus = spark.createDataFrame(
+        [(1, at(0.0)), (2, at(31.8)), (3, at(63.6))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame([(0, at(90.0))], "c_id long, c_emb array<double>")
+    # cos(x1,x2) = cos(x2,x3) ~ 0.850 >= 0.8; cos(x1,x3) ~ 0.445 < 0.8
+    got = {r.vec_id: r.keep for r in semdedup_verdicts(corpus, cents, eps=0.8).collect()}
+    assert got == {1: True, 2: False, 3: False}
