@@ -83,7 +83,29 @@ HEADLINE = [
     # MV merge loop become measurable round-over-round
     "streaming_dedup_neardup",
     "streaming_incremental_mv",
+    # r7 debuts, tracked from their first round: SemDeDup (cluster-
+    # blocked pairwise verdicts + full-oracle scaffolding) and the
+    # Bloom-prefiltered decontamination (bitset build + candidate
+    # prune + exact overlap verification). The containment-LSH-
+    # ensemble AUDIT is deliberately NOT here — its time is dominated
+    # by the quadratic exact side it audits against; the approximate
+    # path is tracked operator-only below.
+    "dedup_semantic_semdedup",
+    "corpus_decontaminate_bloom",
 ]
+
+
+def _containment_ensemble_op(spark, sf_dir):
+    """Operator-only timing for the size-stratified containment LSH
+    path (the registered dedup_containment_lsh_ensemble is an audit
+    whose number is dominated by the exact quadratic side)."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    return containment_lsh_ensemble_pairs(docs, threshold=0.9)
 
 
 def _clustered_neardup_op(spark, sf_dir):
@@ -111,6 +133,7 @@ def _clustered_neardup_op(spark, sf_dir):
 # same warmup + min-of-3 protocol as the headline queries.
 EXTRA_OPS = {
     "op_similarity_neardup_clustered": _clustered_neardup_op,
+    "op_dedup_containment_lsh_ensemble": _containment_ensemble_op,
 }
 
 

@@ -95,6 +95,42 @@ def split_assign_sql_case(weights: dict[str, float], id_expr: str) -> str:
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
 
 
+def shuffle_into_shards(
+    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding — the
+    training-order step every pre-training pipeline runs before
+    writing shards: each row gets a hash-uniform shuffle key from its
+    OWN id (:func:`uniform_from_id` — stable across re-runs, input
+    partitioning, and corpus growth), lands in shard
+    floor(u * n_shards), and takes its within-shard position from the
+    (u, id) order. Returns (id, shard, pos).
+
+    Scale shape: the key and shard are a pure map-side projection; the
+    only wide stage is the per-shard position window — ONE sorting
+    task per output shard, which is exactly the writer-per-shard
+    topology a sharded training-data write has anyway (size n_shards
+    so a shard's rows fit a task; at 100 TB that means thousands of
+    shards, not 16). No global sort, no driver-side state, and the
+    whole shuffle is replayable by any engine from the id arithmetic
+    alone (no engine RNG) — the DuckDB oracle recomputes every
+    position bit-for-bit.
+    """
+    u = uniform_from_id(F.col(id_col))
+    shard = F.least(
+        F.floor(u * F.lit(n_shards)), F.lit(n_shards - 1)
+    ).cast("int")
+    keyed = df.select(
+        F.col(id_col), u.alias("_u"), shard.alias("shard")
+    )
+    w = W.partitionBy("shard").orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int,

@@ -309,6 +309,37 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {uniform_from_id_sql('doc_id')} AS u FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEAST(FLOOR(u * 16), 15) AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY LEAST(FLOOR(u * 16), 15) ORDER BY u ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="Deterministic global corpus shuffle into 16 training shards — "
+    "the data-order step before writing pre-training shards: shuffle "
+    "key and shard from the same RNG-free id mixer as the sampling "
+    "family (stable across re-runs, partitionings and corpus growth), "
+    "within-shard position from the (key, id) order. Map-side "
+    "projection + one sorting task per output shard (the "
+    "writer-per-shard topology a sharded write has anyway; at 100 TB "
+    "n_shards is thousands, not 16). FULL value oracle: DuckDB "
+    "recomputes every (doc_id, shard, pos) bit-for-bit "
+    "(operators/sampling.py shuffle_into_shards).",
+    tags=("pipeline", "sampling", "shuffle", "sharding"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import shuffle_into_shards
+
+    return shuffle_into_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+@query(
     "text_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

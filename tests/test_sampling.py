@@ -76,3 +76,32 @@ def test_split_assign_stable_and_proportional(spark, sf_dir):
     assert counts["train"] / n > 0.8
     assert 0.005 < counts.get("val", 0) / n < 0.15
     assert 0.005 < counts.get("test", 0) / n < 0.15
+
+
+def test_shuffle_into_shards_partition_invariant(spark, sf_dir):
+    """The deterministic corpus shuffle must be a pure function of the
+    ids: identical (doc_id, shard, pos) under any input partitioning
+    or row order, shards near-balanced, positions dense per shard."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.sampling import shuffle_into_shards
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.shard, r.pos) for r in shuffle_into_shards(docs, 16).collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_into_shards(
+            docs.repartition(7, "source").sortWithinPartitions(F.desc("doc_id")), 16
+        ).collect()
+    }
+    assert a == b
+    n = docs.count()
+    by_shard = {}
+    for _, sh, pos in a:
+        by_shard.setdefault(sh, []).append(pos)
+    assert len(a) == n
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * max(1, n // 16)  # multinomial balance
