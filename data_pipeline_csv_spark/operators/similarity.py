@@ -218,6 +218,11 @@ def semdedup_verdicts(
     code's upper-triangular similarity-matrix procedure, pinned by
     tests/test_similarity.py::test_semdedup_triu_chain_semantics.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # the ranked assignment feeds THREE consumers (both pairwise join
+    # sides + the verdict join) — pin it so the corpus x centroids
+    # assignment pass runs once, not three times
     ranked = assign_nearest_centroid_fp(corpus, centroids).withColumn(
         "rank",
         F.row_number().over(
@@ -225,7 +230,7 @@ def semdedup_verdicts(
                 F.col("dist_fp").desc(), F.col("vec_id").asc()
             )
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     x = ranked.select(
         "cluster",
         F.col("vec_id").alias("x_id"),
