@@ -842,6 +842,9 @@ def _bloom_positions(shingle_col, num_hashes: int, m_bits: int):
     ])
 
 
+_BLOOM_BITSET_CACHE: dict = {}
+
+
 def bloom_candidate_docs(
     train: DataFrame,
     eval_set: DataFrame,
@@ -850,6 +853,7 @@ def bloom_candidate_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    cache_key=None,
 ) -> DataFrame:
     """Train doc ids that MIGHT share a word-n-gram shingle with the
     eval set, tested against a broadcast BLOOM FILTER of the eval
@@ -881,16 +885,25 @@ def bloom_candidate_docs(
     from pyspark.sql.functions import pandas_udf
 
     spark = train.sparkSession
-    e_pos = (
-        shingle_sets(eval_set, text_col, id_col, n)
-        .select(F.explode(_bloom_positions(F.col("shingle"), num_hashes, m_bits)).alias("p"))
-        .distinct()
-    )
-    bitset = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
-    pos = np.array([r["p"] for r in e_pos.collect()], dtype=np.int64)
-    if pos.size:
-        np.bitwise_or.at(bitset, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
-    bc = spark.sparkContext.broadcast(bitset)
+    # the bitset is the build-once artifact of a decontamination pass
+    # (the benchmark set is fixed per corpus version) — memoized per
+    # cache_key like pq_train / ivf_layout_cached so repeated serving
+    # calls skip the eval-side scan + position collect
+    key = (cache_key, m_bits, num_hashes, n) if cache_key is not None else None
+    bc = _BLOOM_BITSET_CACHE.get(key) if key is not None else None
+    if bc is None:
+        e_pos = (
+            shingle_sets(eval_set, text_col, id_col, n)
+            .select(F.explode(_bloom_positions(F.col("shingle"), num_hashes, m_bits)).alias("p"))
+            .distinct()
+        )
+        bitset = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+        pos = np.array([r["p"] for r in e_pos.collect()], dtype=np.int64)
+        if pos.size:
+            np.bitwise_or.at(bitset, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        bc = spark.sparkContext.broadcast(bitset)
+        if key is not None:
+            _BLOOM_BITSET_CACHE[key] = bc
 
     @pandas_udf("boolean")
     def _hits(positions: pd.Series) -> pd.Series:
@@ -923,6 +936,7 @@ def cross_corpus_overlap_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    cache_key=None,
 ) -> DataFrame:
     """:func:`cross_corpus_overlap` behind the Bloom prefilter —
     BIT-IDENTICAL output (same exact Jaccard over full shingle sets
@@ -934,7 +948,8 @@ def cross_corpus_overlap_bloom(
     corpus_decontaminate_bloom under the SAME full SQL oracle as the
     broadcast-join path."""
     cand = bloom_candidate_docs(
-        train, eval_set, m_bits, num_hashes, text_col, id_col, n
+        train, eval_set, m_bits, num_hashes, text_col, id_col, n,
+        cache_key=cache_key,
     )
     pruned = train.join(
         cand.withColumnRenamed("doc_id", "_cid"),

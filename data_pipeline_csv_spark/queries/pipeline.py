@@ -305,7 +305,9 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("source") != "src0")
     eval_set = docs.filter(F.col("source") == "src0")
-    return cross_corpus_overlap_bloom(train, eval_set, threshold=0.5)
+    return cross_corpus_overlap_bloom(
+        train, eval_set, threshold=0.5, cache_key=(sf_dir, "src0")
+    )
 
 
 @query(
