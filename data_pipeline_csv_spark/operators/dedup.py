@@ -1,24 +1,32 @@
 """Deduplication operators over a document corpus.
 
-Five families, all shuffle-aware compositions of built-in DataFrame
-ops (no Python in the hot path):
+Seven families, all shuffle-aware compositions of built-in DataFrame
+ops (Python only in the Bloom bit test, Arrow-batched):
 
 - exact:      hash-groupBy on (normalized) content, keep min id.
 - n-gram Jaccard: exact similarity join — explode distinct shingles,
               self-join on shingle (only pairs sharing >=1 shingle can
-              have J>0), count shared, filter by threshold (plus the
-              containment variant for subsumption/quotation).
+              have J>0), count shared, filter by threshold.
+- containment: the subsumption/quotation variant (|A∩B|/min), with
+              exact, r=1-banded LSH, and LSH-Ensemble size-stratified
+              candidate stages (the last for extreme size ratios:
+              a paragraph quoted inside a book).
 - MinHash+LSH: k minhashes per doc -> band buckets -> candidate pairs
               from bucket self-join -> exact-Jaccard verification.
               At scale this replaces the quadratic shingle self-join
               with bucket-local joins; verification touches only
-              candidates.
+              candidates (and carries NO forced broadcast — the
+              candidate doc set grows with the corpus).
 - SimHash:    64-bit sign fingerprint of hashed shingles; near-dups
               differ in few bits (hamming distance banding).
 - duplicated spans: corpus-wide exact-substring signals below any
               pairwise threshold — per-doc duplicated n-gram counts
               (dup_span_profile) and merged-interval token coverage
               (dup_span_coverage).
+- decontamination: training docs overlapping a fixed eval set —
+              broadcast eval shingles (one benchmark) or a flat-size
+              Bloom bitset prefilter (many benchmarks), exact overlap
+              verification either way.
 
 Scale notes (100 TB): the shingle explode is map-side only; the LSH
 band join shuffles on (band_id, band_hash) whose cardinality grows
