@@ -131,6 +131,113 @@ def shuffle_into_shards(
     )
 
 
+DSIR_SCALE = 1e6  # fixed-point nats for bucket log-ratios (see dsir_select)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): pick the ``k`` raw-corpus docs
+    whose hashed-n-gram distribution looks most like a small TARGET
+    domain, by importance weight under bag-of-hashed-ngrams bigram
+    models. The standard pretraining-data selection pass: fit
+    p_target and p_raw over ``n_buckets`` hashed unigram+bigram
+    buckets (add-one smoothing), score each raw doc with
+    log w = sum over its ngrams of log(p_target[b]/p_raw[b]), then
+    Gumbel-top-k (log w - ln(-ln u), u from the RNG-free id mixer) —
+    a without-replacement sample proportional to w.
+
+    Cross-engine exactness: bucket ids come from the first 8 hex
+    chars of md5(ngram) (both engines agree on md5); all counts are
+    exact integers; each bucket's log-ratio is floored to
+    ``DSIR_SCALE`` fixed-point nats — single libm ops on identical
+    integer inputs, with the 1e-6-nat grid making a cross-engine ulp
+    flip of the floor astronomically unlikely — so per-doc weights
+    are exact int64 sums (order-invariant) and the DuckDB oracle
+    replays every weight bit-for-bit. The returned columns
+    (id, weight_fp, rank) are all integers.
+
+    Scale shape: two feature passes (map-side explode + partial-agg
+    to bucket counts, n_buckets rows total), one bucket-keyed join of
+    per-doc bucket counts against the n_buckets-row score table (AQE
+    broadcasts it), and a global top-k that plans as
+    TakeOrderedAndProject (per-partition k + driver merge of k per
+    task) — no global sort, nothing corpus-quadratic. The two scalar
+    totals ride 1-row cross joins, not driver collects.
+    """
+    from ..functions.text_funcs import tokens, word_shingles
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        bigrams = F.when(
+            F.size("_toks") >= 2, word_shingles(F.col("_toks"), 2)
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.concat(word_shingles(F.col("_toks"), 1), bigrams)
+            ).alias("_ng"),
+        )
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("_ng"), "utf-8")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    t_b = feats(target).select(bucket.alias("b"))
+    r_f = feats(raw).select("doc_id", bucket.alias("b"))
+    t_cnt = t_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    r_cnt = r_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    nt = t_b.agg(F.count(F.lit(1)).alias("nt"))
+    nr = r_f.agg(F.count(F.lit(1)).alias("nr"))
+    scores = (
+        r_cnt.join(t_cnt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double"))
+                    - F.log((F.col("nt") + F.lit(n_buckets)).cast("double"))
+                    - F.log((F.col("cr") + F.lit(1)).cast("double"))
+                    + F.log((F.col("nr") + F.lit(n_buckets)).cast("double"))
+                )
+                * F.lit(DSIR_SCALE)
+            ).cast("bigint").alias("r_fp"),
+        )
+    )
+    per_doc = (
+        r_f.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(scores, "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("r_fp")).alias("w_fp"))
+    )
+    docs = (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("w_fp", F.lit(0)).alias("weight_fp"))
+    )
+    u = uniform_from_id(F.col("doc_id"))
+    key = F.col("weight_fp").cast("double") / F.lit(DSIR_SCALE) - F.log(-F.log(u))
+    sel = (
+        docs.select("doc_id", "weight_fp", key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = W.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+    return (
+        sel.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "weight_fp", "rank")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int,

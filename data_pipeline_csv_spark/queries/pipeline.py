@@ -311,6 +311,75 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, source, unnest(toks) AS ng FROM t0
+      UNION ALL
+      SELECT doc_id, source,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1]) AS ng
+      FROM t0 JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 1
+    ),
+    bk AS (
+      SELECT doc_id, source,
+             CAST(CONCAT('0x', SUBSTR(md5(ng), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM f
+    ),
+    tc AS (SELECT b, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY b),
+    rf AS (SELECT doc_id, b FROM bk WHERE source <> 'src0'),
+    rc AS (SELECT b, COUNT(*) AS cr FROM rf GROUP BY b),
+    nt AS (SELECT COUNT(*) AS nt FROM bk WHERE source = 'src0'),
+    nr AS (SELECT COUNT(*) AS nr FROM rf),
+    sc AS (
+      SELECT rc.b,
+             CAST(FLOOR((ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE))
+                       - ln(CAST(nt.nt + 1024 AS DOUBLE))
+                       - ln(CAST(rc.cr + 1 AS DOUBLE))
+                       + ln(CAST(nr.nr + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS r_fp
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN nt CROSS JOIN nr
+    ),
+    pd AS (
+      SELECT doc_id, SUM(c * r_fp) AS w_fp FROM (
+        SELECT doc_id, b, COUNT(*) AS c FROM rf GROUP BY 1, 2
+      ) dc JOIN sc USING (b) GROUP BY doc_id
+    ),
+    d AS (
+      SELECT t0.doc_id,
+             CAST(COALESCE(pd.w_fp, 0) AS BIGINT) AS weight_fp,
+             CAST(COALESCE(pd.w_fp, 0) AS DOUBLE) / 1000000.0
+               - ln(-ln({uniform_from_id_sql('t0.doc_id')})) AS key
+      FROM t0 LEFT JOIN pd USING (doc_id)
+      WHERE t0.source <> 'src0'
+    )
+    SELECT doc_id, weight_fp, rank FROM (
+      SELECT doc_id, weight_fp,
+             CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS rank
+      FROM d
+    ) WHERE rank <= 50
+    """,
+    doc="DSIR data selection (Xie et al., NeurIPS 2023): the 50 "
+    "training docs whose hashed unigram+bigram distribution is most "
+    "like the src0 target domain, by importance weight "
+    "log(p_target/p_raw) over 1024 md5-hashed buckets with add-one "
+    "smoothing, sampled without replacement via Gumbel-top-k on the "
+    "RNG-free id mixer. Bucket log-ratios are floored to 1e-6-nat "
+    "fixed point, so per-doc weights are exact int64 sums and the "
+    "oracle replays every weight bit-for-bit; the top-k plans as "
+    "TakeOrderedAndProject (per-partition k + driver merge), no "
+    "global sort (operators/sampling.py dsir_select).",
+    tags=("pipeline", "sampling", "selection", "dsir", "scale"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_select(raw, target, k=50, n_buckets=1024)
+
+
+@query(
     "corpus_shuffle_shards",
     oracle=f"""
     WITH s AS (

@@ -105,3 +105,44 @@ def test_shuffle_into_shards_partition_invariant(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1))  # dense
     sizes = [len(v) for v in by_shard.values()]
     assert max(sizes) <= 3 * max(1, n // 16)  # multinomial balance
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR must rank raw docs sharing the target domain's vocabulary
+    above disjoint-vocabulary docs: weights are positive for
+    target-like docs, negative for unrelated ones, and the selection's
+    top ranks are all target-like. The global top-k must plan as
+    TakeOrderedAndProject (per-partition k + driver merge), not a
+    global sort."""
+    import contextlib
+    import io
+
+    from data_pipeline_csv_spark.operators.sampling import dsir_select
+
+    tvocab = [f"alpha{i}" for i in range(30)]
+    uvocab = [f"zeta{i}" for i in range(30)]
+    target = spark.createDataFrame(
+        [(1000 + d, " ".join(tvocab[(d + i) % 30] for i in range(40))) for d in range(5)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for d in range(10):  # target-like raw docs
+        rows.append((d, " ".join(tvocab[(d * 3 + i) % 30] for i in range(40))))
+    for d in range(10, 20):  # unrelated raw docs
+        rows.append((d, " ".join(uvocab[(d + i) % 30] for i in range(40))))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sel = dsir_select(raw, target, k=8, n_buckets=256)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sel.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+    got = sel.collect()
+    assert len(got) == 8
+    by_rank = sorted(got, key=lambda r: r.rank)
+    # the clear-margin head of the selection is target-like
+    assert all(r.doc_id < 10 for r in by_rank[:5])
+    weights = {r.doc_id: r.weight_fp for r in got}
+    assert all(w > 0 for d, w in weights.items() if d < 10)
+    assert all(w < 0 for d, w in weights.items() if d >= 10)
