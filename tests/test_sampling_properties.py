@@ -100,3 +100,77 @@ def test_simhash_hash60_duckdb_matches_spec(s):
         params=[s],
     ).fetchone()[0]
     assert got == want
+
+
+def test_bloom_never_misses_shared_shingles(spark):
+    """Bloom prefilter structural property, hypothesis-style over
+    randomized corpora: for ANY train/eval pair, every train doc that
+    shares at least one 3-gram shingle with the eval set MUST be among
+    the Bloom candidates (zero false negatives — the property the
+    bit-identical decontamination output rests on). Randomness is
+    seeded numpy, bulk-checked in one Spark pass per round."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.dedup import (
+        bloom_candidate_docs,
+        shingle_sets,
+    )
+
+    rng = np.random.RandomState(11)
+    for round_i in range(3):
+        vocab = [f"w{round_i}x{v}" for v in range(80)]
+        docs = []
+        for d in range(60):
+            n = rng.randint(5, 25)
+            docs.append((d, " ".join(vocab[j] for j in rng.randint(0, 80, size=n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        train = df.filter(F.col("doc_id") >= 10)
+        eval_set = df.filter(F.col("doc_id") < 10)
+        # ground truth: train docs sharing >= 1 shingle with eval
+        t_sh = shingle_sets(train)
+        e_sh = shingle_sets(eval_set).select(F.col("shingle").alias("_es")).distinct()
+        truth = {
+            r.doc_id
+            for r in t_sh.join(e_sh, t_sh.shingle == F.col("_es"), "leftsemi")
+            .select("doc_id").distinct().collect()
+        }
+        # tiny bitset to force heavy false-positive pressure — false
+        # NEGATIVES must still be structurally impossible
+        cand = {
+            r.doc_id
+            for r in bloom_candidate_docs(train, eval_set, m_bits=1 << 10).collect()
+        }
+        assert truth <= cand, f"round {round_i}: missed {truth - cand}"
+
+
+def test_shuffle_shards_is_a_permutation_bulk(spark):
+    """shuffle_into_shards on an arbitrary id set is a bijection onto
+    shard-local dense positions, and the induced global order is the
+    mixer-key order (numpy replay) — no id lost, none duplicated, no
+    position collision, for ids across the full supported domain."""
+    import numpy as np
+
+    from data_pipeline_csv_spark.operators.sampling import (
+        _C1, _C2, _C3, _M32, shuffle_into_shards,
+    )
+
+    rng = np.random.RandomState(5)
+    ids = np.unique(rng.randint(0, 3_000_000_000, size=2000, dtype=np.int64))
+    df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    out = shuffle_into_shards(df, n_shards=8).collect()
+    assert len(out) == len(ids)
+    assert {r.doc_id for r in out} == set(ids.tolist())
+    # numpy twin of the mixer
+    h1 = (ids * _C1) % _M32
+    u = (((h1 + _C2) % _M32 * _C3) % _M32 + 0.5) / float(_M32)
+    shard = np.minimum(np.floor(u * 8), 7).astype(int)
+    want = {}
+    for sh in range(8):
+        members = ids[shard == sh]
+        order = members[np.lexsort((members, u[shard == sh]))]
+        for pos, i in enumerate(order, start=1):
+            want[int(i)] = (sh, pos)
+    got = {r.doc_id: (r.shard, r.pos) for r in out}
+    assert got == want
