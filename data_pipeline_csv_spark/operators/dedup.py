@@ -787,6 +787,73 @@ def simhash(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The REMOVAL transform behind :func:`dup_span_coverage`: rebuild
+    each document's text with every token inside a duplicated
+    word-n-gram span (merged to maximal islands, same gaps-and-islands
+    pass) deleted — the surgical alternative to dropping a whole doc
+    when only its boilerplate passages are shared. Emits
+    (doc_id, clean_text, n_tokens, n_removed).
+
+    Scale shape: identical to dup_span_coverage up to the island
+    extents (one gram pipeline + three key-partitioned window passes);
+    the rebuild is then a map-side array filter — per-doc interval
+    lists ride a doc_id join, each token index tests membership with
+    an EXISTS over that (tiny) list inside whole-stage codegen, and
+    clean text is one concat_ws. Nothing new shuffles; no UDF.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size("_toks") >= n, word_shingles(F.col("_toks"), n))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "ngram"),
+    )
+    wg = W.partitionBy("ngram")
+    dup = (
+        grams.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end"))
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(wp.rowsBetween(W.unboundedPreceding, -1))
+    iv = (
+        dup.withColumn(
+            "_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("bigint")
+        )
+        .withColumn("island", F.sum("_new").over(wp))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_ivs"))
+    )
+    ivs = F.coalesce(
+        F.col("_ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i <= v["e"])),
+    )
+    return (
+        toks.join(iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def cross_corpus_overlap(
     train: DataFrame,
     eval_set: DataFrame,

@@ -504,6 +504,95 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_remove_spans",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1],
+                            toks[CAST(r.i AS INT)+2], toks[CAST(r.i AS INT)+3],
+                            toks[CAST(r.i AS INT)+4], toks[CAST(r.i AS INT)+5],
+                            toks[CAST(r.i AS INT)+6], toks[CAST(r.i AS INT)+7]) AS ngram
+      FROM norm JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 7
+    ),
+    dup AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY ngram) AS mn,
+                  MAX(doc_id) OVER (PARTITION BY ngram) AS mx
+        FROM grams
+      ) WHERE mn <> mx
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    iv AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e FROM isl2 GROUP BY 1, 2
+    ),
+    u AS (
+      -- empty-norm guard: string_split('') is [''] (len 1) but Spark
+      -- tokenizes '' to zero tokens
+      SELECT n.doc_id, n.toks[CAST(r.i AS INT)] AS tok, CAST(r.i - 1 AS BIGINT) AS ti
+      FROM norm n JOIN range(1, 1000000) r(i)
+        ON r.i <= len(n.toks) AND array_to_string(n.toks, '') <> ''
+    ),
+    kept AS (
+      SELECT u.doc_id, u.tok, u.ti FROM u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = u.doc_id AND u.ti BETWEEN iv.s AND iv.e
+      )
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id,
+             CASE WHEN array_to_string(toks, '') = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(toks) AS BIGINT) END AS n_tokens
+      FROM norm
+    )
+    SELECT nt.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           nt.n_tokens,
+           CAST(nt.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nt LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Duplicated-span REMOVAL: rebuild every document with the "
+    "tokens inside duplicated word-8-gram spans (merged to maximal "
+    "islands) deleted — the surgical transform behind "
+    "dedup_span_coverage's metric, for when only boilerplate "
+    "passages are shared and whole-doc dropping over-deletes. Same "
+    "single gram pipeline + gaps-and-islands as the coverage op; the "
+    "rebuild is a map-side array filter (per-token EXISTS over the "
+    "doc's tiny interval list inside codegen, no UDF). FULL value "
+    "oracle — DuckDB reconstructs every cleaned string "
+    "(operators/dedup.py remove_dup_spans).",
+    tags=("dedup", "text", "spans", "transform"),
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(balanced(spark, load_table(spark, sf_dir, "documents")))
+
+
+@query(
     "dedup_span_coverage",
     oracle="""
     WITH norm AS (

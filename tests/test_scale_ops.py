@@ -519,3 +519,27 @@ def test_bloom_candidates_empty_eval_set(spark):
     )
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bloom_candidate_docs(train, empty).count() == 0
+
+
+def test_remove_dup_spans_surgical_removal(spark):
+    """The span-removal transform deletes exactly the merged
+    duplicated-span islands and nothing else: shared passages vanish
+    from both docs, unique text survives verbatim, untouched docs come
+    back with n_removed = 0."""
+    from data_pipeline_csv_spark.operators.dedup import remove_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token passage
+    rows = [
+        (1, f"{shared} unique one"),
+        (2, f"{shared} other tail"),
+        (3, "totally different words with no shared passage at all here now"),
+    ]
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_dup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1] == ("unique one", 12, 10)
+    assert out[2] == ("other tail", 12, 10)
+    assert out[3][2] == 0 and out[3][0].startswith("totally different")
