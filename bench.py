@@ -92,6 +92,14 @@ HEADLINE = [
     # path is tracked operator-only below.
     "dedup_semantic_semdedup",
     "corpus_decontaminate_bloom",
+    # further r7 debuts, tracked from their first round: deterministic
+    # shuffle-into-shards (map-side key + per-shard position window),
+    # DSIR selection (two feature passes + bucket-table scoring join +
+    # TakeOrdered top-k), and the duplicated-span REMOVAL transform
+    # (the dup_spans pipeline + a map-side interval-filter rebuild).
+    "corpus_shuffle_shards",
+    "corpus_dsir_select",
+    "dedup_remove_spans",
 ]
 
 
