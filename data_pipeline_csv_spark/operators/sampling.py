@@ -131,6 +131,64 @@ def shuffle_into_shards(
     )
 
 
+def pack_chunks_global(
+    chunks: DataFrame,
+    seq_len: int = 64,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """GLOBAL concat-and-chunk sequence packing: lay every chunk of the
+    whole corpus on one deterministic token tape (order = the RNG-free
+    doc shuffle key, then doc, then chunk index) and cut it into
+    ``seq_len``-token packs — the GPT-style pretraining layout that
+    wastes no per-doc tail, vs per-doc packing
+    (queries/pipeline.corpus_pack_sequences) which pads at every doc
+    boundary. Emits (id, chunk idx, n_tokens, pack_id).
+
+    The global running token sum is a DISTRIBUTED TWO-PASS PREFIX SUM,
+    not a global-order window (which would sort the corpus in one
+    task): docs hash into ``n_buckets`` contiguous key ranges of the
+    tape (the shuffle key is uniform, so buckets are balanced), each
+    bucket computes its LOCAL running sum — one task per bucket, the
+    writer-per-bucket topology a sharded write has anyway — and the
+    per-bucket totals (n_buckets rows) turn into bucket start offsets
+    with one tiny window. global_prefix = bucket offset + local
+    running sum, exactly; pack_id = floor(start / seq_len). All
+    integer arithmetic, so the DuckDB oracle can replay the same
+    assignment with a plain global-order window and match bit-for-bit
+    (the bucket decomposition is invisible in the result).
+    """
+    u = uniform_from_id(F.col(id_col))
+    bucket = F.least(F.floor(u * F.lit(n_buckets)), F.lit(n_buckets - 1)).cast("int")
+    keyed = chunks.select(
+        F.col(id_col), F.col(idx_col), F.col(tok_col),
+        u.alias("_u"), bucket.alias("_b"),
+    )
+    w_local = W.partitionBy("_b").orderBy(
+        F.col("_u").asc(), F.col(id_col).asc(), F.col(idx_col).asc()
+    ).rowsBetween(W.unboundedPreceding, 0)
+    local = keyed.withColumn("_cum", F.sum(tok_col).over(w_local))
+    totals = keyed.groupBy("_b").agg(F.sum(tok_col).alias("_tot"))
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            idx_col,
+            tok_col,
+            F.floor(
+                (F.col("_off") + F.col("_cum") - F.col(tok_col))
+                / F.lit(float(seq_len))
+            ).cast("bigint").alias("pack_id"),
+        )
+    )
+
+
 DSIR_SCALE = 1e6  # fixed-point nats for bucket log-ratios (see dsir_select)
 
 

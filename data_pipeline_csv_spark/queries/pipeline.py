@@ -311,6 +311,55 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_global",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(r.k AS INT) AS chunk_idx,
+             CAST(len(list_slice(toks, 1 + 24 * CAST(r.k AS INT), 1 + 24 * CAST(r.k AS INT) + 31)) AS BIGINT) AS n_tokens
+      FROM t JOIN range(0, 1000000) r(k)
+        ON 1 + 24 * r.k <= GREATEST(len(toks), 1)
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             {uniform_from_id_sql('doc_id')} AS u
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                  ORDER BY u ASC, doc_id ASC, chunk_idx ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 64.0) AS BIGINT) AS pack_id
+    FROM keyed
+    """,
+    doc="GLOBAL concat-and-chunk sequence packing: every 32/24 context "
+    "chunk of the whole corpus laid on one deterministic token tape "
+    "(order = the RNG-free doc shuffle key) and cut into 64-token "
+    "packs — the GPT-style layout that wastes no per-doc tail, vs "
+    "corpus_pack_sequences' per-doc packing. The running sum is a "
+    "distributed TWO-PASS PREFIX SUM (per-bucket local cumsum, one "
+    "task per bucket, + an n_buckets-row offset window), never a "
+    "global-order window sorting the corpus in one task; the oracle "
+    "replays the same assignment with a plain global window and must "
+    "match bit-for-bit (operators/sampling.py pack_chunks_global).",
+    tags=("pipeline", "packing", "shuffle", "scale"),
+)
+def corpus_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_chunks_global
+
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(24))
+    chunks = toks.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "_start"), F.col("_toks")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.slice(F.col("_toks"), F.col("_start"), 32)).cast("bigint").alias("n_tokens"),
+    )
+    return pack_chunks_global(chunks, seq_len=64, n_buckets=16)
+
+
+@query(
     "corpus_dsir_select",
     oracle=f"""
     WITH t0 AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),

@@ -146,3 +146,50 @@ def test_dsir_select_prefers_target_like_docs(spark):
     weights = {r.doc_id: r.weight_fp for r in got}
     assert all(w > 0 for d, w in weights.items() if d < 10)
     assert all(w < 0 for d, w in weights.items() if d >= 10)
+
+
+def test_pack_chunks_global_equals_global_window(spark):
+    """The distributed two-pass prefix sum must equal the naive
+    global-order window assignment exactly on randomized chunk sizes,
+    and the plan must not funnel the chunk stream through a
+    single-partition sort (only the n_buckets-row offset window may
+    be single-partition)."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.sampling import (
+        pack_chunks_global,
+        uniform_from_id,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for d in range(200):
+        for c in range(rng.randint(1, 6)):
+            rows.append((d, c, int(rng.randint(1, 33))))
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tokens long")
+
+    out = pack_chunks_global(chunks, seq_len=64, n_buckets=8)
+    w = W.orderBy(
+        uniform_from_id(F.col("doc_id")).asc(), F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    ).rowsBetween(W.unboundedPreceding, 0)
+    naive = chunks.select(
+        "doc_id", "chunk_idx",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 64.0)
+        .cast("bigint").alias("pack_id"),
+    )
+    got = {(r.doc_id, r.chunk_idx): r.pack_id for r in out.collect()}
+    want = {(r.doc_id, r.chunk_idx): r.pack_id for r in naive.collect()}
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(_b" in plan  # bucket-local windows
+    assert plan.count("Exchange SinglePartition") <= 1  # offsets only
