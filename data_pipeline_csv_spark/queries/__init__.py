@@ -57,19 +57,21 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     path), corpus_shuffle_shards (deterministic shuffle+shard, full
 #     value oracle), corpus_dsir_select (DSIR importance resampling,
 #     full value oracle), dedup_remove_spans (duplicated-span removal
-#     transform, full value oracle) and corpus_pack_global (global
+#     transform, full value oracle), corpus_pack_global (global
 #     concat-and-chunk packing via a distributed two-pass prefix sum,
-#     full value oracle);
+#     full value oracle) and text_bpe_merges (iterative BPE tokenizer
+#     training under a 10-round unrolled replay oracle);
 # (b) union RECENCY: the five r02 stragglers (window_orders_suite,
 #     q17_small_quantity, grouping_sets_orders, unpivot_part_attrs,
-#     setops_customer_keys), the ENTIRE 29-query r03 tail, and 1 of
-#     the 41-query r04 tail — after this round no query's latest
-#     driver row is older than r03, and the r04 tail starts rotating.
+#     setops_customer_keys) and the ENTIRE 29-query r03 tail — after
+#     this round no query's latest driver row is older than r03; the
+#     41-query r04 tail rotates starting r8 (the r7 debuts consumed
+#     its slots).
 # The window is 50/50 oracle-backed; the registry itself is now
 # all-oracle-backed too (the rows-only similarity_ann_ivf was retired
 # this round in favor of the on-disk + recall audits).
 _PRIORITY = [
-    # --- new or changed implementations this round (15) ---
+    # --- new or changed implementations this round (16) ---
     "dedup_containment_lsh",
     "dedup_containment_lsh_ensemble",
     "dedup_semantic_semdedup",
@@ -78,6 +80,7 @@ _PRIORITY = [
     "corpus_dsir_select",
     "dedup_remove_spans",
     "corpus_pack_global",
+    "text_bpe_merges",
     "dedup_minhash_lsh",
     "dedup_containment",
     "dedup_incremental_batch",
@@ -121,8 +124,6 @@ _PRIORITY = [
     "window_first_last",
     "window_rank_orders",
     "window_running_revenue",
-    # --- r04-tail rotation starts (1 of 41) ---
-    "dedup_simhash",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

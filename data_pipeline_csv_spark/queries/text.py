@@ -548,3 +548,69 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled SQL replay of the BPE trainer (same pattern as the
+    kmeans oracle's CTE chain): w0 = character-split word-frequency
+    table; per round t, p{t} counts adjacent pairs weighted by word
+    freq, m{t} is the deterministic argmax, w{t} applies the canonical
+    greedy merge pass via list_reduce with the same string-fold as
+    operators/bpe._merge_pass. Emits the merge table bit-for-bit."""
+    sql = f"""
+    WITH w0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg, freq FROM (
+        SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents) t
+        GROUP BY 1
+      )
+    )"""
+    for t in range(1, n_merges + 1):
+        prev = f"w{t - 1}"
+        sql += f""",
+    p{t} AS (
+      SELECT s[CAST(r.i AS INT)] AS l, s[CAST(r.i AS INT) + 1] AS r2,
+             SUM(freq) AS pf
+      FROM (SELECT string_split(seg, ' ') AS s, freq FROM {prev})
+      JOIN range(1, 1000000) r(i) ON r.i <= len(s) - 1
+      GROUP BY 1, 2
+    ),
+    m{t} AS (SELECT l, r2, pf FROM p{t} ORDER BY pf DESC, l ASC, r2 ASC LIMIT 1),
+    w{t} AS (
+      SELECT list_reduce(string_split({prev}.seg, ' '), (acc, x) ->
+               CASE WHEN x = m{t}.r2 AND (acc = m{t}.l OR acc LIKE '% ' || m{t}.l)
+                    THEN acc || m{t}.r2 ELSE acc || ' ' || x END) AS seg,
+             freq
+      FROM {prev} CROSS JOIN m{t}
+    )"""
+    parts = " UNION ALL ".join(
+        f"SELECT {t} AS rank, l, r2, pf FROM m{t}" for t in range(1, n_merges + 1)
+    )
+    sql += f"""
+    SELECT CAST(rank AS INT) AS rank, l AS left, r2 AS right,
+           l || r2 AS merged, CAST(pf AS BIGINT) AS freq
+    FROM ({parts})
+    """
+    return sql
+
+
+@query(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(10),
+    doc="BPE subword-tokenizer training (Sennrich et al., ACL 2016): "
+    "the first 10 merges learned from the corpus — one corpus pass "
+    "builds the word-frequency table, then every round runs on that "
+    "VOCAB-sized table (adjacent-pair counts weighted by word freq, "
+    "deterministic argmax with lexicographic ties, canonical greedy "
+    "left-to-right merge pass as a single fold expression in "
+    "codegen). Driver traffic is ONE row per round, the k-means "
+    "contract for iterative trainers. FULL value oracle: DuckDB "
+    "replays all 10 rounds — pair counts, argmax and every "
+    "segmentation rewrite (list_reduce with the identical string "
+    "fold) — bit-for-bit (operators/bpe.py bpe_train_merges).",
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(spark, _docs(spark, sf_dir), n_merges=10)
+

@@ -86,3 +86,41 @@ def test_repetition_metrics_hand_computed(spark):
     assert (r1.n_tokens, r1.type_token_ratio, r1.top_bigram_share, r1.keep) == (4, 0.25, 1.0, False)
     assert r2.n_tokens == 4 and r2.type_token_ratio == 1.0
     assert abs(r2.top_bigram_share - 1 / 3) < 1e-12 and not r2.keep
+
+
+def test_bpe_merge_pass_is_canonical_greedy(spark):
+    """One merge pass must be canonical BPE: leftmost-first
+    non-overlapping (a run of 2k symbols -> k merges, the middle
+    overlap skipped), and a just-merged symbol cannot re-merge within
+    the pass."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.bpe import _merge_pass
+
+    rows = [
+        ("a a a a",),   # run of 4 -> two merges
+        ("a a a",),     # run of 3 -> one merge, stranded tail
+        ("a b a b",),   # disjoint occurrences both merge (pair a,b)
+        ("c",),         # single symbol untouched
+    ]
+    df = spark.createDataFrame(rows, "seg string")
+    got_aa = [r.r for r in df.select(_merge_pass("a", "a").alias("r")).collect()]
+    assert got_aa == ["aa aa", "aa a", "a b a b", "c"]
+    got_ab = [r.r for r in df.select(_merge_pass("a", "b").alias("r")).collect()]
+    assert got_ab == ["a a a a", "a a a", "ab ab", "c"]
+
+
+def test_bpe_train_learns_planted_merges(spark):
+    """On a corpus dominated by one bigram pattern the trainer must
+    pick the planted pair first and then CASCADE (merge the merged
+    symbol with its neighbor in a later round)."""
+    from data_pipeline_csv_spark.operators.bpe import bpe_train_merges
+
+    # 'xyz' dominates; after (x,y)->xy the pair (xy,z) dominates
+    docs = spark.createDataFrame(
+        [(d, "xyz xyz xyz xyz qq") for d in range(20)],
+        "doc_id long, text string",
+    )
+    merges = {r.rank: (r.left, r.right, r.merged) for r in bpe_train_merges(spark, docs, n_merges=3).collect()}
+    assert merges[1] == ("x", "y", "xy")
+    assert merges[2] == ("xy", "z", "xyz")
