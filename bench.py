@@ -100,6 +100,11 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "corpus_dsir_select",
     "dedup_remove_spans",
+    # r7 debut: 10 vocab-table merge rounds + one corpus tokenization
+    # pass — the iterative-trainer family's text member (driver
+    # traffic 1 row/round); dominated by per-round job overhead at
+    # local scale, by design not corpus-bound.
+    "text_bpe_merges",
 ]
 
 
