@@ -124,3 +124,73 @@ def test_bpe_train_learns_planted_merges(spark):
     merges = {r.rank: (r.left, r.right, r.merged) for r in bpe_train_merges(spark, docs, n_merges=3).collect()}
     assert merges[1] == ("x", "y", "xy")
     assert merges[2] == ("xy", "z", "xyz")
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """Merge pass AND full trainer vs a pure-python canonical BPE twin
+    on randomized corpora (tiny alphabet so runs and ties actually
+    occur): the fold expression must equal the leftmost-first
+    non-overlapping scan, and the trained merge tables must be
+    identical including tie-breaks."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.bpe import _merge_pass, bpe_train_merges
+
+    def merge_py(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = np.random.RandomState(17)
+    # 1) merge pass on random runs-heavy sequences
+    segs = [
+        " ".join(rng.choice(["a", "b", "ab"], size=rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(s,) for s in segs], "seg string")
+    for a, b in [("a", "a"), ("a", "b"), ("ab", "a"), ("b", "ab")]:
+        got = [r.r for r in df.select(_merge_pass(a, b).alias("r")).collect()]
+        want = [" ".join(merge_py(s.split(" "), a, b)) for s in segs]
+        assert got == want, (a, b)
+
+    # 2) full trainer vs python twin on a random word corpus
+    def train_py(word_freqs, n):
+        segs = {w: [c for c in w] for w in word_freqs}
+        merges = []
+        for r in range(1, n + 1):
+            counts = {}
+            for w, f in word_freqs.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), pf = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, a, b, a + b, pf))
+            segs = {w: merge_py(s, a, b) for w, s in segs.items()}
+        return merges
+
+    words = ["".join(rng.choice(list("abc"), size=rng.randint(1, 7))) for _ in range(150)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j] for j in rng.randint(0, len(words), size=8)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    freqs = {}
+    for r in docs.select(F.explode(F.split("text", " ")).alias("w")).collect():
+        freqs[r.w] = freqs.get(r.w, 0) + 1
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.freq)
+        for r in bpe_train_merges(spark, docs, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == train_py(freqs, 5)
