@@ -283,13 +283,31 @@ def containment_lsh_ensemble_pairs(
 
     sh = shingle_sets(df, text_col, id_col, n)
     # one aggregation: all minhashes AND the stratum key (distinct-
-    # shingle count) — the shuffle carries one narrow row per doc
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    # shingle count) — the shuffle carries one narrow row per doc.
+    # With num_hashes=256, hashing every shingle 256 times dominates
+    # the whole operator (measured 2.5 of 3.5 s at sf0.1), so the
+    # family here is ONE 32-bit base hash per shingle + k
+    # Carter-Wegman affine transforms (a_i*x + b_i mod 2^32, a_i odd
+    # < 2^31 so every product stays in int64 under ANSI arithmetic) —
+    # the classic cheap-minhash construction (Broder 1997 resemblance
+    # sketches use random linear maps of one fingerprint). The
+    # flat-banding operators keep the salted-xxhash64 family: their
+    # k=32 cost is negligible and the streaming index format depends
+    # on it.
+    def _affine(i: int) -> tuple[int, int]:
+        x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
+        return ((x >> 33) | 1) % (1 << 31), (x % (1 << 31))
+
+    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1))
+    based = sh.select("doc_id", base.alias("_h32"))
+    mins = []
+    for i in range(num_hashes):
+        a_i, b_i = _affine(i)
+        mins.append(
+            F.min((F.lit(a_i) * F.col("_h32") + F.lit(b_i)) % F.lit(1 << 32)).alias(f"h{i}")
+        )
     sig = (
-        sh.groupBy("doc_id")
+        based.groupBy("doc_id")
         .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
         .select(
             "doc_id",
