@@ -47,6 +47,28 @@ def merge_latest_snapshot(
     )
 
 
+def synthetic_change_feed(orders: DataFrame) -> DataFrame:
+    """The orders-derived I/U/D change log used by the CDC queries and
+    the streaming-upsert feed (kept here so the batch query, the
+    staged stream and the DuckDB oracle all describe the same log):
+    every order INSERTs at seq 1, every 5th key UPDATEs its total
+    price *1.1 at seq 2, every 7th key DELETEs at seq 3."""
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ins = o.withColumn("seq", F.lit(1)).withColumn("op", F.lit("I"))
+    upd = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    return ins.unionByName(upd).unionByName(dels)
+
+
 def scd2_history(
     changes: DataFrame,
     keys: Sequence[str],

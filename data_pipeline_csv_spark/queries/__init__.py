@@ -63,7 +63,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     training under a 10-round unrolled replay oracle);
 # (b) union RECENCY: the five r02 stragglers (window_orders_suite,
 #     q17_small_quantity, grouping_sets_orders, unpivot_part_attrs,
-#     setops_customer_keys) and the ENTIRE 29-query r03 tail — after
+#     setops_customer_keys) and 28 of the 29-query r03 tail — after
 #     this round no query's latest driver row is older than r03; the
 #     41-query r04 tail rotates starting r8 (the r7 debuts consumed
 #     its slots).
@@ -71,7 +71,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # all-oracle-backed too (the rows-only similarity_ann_ivf was retired
 # this round in favor of the on-disk + recall audits).
 _PRIORITY = [
-    # --- new or changed implementations this round (16) ---
+    # --- new or changed implementations this round (17) ---
     "dedup_containment_lsh",
     "dedup_containment_lsh_ensemble",
     "dedup_semantic_semdedup",
@@ -81,6 +81,7 @@ _PRIORITY = [
     "dedup_remove_spans",
     "corpus_pack_global",
     "text_bpe_merges",
+    "streaming_cdc_upsert",
     "dedup_minhash_lsh",
     "dedup_containment",
     "dedup_incremental_batch",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "text_token_stats",
     "window_distribution",
     "window_first_last",
-    "window_rank_orders",
     "window_running_revenue",
 ]
 

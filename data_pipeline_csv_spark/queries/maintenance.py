@@ -32,22 +32,9 @@ _CHANGES_SQL = """
 
 
 def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    ins = o.withColumn("seq", F.lit(1)).withColumn("op", F.lit("I"))
-    upd = (
-        o.filter(F.col("o_orderkey") % 5 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
-        .withColumn("seq", F.lit(2))
-        .withColumn("op", F.lit("U"))
-    )
-    dels = (
-        o.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("seq", F.lit(3))
-        .withColumn("op", F.lit("D"))
-    )
-    return ins.unionByName(upd).unionByName(dels)
+    from ..operators.cdc import synthetic_change_feed
+
+    return synthetic_change_feed(load_table(spark, sf_dir, "orders"))
 
 
 @query(

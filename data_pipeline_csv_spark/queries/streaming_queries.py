@@ -285,6 +285,73 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdc_upsert",
+    # Same oracle as the batch cdc_merge_snapshot: the drained upsert
+    # state must equal the one-shot merge of the full change log.
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 2 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 3 AS seq, 'D' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderkey) AS nv
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(seq AS BIGINT) AS version,
+           CAST(nv AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Streaming CDC upsert (the streaming MERGE INTO): the staged "
+    "seq-ordered I/U/D change feed drains through foreachBatch; each "
+    "epoch folds its micro-batch into a keyed snapshot state with the "
+    "batch merge's winner window, keeping delete TOMBSTONES in state "
+    "(filtered at read) so no epoch split can resurrect a deleted key, "
+    "committed via the generation + atomic-symlink + epoch-marker "
+    "protocol (replays short-circuit). State is |keys| rows, no "
+    "watermark. The drained snapshot must equal the one-shot batch "
+    "merge — the oracle is cdc_merge_snapshot's "
+    "(streaming/sinks.py cdc_upsert_writer / run_streaming_cdc_merge).",
+    tags=("streaming", "cdc", "merge", "upsert", "foreachBatch"),
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming import run_streaming_cdc_merge, stage_changes_dir
+    from ..streaming.sources import read_events_stream
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    state = tempfile.mkdtemp(prefix="sg_cdc_")
+    try:
+        stage_changes_dir(spark, sf_dir, staged, n_files=3)
+        stream = read_events_stream(spark, staged)  # generic staged reader
+        snap = run_streaming_cdc_merge(
+            stream, spark, state_root=state, checkpoint=f"{state}/_chk",
+            keys=["o_orderkey"],
+        )
+        out = snap.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("seq").cast("bigint").alias("version"),
+            F.col("n_versions").cast("bigint").alias("n_versions"),
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@query(
     "streaming_dedup_neardup",
     # Same exact-pairs oracle as dedup_minhash_lsh: within-batch LSH +
     # index-probed cross pairs partition every pair by the batch of its

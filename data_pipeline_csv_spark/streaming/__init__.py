@@ -29,13 +29,21 @@ from .pipelines import (
     user_running_totals_stream,
 )
 from .sinks import (
+    cdc_upsert_writer,
+    run_streaming_cdc_merge,
     compact_neardup_state,
     foreach_batch_parquet,
     neardup_epoch_writer,
     run_streaming_neardup,
     run_to_memory,
 )
-from .sources import read_docs_stream, read_events_stream, stage_docs_dir, stage_events_dir
+from .sources import (
+    read_docs_stream,
+    read_events_stream,
+    stage_changes_dir,
+    stage_docs_dir,
+    stage_events_dir,
+)
 
 __all__ = [
     "attribution_join_stream",
@@ -50,6 +58,9 @@ __all__ = [
     "read_events_stream",
     "stage_events_dir",
     "stage_docs_dir",
+    "stage_changes_dir",
+    "run_streaming_cdc_merge",
+    "cdc_upsert_writer",
     "read_docs_stream",
     "run_streaming_neardup",
     "neardup_epoch_writer",

@@ -107,6 +107,111 @@ def state_merge_writer(state_root: str, keys, sums, mins=(), maxs=()):
     return write_epoch
 
 
+def cdc_upsert_writer(
+    state_root: str,
+    keys,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """foreachBatch writer maintaining a keyed UPSERT SNAPSHOT from an
+    insert/update/delete change stream — the streaming twin of batch
+    operators/cdc.merge_latest_snapshot (what Delta/Iceberg's
+    streaming MERGE INTO does), on bare parquet with the same
+    generation-dir + atomic-symlink + epoch-marker commit protocol as
+    :func:`state_merge_writer` (a replayed epoch short-circuits).
+
+    State per key: the WINNING change row so far — INCLUDING delete
+    tombstones. Dropping a deleted key from state would let a later
+    micro-batch carrying only a lower-seq change resurrect it, so
+    deletes are filtered at READ time (:func:`run_streaming_cdc_merge`),
+    never from state. The per-epoch merge is the same winner window as
+    the batch operator (max seq, op-desc ties) plus a cumulative
+    change count; the window's reduction is associative, so the
+    drained snapshot equals the one-shot batch merge of the whole log
+    for ANY split of the log into epochs and any op/seq mix per batch
+    (tests/test_streaming.py::test_cdc_upsert_stream_any_split).
+    State size is |keys ever seen| rows — bounded by key cardinality,
+    no watermark needed.
+    """
+    import os
+
+    cur = os.path.join(state_root, "current")
+    marker = os.path.join(state_root, "last_epoch")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= epoch_id:
+                    return  # epoch replay: already merged
+        spark = batch_df.sparkSession
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        delta = batch_df.withColumn("n_versions", F.lit(1).cast("bigint"))
+        if os.path.lexists(cur):
+            un = spark.read.parquet(cur).unionByName(delta)
+        else:
+            un = delta
+        w = W.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        wk = W.partitionBy(*keys)
+        merged = (
+            un.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nv", F.sum("n_versions").over(wk))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "n_versions")
+            .withColumnRenamed("_nv", "n_versions")
+        )
+        gen = os.path.join(state_root, f"gen-{epoch_id}")
+        merged.write.mode("overwrite").parquet(gen)
+        tmp = f"{cur}.tmp-{epoch_id}"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(gen, tmp)
+        os.replace(tmp, cur)  # atomic repoint
+        with open(marker, "w") as fh:
+            fh.write(str(epoch_id))
+
+    return write_epoch
+
+
+def run_streaming_cdc_merge(
+    stream_changes: DataFrame,
+    spark: SparkSession,
+    state_root: str,
+    checkpoint: str,
+    keys,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Drain a bounded change stream through :func:`cdc_upsert_writer`;
+    return the live snapshot (tombstones filtered at read — see the
+    writer's resurrection note)."""
+    import os
+
+    os.makedirs(state_root, exist_ok=True)
+    q = (
+        stream_changes.writeStream.foreachBatch(
+            cdc_upsert_writer(state_root, keys, seq_col, op_col, delete_op)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(state_root, "current")).filter(
+        F.col(op_col) != delete_op
+    )
+
+
 def run_incremental_mv(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -73,6 +73,28 @@ def stage_docs_dir(
     return out_dir
 
 
+def stage_changes_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 3
+) -> str:
+    """Write the orders-derived I/U/D change log
+    (operators/cdc.synthetic_change_feed) as ``n_files`` seq-ordered
+    parquet files — a time-ordered change feed (file N's max seq <=
+    file N+1's min), though the streaming upsert's correctness does
+    not depend on the split (cdc_upsert_writer keeps tombstones
+    precisely so ANY epoch split folds to the same snapshot)."""
+    from ..operators.cdc import synthetic_change_feed
+
+    changes = synthetic_change_feed(load_table(spark, sf_dir, "orders"))
+    (
+        changes.repartitionByRange(n_files, F.col("seq"), F.col("o_orderkey"))
+        .sortWithinPartitions("seq", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _stamp_mtimes_in_part_order(out_dir)
+    return out_dir
+
+
 def read_docs_stream(
     spark: SparkSession,
     staged_dir: str,

@@ -249,3 +249,65 @@ def test_streaming_neardup_converges_to_batch_lsh(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_cdc_upsert_stream_any_split(spark, sf_dir, tmp_path):
+    """The streaming upsert must fold to the one-shot batch merge for
+    an ADVERSARIAL epoch split (key-mod batches: every epoch mixes
+    inserts, updates, deletes and seq orders), and a replayed epoch
+    must short-circuit to identical state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.cdc import (
+        merge_latest_snapshot,
+        synthetic_change_feed,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+    from data_pipeline_csv_spark.streaming.sinks import cdc_upsert_writer
+
+    changes = synthetic_change_feed(load_table(spark, sf_dir, "orders"))
+    state = str(tmp_path / "cdc_state")
+    os.makedirs(state)
+    w = cdc_upsert_writer(state, ["o_orderkey"])
+    for i in range(3):
+        w(changes.filter(F.col("o_orderkey") % 3 == i), i)
+    w(changes.filter(F.col("o_orderkey") % 3 == 1), 1)  # replay: no-op
+
+    got = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice, r.seq, r.n_versions)
+        for r in spark.read.parquet(os.path.join(state, "current"))
+        .filter(F.col("op") != "D")
+        .collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice, r.seq, r.n_versions)
+        for r in merge_latest_snapshot(changes, ["o_orderkey"]).collect()
+    }
+    assert got == want and want
+
+
+def test_cdc_upsert_tombstone_blocks_resurrection(spark, tmp_path):
+    """A delete arriving in an EARLIER epoch than a lower-seq change
+    for the same key must keep the key deleted — the reason state
+    retains tombstones instead of dropping deleted keys."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.streaming.sinks import cdc_upsert_writer
+
+    state = str(tmp_path / "cdc_state2")
+    os.makedirs(state)
+    w = cdc_upsert_writer(state, ["k"])
+    schema = "k long, v string, seq int, op string"
+    w(spark.createDataFrame([(1, "x", 3, "D"), (2, "a", 1, "I")], schema), 0)
+    w(spark.createDataFrame([(1, "old", 1, "I"), (2, "b", 2, "U")], schema), 1)
+    live = {
+        (r.k, r.v, r.seq, r.n_versions)
+        for r in spark.read.parquet(os.path.join(state, "current"))
+        .filter(F.col("op") != "D")
+        .collect()
+    }
+    assert live == {(2, "b", 2, 2)}  # key 1 stays deleted, count accrues
