@@ -109,6 +109,9 @@ HEADLINE = [
     # traffic 1 row/round); dominated by per-round job overhead at
     # local scale, by design not corpus-bound.
     "text_bpe_merges",
+    # r7 debut: streaming MERGE INTO — 3 staged epochs folding into
+    # the tombstone-keeping keyed snapshot + the drain/read machinery.
+    "streaming_cdc_upsert",
 ]
 
 
