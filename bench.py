@@ -104,6 +104,12 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "corpus_dsir_select",
     "dedup_remove_spans",
+    # r8 debut, tracked from its first round: the MATERIALIZED shard
+    # writer — corpus_shuffle_shards' assignment plus a real
+    # partitioned parquet write (one file per shard, task-local sort)
+    # and the _metadata read-back that reconstructs order; its number
+    # is write+read I/O on top of the assignment cost by design.
+    "corpus_write_shards",
     # r7 debut: 10 vocab-table merge rounds + one corpus tokenization
     # pass — the iterative-trainer family's text member (driver
     # traffic 1 row/round); dominated by per-round job overhead at

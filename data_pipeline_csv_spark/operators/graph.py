@@ -16,13 +16,20 @@ result is independent of partitioning and accumulation order, and a
 DuckDB unrolled-CTE replay produces bit-identical doubles
 (queries/canon.py explains why int64 fixed point, not DECIMAL).
 
-Dangling nodes (out-degree 0) are NOT redistributed — callers supply
-a graph where every node has at least one out-edge (e.g. symmetrized
-edges, as queries/graph.py does); documented trade vs the full
-PageRank dangling-mass term. The precondition is ENFORCED, not just
-documented: the up-front node-count job also counts out-degree-0
-nodes (one left join folded into the same aggregation — no extra
-job) and raises before iterating if any exist.
+Dangling nodes (out-degree 0): two modes. The default keeps the
+strict precondition — callers supply a graph where every node has at
+least one out-edge (e.g. symmetrized edges, as queries/graph.py
+does), ENFORCED by the up-front node-count job (which also counts
+out-degree-0 nodes via one extra flag in the same aggregation — no
+extra job) raising before iterating. ``redistribute_dangling=True``
+instead implements the standard full-PageRank dangling term: each
+iteration additionally sums the dangling nodes' rank (one more 1-row
+distributed aggregate riding a broadcast, no driver fetch) and hands
+every node an equal damping-weighted share, with the share
+floor-quantized in the same int64 fixed point so the oracle replay
+stays bit-exact; node retention switches from "nodes with in-edges"
+to ALL nodes (a source node keeps its base+dangling rank instead of
+dropping out — required for mass conservation).
 """
 
 from __future__ import annotations
@@ -39,15 +46,20 @@ def pagerank(
     damping: float = 0.85,
     scale: int = PR_SCALE,
     check_dangling: bool = True,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Iterate PageRank on directed ``edges(src, dst)``.
 
     Returns (node, rank). One driver-side row (node count + dangling
     count) is collected up front; everything else stays distributed.
     Raises ``ValueError`` on a dangling node (out-degree 0) unless
-    ``check_dangling=False`` — without at least one out-edge per node
-    the iteration silently drops that node's mass and the result is
-    not the PageRank of the supplied graph.
+    ``check_dangling=False`` (accept truncated-mass semantics) or
+    ``redistribute_dangling=True`` (the standard full-PageRank
+    dangling term: per iteration, dangling nodes' total rank — summed
+    in the same int64 fixed point, one extra 1-row aggregate broadcast
+    into the rank update — is shared equally by every node, each share
+    floor(d_fp / n) so both engines agree bit-for-bit; see the module
+    docstring for the node-retention difference).
     """
     # Deliberately NOT persisted: the edge list is referenced by the
     # per-iteration message join, the out-degree agg and the node
@@ -82,12 +94,13 @@ def pagerank(
         .collect()[0]
     )
     n = stats["n"]
-    if check_dangling and (stats["dangling"] or 0) > 0:
+    if check_dangling and not redistribute_dangling and (stats["dangling"] or 0) > 0:
         raise ValueError(
             f"pagerank: {stats['dangling']} dangling node(s) (out-degree 0); "
             "their mass would be dropped, not redistributed. Symmetrize the "
-            "edge list or add self-loops (or pass check_dangling=False to "
-            "accept the truncated-mass semantics)."
+            "edge list, add self-loops, pass redistribute_dangling=True for "
+            "the standard dangling term, or check_dangling=False to accept "
+            "the truncated-mass semantics."
         )
     base = (1.0 - damping) / n  # python double == SQL double op
 
@@ -103,12 +116,48 @@ def pagerank(
                 .alias("c"),
             )
         )
-        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
-            (
-                F.lit(base)
-                + F.lit(damping) * (F.sum("c").cast("double") / float(scale))
-            ).alias("rank")
-        )
+        if redistribute_dangling:
+            # dangling mass: total fixed-point rank of out-degree-0
+            # nodes this round — a 1-row aggregate broadcast into the
+            # update (never collected); each node's share is
+            # floor(d_fp / n), identical integer-in/IEEE-out math in
+            # Spark and the DuckDB replay
+            dang = ranks.join(
+                out_deg, ranks["node"] == out_deg["src"], "left_anti"
+            ).agg(
+                F.coalesce(
+                    F.sum(F.floor(F.col("rank") * scale).cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ).alias("d_fp")
+            )
+            mass = contribs.groupBy(F.col("dst").alias("node")).agg(
+                F.sum("c").alias("m")
+            )
+            ranks = (
+                nodes.join(mass, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            (
+                                F.coalesce(F.col("m"), F.lit(0).cast("bigint"))
+                                + F.floor(F.col("d_fp") / F.lit(n)).cast("bigint")
+                            ).cast("double")
+                            / float(scale)
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.sum("c").cast("double") / float(scale))
+                ).alias("rank")
+            )
         # long loops: truncate lineage so the plan doesn't grow
         # unboundedly (same pattern as operators/components.py);
         # cheap at >=8 rounds, pure overhead below that.

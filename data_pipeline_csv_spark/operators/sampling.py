@@ -96,7 +96,10 @@ def split_assign_sql_case(weights: dict[str, float], id_expr: str) -> str:
 
 
 def shuffle_into_shards(
-    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global corpus shuffle + sharding — the
     training-order step every pre-training pipeline runs before
@@ -104,7 +107,10 @@ def shuffle_into_shards(
     OWN id (:func:`uniform_from_id` — stable across re-runs, input
     partitioning, and corpus growth), lands in shard
     floor(u * n_shards), and takes its within-shard position from the
-    (u, id) order. Returns (id, shard, pos).
+    (u, id) order. Returns (id, shard, pos) plus any ``carry`` payload
+    columns passed through unchanged (so the shard WRITER can ride the
+    same single shuffle instead of joining the assignment back to the
+    payload — see :func:`write_training_shards`).
 
     Scale shape: the key and shard are a pure map-side projection; the
     only wide stage is the per-shard position window — ONE sorting
@@ -121,13 +127,58 @@ def shuffle_into_shards(
         F.floor(u * F.lit(n_shards)), F.lit(n_shards - 1)
     ).cast("int")
     keyed = df.select(
-        F.col(id_col), u.alias("_u"), shard.alias("shard")
+        F.col(id_col), u.alias("_u"), shard.alias("shard"), *carry
     )
     w = W.partitionBy("shard").orderBy(F.col("_u").asc(), F.col(id_col).asc())
     return keyed.select(
         id_col,
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
+        *carry,
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> None:
+    """MATERIALIZE the deterministic corpus shuffle as training shard
+    FILES — the last meter of the pre-training pipeline that
+    :func:`shuffle_into_shards` computes the (doc, shard, pos)
+    assignment for: one Hive directory per shard
+    (``out_dir/shard=N/``), exactly one parquet file per shard, rows
+    physically ordered by ``pos`` inside the file. A trainer streams
+    ``shard=N`` front to back and sees the global shuffle order.
+
+    Physical plan (one wide stage, the writer-per-shard topology):
+    the assignment window already hash-partitions on ``shard`` — every
+    shard's rows land wholly in one task — so the write needs NO
+    further exchange, only a task-local sort on (shard, pos) to pin
+    file order (the window's (u, id) output order is the same order,
+    but pos is row_number over it and Catalyst cannot prove the
+    equality, so the explicit sort documents and guarantees it; it is
+    a cheap in-task re-sort of already-ordered runs). ``partitionBy``
+    then splits a task holding several shard keys into one file per
+    directory. At 100 TB: thousands of shards, each sized to a task
+    (~1 GB), same topology — the shuffle IS the write.
+
+    Verified by the read-back oracle in queries/pipeline.py
+    corpus_write_shards (physical file order reconstructed from
+    ``_metadata.row_index`` must match the arithmetic shuffle
+    bit-for-bit) and the one-file-per-shard + order assertions in
+    tests/test_scale_ops.py.
+    """
+    assigned = shuffle_into_shards(
+        df, n_shards=n_shards, id_col=id_col, carry=tuple(payload_cols)
+    )
+    (
+        assigned.sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
     )
 
 

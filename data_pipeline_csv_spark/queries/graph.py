@@ -96,3 +96,90 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS)
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")
+
+
+# one FULL-PageRank round (dangling term included) as unrolled SQL:
+# s{i} = incoming fixed-point mass, dg{i} = the round's dangling mass
+# (total fixed-point rank of out-degree-0 nodes), and every node —
+# sources and sinks alike — gets base + damping * (mass + equal
+# dangling share), the share floor-quantized like the contributions
+_ROUND_DANGLING = """
+    s{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * {scale}) AS BIGINT)) AS m
+      FROM edges e
+      JOIN r{prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    dg{i} AS (
+      SELECT COALESCE(SUM(CAST(floor(r.rank * {scale}) AS BIGINT)), 0) AS d_fp
+      FROM r{prev} r LEFT JOIN deg d ON r.node = d.src
+      WHERE d.src IS NULL
+    ),
+    r{i} AS (
+      SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+             + CAST(0.85 AS DOUBLE) * (
+                 CAST(COALESCE(s.m, 0)
+                      + CAST(FLOOR(CAST(dg.d_fp AS DOUBLE) / nn.n) AS BIGINT) AS DOUBLE)
+                 / {scale}.0
+               ) AS rank
+      FROM nodes nd
+      CROSS JOIN nn
+      CROSS JOIN dg{i} dg
+      LEFT JOIN s{i} s ON nd.node = s.node
+    )
+"""
+
+
+def _oracle_dangling() -> str:
+    rounds = ",".join(
+        _ROUND_DANGLING.format(i=i, prev=i - 1, scale=PR_SCALE)
+        for i in range(1, _ITERS + 1)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             CAST(l_partkey + {_PART_OFFSET} AS BIGINT) AS dst
+      FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+      FROM nodes, nn
+    ),
+    {rounds}
+    SELECT node, rank FROM r{_ITERS}
+    """
+
+
+@query(
+    "graph_pagerank_dangling",
+    oracle=_oracle_dangling(),
+    doc="FULL PageRank (dangling-mass term) on the DIRECTED "
+    "supplier->part ship graph — every part node is a sink, so ~80% "
+    "of the graph dangles: each round the sinks' total fixed-point "
+    "rank is summed by one extra 1-row aggregate (broadcast into the "
+    "rank update, never collected) and shared equally by all nodes, "
+    "share floor-quantized so the unrolled DuckDB replay matches "
+    "bit-for-bit; supplier sources keep their base+dangling rank "
+    "instead of dropping out (operators/graph.py pagerank with "
+    "redistribute_dangling=True — the option that lifts "
+    "graph_pagerank_suppliers' symmetrize-first precondition).",
+    tags=("graph", "pagerank", "iterative", "dangling"),
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + _PART_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iterations=_ITERS, redistribute_dangling=True)
+    return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")

@@ -460,6 +460,64 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_write_shards",
+    # Same arithmetic oracle as corpus_shuffle_shards — but the Spark
+    # side answers from the WRITTEN FILES: pos is reconstructed from
+    # each shard file's physical row order (_metadata.row_index), so a
+    # wrong write topology (rows out of order, a shard split across
+    # interleaved files, a doc in the wrong directory) hash-mismatches
+    # even though the assignment math is identical.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {uniform_from_id_sql('doc_id')} AS u FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEAST(FLOOR(u * 16), 15) AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY LEAST(FLOOR(u * 16), 15) ORDER BY u ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="The materialized training-shard WRITER — what "
+    "corpus_shuffle_shards' assignment exists for: write the corpus as "
+    "one Hive directory per shard with exactly one parquet file per "
+    "shard, rows physically ordered by the deterministic shuffle "
+    "position (operators/sampling.py write_training_shards; the "
+    "assignment window's hash partitioning on shard IS the write "
+    "topology — no extra exchange, one task-local sort). The query "
+    "READS THE FILES BACK and reconstructs (doc_id, shard, pos) from "
+    "physical order via _metadata.row_index; the oracle replays the "
+    "shuffle arithmetic, so any order/placement defect in the written "
+    "bytes fails the hash. One-file-per-shard and written-pos checks: "
+    "tests/test_scale_ops.py::test_write_training_shards_layout.",
+    tags=("pipeline", "sampling", "sharding", "sink", "layout"),
+)
+def corpus_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.sampling import write_training_shards
+
+    out = tempfile.mkdtemp(prefix="sg_shards_")
+    write_training_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"), out, n_shards=16
+    )
+    rb = spark.read.parquet(out)
+    w = W.partitionBy("shard").orderBy(
+        F.col("_file").asc(), F.col("_ridx").asc()
+    )
+    return (
+        rb.select(
+            "doc_id",
+            F.col("shard").cast("int").alias("shard"),
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_ridx"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query(
     "text_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -664,24 +722,51 @@ def corpus_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_e2e_prep",
+    # Round-8 recomposition: the chain now exercises the CURRENT best
+    # pipeline — quality gate -> exact dedup -> Bloom-prefiltered
+    # decontamination vs the src0 eval set -> near-dup clusters ->
+    # best-per-cluster -> DSIR selection toward the src0 target ->
+    # duplicated-span surgery on the selected set -> deterministic
+    # shuffle into training shards. Each fragment below is the same
+    # SQL its standalone query ships (corpus_decontaminate_bloom,
+    # corpus_dsir_select, dedup_remove_spans/dedup_span_coverage,
+    # corpus_shuffle_shards), composed end to end.
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
+    WITH RECURSIVE {_CONTAM_SHINGLE_CTE},
     q AS ({_QUALITY_SQL}),
     kept AS (
-      SELECT doc_id, lang, n_tokens, quality FROM q
-      WHERE n_tokens >= 16 AND a_ratio >= 0.5 AND stop_ratio >= 0.05
+      SELECT q.doc_id, q.quality FROM q
+      JOIN documents d ON q.doc_id = d.doc_id
+      WHERE d.source <> 'src0'
+        AND q.n_tokens >= 16 AND q.a_ratio >= 0.5 AND q.stop_ratio >= 0.05
     ),
     surv AS (
-      SELECT d.doc_id, k.lang, k.n_tokens, k.quality,
+      SELECT d.doc_id, k.quality,
              trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nrm
       FROM documents d JOIN kept k USING (doc_id)
     ),
     uniq AS (
-      SELECT doc_id, lang, n_tokens, quality FROM (
+      SELECT doc_id, quality FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn FROM surv
       ) WHERE rn = 1
     ),
-    sh2 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN uniq u USING (doc_id)),
+    cpairs AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+      FROM sh t JOIN sh e ON t.shingle = e.shingle
+      WHERE t.source <> 'src0' AND e.source = 'src0'
+      GROUP BY 1, 2
+    ),
+    contam AS (
+      SELECT DISTINCT train_id AS doc_id FROM cpairs
+      JOIN sizes ts ON train_id = ts.doc_id
+      JOIN sizes es ON eval_id = es.doc_id
+      WHERE CAST(shared AS DOUBLE) / (ts.n_sh + es.n_sh - shared) >= 0.5
+    ),
+    clean AS (
+      SELECT u.doc_id, u.quality FROM uniq u
+      LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL
+    ),
+    sh2 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN clean c USING (doc_id)),
     prs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
       FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -700,59 +785,167 @@ def corpus_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
     ),
     labels AS (SELECT node AS doc_id, MIN(reach) AS comp FROM walk GROUP BY node),
-    together AS (
-      SELECT u.doc_id, u.lang, u.n_tokens, u.quality,
-             COALESCE(l.comp, u.doc_id) AS cluster_id
-      FROM uniq u LEFT JOIN labels l USING (doc_id)
-    ),
     winners AS (
-      SELECT doc_id, lang, n_tokens FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY cluster_id ORDER BY COALESCE(quality, -1.0) DESC, doc_id ASC
-        ) AS rw FROM together
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY COALESCE(l.comp, c.doc_id)
+                 ORDER BY COALESCE(c.quality, -1.0) DESC, c.doc_id ASC
+               ) AS rw
+        FROM clean c LEFT JOIN labels l USING (doc_id)
       ) WHERE rw = 1
+    ),
+    dn AS (
+      SELECT d.doc_id, d.source, {_TOKS} AS toks FROM documents d
+      WHERE d.source = 'src0' OR d.doc_id IN (SELECT doc_id FROM winners)
+    ),
+    f AS (
+      SELECT doc_id, source, unnest(toks) AS ng FROM dn
+      UNION ALL
+      SELECT doc_id, source,
+             concat_ws(' ', toks[CAST(r.i AS INT)], toks[CAST(r.i AS INT)+1]) AS ng
+      FROM dn JOIN range(1, 1000000) r(i) ON r.i <= len(toks) - 1
+    ),
+    bk AS (
+      SELECT doc_id, source,
+             CAST(CONCAT('0x', SUBSTR(md5(ng), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM f
+    ),
+    tc AS (SELECT b, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY b),
+    rf AS (SELECT doc_id, b FROM bk WHERE source <> 'src0'),
+    rc AS (SELECT b, COUNT(*) AS cr FROM rf GROUP BY b),
+    ntc AS (SELECT COUNT(*) AS nt FROM bk WHERE source = 'src0'),
+    nrc AS (SELECT COUNT(*) AS nr FROM rf),
+    sc AS (
+      SELECT rc.b,
+             CAST(FLOOR((ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE))
+                       - ln(CAST(ntc.nt + 1024 AS DOUBLE))
+                       - ln(CAST(rc.cr + 1 AS DOUBLE))
+                       + ln(CAST(nrc.nr + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS r_fp
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN ntc CROSS JOIN nrc
+    ),
+    pd AS (
+      SELECT doc_id, SUM(c * r_fp) AS w_fp FROM (
+        SELECT doc_id, b, COUNT(*) AS c FROM rf GROUP BY 1, 2
+      ) dc JOIN sc USING (b) GROUP BY doc_id
+    ),
+    dk AS (
+      SELECT w.doc_id,
+             CAST(COALESCE(pd.w_fp, 0) AS DOUBLE) / 1000000.0
+               - ln(-ln({uniform_from_id_sql('w.doc_id')})) AS key
+      FROM winners w LEFT JOIN pd USING (doc_id)
+    ),
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS rnk
+        FROM dk
+      ) WHERE rnk <= 100
+    ),
+    g8 AS (
+      SELECT n.doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+             concat_ws(' ', n.toks[CAST(r.i AS INT)], n.toks[CAST(r.i AS INT)+1],
+                            n.toks[CAST(r.i AS INT)+2], n.toks[CAST(r.i AS INT)+3],
+                            n.toks[CAST(r.i AS INT)+4], n.toks[CAST(r.i AS INT)+5],
+                            n.toks[CAST(r.i AS INT)+6], n.toks[CAST(r.i AS INT)+7]) AS ngram
+      FROM norm n JOIN sel USING (doc_id)
+      JOIN range(1, 1000000) r(i) ON r.i <= len(n.toks) - 7
+    ),
+    dup8 AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY ngram) AS mn,
+                  MAX(doc_id) OVER (PARTITION BY ngram) AS mx
+        FROM g8
+      ) WHERE mn <> mx
+    ),
+    i8 AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dup8
+    ),
+    i82 AS (
+      SELECT doc_id, pos, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM i8
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(l) AS BIGINT) AS n_covered FROM (
+        SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS l FROM i82 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    ct AS (
+      SELECT s.doc_id,
+             CAST(q.n_tokens - COALESCE(c.n_covered, 0) AS BIGINT) AS n_tokens_clean
+      FROM sel s JOIN q ON s.doc_id = q.doc_id LEFT JOIN cov c ON s.doc_id = c.doc_id
+    ),
+    shx AS (
+      SELECT doc_id, n_tokens_clean, {uniform_from_id_sql('doc_id')} AS u FROM ct
     )
-    SELECT {split_assign_sql_case(_SPLIT_WEIGHTS, 'doc_id')} AS split,
-           lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-    FROM winners GROUP BY 1, 2
+    SELECT doc_id,
+           CAST(LEAST(FLOOR(u * 4), 3) AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY LEAST(FLOOR(u * 4), 3) ORDER BY u ASC, doc_id ASC
+           ) AS BIGINT) AS pos,
+           n_tokens_clean
+    FROM shx
     """,
-    doc="The WHOLE training-corpus prep as ONE lazy plan: quality gate "
-    "(the funnel's keep rule) -> exact dedup (keep lowest id per "
-    "normalized text) -> near-dup clusters (exact-Jaccard pairs -> "
-    "connected components) -> highest-quality doc per cluster -> "
-    "deterministic 90/5/5 split -> per-(split, lang) doc/token counts. "
-    "Every stage is an individually oracle-checked operator; this "
-    "registration proves they COMPOSE — no driver-side loop, no "
-    "intermediate materialization beyond the components iteration, "
-    "and the DuckDB oracle replays the full chain end to end. Scale "
-    "budget is the sum of its parts: one norm-text window, the pair "
-    "join, O(log^2 n) component rounds, one cluster window, and a "
-    "map-side split CASE into a tiny final agg.",
-    tags=("pipeline", "dedup", "quality", "split", "e2e"),
+    doc="The WHOLE training-corpus prep as ONE lazy plan, exercising "
+    "the engine's current best pipeline end to end: quality gate -> "
+    "exact dedup (lowest id per normalized text) -> Bloom-prefiltered "
+    "decontamination against the src0 eval set (zero false negatives, "
+    "exact-Jaccard verification) -> near-dup clusters (exact-Jaccard "
+    "pairs -> connected components) -> highest-quality doc per "
+    "cluster -> DSIR selection of the 100 docs closest to the src0 "
+    "target domain (Gumbel-top-k on fixed-point importance weights) "
+    "-> duplicated-span surgery on the selected set (clean token "
+    "counts) -> deterministic shuffle into 4 training shards with "
+    "within-shard positions. Every stage is an individually "
+    "oracle-checked operator; this registration proves they COMPOSE — "
+    "no driver-side loop beyond the components iteration, and the "
+    "DuckDB oracle replays the full chain bit-for-bit (100-row full "
+    "value oracle: doc_id, shard, pos, clean tokens). Scale budget is "
+    "the sum of its parts: one norm-text window, the Bloom-pruned "
+    "contamination join, the pair join, O(log^2 n) component rounds, "
+    "one cluster window, the bucket-table DSIR join + TakeOrdered "
+    "top-k, span windows over only the selected docs, and the "
+    "writer-per-shard position window.",
+    tags=("pipeline", "dedup", "quality", "dsir", "sharding", "e2e"),
 )
 def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_funcs import normalize_text
-    from ..operators.sampling import split_assign
+    from ..operators.dedup import cross_corpus_overlap_bloom, remove_dup_spans
+    from ..operators.sampling import dsir_select, shuffle_into_shards
 
     docs = _docs(spark, sf_dir)
-    q = _quality_cols(docs)
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    q = _quality_cols(train)
     kept = q.filter(
         (F.col("n_tokens") >= 16)
         & (F.col("a_ratio") >= 0.5)
         & (F.col("stop_ratio") >= 0.05)
-    ).select("doc_id", "lang", "n_tokens", "quality")
-    survivors = docs.select("doc_id", "text").join(kept, "doc_id")
+    ).select("doc_id", "quality")
+    survivors = train.select("doc_id", "text").join(kept, "doc_id")
     w_exact = W.partitionBy(normalize_text("text")).orderBy("doc_id")
     uniq = (
         survivors.withColumn("_rn", F.row_number().over(w_exact))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    pairs = ngram_jaccard_pairs(uniq, threshold=0.8)
+    contam = (
+        cross_corpus_overlap_bloom(
+            uniq, eval_set, threshold=0.5, cache_key=(sf_dir, "src0")
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = uniq.join(contam, "doc_id", "left_anti")
+    pairs = ngram_jaccard_pairs(clean, threshold=0.8)
     cc = connected_components(pairs, src="d1", dst="d2")
-    labeled = uniq.join(
+    labeled = clean.join(
         cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).withColumn("cluster_id", F.coalesce("component", "doc_id"))
     w_rank = W.partitionBy("cluster_id").orderBy(
@@ -761,9 +954,14 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = (
         labeled.withColumn("_rw", F.row_number().over(w_rank))
         .filter(F.col("_rw") == 1)
-        .select("doc_id", "lang", "n_tokens")
+        .select("doc_id", "text")
     )
-    return split_assign(winners, _SPLIT_WEIGHTS).groupBy("split", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    sel = dsir_select(winners, eval_set, k=100, n_buckets=1024).select("doc_id")
+    cleaned = remove_dup_spans(winners.join(sel, "doc_id"))
+    sized = cleaned.select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_removed")).cast("bigint").alias("n_tokens_clean"),
     )
+    return shuffle_into_shards(
+        sized, n_shards=4, carry=("n_tokens_clean",)
+    ).select("doc_id", "shard", "pos", "n_tokens_clean")

@@ -58,6 +58,77 @@ def run_to_memory(
     return spark.table(name)
 
 
+# Generation-snapshot commit protocol, shared by state_merge_writer and
+# cdc_upsert_writer. Design points (each closes a real crash window):
+#
+# - The committed epoch is ENCODED IN the `current` symlink's target
+#   name (gen-{epoch}-{attempt}) and derived at read time, so the
+#   repoint IS the commit record — one atomic os.replace. The previous
+#   protocol wrote a separate last_epoch marker AFTER the repoint; a
+#   crash in between left committed state with an unrecorded epoch, and
+#   the replayed epoch would then re-merge into (and overwrite-write)
+#   the very generation dir `current` resolves to, deleting the
+#   eagerly-listed input files mid-job and double-counting n_versions.
+# - Generation dirs are PER-ATTEMPT unique (gen-{epoch}-{uuid8}), so no
+#   retry can ever overwrite a dir any reader resolves to.
+# - After each commit, generations other than the new current and its
+#   immediate predecessor are garbage-collected (the predecessor stays
+#   one commit for the crash window: a reader that resolved `current`
+#   just before the repoint may still be listing its files). On-disk
+#   state is therefore <= 2 snapshots, not linear in epoch count.
+#   Legacy-format dirs (bare gen-{epoch}) and the retired last_epoch
+#   marker are swept by the same pass.
+_GEN_DIR_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def _gen_re():
+    global _GEN_DIR_RE
+    if _GEN_DIR_RE is None:
+        import re
+
+        _GEN_DIR_RE = re.compile(r"^gen-(\d+)(-[0-9a-f]{8})?$")
+    return _GEN_DIR_RE
+
+
+def _committed_epoch(cur: str) -> int:
+    """Last committed epoch, read from the `current` symlink target
+    name (-1 if nothing committed). Atomic with the state it names."""
+    import os
+
+    if not os.path.lexists(cur):
+        return -1
+    m = _gen_re().match(os.path.basename(os.readlink(cur)))
+    return int(m.group(1)) if m else -1
+
+
+def _commit_generation(state_root: str, cur: str, df: DataFrame, epoch_id: int) -> None:
+    """Write ``df`` as a per-attempt-unique generation snapshot, commit
+    it with one atomic symlink replace, then GC superseded generations
+    (keep the new current + its immediate predecessor)."""
+    import os
+    import shutil
+    import uuid
+
+    prev = os.readlink(cur) if os.path.lexists(cur) else None
+    gen = os.path.join(state_root, f"gen-{epoch_id}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(gen)
+    tmp = f"{cur}.tmp-{epoch_id}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(gen, tmp)
+    os.replace(tmp, cur)  # atomic: repoint + epoch record in one rename
+    keep = {os.path.abspath(gen)}
+    if prev:
+        keep.add(os.path.abspath(os.path.join(state_root, prev)))
+    for d in os.listdir(state_root):
+        full = os.path.abspath(os.path.join(state_root, d))
+        if _gen_re().match(d) and full not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+    legacy_marker = os.path.join(state_root, "last_epoch")
+    if os.path.exists(legacy_marker):
+        os.remove(legacy_marker)
+
+
 def state_merge_writer(state_root: str, keys, sums, mins=(), maxs=()):
     """foreachBatch writer maintaining an incremental MV (parquet state).
 
@@ -68,25 +139,26 @@ def state_merge_writer(state_root: str, keys, sums, mins=(), maxs=()):
     stream length, which is why this MV needs NO watermark: it is the
     streaming twin of batch incremental_mv_refresh, not a windowed agg.
 
-    Exactly-once across retries: the epoch id is recorded with the
-    swap; a replayed epoch (foreachBatch's at-least-once contract)
-    short-circuits instead of double-merging. Production systems get
-    this from a transactional table format (Delta/Iceberg MERGE);
-    the generation-plus-marker dance is the same commit protocol on
-    bare parquet.
+    Exactly-once across retries: the committed epoch id travels IN the
+    symlink target name (see :func:`_commit_generation` — commit record
+    and repoint are one atomic rename, no marker-lag crash window), and
+    generation dirs are per-attempt unique, so a replayed epoch
+    (foreachBatch's at-least-once contract) either short-circuits or
+    rebuilds into a fresh dir — never the one it is reading. Superseded
+    generations are GC'd each commit (current + one predecessor kept).
+    Production systems get this from a transactional table format
+    (Delta/Iceberg MERGE); this is the same commit protocol on bare
+    parquet.
     """
     import os
 
     from ..operators.incremental import merge_agg_state, partial_agg_state
 
     cur = os.path.join(state_root, "current")
-    marker = os.path.join(state_root, "last_epoch")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip()) >= epoch_id:
-                    return  # epoch replay: already merged
+        if _committed_epoch(cur) >= epoch_id:
+            return  # epoch replay: already merged
         spark = batch_df.sparkSession
         delta = partial_agg_state(batch_df, keys, sums, dict(mins) or None, dict(maxs) or None)
         if os.path.lexists(cur):
@@ -94,15 +166,7 @@ def state_merge_writer(state_root: str, keys, sums, mins=(), maxs=()):
             merged = merge_agg_state([base, delta], keys, mins=list(mins), maxs=list(maxs))
         else:
             merged = delta
-        gen = os.path.join(state_root, f"gen-{epoch_id}")
-        merged.write.mode("overwrite").parquet(gen)
-        tmp = f"{cur}.tmp-{epoch_id}"
-        if os.path.lexists(tmp):
-            os.remove(tmp)
-        os.symlink(gen, tmp)
-        os.replace(tmp, cur)  # atomic repoint
-        with open(marker, "w") as fh:
-            fh.write(str(epoch_id))
+        _commit_generation(state_root, cur, merged, epoch_id)
 
     return write_epoch
 
@@ -118,8 +182,10 @@ def cdc_upsert_writer(
     insert/update/delete change stream — the streaming twin of batch
     operators/cdc.merge_latest_snapshot (what Delta/Iceberg's
     streaming MERGE INTO does), on bare parquet with the same
-    generation-dir + atomic-symlink + epoch-marker commit protocol as
-    :func:`state_merge_writer` (a replayed epoch short-circuits).
+    generation-snapshot commit protocol as :func:`state_merge_writer`
+    (epoch id atomic with the symlink repoint, per-attempt-unique
+    generation dirs, superseded generations GC'd — see
+    :func:`_commit_generation`; a replayed epoch short-circuits).
 
     State per key: the WINNING change row so far — INCLUDING delete
     tombstones. Dropping a deleted key from state would let a later
@@ -137,13 +203,10 @@ def cdc_upsert_writer(
     import os
 
     cur = os.path.join(state_root, "current")
-    marker = os.path.join(state_root, "last_epoch")
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip()) >= epoch_id:
-                    return  # epoch replay: already merged
+        if _committed_epoch(cur) >= epoch_id:
+            return  # epoch replay: already merged
         spark = batch_df.sparkSession
         from pyspark.sql import Window as W
         from pyspark.sql import functions as F
@@ -164,15 +227,7 @@ def cdc_upsert_writer(
             .drop("_rn", "n_versions")
             .withColumnRenamed("_nv", "n_versions")
         )
-        gen = os.path.join(state_root, f"gen-{epoch_id}")
-        merged.write.mode("overwrite").parquet(gen)
-        tmp = f"{cur}.tmp-{epoch_id}"
-        if os.path.lexists(tmp):
-            os.remove(tmp)
-        os.symlink(gen, tmp)
-        os.replace(tmp, cur)  # atomic repoint
-        with open(marker, "w") as fh:
-            fh.write(str(epoch_id))
+        _commit_generation(state_root, cur, merged, epoch_id)
 
     return write_epoch
 

@@ -73,3 +73,50 @@ def test_pagerank_partition_invariant(spark):
     res_one = {r["node"]: r["rank"] for r in pagerank(one, iterations=3).collect()}
     res_many = {r["node"]: r["rank"] for r in pagerank(many, iterations=3).collect()}
     assert res_one == res_many  # bit-identical, not approximately
+
+
+def _numpy_pagerank_dangling(edges, iters=2, d=0.85):
+    """Full PageRank with equal dangling-mass redistribution."""
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in edges:
+        out[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if out[i] == 0)
+        nxt = np.full(n, (1.0 - d) / n + d * dangling / n)
+        for a, b in edges:
+            nxt[idx[b]] += d * r[idx[a]] / out[idx[a]]
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling=True must implement the standard full
+    PageRank: dangling mass shared equally, sources retained, total
+    mass conserved — pinned against a numpy reference on a graph with
+    a sink (7) AND a pure source (8)."""
+    edges = _sym(_EDGES) + [(1, 7), (8, 1)]  # 7 sinks, 8 sources
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=2, redistribute_dangling=True).collect()
+    }
+    want = _numpy_pagerank_dangling(edges, iters=2)
+    assert set(got) == set(want)  # source 8 is retained
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_pagerank_dangling_partition_invariant(spark):
+    edges = _sym(_EDGES) + [(1, 7), (8, 1)]
+    one = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    many = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    a = {r["node"]: r["rank"]
+         for r in pagerank(one, iterations=3, redistribute_dangling=True).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(many, iterations=3, redistribute_dangling=True).collect()}
+    assert a == b  # bit-identical, not approximately

@@ -543,3 +543,42 @@ def test_remove_dup_spans_surgical_removal(spark):
     assert out[1] == ("unique one", 12, 10)
     assert out[2] == ("other tail", 12, 10)
     assert out[3][2] == 0 and out[3][0].startswith("totally different")
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """The shard writer's contract on the written BYTES: one directory
+    per shard, exactly ONE data file per shard, and rows inside each
+    file physically ordered by the deterministic shuffle position —
+    read back via _metadata.row_index, cross-checked against both the
+    written pos column and the arithmetic assignment."""
+    from data_pipeline_csv_spark.operators.sampling import (
+        shuffle_into_shards,
+        write_training_shards,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    out = str(tmp_path / "shards")
+    write_training_shards(docs.select("doc_id", "text"), out, n_shards=8)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        files = [
+            f for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: expected 1 data file, got {files}"
+
+    rb = spark.read.parquet(out).select(
+        "doc_id", "pos", F.col("_metadata.row_index").alias("ridx"),
+        F.col("shard").cast("int").alias("shard"),
+    )
+    # physical order == written pos (row_index is 0-based per file)
+    assert rb.filter(F.col("pos") != F.col("ridx") + 1).count() == 0
+    # written assignment == arithmetic assignment, every row
+    want = shuffle_into_shards(docs, n_shards=8)
+    got = rb.select("doc_id", "shard", "pos")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == docs.count()

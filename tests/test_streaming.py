@@ -311,3 +311,61 @@ def test_cdc_upsert_tombstone_blocks_resurrection(spark, tmp_path):
         .collect()
     }
     assert live == {(2, "b", 2, 2)}  # key 1 stays deleted, count accrues
+
+
+def test_cdc_upsert_commit_protocol_gc_and_atomicity(spark, tmp_path):
+    """The generation-snapshot commit keeps on-disk state bounded
+    (current + one predecessor), records the epoch atomically IN the
+    symlink target (no marker-lag crash window), and a replayed
+    committed epoch leaves the symlink untouched (no rebuild)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.streaming.sinks import cdc_upsert_writer
+
+    state = str(tmp_path / "cdc_gc")
+    os.makedirs(state)
+    w = cdc_upsert_writer(state, ["k"])
+    schema = "k long, v string, seq int, op string"
+    for i in range(4):
+        w(spark.createDataFrame([(1, f"v{i}", i + 1, "U")], schema), i)
+    gens = [d for d in os.listdir(state) if d.startswith("gen-")]
+    assert len(gens) <= 2, f"superseded generations not GC'd: {gens}"
+    assert not os.path.exists(os.path.join(state, "last_epoch"))
+    cur = os.path.join(state, "current")
+    target = os.readlink(cur)
+    assert os.path.basename(target).startswith("gen-3-")
+    w(spark.createDataFrame([(1, "stale", 99, "U")], schema), 3)  # replay
+    assert os.readlink(cur) == target  # short-circuited, no rebuild
+    rows = spark.read.parquet(cur).collect()
+    assert [(r.k, r.v, r.seq) for r in rows] == [(1, "v3", 4)]
+
+
+def test_cdc_upsert_replay_never_writes_the_dir_it_reads(spark, tmp_path):
+    """The ADVICE crash scenario: state committed for an epoch whose
+    checkpoint never committed, so foreachBatch replays it. The replay
+    must short-circuit (epoch id rides the symlink target, atomic with
+    the repoint) — and even a NON-short-circuited retry attempt (crash
+    BEFORE the repoint, leaving an orphan dir) rebuilds into a fresh
+    per-attempt dir, never overwrite-writing what `current` resolves
+    to, and the orphan is swept by the next commit."""
+    import os
+
+    from data_pipeline_csv_spark.streaming.sinks import cdc_upsert_writer
+
+    state = str(tmp_path / "cdc_crash")
+    os.makedirs(state)
+    w = cdc_upsert_writer(state, ["k"])
+    schema = "k long, v string, seq int, op string"
+    w(spark.createDataFrame([(1, "a", 1, "I")], schema), 0)
+    # crash before repoint: epoch 1's attempt dir exists, uncommitted
+    orphan = os.path.join(state, "gen-1-deadbeef")
+    os.makedirs(orphan)
+    cur_before = os.readlink(os.path.join(state, "current"))
+    w(spark.createDataFrame([(1, "b", 2, "U")], schema), 1)  # the retry
+    cur_after = os.readlink(os.path.join(state, "current"))
+    assert cur_after != cur_before and cur_after != "gen-1-deadbeef"
+    assert not os.path.exists(orphan), "orphan attempt dir not GC'd"
+    rows = spark.read.parquet(os.path.join(state, "current")).collect()
+    assert [(r.k, r.v, r.seq, r.n_versions) for r in rows] == [(1, "b", 2, 2)]
