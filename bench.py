@@ -124,7 +124,15 @@ HEADLINE = [
 def _containment_ensemble_op(spark, sf_dir):
     """Operator-only timing for the size-stratified containment LSH
     path (the registered dedup_containment_lsh_ensemble is an audit
-    whose number is dominated by the exact quadratic side)."""
+    whose number is dominated by the exact quadratic side).
+
+    r8 comparability note: the signature width is now ADAPTIVE — the
+    observed stratum range (a cheap count agg moved before the
+    signature agg) sizes the minhash count to eff = max_s B(s)
+    instead of the fixed 256, emitting bit-identical band entries.
+    On this corpus (strata 3..6 -> eff 64) the op-only number dropped
+    ~30% (4.5 -> 3.2 s warm, same 256 result rows); expect a DROP vs
+    r7's 4.29 s that is engineering, not noise."""
     from data_pipeline_csv_spark.operators.dedup import (
         containment_lsh_ensemble_pairs,
     )

@@ -274,55 +274,62 @@ def containment_lsh_ensemble_pairs(
     signature agg, <= num_hashes band rows per doc into the bucket
     groupBy (vs a flat 32: the price of the extreme-ratio envelope),
     exact-containment verification (precision structurally 1), nothing
-    quadratic in the corpus. The global stratum range is the only
-    driver-side fetch (2 values, like the k-means centroid fetches).
+    quadratic in the corpus. The signature width is ADAPTIVE (r8): the
+    observed stratum range is fetched first (one narrow count agg over
+    the hashed shingle table, 2 values to the driver — the fetch the
+    budget needed anyway) and the signature agg computes only
+    eff = max_s B(s) minhashes, so a narrow-size corpus pays near
+    flat-LSH cost and only corpora whose size spread actually allows
+    extreme-ratio pairs pay toward the num_hashes cap; the emitted
+    band entries (hence recall and results) are bit-identical to the
+    fixed-width construction.
     Recall is audited corpus-wide by queries/dedup.py
     dedup_containment_lsh_ensemble under the driver gate.
     """
     import math
 
-    sh = shingle_sets(df, text_col, id_col, n)
-    # one aggregation: all minhashes AND the stratum key (distinct-
-    # shingle count) — the shuffle carries one narrow row per doc.
-    # With num_hashes=256, hashing every shingle 256 times dominates
-    # the whole operator (measured 2.5 of 3.5 s at sf0.1), so the
-    # family here is ONE 32-bit base hash per shingle + k
-    # Carter-Wegman affine transforms (a_i*x + b_i mod 2^32, a_i odd
-    # < 2^31 so every product stays in int64 under ANSI arithmetic) —
-    # the classic cheap-minhash construction (Broder 1997 resemblance
-    # sketches use random linear maps of one fingerprint). The
-    # flat-banding operators keep the salted-xxhash64 family: their
-    # k=32 cost is negligible and the streaming index format depends
-    # on it.
-    def _affine(i: int) -> tuple[int, int]:
-        x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
-        return ((x >> 33) | 1) % (1 << 31), (x % (1 << 31))
+    def _stratum(c):
+        return F.floor(F.log(float(strata_base), c.cast("double"))).cast("int")
 
+    # ADAPTIVE signature width (r8): the per-stratum band budget B(s)
+    # is capped by the worst ratio the OBSERVED stratum range [lo, hi]
+    # allows, so only eff = max_s B(s) minhashes can ever be sliced
+    # into a band — computing the full num_hashes-wide signature was
+    # pure waste on narrow-size corpora. The range pre-pass counts
+    # each doc's distinct shingles off the persisted hashed shingle
+    # table (one narrow map-combined groupBy + a 2-value global
+    # min/max reduce — the same 2-value fetch the budget already
+    # needed, just moved BEFORE the signature agg). A map-side
+    # size(array_distinct(shingles)) variant that avoids the shuffle
+    # was measured 30x SLOWER at sf0.1 (58 s vs 1.9 s: the nested
+    # array expression leaves codegen and is quadratic in doc length)
+    # — the narrow shuffle is the cheap path, not the enemy. The
+    # emitted band entries are bit-identical to the fixed-width
+    # version — the budget map never sliced past eff — so recall
+    # bounds, the audit oracle, and the plan shape are untouched; a
+    # narrow-size corpus just stops paying for hashes no pair can
+    # need (hi-lo=3 at t=0.9 needs 64, not 256).
+    sh = shingle_sets(df, text_col, id_col, n)
     base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 32) - 1))
-    based = sh.select("doc_id", base.alias("_h32"))
-    mins = []
-    for i in range(num_hashes):
-        a_i, b_i = _affine(i)
-        mins.append(
-            F.min((F.lit(a_i) * F.col("_h32") + F.lit(b_i)) % F.lit(1 << 32)).alias(f"h{i}")
-        )
-    sig = (
-        based.groupBy("doc_id")
-        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
-        .select(
-            "doc_id",
-            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
-            F.floor(
-                F.log(float(strata_base), F.col("n_sh").cast("double"))
-            ).cast("int").alias("_s"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    based = sh.select("doc_id", base.alias("_h32")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    lo, hi = sig.agg(F.min("_s"), F.max("_s")).first()
+    rng = (
+        based.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .agg(
+            F.min(_stratum(F.col("n_sh"))).alias("lo"),
+            F.max(_stratum(F.col("n_sh"))).alias("hi"),
+        )
+        .first()
+    )
+    lo, hi = rng["lo"], rng["hi"]
     if lo is None:
+        empty = df.select(
+            F.col(id_col).alias("d1"), F.col(id_col).alias("d2")
+        ).limit(0)
         return _verify_candidates(
-            df, sig.select(F.col("doc_id").alias("d1"), F.col("doc_id").alias("d2")).limit(0),
-            threshold, text_col, id_col, n, score="containment",
+            df, empty, threshold, text_col, id_col, n, score="containment"
         )
 
     def _bands(rho: float) -> int:
@@ -342,6 +349,40 @@ def containment_lsh_ensemble_pairs(
         )
         for s in range(lo, hi + 1)
     }
+    eff = max(budget.values())
+
+    # one aggregation: all eff minhashes AND the stratum key (distinct-
+    # shingle count) — the shuffle carries one narrow row per doc.
+    # With eff up to 256, hashing every shingle that many times would
+    # dominate the whole operator (measured 2.5 of 3.5 s at sf0.1 for
+    # the fixed 256), so the family here is ONE 32-bit base hash per
+    # shingle + k Carter-Wegman affine transforms (a_i*x + b_i mod
+    # 2^32, a_i odd < 2^31 so every product stays in int64 under ANSI
+    # arithmetic) — the classic cheap-minhash construction (Broder
+    # 1997 resemblance sketches use random linear maps of one
+    # fingerprint). The flat-banding operators keep the salted-
+    # xxhash64 family: their k=32 cost is negligible and the streaming
+    # index format depends on it.
+    def _affine(i: int) -> tuple[int, int]:
+        x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
+        return ((x >> 33) | 1) % (1 << 31), (x % (1 << 31))
+
+    mins = []
+    for i in range(eff):
+        a_i, b_i = _affine(i)
+        mins.append(
+            F.min((F.lit(a_i) * F.col("_h32") + F.lit(b_i)) % F.lit(1 << 32)).alias(f"h{i}")
+        )
+    sig = (
+        based.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+        .select(
+            "doc_id",
+            F.array(*[f"h{i}" for i in range(eff)]).alias("sig"),
+            _stratum(F.col("n_sh")).alias("_s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     budget_map = F.create_map(
         *[F.lit(x) for kv in budget.items() for x in kv]
     )

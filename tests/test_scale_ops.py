@@ -269,6 +269,34 @@ def test_containment_lsh_ensemble_recovers_paragraph_in_book(spark):
     assert ens == exact
 
 
+def test_containment_lsh_ensemble_adaptive_width(spark):
+    """A narrow-size corpus must not pay the 256-hash envelope: with
+    every doc in one stratum the worst stratum-bound ratio is
+    strata_base^1 = 2, needing only 7 bands at t=0.9/2% miss, so the
+    signature agg is sized to 7 minhashes (h0..h6, never h7) by the
+    shuffle-free range pre-pass — while the result still equals the
+    quadratic-candidate operator."""
+    from data_pipeline_csv_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+        containment_pairs,
+    )
+
+    rows = [
+        (d, " ".join(f"w{d}x{i}" for i in range(40 + (d % 3))))
+        for d in range(12)
+    ]
+    rows.append((100, rows[0][1]))  # one exact-containment pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = containment_lsh_ensemble_pairs(docs, threshold=0.9)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "h6" in analyzed and "h7" not in analyzed
+    exact = {
+        (r.d1, r.d2) for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    got = {(r.d1, r.d2) for r in df.collect()}
+    assert got == exact == {(0, 100)}
+
+
 def test_incremental_dedup_equals_cross_side_full_pairs(spark, sf_dir):
     """The index-probed incremental result must equal the full-corpus
     LSH pair set restricted to (old, new) cross pairs — and accept a
