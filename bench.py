@@ -209,13 +209,33 @@ def main() -> None:
     # op_* entries are informational per-operator timings and must not
     # shift the round-over-round total
     total = round(sum(timings[n] for n in headline), 4)
-    print(json.dumps({
+
+    # streaming_dedup_neardup is ~25% of the headline, so localize
+    # regressions: ONE extra instrumented run (r8) accumulates
+    # per-phase wall seconds across its epochs (compact / signature /
+    # candidates / verify / write). The instrumented run force-
+    # materializes each phase frontier, which is why the timed number
+    # above comes from the uninstrumented runs and this one is
+    # reported separately — the phases sum close to, not exactly to,
+    # the headline entry (drain/read overhead is outside the phases).
+    breakdown: dict[str, float] = {}
+    if "streaming_dedup_neardup" in fns:
+        phases: dict = {}
+        fns["streaming_dedup_neardup"](
+            spark, sf_dir, phase_timings=phases
+        ).write.format("noop").mode("overwrite").save()
+        breakdown = phases
+
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if breakdown:
+        out["streaming_neardup_phases"] = breakdown
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -368,7 +368,9 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the whole corpus (streaming/sinks.py run_streaming_neardup).",
     tags=("streaming", "dedup", "minhash", "incremental"),
 )
-def streaming_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_neardup(
+    spark: SparkSession, sf_dir: str, phase_timings: dict | None = None
+) -> DataFrame:
     from ..streaming import read_docs_stream, run_streaming_neardup, stage_docs_dir
 
     staged = tempfile.mkdtemp(prefix="sg_stream_")
@@ -388,6 +390,7 @@ def streaming_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, spark, state_root=state, checkpoint=f"{state}/_chk",
             threshold=0.8, epoch_partitions=4, compact_every=3,
             index_table="sg_neardup_stream_idx_q",
+            phase_timings=phase_timings,
         )
         out.persist().count()
         return out

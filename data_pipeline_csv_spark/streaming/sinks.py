@@ -418,6 +418,7 @@ def neardup_epoch_writer(
     epoch_partitions: int | None = None,
     compact_every: int | None = None,
     index_table: str = "sg_neardup_stream_idx",
+    phase_timings: dict | None = None,
 ):
     """foreachBatch writer for continuous near-dup dedup (module-level
     so replay/compaction behavior is unit-testable without a stream).
@@ -453,8 +454,19 @@ def neardup_epoch_writer(
     work is O(tail), no matter how long the feed runs. After
     compaction the cross-probe's index side is a handful of bucketed
     tables, each probed shuffle-free on the corpus side.
+
+    ``phase_timings`` (bench-only instrumentation, default None =
+    zero behavior change): a dict that accumulates per-phase wall
+    seconds across epochs under keys ``compact`` / ``signature`` /
+    ``candidates`` / ``verify`` / ``write`` plus ``n_epochs``. When
+    set, each phase's lazy frontier is force-materialized (persisted
+    counts) so the phases are separable — that adds bounded extra
+    actions over cached data, which is why the TIMED bench number is
+    taken from an uninstrumented run and the breakdown from a
+    separate instrumented one.
     """
     import os
+    import time as _time
 
     from pyspark.storagelevel import StorageLevel
 
@@ -467,7 +479,16 @@ def neardup_epoch_writer(
 
     p = _neardup_paths(state_root)
 
+    def _mark(phase: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if phase_timings is not None:
+            phase_timings[phase] = round(
+                phase_timings.get(phase, 0.0) + (now - t0), 4
+            )
+        return now
+
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = _time.perf_counter()
         # Compaction fires BEFORE the empty-batch return: an empty Nth
         # micro-batch (sparse feed) must still fold the tail, or the
         # documented "tail never exceeds N dirs" bound silently slips
@@ -476,15 +497,22 @@ def neardup_epoch_writer(
             compact_neardup_state(
                 spark, state_root, index_table, exclude_epoch=epoch_id
             )
+        t0 = _mark("compact", t0)
         if batch_df.isEmpty():
             return
+        if phase_timings is not None:
+            phase_timings["n_epochs"] = phase_timings.get("n_epochs", 0) + 1
         batch = batch_df.select("doc_id", "text")
         # The batch's band entries feed THREE consumers (within-batch
         # bucketing, the cross-probe, the index write); sign once and
         # persist for the epoch instead of recomputing the signature
         # pipeline per consumer (measured ~25% off the per-epoch cost).
         entries = lsh_band_entries(batch).persist()
+        if phase_timings is not None:
+            entries.count()
+        t0 = _mark("signature", t0)
         cand = None
+        pairs = None
         try:
             # Within-batch and cross-history candidates run through ONE
             # exact-Jaccard verification pass (vs one per candidate
@@ -510,7 +538,14 @@ def neardup_epoch_writer(
                     cand = cand.unionByName(lsh_probe_candidates(part, entries))
                 verify_docs = seen.unionByName(batch)
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            if phase_timings is not None:
+                cand.count()
+            t0 = _mark("candidates", t0)
             pairs = _verify_candidates(verify_docs, cand, threshold)
+            if phase_timings is not None:
+                pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+                pairs.count()
+            t0 = _mark("verify", t0)
 
             def sized(df: DataFrame) -> DataFrame:
                 return df.coalesce(epoch_partitions) if epoch_partitions else df
@@ -549,10 +584,13 @@ def neardup_epoch_writer(
             with ThreadPoolExecutor(max_workers=3) as ex:
                 for f in [ex.submit(w) for w in writes]:
                     f.result()  # re-raise the first failure
+            _mark("write", t0)
         finally:
             entries.unpersist()
             if cand is not None:
                 cand.unpersist()
+            if pairs is not None and phase_timings is not None:
+                pairs.unpersist()
 
     return write_epoch
 
@@ -762,6 +800,7 @@ def run_streaming_neardup(
     epoch_partitions: int | None = None,
     compact_every: int | None = None,
     index_table: str = "sg_neardup_stream_idx",
+    phase_timings: dict | None = None,
 ):
     """Continuous near-duplicate dedup over an arriving document feed
     (see :func:`neardup_epoch_writer` for the per-epoch algorithm and
@@ -788,6 +827,7 @@ def run_streaming_neardup(
                 spark, state_root, threshold=threshold,
                 epoch_partitions=epoch_partitions,
                 compact_every=compact_every, index_table=index_table,
+                phase_timings=phase_timings,
             )
         )
         .option("checkpointLocation", checkpoint)

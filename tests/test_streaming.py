@@ -369,3 +369,33 @@ def test_cdc_upsert_replay_never_writes_the_dir_it_reads(spark, tmp_path):
     assert not os.path.exists(orphan), "orphan attempt dir not GC'd"
     rows = spark.read.parquet(os.path.join(state, "current")).collect()
     assert [(r.k, r.v, r.seq, r.n_versions) for r in rows] == [(1, "b", 2, 2)]
+
+
+def test_neardup_phase_timings_hook_is_observational(spark, tmp_path, sf_dir):
+    """The bench-only phase_timings hook must (a) accumulate every
+    phase across epochs and (b) leave the drained pair set identical
+    to the uninstrumented run — it is instrumentation, not a mode."""
+    from data_pipeline_csv_spark.streaming import (
+        read_docs_stream,
+        run_streaming_neardup,
+        stage_docs_dir,
+    )
+
+    def drain(tag, phase_timings=None):
+        staged = str(tmp_path / f"staged_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+        stage_docs_dir(spark, sf_dir, staged, n_files=3)
+        out = run_streaming_neardup(
+            read_docs_stream(spark, staged), spark, state_root=state,
+            checkpoint=f"{state}/_chk", threshold=0.8, compact_every=2,
+            index_table=f"sg_nd_phase_{tag}", phase_timings=phase_timings,
+        )
+        return {(r.d1, r.d2) for r in out.collect()}
+
+    plain = drain("plain")
+    phases: dict = {}
+    inst = drain("inst", phase_timings=phases)
+    assert inst == plain
+    assert phases["n_epochs"] == 3
+    for key in ("compact", "signature", "candidates", "verify", "write"):
+        assert key in phases and phases[key] >= 0.0
