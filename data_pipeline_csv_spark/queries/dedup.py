@@ -244,6 +244,8 @@ def _containment_audit(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared audit tail for the approximate containment queries:
     exact-pair count (DuckDB replays it), structural-zero false pairs,
     recall >= 0.9 flag."""
+    from .audit import scalar_audit
+
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_false")
@@ -251,7 +253,7 @@ def _containment_audit(exact: DataFrame, approx: DataFrame) -> DataFrame:
     n_m = approx.join(exact, ["d1", "d2"], "leftsemi").agg(
         F.count(F.lit(1)).alias("n_matched")
     )
-    return n_e.crossJoin(n_f).crossJoin(n_m).select(
+    return scalar_audit(n_e, n_f, n_m).select(
         F.col("n_exact").cast("bigint").alias("n_exact_pairs"),
         F.col("n_false").cast("bigint").alias("n_false_pairs"),
         (

@@ -151,15 +151,18 @@ def similarity_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cents, threshold=0.45, nprobe=4
     ).select("d1", "d2")
     exact = embedding_cosine_neardup(corpus, threshold=0.45).select("d1", "d2")
-    # single-row aggregates cross-joined = the scalar-subquery pattern
-    # (each side broadcasts one row); false pairs via anti-join are
-    # approx \ exact, so matched = n_approx - n_false.
+    # single-row aggregates composed by audit.scalar_audit (the
+    # scalar-subquery pattern: each side broadcasts one row); false
+    # pairs via anti-join are approx \ exact, so matched =
+    # n_approx - n_false.
+    from .audit import scalar_audit
+
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
     n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_false")
     )
-    return n_e.crossJoin(n_a).crossJoin(n_f).select(
+    return scalar_audit(n_e, n_a, n_f).select(
         F.col("n_exact").cast("bigint").alias("n_exact_pairs"),
         F.col("n_false").cast("bigint").alias("n_false_pairs"),
         (
@@ -749,9 +752,11 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_m = final.join(exact, ["q_id", "vec_id"], "left_semi").agg(
             F.count(F.lit(1)).alias("n_matched")
         )
+        from .audit import scalar_audit
+
         n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
         n_r = short.agg(F.count(F.lit(1)).alias("n_rr"))
-        out = n_e.crossJoin(n_r).crossJoin(n_m).select(
+        out = scalar_audit(n_e, n_r, n_m).select(
             F.col("n_exact").cast("bigint").alias("n_exact_rows"),
             F.col("n_rr").cast("bigint").alias("n_reranked"),
             (

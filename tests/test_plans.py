@@ -453,3 +453,36 @@ def test_dup_spans_single_gram_pipeline(spark, sf_dir):
     # formatted explain lists each node twice (tree + detail section)
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
     assert "Window" in plan
+
+
+def test_containment_audit_plan_unchanged(spark):
+    """audit.scalar_audit is scaffolding extraction, not a plan
+    change: composed over the same 1-row aggregates, the helper must
+    produce a byte-identical optimized plan to the inline crossJoin
+    chain it replaced at the dedup/similarity audit sites."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.audit import scalar_audit
+
+    exact = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    approx = spark.createDataFrame([(1, 2), (3, 4)], "d1 long, d2 long")
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_f = approx.join(exact, ["d1", "d2"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    n_m = approx.join(exact, ["d1", "d2"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    helper = scalar_audit(n_e, n_f, n_m)
+    inline = n_e.crossJoin(n_f).crossJoin(n_m)
+
+    def norm(df):
+        # self-join disambiguation mints fresh expression ids per
+        # build; the structural plan is what must not change
+        import re
+
+        return re.sub(
+            r"#\d+", "#x", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert norm(helper) == norm(inline)
