@@ -38,92 +38,87 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-7 rotation, two halves:
-# (a) every query whose implementation changed this round — the whole
-#     _verify_candidates family (the forced cand_docs broadcast was
-#     dropped: dedup_minhash_lsh, dedup_containment_lsh, both
-#     incremental dedups, streaming_dedup_neardup — the last also
-#     carries the compaction fixes: completed-epoch tail intersection
-#     + exact-regex generation GC), dedup_containment (audit-tail
-#     refactor into _containment_audit), both on-disk ANN audits (the
-#     IVF layout build is now amortized via ivf_layout_cached), and
-#     the round-7 DEBUT dedup_containment_lsh_ensemble (size-
-#     stratified containment banding) plus the r6 debut
-#     dedup_containment_lsh, which gets its FIRST driver row here —
-#     it slipped out of the unrotated r6 window against policy; plus
-#     the further r7 debuts dedup_semantic_semdedup (SemDeDup under a
-#     full kmeans-replay oracle), corpus_decontaminate_bloom
-#     (Bloom-prefiltered decontamination, same oracle as the exact
-#     path), corpus_shuffle_shards (deterministic shuffle+shard, full
-#     value oracle), corpus_dsir_select (DSIR importance resampling,
-#     full value oracle), dedup_remove_spans (duplicated-span removal
-#     transform, full value oracle), corpus_pack_global (global
-#     concat-and-chunk packing via a distributed two-pass prefix sum,
-#     full value oracle) and text_bpe_merges (iterative BPE tokenizer
-#     training under a 10-round unrolled replay oracle);
-# (b) union RECENCY: the five r02 stragglers (window_orders_suite,
-#     q17_small_quantity, grouping_sets_orders, unpivot_part_attrs,
-#     setops_customer_keys) and 28 of the 29-query r03 tail — after
-#     this round no query's latest driver row is older than r03; the
-#     41-query r04 tail rotates starting r8 (the r7 debuts consumed
-#     its slots).
-# The window is 50/50 oracle-backed; the registry itself is now
-# all-oracle-backed too (the rows-only similarity_ann_ivf was retired
-# this round in favor of the on-disk + recall audits).
+# Round-8 rotation, two halves:
+# (a) every query whose implementation is new or changed this round —
+#     the two DEBUTS corpus_write_shards (the materialized training-
+#     shard writer, read-back value oracle over the written files) and
+#     graph_pagerank_dangling (the full-PageRank dangling-mass term on
+#     a ~80%-dangling directed graph, unrolled replay oracle);
+#     corpus_e2e_prep (recomposed end to end: bloom decontamination +
+#     DSIR + span surgery + shard shuffle, new full-value oracle);
+#     corpus_shuffle_shards (carry-columns pass-through for the
+#     writer); streaming_cdc_upsert + streaming_incremental_mv (the
+#     shared generation-snapshot commit protocol: epoch id atomic with
+#     the symlink repoint, per-attempt dirs, generation GC);
+#     streaming_dedup_neardup (observational phase_timings hook);
+#     dedup_containment_lsh_ensemble (adaptive signature width from
+#     the observed stratum range); and the audit-scaffolding
+#     extraction into queries/audit.py (plan-byte-identical, but
+#     changed code paths): dedup_containment_lsh,
+#     similarity_neardup_clustered, similarity_ann_pq_rerank.
+# (b) union RECENCY: window_rank_orders (the registry's one r03 row —
+#     the lone straggler the r7 verdict flagged) and 38 of the 41
+#     entries whose latest driver row is r04 (streaming_incremental_mv
+#     is one of the 41 but rides in half (a) as a changed query). Two
+#     r04 entries (q1_pricing_summary, q3_shipping_priority —
+#     untouched TPC-H derivations, the lowest-risk carryover) wait
+#     for the r9 window, which they fit with room to spare; after
+#     this round no entry's latest driver row is older than r04.
+# The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (17) ---
-    "dedup_containment_lsh",
-    "dedup_containment_lsh_ensemble",
-    "dedup_semantic_semdedup",
-    "corpus_decontaminate_bloom",
+    # --- new or changed implementations this round (11) ---
+    "corpus_write_shards",
+    "graph_pagerank_dangling",
+    "corpus_e2e_prep",
     "corpus_shuffle_shards",
-    "corpus_dsir_select",
-    "dedup_remove_spans",
-    "corpus_pack_global",
-    "text_bpe_merges",
     "streaming_cdc_upsert",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "dedup_incremental_compacted",
+    "streaming_incremental_mv",
     "streaming_dedup_neardup",
-    "similarity_ann_ivf_ondisk",
+    "dedup_containment_lsh_ensemble",
+    "dedup_containment_lsh",
+    "similarity_neardup_clustered",
     "similarity_ann_pq_rerank",
-    # --- last driver-verified in r02 (5) ---
-    "window_orders_suite",
-    "q17_small_quantity",
-    "grouping_sets_orders",
-    "unpivot_part_attrs",
-    "setops_customer_keys",
-    # --- last driver-verified in r03 (all 29) ---
-    "corpus_pack_sequences",
-    "explode_embedding_positions",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "sample_mixture_weights",
-    "sample_stratified_docs",
-    "sample_systematic_revenue",
-    "skew_key_diagnosis",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_token_stats",
-    "window_distribution",
-    "window_first_last",
-    "window_running_revenue",
+    # --- last driver-verified in r03 (1) ---
+    "window_rank_orders",
+    # --- last driver-verified in r04 (38 of the remaining 40) ---
+    "asof_purchase_last_click",
+    "cdc_merge_snapshot",
+    "cdc_scd2_history",
+    "cluster_kmeans_embeddings",
+    "contrastive_hard_negatives",
+    "corpus_split_report",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "events_conversion_funnel",
+    "events_daily_pivot",
+    "events_decay_score",
+    "events_dedup_first",
+    "events_gapfill_resample",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_sliding_counts",
+    "incremental_mv_refresh",
+    "profile_lineitem",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "revenue_by_nation",
+    "sample_weighted_reservoir",
+    "similarity_cosine_topk",
+    "similarity_label_knn",
+    "sketch_distinct_customers",
+    "sketch_price_quantiles",
+    "streaming_attribution_join",
+    "streaming_dedup_event_ids",
+    "streaming_enriched_rollup",
+    "streaming_hourly_rollup",
+    "streaming_session_windows",
+    "text_repetition_filter",
+    "text_tfidf_terms",
+    "udaf_discount_sumsq",
+    "udtf_sentence_split",
+    "window_events_suite",
+    "window_lag_lead",
+    "window_moving_avg",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"
