@@ -48,16 +48,13 @@ def _merge_pass(a: str, b: str):
     )
 
 
-def bpe_train_merges(
-    spark,
-    docs: DataFrame,
-    n_merges: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges on the corpus; returns the merge
-    table (rank, left, right, merged, freq) — ``freq`` is the merged
-    pair's corpus-weighted count at the time of its selection.
+def _train(spark, docs: DataFrame, n_merges: int, text_col: str):
+    """Run the merge-training loop; returns ``(merges, seg)`` where
+    ``merges`` is the driver-side list of ``(rank, left, right,
+    merged, freq)`` tuples (≤ ``n_merges`` rows — the bounded
+    O(rounds) driver traffic) and ``seg`` is the final vocab-sized
+    segmentation table (``seg``: space-separated symbols, ``freq``)
+    after every learned merge has been applied.
 
     Lineage per round is truncated with an eager localCheckpoint of
     the (vocab-sized) segmentation table, so round N's plan never
@@ -98,6 +95,65 @@ def bpe_train_merges(
         a, b, pf = pairs[0]["left"], pairs[0]["right"], pairs[0]["pfreq"]
         merges.append((r, a, b, a + b, int(pf)))
         cur = cur.select(_merge_pass(a, b).alias("seg"), "freq").localCheckpoint()
+    return merges, cur
+
+
+def bpe_train_merges(
+    spark,
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; returns the merge
+    table (rank, left, right, merged, freq) — ``freq`` is the merged
+    pair's corpus-weighted count at the time of its selection.
+    """
+    merges, _ = _train(spark, docs, n_merges, text_col)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+def bpe_encode_stats(
+    spark,
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the trained merges to ENCODE the corpus — the serving
+    half of the tokenizer (train → encode → pack): per document, the
+    whitespace-token count, the subword-PIECE count after all merges,
+    and the pieces-per-token compression ratio.
+
+    Spark-first scale shape: encoding, like training, never rewrites
+    corpus text. The trainer's final segmentation table already holds
+    every distinct word fully merged (symbols never contain spaces,
+    so ``translate(seg, ' ', '')`` recovers the word); the corpus
+    side is one explode + one equi-join of tokens against that
+    word→piece-count map + one aggregate. The map is vocab-sized —
+    millions of rows at 100 TB, the small side of the join — so AQE
+    broadcasts it and per-doc cost is independent of n_merges. No
+    per-row Python anywhere; ``pieces_per_token`` is a single IEEE
+    division of two exact int64 counts, so the DuckDB oracle (which
+    replays training AND encoding) is bit-identical.
+    """
+    _, seg = _train(spark, docs, n_merges, text_col)
+    vocab_map = seg.select(
+        F.translate("seg", " ", "").alias("_w"),
+        F.size(F.split("seg", " ")).cast("bigint").alias("_np"),
+    )
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    return (
+        tok.join(vocab_map, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_token",
+            F.col("n_pieces").cast("double") / F.col("n_tokens"),
+        )
     )

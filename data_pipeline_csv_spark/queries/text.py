@@ -549,13 +549,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_chain(n_merges: int) -> str:
     """Unrolled SQL replay of the BPE trainer (same pattern as the
     kmeans oracle's CTE chain): w0 = character-split word-frequency
     table; per round t, p{t} counts adjacent pairs weighted by word
     freq, m{t} is the deterministic argmax, w{t} applies the canonical
     greedy merge pass via list_reduce with the same string-fold as
-    operators/bpe._merge_pass. Emits the merge table bit-for-bit."""
+    operators/bpe._merge_pass. Returns the WITH-chain through
+    w{n_merges}; the merge- and encode-oracles append their selects."""
     sql = f"""
     WITH w0 AS (
       SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg, freq FROM (
@@ -582,15 +583,48 @@ def _bpe_oracle(n_merges: int) -> str:
              freq
       FROM {prev} CROSS JOIN m{t}
     )"""
+    return sql
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Merge-table replay: the chain plus a UNION of each round's
+    argmax row — emits (rank, left, right, merged, freq) bit-for-bit."""
     parts = " UNION ALL ".join(
         f"SELECT {t} AS rank, l, r2, pf FROM m{t}" for t in range(1, n_merges + 1)
     )
-    sql += f"""
+    return (
+        _bpe_chain(n_merges)
+        + f"""
     SELECT CAST(rank AS INT) AS rank, l AS left, r2 AS right,
            l || r2 AS merged, CAST(pf AS BIGINT) AS freq
     FROM ({parts})
     """
-    return sql
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode replay: the same training chain, then w{n} (the fully
+    merged vocab segmentation) becomes the word→piece-count map —
+    symbols never contain spaces, so replace(seg, ' ', '') recovers
+    the word — joined against the corpus token stream."""
+    n = n_merges
+    return (
+        _bpe_chain(n_merges)
+        + f""",
+    vmap AS (
+      SELECT replace(seg, ' ', '') AS w,
+             CAST(len(string_split(seg, ' ')) AS BIGINT) AS np
+      FROM w{n}
+    ),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           CAST(SUM(np) AS DOUBLE) / COUNT(*) AS pieces_per_token
+    FROM tok JOIN vmap ON tok.w = vmap.w
+    GROUP BY tok.doc_id
+    """
+    )
 
 
 @query(
@@ -613,4 +647,100 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_merges
 
     return bpe_train_merges(spark, _docs(spark, sf_dir), n_merges=10)
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(10),
+    doc="BPE ENCODING with the trained merges — the serving half of "
+    "the tokenizer (train → encode → pack): per-doc whitespace-token "
+    "count, subword-piece count after all 10 merges, and the "
+    "pieces-per-token compression ratio. Scale shape: encoding never "
+    "rewrites corpus text — the trainer's final vocab segmentation "
+    "IS the word→pieces map, so the corpus side is one explode + one "
+    "equi-join against a vocab-sized map (AQE-broadcastable at "
+    "100 TB) + one aggregate, independent of n_merges. FULL value "
+    "oracle: DuckDB replays training AND encoding bit-for-bit "
+    "(operators/bpe.py bpe_encode_stats).",
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(spark, _docs(spark, sf_dir), n_merges=10)
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, lang = 'en' AS y, {_TOKS} AS toks FROM documents),
+    tr AS (SELECT * FROM t0 WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM t0 WHERE doc_id % 5 = 0),
+    trt AS (
+      SELECT y, CAST(CONCAT('0x', SUBSTR(md5(w), 1, 8)) AS BIGINT) % 512 AS b
+      FROM (SELECT y, unnest(toks) AS w FROM tr)
+    ),
+    cnt AS (
+      SELECT b, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c0
+      FROM trt GROUP BY b
+    ),
+    dense AS (
+      SELECT r.i AS b, COALESCE(cnt.c1, 0) AS c1, COALESCE(cnt.c0, 0) AS c0
+      FROM range(0, 512) r(i) LEFT JOIN cnt ON cnt.b = r.i
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n0
+      FROM trt
+    ),
+    model AS (
+      SELECT b, CAST(FLOOR((ln(CAST(c1 + 1 AS DOUBLE))
+                          - ln(CAST(n1 + 512 AS DOUBLE))
+                          - ln(CAST(c0 + 1 AS DOUBLE))
+                          + ln(CAST(n0 + 512 AS DOUBLE))) * 1000000.0) AS BIGINT) AS r_fp
+      FROM dense CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT CAST(FLOOR((ln(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+                       - ln(CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1 AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS prior_fp
+      FROM tr
+    ),
+    tet AS (
+      SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(w), 1, 8)) AS BIGINT) % 512 AS b
+      FROM (SELECT doc_id, unnest(toks) AS w FROM te)
+    ),
+    pd AS (
+      SELECT doc_id, SUM(c * r_fp) AS s_fp FROM (
+        SELECT doc_id, b, COUNT(*) AS c FROM tet GROUP BY 1, 2
+      ) dc JOIN model USING (b) GROUP BY doc_id
+    )
+    SELECT te.doc_id,
+           CAST(COALESCE(pd.s_fp, 0) + prior.prior_fp AS BIGINT) AS score_fp,
+           (COALESCE(pd.s_fp, 0) + prior.prior_fp) > 0 AS predicted,
+           te.y AS actual,
+           ((COALESCE(pd.s_fp, 0) + prior.prior_fp) > 0) = te.y AS correct
+    FROM te LEFT JOIN pd USING (doc_id) CROSS JOIN prior
+    """,
+    doc="Hashed bag-of-words linear classifier — the fastText shape "
+    "(Joulin et al., EACL 2017) that CCNet-style pipelines (Wenzek et "
+    "al., LREC 2020) use as the quality/domain/language gate. "
+    "Multinomial Naive Bayes over 512 md5-hashed unigram buckets: "
+    "training is CLOSED-FORM (one explode + partial-agg pass over the "
+    "doc_id%5!=0 split to per-bucket class counts), scoring one "
+    "explode + equi-join against the 512-row weight table "
+    "(AQE-broadcastable) + per-doc sum; predicts lang='en' on the "
+    "held-out 20%. Bucket log-ratios and the class prior are floored "
+    "to 1e-6-nat fixed point, so scores are exact int64 sums and the "
+    "DuckDB oracle replays training AND scoring bit-for-bit "
+    "(operators/classifier.py nb_train_score).",
+    tags=("text", "classifier", "quality", "pipeline", "scale"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_train_score
+
+    return nb_train_score(
+        _docs(spark, sf_dir), F.col("lang") == "en", holdout_mod=5, n_buckets=512
+    )
 

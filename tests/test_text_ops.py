@@ -194,3 +194,94 @@ def test_bpe_matches_pure_python_reference(spark):
         for r in bpe_train_merges(spark, docs, n_merges=5).orderBy("rank").collect()
     ]
     assert got == train_py(freqs, 5)
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    """Encode stats vs the python twin: per-doc piece counts after
+    applying the learned merges must equal re-segmenting every token
+    with the twin's merge sequence."""
+    import numpy as np
+
+    from data_pipeline_csv_spark.operators.bpe import bpe_encode_stats
+
+    def merge_py(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = np.random.RandomState(23)
+    words = ["".join(rng.choice(list("ab"), size=rng.randint(1, 6))) for _ in range(40)]
+    doc_rows = [
+        (i, " ".join(words[j] for j in rng.randint(0, len(words), size=6)))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+
+    # python twin: train 4 merges on the doc token stream, then encode
+    freqs = {}
+    for _, t in doc_rows:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    segs = {w: [c for c in w] for w in freqs}
+    for _ in range(4):
+        counts = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), _pf = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        segs = {w: merge_py(s, a, b) for w, s in segs.items()}
+    want = {}
+    for i, t in doc_rows:
+        toks = t.split(" ")
+        want[i] = (len(toks), sum(len(segs[w]) for w in toks))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.pieces_per_token)
+        for r in bpe_encode_stats(spark, docs, n_merges=4).collect()
+    }
+    assert set(got) == set(want)
+    for i, (nt, np_) in want.items():
+        assert got[i] == (nt, np_, np_ / nt), i
+
+
+def test_nb_classifier_learns_planted_vocabulary(spark):
+    """On a corpus where the two classes draw from disjoint
+    vocabularies the hashed-NB classifier must score the held-out
+    split perfectly; held-out rows and the train/test split masks
+    must be exact."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.classifier import nb_train_score
+
+    rng = np.random.RandomState(7)
+    pos_vocab = ["alpha", "bravo", "charlie", "delta"]
+    neg_vocab = ["xray", "yankee", "zulu", "whiskey"]
+    rows = []
+    for i in range(80):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        rows.append((i, " ".join(rng.choice(vocab, size=6)), i % 2 == 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+
+    out = nb_train_score(docs, F.col("y"), holdout_mod=4, n_buckets=256).collect()
+    assert {r.doc_id for r in out} == {i for i in range(80) if i % 4 == 0}
+    for r in out:
+        assert r.actual == (r.doc_id % 2 == 0)
+        assert r.predicted == r.actual and r.correct, r
+
+    # empty-token doc in the held-out split falls back to the prior
+    docs2 = spark.createDataFrame(
+        rows + [(80, "", True)], "doc_id long, text string, y boolean"
+    )
+    out2 = {r.doc_id: r for r in nb_train_score(docs2, F.col("y"), holdout_mod=4, n_buckets=256).collect()}
+    assert 80 in out2  # survives the left join with score = prior only
