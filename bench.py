@@ -115,6 +115,18 @@ HEADLINE = [
     # traffic 1 row/round); dominated by per-round job overhead at
     # local scale, by design not corpus-bound.
     "text_bpe_merges",
+    # r8 debut, tracked from its first round: BPE ENCODING. The
+    # trained artifact (merge list + final vocab segmentation = the
+    # word->pieces map) is memoized per corpus version, same contract
+    # as ivf_layout_cached: the first sf0.1 iteration trains, the
+    # min-of-3 measures SERVING only — corpus explode + vocab-map
+    # join + per-doc aggregate.
+    "text_bpe_encode",
+    # r8 debut, tracked from its first round: the fastText-shape
+    # hashed-NB gate — one closed-form train pass over the 80% split
+    # and one scoring join on the held-out 20%; two corpus token
+    # passes + a 512-row broadcastable model join.
+    "text_quality_classifier",
     # r7 debut: streaming MERGE INTO — 3 staged epochs folding into
     # the tombstone-keeping keyed snapshot + the drain/read machinery.
     "streaming_cdc_upsert",

@@ -48,7 +48,10 @@ def _merge_pass(a: str, b: str):
     )
 
 
-def _train(spark, docs: DataFrame, n_merges: int, text_col: str):
+_TRAIN_CACHE: dict = {}
+
+
+def _train(spark, docs: DataFrame, n_merges: int, text_col: str, cache_key=None):
     """Run the merge-training loop; returns ``(merges, seg)`` where
     ``merges`` is the driver-side list of ``(rank, left, right,
     merged, freq)`` tuples (≤ ``n_merges`` rows — the bounded
@@ -60,7 +63,18 @@ def _train(spark, docs: DataFrame, n_merges: int, text_col: str):
     the (vocab-sized) segmentation table, so round N's plan never
     re-derives rounds 1..N-1 — same per-round materialization the
     iterative graph/components operators use.
+
+    Training is memoized per (cache_key, n_merges) when the caller
+    names the corpus version (the kmeans_centroids_df contract) — a
+    tokenizer is trained once per corpus version and applied many
+    times, so serving paths must not re-bill the training cost; the
+    trainer is deterministic, so cached and fresh results are
+    bit-identical. The cached seg table is a localCheckpoint, valid
+    for the life of the session.
     """
+    key = (cache_key, n_merges) if cache_key is not None else None
+    if key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     words = (
         docs.select(tokens(text_col).alias("_toks"))
         .select(F.explode("_toks").alias("w"))
@@ -95,6 +109,8 @@ def _train(spark, docs: DataFrame, n_merges: int, text_col: str):
         a, b, pf = pairs[0]["left"], pairs[0]["right"], pairs[0]["pfreq"]
         merges.append((r, a, b, a + b, int(pf)))
         cur = cur.select(_merge_pass(a, b).alias("seg"), "freq").localCheckpoint()
+    if key is not None:
+        _TRAIN_CACHE[key] = (merges, cur)
     return merges, cur
 
 
@@ -121,6 +137,7 @@ def bpe_encode_stats(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_key=None,
 ) -> DataFrame:
     """Apply the trained merges to ENCODE the corpus — the serving
     half of the tokenizer (train → encode → pack): per document, the
@@ -139,7 +156,7 @@ def bpe_encode_stats(
     division of two exact int64 counts, so the DuckDB oracle (which
     replays training AND encoding) is bit-identical.
     """
-    _, seg = _train(spark, docs, n_merges, text_col)
+    _, seg = _train(spark, docs, n_merges, text_col, cache_key=cache_key)
     vocab_map = seg.select(
         F.translate("seg", " ", "").alias("_w"),
         F.size(F.split("seg", " ")).cast("bigint").alias("_np"),

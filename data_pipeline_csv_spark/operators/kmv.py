@@ -1,0 +1,128 @@
+"""KMV (k-minimum-values) distinct sketches with SET OPERATIONS —
+the theta-sketch family (Bar-Yossef et al., RANDOM 2002 for the KMV
+estimator; Dasgupta et al., "Theta Sketch Framework", 2016, the
+Apache DataSketches formulation). HLL (sketch_distinct_customers)
+can union but cannot intersect; KMV/theta sketches support union AND
+intersection estimates from the same constant-size state — the
+pre-aggregation shape a 100 TB warehouse needs for cross-table
+distinct analytics (e.g. "customers active in BOTH quarters")
+without ever shuffling raw key sets.
+
+Spark-first shape: a sketch is "the k smallest md5-derived hash
+values of the distinct keys" — `orderBy(h).limit(k)` plans as
+TakeOrderedAndProject (per-partition k-smallest + driver-free merge),
+which IS the mergeable-sketch update rule; everything downstream
+operates on ≤k-row frames via broadcast joins and 1-row aggregates.
+
+Cross-engine exactness: the hash is the first 15 hex chars of
+md5(key-as-string) — an exact integer in [0, 2^60) both engines agree
+on. Estimates are single IEEE ops on exact integers ((k-1)·2^60 is an
+exact double for k ≤ 2^47), so the DuckDB oracle replays every
+estimate bit-for-bit — stronger than the error-bound verification the
+HLL/KLL queries need, because KMV is deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TWO60 = 1 << 60
+
+
+def _hash60(col) -> F.Column:
+    """Exact 60-bit hash in [0, 2^60): first 15 hex chars of
+    md5(CAST(key AS STRING)) — both engines agree on md5 and on
+    bigint-to-string rendering."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.encode(col.cast("string"), "utf-8")), 1, 15), 16, 10
+        )
+        .cast("long")
+    )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The KMV sketch of ``df[key_col]``'s distinct set: the k
+    smallest hash values, one column ``h``. Plans as distinct +
+    TakeOrderedAndProject — per-partition k-smallest then a k-row
+    merge, never a global sort; the result is a ≤k-row frame."""
+    return (
+        df.select(F.col(key_col).alias("_v"))
+        .distinct()
+        .select(_hash60(F.col("_v")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _est(cnt_col, theta_col, k: int) -> F.Column:
+    """KMV estimator: exact when the sketch saw fewer than k keys
+    (the sketch IS the distinct set), else (k-1)·2^60 / θ."""
+    return F.when(
+        cnt_col < k, cnt_col.cast("double")
+    ).otherwise(F.lit(float((k - 1) * TWO60)) / theta_col.cast("double"))
+
+
+def kmv_setops(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimates for A, B, A∪B and A∩B from the two
+    sketches alone (``a``/``b`` are `kmv_sketch` outputs). Returns ONE
+    row: (k, n_a, n_b, est_a, est_b, est_union, est_intersect).
+
+    Union: the merged sketch (union of hash sets, k smallest) obeys
+    the same estimator. Intersection (the theta rule): θ = min of the
+    two effective thresholds (2^60 when a side is exact), and the
+    estimate is |{h in both sketches, h < θ}| · 2^60 / θ — exact when
+    both sides are exact.
+    """
+    from ..queries.audit import scalar_audit
+
+    sa = a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("th_a")
+    ).select(
+        "n_a",
+        F.when(F.col("n_a") < k, F.lit(TWO60)).otherwise(F.col("th_a")).alias("the_a"),
+        _est(F.col("n_a"), F.col("th_a"), k).alias("est_a"),
+    )
+    sb = b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("th_b")
+    ).select(
+        "n_b",
+        F.when(F.col("n_b") < k, F.lit(TWO60)).otherwise(F.col("th_b")).alias("the_b"),
+        _est(F.col("n_b"), F.col("th_b"), k).alias("est_b"),
+    )
+    merged = a.union(b).distinct().orderBy("h").limit(k)
+    su = merged.agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("h").alias("th_u")
+    ).select(_est(F.col("n_u"), F.col("th_u"), k).alias("est_union"))
+    # theta rule: hashes present in BOTH sketches below θ = min of the
+    # effective thresholds (the 1-row θ frame broadcasts onto the
+    # ≤k-row sketch intersection)
+    th = scalar_audit(sa.select("the_a"), sb.select("the_b")).select(
+        F.least("the_a", "the_b").alias("th_i")
+    )
+    ni = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("th_i"))
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.min("th_i").alias("th_keep"),  # constant; carried for the estimate
+        )
+        .select(
+            (
+                F.col("n_i").cast("double")
+                * F.lit(float(TWO60))
+                / F.coalesce(F.col("th_keep"), F.lit(TWO60)).cast("double")
+            ).alias("est_intersect")
+        )
+    )
+    return scalar_audit(sa, sb, su, ni).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersect",
+    )

@@ -59,21 +59,25 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     late-round debuts text_bpe_encode (BPE encoding with the
 #     trained merges, full train+encode replay oracle) and
 #     text_quality_classifier (hashed-NB fastText-shape gate, full
-#     train+score replay oracle).
+#     train+score replay oracle) and sketch_kmv_setops (KMV/theta
+#     distinct sketches with union AND intersection, full value
+#     oracle).
 # (b) union RECENCY: window_rank_orders (the registry's one r03 row —
-#     the lone straggler the r7 verdict flagged) and 36 of the 41
+#     the lone straggler the r7 verdict flagged) and 35 of the 41
 #     entries whose latest driver row is r04 (streaming_incremental_mv
 #     is one of the 41 but rides in half (a) as a changed query).
-#     Four r04 entries (q1_pricing_summary, q3_shipping_priority,
-#     q9_product_profit, q5_local_supplier_volume — untouched TPC-H
-#     derivations, the lowest-risk carryover) wait for the r9 window,
+#     Five r04 entries (q1_pricing_summary, q3_shipping_priority,
+#     q9_product_profit, q5_local_supplier_volume, profile_lineitem —
+#     untouched TPC-H-schema derivations, the lowest-risk carryover)
+#     wait for the r9 window,
 #     which they fit with room to spare; after this round no entry's
 #     latest driver row is older than r04.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (13) ---
+    # --- new or changed implementations this round (14) ---
     "text_bpe_encode",
     "text_quality_classifier",
+    "sketch_kmv_setops",
     "corpus_write_shards",
     "graph_pagerank_dangling",
     "corpus_e2e_prep",
@@ -87,7 +91,7 @@ _PRIORITY = [
     "similarity_ann_pq_rerank",
     # --- last driver-verified in r03 (1) ---
     "window_rank_orders",
-    # --- last driver-verified in r04 (36 of the remaining 40) ---
+    # --- last driver-verified in r04 (35 of the remaining 40) ---
     "asof_purchase_last_click",
     "cdc_merge_snapshot",
     "cdc_scd2_history",
@@ -105,7 +109,6 @@ _PRIORITY = [
     "events_sessionize",
     "events_sliding_counts",
     "incremental_mv_refresh",
-    "profile_lineitem",
     "revenue_by_nation",
     "sample_weighted_reservoir",
     "similarity_cosine_topk",

@@ -119,3 +119,94 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_eq")[3].alias("p95"),
         within.alias("within_tol"),
     )
+
+
+# exact double literals for the KMV estimator (127·2^60 and 2^60 are
+# both exactly representable, so the SQL literals below parse to the
+# bit-identical doubles the Spark side uses)
+_KMV_K = 128
+_KMV_NUM = "146421031085069565952.0"  # (k-1)·2^60
+_KMV_T60 = "1152921504606846976"  # 2^60
+
+
+def _kmv_h(v: str) -> str:
+    return f"CAST(CONCAT('0x', SUBSTR(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "sketch_kmv_setops",
+    # Unlike the HLL/KLL queries above, KMV is DETERMINISTIC by
+    # construction (md5-derived 60-bit hashes), so this is a FULL
+    # value oracle — DuckDB replays both sketches and every estimate
+    # bit-for-bit, union and intersection included.
+    oracle=f"""
+    WITH ka AS (
+      SELECT {_kmv_h('v')} AS h
+      FROM (SELECT DISTINCT o_custkey AS v FROM orders)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    kb AS (
+      SELECT {_kmv_h('v')} AS h
+      FROM (SELECT DISTINCT c_custkey AS v FROM customer
+            WHERE c_mktsegment = 'BUILDING')
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    ea AS (
+      SELECT n_a,
+             CASE WHEN n_a < {_KMV_K} THEN CAST(n_a AS DOUBLE)
+                  ELSE {_KMV_NUM} / CAST(th_a AS DOUBLE) END AS est_a,
+             CASE WHEN n_a < {_KMV_K} THEN {_KMV_T60} ELSE th_a END AS the_a
+      FROM (SELECT COUNT(*) AS n_a, MAX(h) AS th_a FROM ka)
+    ),
+    eb AS (
+      SELECT n_b,
+             CASE WHEN n_b < {_KMV_K} THEN CAST(n_b AS DOUBLE)
+                  ELSE {_KMV_NUM} / CAST(th_b AS DOUBLE) END AS est_b,
+             CASE WHEN n_b < {_KMV_K} THEN {_KMV_T60} ELSE th_b END AS the_b
+      FROM (SELECT COUNT(*) AS n_b, MAX(h) AS th_b FROM kb)
+    ),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    eu AS (
+      SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {_KMV_NUM} / CAST(MAX(h) AS DOUBLE) END AS est_union
+      FROM ku
+    ),
+    ei AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) * {_KMV_T60}.0
+               / CAST(COALESCE(MIN(th_i), {_KMV_T60}) AS DOUBLE) AS est_intersect
+      FROM (
+        SELECT ka.h, LEAST(ea.the_a, eb.the_b) AS th_i
+        FROM ka JOIN kb ON ka.h = kb.h CROSS JOIN ea CROSS JOIN eb
+      ) WHERE h < th_i
+    )
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(ea.n_a AS BIGINT) AS n_a, CAST(eb.n_b AS BIGINT) AS n_b,
+           ea.est_a, eb.est_b, eu.est_union, ei.est_intersect
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ei
+    """,
+    doc="KMV/theta distinct sketches with SET OPERATIONS (Bar-Yossef "
+    "et al. 2002; the Apache DataSketches theta formulation): "
+    "k=128-minimum-values sketches of (A) customers who placed orders "
+    "and (B) BUILDING-segment customers, then distinct estimates for "
+    "A, B, A∪B and — what HLL cannot do — A∩B, all from the two "
+    "constant-size sketches. The sketch build plans as distinct + "
+    "TakeOrderedAndProject (per-partition k-smallest + k-row merge, "
+    "the mergeable-sketch update rule); everything downstream is "
+    "≤k-row frames and 1-row broadcast aggregates. At sf0.001 side B "
+    "has <k distinct keys, exercising the exact small-set branch "
+    "(operators/kmv.py).",
+    tags=("sketch", "kmv", "theta", "setops", "scale"),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import kmv_setops, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = kmv_sketch(orders, "o_custkey", _KMV_K)
+    b = kmv_sketch(
+        customer.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey", _KMV_K
+    )
+    return kmv_setops(a, b, _KMV_K)

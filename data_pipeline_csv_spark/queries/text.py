@@ -667,7 +667,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode_stats
 
-    return bpe_encode_stats(spark, _docs(spark, sf_dir), n_merges=10)
+    return bpe_encode_stats(
+        spark, _docs(spark, sf_dir), n_merges=10, cache_key=(sf_dir, "documents")
+    )
 
 
 @query(

@@ -486,3 +486,26 @@ def test_containment_audit_plan_unchanged(spark):
         )
 
     assert norm(helper) == norm(inline)
+
+
+def test_kmv_sketch_plans_take_ordered(spark, sf_dir):
+    """The KMV sketch build must plan as TakeOrderedAndProject —
+    per-partition k-smallest + a k-row merge (the mergeable-sketch
+    update rule) — never a global sort of the distinct key set."""
+    from data_pipeline_csv_spark.operators.kmv import kmv_sketch
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    plan = _plan(kmv_sketch(load_table(spark, sf_dir, "orders"), "o_custkey", 128))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # the sort+limit anti-shape
+
+
+def test_nb_classifier_model_join_broadcasts(spark, sf_dir):
+    """Scoring joins the corpus token stream against the n_buckets-row
+    model — the model side must broadcast (512 rows); the corpus side
+    must never be broadcast."""
+    plan = _plan(REGISTRY["text_quality_classifier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the per-doc score aggregate stays a hash aggregate over the
+    # stream side, not a windowed global structure
+    assert "Window" not in plan

@@ -41,3 +41,35 @@ def test_quantile_sketch_brackets_exact(spark, sf_dir):
             lo, frac = int(pos), pos - int(pos)
             exact = vals[lo] + (vals[min(lo + 1, n - 1)] - vals[lo]) * frac
             assert abs(got - exact) <= 1e-9 * max(1.0, abs(exact)), (r["l_returnflag"], p, got, exact)
+
+
+def test_kmv_exact_branch_and_set_ops(spark):
+    """Sets smaller than k: the sketch IS the distinct set, so every
+    estimate must be EXACT — including the intersection (θ = 2^60)."""
+    from data_pipeline_csv_spark.operators.kmv import kmv_setops, kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(40)] * 3, "v long")
+    b = spark.createDataFrame([(i,) for i in range(25, 55)], "v long")
+    r = kmv_setops(kmv_sketch(a, "v", 128), kmv_sketch(b, "v", 128), 128).collect()[0]
+    assert (r.n_a, r.n_b) == (40, 30)
+    assert r.est_a == 40.0 and r.est_b == 30.0
+    assert r.est_union == 55.0  # |0..39 ∪ 25..54|
+    assert r.est_intersect == 15.0  # |25..39|
+
+
+def test_kmv_estimator_within_error_bound(spark):
+    """Above k the KMV estimate must land within 5 standard errors of
+    the true distinct count (se ≈ true/sqrt(k-2)); union/intersection
+    likewise. Deterministic for a fixed corpus."""
+    from data_pipeline_csv_spark.operators.kmv import kmv_setops, kmv_sketch
+
+    k = 128
+    a = spark.createDataFrame([(i,) for i in range(3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 6000)], "v long")
+    r = kmv_setops(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k).collect()[0]
+    se = 1.0 / (k - 2) ** 0.5
+    assert abs(r.est_a - 3000) <= 5 * se * 3000, r.est_a
+    assert abs(r.est_b - 4500) <= 5 * se * 4500, r.est_b
+    assert abs(r.est_union - 6000) <= 5 * se * 6000, r.est_union
+    # intersection variance is higher (θ from the weaker sketch)
+    assert abs(r.est_intersect - 1500) <= 10 * se * 1500, r.est_intersect

@@ -253,6 +253,29 @@ def test_bpe_encode_matches_pure_python_reference(spark):
         assert got[i] == (nt, np_, np_ / nt), i
 
 
+def test_bpe_encode_cache_is_bit_identical(spark):
+    """The memoized trained artifact must serve results bit-identical
+    to a fresh training run (the kmeans_centroids_df contract)."""
+    from data_pipeline_csv_spark.operators.bpe import _TRAIN_CACHE, bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(d, "xyz xyz abc abc qq") for d in range(12)],
+        "doc_id long, text string",
+    )
+    fresh = sorted(
+        map(tuple, bpe_encode_stats(spark, docs, n_merges=3).collect())
+    )
+    key = ("test-bpe-cache", "v1")
+    first = sorted(
+        map(tuple, bpe_encode_stats(spark, docs, n_merges=3, cache_key=key).collect())
+    )
+    assert ((key, 3)) in _TRAIN_CACHE
+    cached = sorted(
+        map(tuple, bpe_encode_stats(spark, docs, n_merges=3, cache_key=key).collect())
+    )
+    assert fresh == first == cached
+
+
 def test_nb_classifier_learns_planted_vocabulary(spark):
     """On a corpus where the two classes draw from disjoint
     vocabularies the hashed-NB classifier must score the held-out
