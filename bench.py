@@ -130,6 +130,11 @@ HEADLINE = [
     # r7 debut: streaming MERGE INTO — 3 staged epochs folding into
     # the tombstone-keeping keyed snapshot + the drain/read machinery.
     "streaming_cdc_upsert",
+    # r8 debut, tracked from its first round: the streaming Count-Min
+    # fold — 4 staged doc epochs of map-side (j,b) partial counts
+    # merged through the generation-committed MV state, plus the
+    # batch-side exact-top-20 audit join.
+    "streaming_heavy_hitters",
 ]
 
 

@@ -59,25 +59,33 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     late-round debuts text_bpe_encode (BPE encoding with the
 #     trained merges, full train+encode replay oracle) and
 #     text_quality_classifier (hashed-NB fastText-shape gate, full
-#     train+score replay oracle) and sketch_kmv_setops (KMV/theta
+#     train+score replay oracle), sketch_kmv_setops (KMV/theta
 #     distinct sketches with union AND intersection, full value
-#     oracle).
+#     oracle), sketch_heavy_hitters_cms (Count-Min top-k frequency
+#     audit, full value oracle), streaming_heavy_hitters (the same
+#     counters folded through the streaming MV state — additive, so
+#     the batch oracle applies verbatim) and text_bm25_topk (Okapi
+#     BM25 ranked retrieval, fixed-point full value oracle).
 # (b) union RECENCY: window_rank_orders (the registry's one r03 row —
-#     the lone straggler the r7 verdict flagged) and 35 of the 41
+#     the lone straggler the r7 verdict flagged) and 32 of the 41
 #     entries whose latest driver row is r04 (streaming_incremental_mv
 #     is one of the 41 but rides in half (a) as a changed query).
-#     Five r04 entries (q1_pricing_summary, q3_shipping_priority,
-#     q9_product_profit, q5_local_supplier_volume, profile_lineitem —
-#     untouched TPC-H-schema derivations, the lowest-risk carryover)
-#     wait for the r9 window,
+#     Eight r04 entries (q1_pricing_summary, q3_shipping_priority,
+#     q9_product_profit, q5_local_supplier_volume, profile_lineitem,
+#     corpus_split_report, cdc_scd2_history, events_daily_pivot —
+#     untouched derivations, the lowest-risk carryover) wait for the
+#     r9 window,
 #     which they fit with room to spare; after this round no entry's
 #     latest driver row is older than r04.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (14) ---
+    # --- new or changed implementations this round (17) ---
     "text_bpe_encode",
     "text_quality_classifier",
     "sketch_kmv_setops",
+    "sketch_heavy_hitters_cms",
+    "streaming_heavy_hitters",
+    "text_bm25_topk",
     "corpus_write_shards",
     "graph_pagerank_dangling",
     "corpus_e2e_prep",
@@ -91,17 +99,14 @@ _PRIORITY = [
     "similarity_ann_pq_rerank",
     # --- last driver-verified in r03 (1) ---
     "window_rank_orders",
-    # --- last driver-verified in r04 (35 of the remaining 40) ---
+    # --- last driver-verified in r04 (32 of the remaining 40) ---
     "asof_purchase_last_click",
     "cdc_merge_snapshot",
-    "cdc_scd2_history",
     "cluster_kmeans_embeddings",
     "contrastive_hard_negatives",
-    "corpus_split_report",
     "dedup_simhash",
     "dedup_simhash_neardup",
     "events_conversion_funnel",
-    "events_daily_pivot",
     "events_decay_score",
     "events_dedup_first",
     "events_gapfill_resample",

@@ -210,3 +210,71 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey", _KMV_K
     )
     return kmv_setops(a, b, _KMV_K)
+
+
+from .text import _TOKS  # DuckDB twin of the tokenizer (no import cycle)
+
+
+def _cms_b(j: str, v: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST({j} AS VARCHAR), ':', {v})),"
+        f" 1, 15)) AS BIGINT) % 1024"
+    )
+
+
+# Shared by the batch query below and streaming_heavy_hitters (the
+# streaming fold of the same counters is bit-identical because
+# counters ADD): DuckDB rebuilds the 4x1024 matrix and replays every
+# estimate — a FULL value oracle, deterministic like the KMV one.
+CMS_AUDIT_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS t
+      FROM documents
+    ),
+    sk AS (
+      SELECT r.j AS j, {_cms_b('r.j', 't')} AS b, COUNT(*) AS c
+      FROM tok CROSS JOIN range(0, 4) r(j)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT t AS token, COUNT(*) AS exact_cnt FROM tok GROUP BY t
+      ORDER BY exact_cnt DESC, token ASC LIMIT 20
+    ),
+    cb AS (
+      SELECT cand.token, cand.exact_cnt, r.j AS j,
+             {_cms_b('r.j', 'cand.token')} AS b
+      FROM cand CROSS JOIN range(0, 4) r(j)
+    )
+    SELECT cb.token, CAST(cb.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(sk.c) AS BIGINT) AS est_cnt,
+           CAST(MIN(sk.c) - cb.exact_cnt AS BIGINT) AS overcount
+    FROM cb JOIN sk ON sk.j = cb.j AND sk.b = cb.b
+    GROUP BY cb.token, cb.exact_cnt
+    """
+
+
+@query(
+    "sketch_heavy_hitters_cms",
+    oracle=CMS_AUDIT_ORACLE,
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan "
+    "2005): the corpus's exact top-20 tokens with their estimates "
+    "from a 4x1024 counter matrix — the frequency complement of the "
+    "KMV distinct sketch. The build is one explode + map-side d-way "
+    "replication + partial agg (counters ADD, so partial aggregation "
+    "IS the sketch merge; the exchange carries <=4096 rows per map "
+    "task at any corpus size); estimation joins candidates against "
+    "the broadcast counter table and takes min over the 4 rows. "
+    "overcount = est - exact is >=0 always (one-sided error). The "
+    "exact side exists for the audit; production keeps only the "
+    "counters (operators/cms.py).",
+    tags=("sketch", "cms", "heavy-hitters", "text", "scale"),
+)
+def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cms import cms_topk_audit
+    from ..sources.tables import balanced
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    from ..functions.text_funcs import tokens
+
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    return cms_topk_audit(tok, "t", k=20, d=4, w=1024)

@@ -27,6 +27,7 @@ from ..streaming import (
 from .canon import VALUE_SCALE, fp_sql
 from .dedup import _EXACT_PAIRS_SQL
 from .registry import query
+from .sketches import CMS_AUDIT_ORACLE
 
 
 def _staged_run(spark: SparkSession, sf_dir: str, build, output_mode: str) -> DataFrame:
@@ -344,6 +345,63 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").cast("bigint").alias("version"),
             F.col("n_versions").cast("bigint").alias("n_versions"),
         )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@query(
+    "streaming_heavy_hitters",
+    # The batch CMS oracle verbatim (queries/sketches.py): Count-Min
+    # counters are ADDITIVE, so the per-epoch streaming fold of
+    # (j, b) partial counts through the generation-committed MV state
+    # is bit-identical to the one-shot batch counter matrix — the
+    # strongest possible check for a stateful streaming sketch.
+    oracle=CMS_AUDIT_ORACLE,
+    doc="Streaming heavy hitters: the staged document feed drains "
+    "through foreachBatch in 4 epochs; each epoch maps its "
+    "micro-batch to (j, b) Count-Min coordinates (map-side d-way "
+    "posexplode) and folds partial counts into the generation-"
+    "committed keyed state (state_merge_writer — |state| <= d*w = "
+    "4096 rows however long the stream runs, no watermark needed). "
+    "The drained counters feed the same exact-top-20 audit as the "
+    "batch sketch_heavy_hitters_cms, under the SAME full value "
+    "oracle: additive counters make streaming and batch matrices "
+    "bit-identical (operators/cms.py, streaming/sinks.py).",
+    tags=("streaming", "sketch", "cms", "foreachBatch", "scale"),
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_funcs import tokens
+    from ..operators.cms import _bucket, cms_estimate_topk
+    from ..sources.tables import balanced, load_table
+    from ..streaming.sinks import run_incremental_mv
+    from ..streaming.sources import read_docs_stream, stage_docs_dir
+
+    d, w, k = 4, 1024, 20
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    state = tempfile.mkdtemp(prefix="sg_cms_")
+    try:
+        stage_docs_dir(spark, sf_dir, staged, n_files=4)
+        arr = F.array(*[_bucket(F.col("t"), j, w) for j in range(d)])
+        stream = (
+            read_docs_stream(spark, staged)
+            .select(F.explode(tokens("text")).alias("t"))
+            .select(F.posexplode(arr).alias("j", "b"))
+        )
+        raw = run_incremental_mv(
+            stream,
+            spark,
+            state_root=state,
+            checkpoint=f"{state}/_chk",
+            keys=["j", "b"],
+            sums={},
+        )
+        sketch = raw.select("j", "b", F.col("n_rows").alias("c"))
+        docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+        tok = docs.select(F.explode(tokens("text")).alias("t"))
+        out = cms_estimate_topk(sketch, tok, "t", k, d, w)
         out.persist().count()
         return out
     finally:

@@ -673,6 +673,55 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(toks) AS dl, toks FROM (
+        SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(CAST(FLOOR(
+               ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * ((1.0 - 0.75)
+                   + (0.75 * tf.dl) / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+               * 1000000.0) AS BIGINT)) AS score_fp
+      FROM tf JOIN dfq USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp, rank FROM (
+      SELECT doc_id, score_fp,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+      FROM sc
+    ) WHERE rank <= 20
+    """,
+    doc="BM25 ranked retrieval (Robertson & Zaragoza 2009, k1=1.2 "
+    "b=0.75): top-20 documents for the query {hash, join, scan} — "
+    "the retrieval complement of the tf-idf profile, used for "
+    "query-targeted quality probes. One corpus pass builds "
+    "(doc, term) counts for the QUERY terms only (isin prunes before "
+    "the aggregate); document frequencies and length stats broadcast "
+    "back; top-k plans as TakeOrderedAndProject. Per-(doc, term) "
+    "contributions are a fixed single-IEEE-op chain (association "
+    "mirrored exactly in the oracle) floored to 1e-6 fixed point, so "
+    "scores are exact int64 sums and the oracle replays every score "
+    "bit-for-bit (operators/bm25.py bm25_topk).",
+    tags=("text", "bm25", "retrieval", "scale"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ("hash", "join", "scan"), k=20)
+
+
+@query(
     "text_quality_classifier",
     oracle=f"""
     WITH t0 AS (SELECT doc_id, lang = 'en' AS y, {_TOKS} AS toks FROM documents),

@@ -73,3 +73,23 @@ def test_kmv_estimator_within_error_bound(spark):
     assert abs(r.est_union - 6000) <= 5 * se * 6000, r.est_union
     # intersection variance is higher (θ from the weaker sketch)
     assert abs(r.est_intersect - 1500) <= 10 * se * 1500, r.est_intersect
+
+
+def test_cms_one_sided_error_and_exact_when_wide(spark):
+    """Count-Min never under-counts (est >= exact for every queried
+    token); with w wide enough that no buckets collide the estimate
+    is exact for every candidate."""
+    from data_pipeline_csv_spark.operators.cms import cms_topk_audit
+
+    rows = [("w%02d" % (i % 30),) for i in range(600)] + [("rare",)]
+    tok = spark.createDataFrame(rows, "t string")
+    out = cms_topk_audit(tok, "t", k=10, d=4, w=16).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.overcount >= 0 and r.est_cnt == r.exact_cnt + r.overcount, r
+
+    wide = cms_topk_audit(tok, "t", k=31, d=4, w=65536).collect()
+    assert len(wide) == 31
+    for r in wide:
+        assert r.overcount == 0, r  # no collisions at this width
+    assert {r.token: r.exact_cnt for r in wide}["rare"] == 1

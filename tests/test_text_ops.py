@@ -308,3 +308,44 @@ def test_nb_classifier_learns_planted_vocabulary(spark):
     )
     out2 = {r.doc_id: r for r in nb_train_score(docs2, F.col("y"), holdout_mod=4, n_buckets=256).collect()}
     assert 80 in out2  # survives the left join with score = prior only
+
+
+def test_bm25_matches_pure_python_twin(spark):
+    """BM25 top-k vs a python twin using the same formula and 1e-6
+    fixed-point floor — scores and ranking must be identical."""
+    import math
+
+    from data_pipeline_csv_spark.operators.bm25 import bm25_topk
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana banana"),
+        (2, "apple cherry cherry date date date"),
+        (3, "date fig"),
+        (4, "apple apple apple apple banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ("apple", "banana")
+
+    toks = {i: t.split(" ") for i, t in rows}
+    n, sum_dl = len(toks), sum(len(v) for v in toks.values())
+    avgdl = float(sum_dl) / n
+    df = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    want = {}
+    for i, v in toks.items():
+        s = 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            tfp = (tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len(v)) / avgdl))
+            s += math.floor(idf * tfp * 1e6)
+        if s:
+            want[i] = s
+    order = sorted(want, key=lambda i: (-want[i], i))
+
+    got = bm25_topk(docs, terms, k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == order
+    for r in got:
+        assert r.score_fp == want[r.doc_id], r
