@@ -127,6 +127,17 @@ HEADLINE = [
     # and one scoring join on the held-out 20%; two corpus token
     # passes + a 512-row broadcastable model join.
     "text_quality_classifier",
+    # r8 debuts (session 2), tracked from their first round:
+    # power-iteration PCA — 3 train iterations (one corpus scan each,
+    # 64-column map-side-combined fixed-point sum, 64 BIGINTs to the
+    # driver per iteration) + the shuffle-free projection pass; and
+    # the per-source n-gram overlap matrix — one shingle-keyed
+    # shuffle + map-side pair expansion of catalog-sized source sets;
+    # and the CCNet perplexity terciles — the unigram-LM pass + a
+    # per-lang ntile window.
+    "embedding_pca_project",
+    "corpus_source_overlap",
+    "text_ccnet_buckets",
     # r7 debut: streaming MERGE INTO — 3 staged epochs folding into
     # the tombstone-keeping keyed snapshot + the drain/read machinery.
     "streaming_cdc_upsert",

@@ -1254,3 +1254,77 @@ def dup_span_coverage(
         coverage.alias("coverage"),
         (coverage < F.lit(drop_coverage)).alias("keep"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise word-n-gram Jaccard between every pair of SOURCES —
+    the data-mixing diagnostic (which corpora in the mixture overlap,
+    and how much) run before weights are assigned.
+
+    Shape — ONE pass over the corpus: distinct (source, shingle) ->
+    one shuffle keyed on the shingle -> per-shingle sorted source set
+    (bounded by the number of sources, a catalog-sized dimension) ->
+    map-side expansion of every ordered pair INCLUDING the self-pair
+    (x, x) per member -> one count agg. The self-pair rows make the
+    per-source shingle-set sizes fall out of the same aggregate
+    ((a, a) count = |shingles of a|), so the corpus is scanned and
+    shingled exactly once — no second sizes branch re-reading it.
+    Nothing is ever corpus-quadratic: candidate work is keyed by
+    shingle like ngram_jaccard_pairs, but the group key space is
+    sources, so the aggregate output is a tiny C(n,2)+n matrix at any
+    corpus size. The sizes are then attached by two WINDOW maxes over
+    that matrix rather than self-joins: a filtered self-join would
+    push its filters below the aggregate's exchange and defeat
+    exchange reuse — the corpus would be scanned and shingled once
+    per consumer (measured: 3 scans in the join formulation, 1 here).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(source_col).alias("source"), tokens(text_col).alias("_toks"))
+    sh = (
+        toks.select("source", F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
+    )
+    srcs = sh.groupBy("shingle").agg(F.sort_array(F.collect_set("source")).alias("_srcs"))
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_srcs"), i + F.lit(1), F.size(F.col("_srcs"))),
+                        lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.src_a", "_p.src_b")
+    counts = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared")
+    )
+    self_count = F.max(
+        F.when(F.col("src_a") == F.col("src_b"), F.col("shared"))
+    )
+    sized = counts.select(
+        "src_a",
+        "src_b",
+        "shared",
+        self_count.over(W.partitionBy("src_a")).alias("n_a"),
+        self_count.over(W.partitionBy("src_b")).alias("n_b"),
+    )
+    return sized.filter(F.col("src_a") != F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "shared",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+        ).alias("jaccard"),
+    )

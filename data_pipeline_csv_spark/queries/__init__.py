@@ -64,22 +64,31 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     oracle), sketch_heavy_hitters_cms (Count-Min top-k frequency
 #     audit, full value oracle), streaming_heavy_hitters (the same
 #     counters folded through the streaming MV state — additive, so
-#     the batch oracle applies verbatim) and text_bm25_topk (Okapi
-#     BM25 ranked retrieval, fixed-point full value oracle).
+#     the batch oracle applies verbatim), text_bm25_topk (Okapi
+#     BM25 ranked retrieval, fixed-point full value oracle), and the
+#     session-2 debuts embedding_pca_project (power-iteration PCA,
+#     full fixed-point replay oracle), corpus_source_overlap
+#     (pairwise source n-gram Jaccard matrix, full value oracle) and
+#     text_ccnet_buckets (per-lang fixed-point perplexity terciles,
+#     full value oracle).
 # (b) union RECENCY: window_rank_orders (the registry's one r03 row —
-#     the lone straggler the r7 verdict flagged) and 32 of the 41
+#     the lone straggler the r7 verdict flagged) and 29 of the 41
 #     entries whose latest driver row is r04 (streaming_incremental_mv
 #     is one of the 41 but rides in half (a) as a changed query).
-#     Eight r04 entries (q1_pricing_summary, q3_shipping_priority,
+#     Eleven r04 entries (q1_pricing_summary, q3_shipping_priority,
 #     q9_product_profit, q5_local_supplier_volume, profile_lineitem,
-#     corpus_split_report, cdc_scd2_history, events_daily_pivot —
-#     untouched derivations, the lowest-risk carryover) wait for the
-#     r9 window,
+#     corpus_split_report, cdc_scd2_history, events_daily_pivot, plus
+#     window_events_suite / window_lag_lead / window_moving_avg —
+#     untouched derivations whose sibling window queries are
+#     r07-green — the lowest-risk carryover) wait for the r9 window,
 #     which they fit with room to spare; after this round no entry's
 #     latest driver row is older than r04.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (17) ---
+    # --- new or changed implementations this round (20) ---
+    "embedding_pca_project",
+    "corpus_source_overlap",
+    "text_ccnet_buckets",
     "text_bpe_encode",
     "text_quality_classifier",
     "sketch_kmv_setops",
@@ -129,9 +138,6 @@ _PRIORITY = [
     "text_tfidf_terms",
     "udaf_discount_sumsq",
     "udtf_sentence_split",
-    "window_events_suite",
-    "window_lag_lead",
-    "window_moving_avg",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -965,3 +965,43 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_into_shards(
         sized, n_shards=4, carry=("n_tokens_clean",)
     ).select("doc_id", "shard", "pos", "n_tokens_clean")
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH {_CONTAM_SHINGLE_CTE},
+    ssh AS (SELECT DISTINCT source, shingle FROM sh),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source <= b.source
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT src_a, src_b, shared,
+             MAX(CASE WHEN src_a = src_b THEN shared END)
+               OVER (PARTITION BY src_a) AS n_a,
+             MAX(CASE WHEN src_a = src_b THEN shared END)
+               OVER (PARTITION BY src_b) AS n_b
+      FROM p
+    )
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
+    FROM m WHERE src_a <> src_b
+    """,
+    doc="Data-mixing diagnostic: the pairwise word-3-gram Jaccard "
+    "matrix BETWEEN SOURCES — which corpora in a training mixture "
+    "overlap, and by how much, computed before mixture weights are "
+    "assigned (the corpus-level complement of the per-document dedup "
+    "family). One shuffle keyed on the shingle; the per-shingle "
+    "source set is bounded by the source catalog, pairs expand "
+    "map-side from the sorted set, and the output is a tiny "
+    "C(n_sources, 2) matrix at any corpus size "
+    "(operators/dedup.py source_overlap_matrix).",
+    tags=("pipeline", "dedup", "mixing", "scale"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))

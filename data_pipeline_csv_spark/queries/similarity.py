@@ -772,3 +772,76 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if short is not None:
             short.unpersist()
+
+
+def _pca_vt_chain(dim: int, iters: int) -> str:
+    """Unrolled SQL replay of the deterministic power iteration
+    (operators/pca.py power_iteration_top), same fixed-point-fold
+    style as the kmeans oracle chain: element stream ``p``, uniform
+    unit init ``v0``, then per iteration t a row-dot CTE ``c{t}``
+    (BIGINT fold at 1e14), an aggregated-direction CTE ``w{t}``
+    (BIGINT fold at 1e12), the squared-norm fold ``n{t}`` (1e4) and
+    the normalized direction ``v{t}``. Every float step is a single
+    IEEE op on BIGINT-cast inputs, mirroring the Spark/driver math
+    literally."""
+    sql = f"""p AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT pos, 1.0 / sqrt({float(dim)}) AS val FROM p)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    c{t} AS (
+      SELECT p.vec_id,
+             SUM(CAST(FLOOR(p.x * v.val * 1e14) AS BIGINT)) AS cfix
+      FROM p JOIN v{t - 1} v USING (pos) GROUP BY 1
+    ),
+    w{t} AS (
+      SELECT p.pos,
+             SUM(CAST(FLOOR(p.x * (CAST(c.cfix AS DOUBLE) / 1e14) * 1e12) AS BIGINT)) AS wfix
+      FROM p JOIN c{t} c USING (vec_id) GROUP BY 1
+    ),
+    n{t} AS (
+      SELECT SUM(CAST(FLOOR((CAST(wfix AS DOUBLE) / 1e12) * (CAST(wfix AS DOUBLE) / 1e12) * 1e4) AS BIGINT)) AS nfix
+      FROM w{t}
+    ),
+    v{t} AS (
+      SELECT pos,
+             (CAST(wfix AS DOUBLE) / 1e12) / sqrt(CAST(nfix AS DOUBLE) / 1e4) AS val
+      FROM w{t}, n{t}
+    )"""
+    return sql
+
+
+_PCA_ITERS = 3
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH {_pca_vt_chain(64, _PCA_ITERS)}
+    SELECT p.vec_id,
+           CAST(SUM(CAST(FLOOR(p.x * v.val * 1e14) AS BIGINT)) AS DOUBLE) / 1e14 AS proj
+    FROM p JOIN v{_PCA_ITERS} v USING (pos)
+    GROUP BY 1
+    """,
+    doc="Distributed PCA: every embedding projected onto the corpus's "
+    "top principal direction, trained by 3 deterministic power "
+    "iterations on the Gram matrix (operators/pca.py). Plan shape per "
+    "iteration: ONE corpus scan with a 64-column partially-aggregated "
+    "fixed-point sum (map-side combine collapses each partition to a "
+    "single row before the exchange) — the d x d covariance matrix is "
+    "never formed and driver traffic is 64 BIGINTs per iteration; the "
+    "projection pass is map-side only, zero shuffles. The whole "
+    "train-and-project chain is replayed bit-exactly by the oracle "
+    "(integer fixed-point folds + single IEEE float ops, the "
+    "determinism contract of the kmeans oracle).",
+    tags=("similarity", "embeddings", "pca", "scale", "iterative"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import power_iteration_top, project_onto
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    v, _ = power_iteration_top(corpus, dim=64, iters=_PCA_ITERS)
+    return project_onto(corpus, v)

@@ -795,3 +795,83 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), F.col("lang") == "en", holdout_mod=5, n_buckets=512
     )
 
+
+
+@query(
+    "text_ccnet_buckets",
+    # Determinism: the rank key is a FIXED-POINT avg NLL — each
+    # token's -ln(freq/total) is floored to a BIGINT at 1e6 and
+    # integer-summed (order-insensitive, bit-equal for equal token
+    # multisets — the corpus's planted exact-duplicate docs tie
+    # EXACTLY and fall to the doc_id tie-break; a raw float NLL key
+    # would order such twins randomly: measured min same-lang gap at
+    # sf0.1 is 0.0). The avg is then ONE IEEE divide of exact ints.
+    # Residual cross-engine risk is a last-ulp ln() difference landing
+    # a term within ~1e-9 of a floor boundary — structurally bounded,
+    # not corpus-measured, unlike the raw-float alternative it
+    # replaces.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+    nll AS (
+      SELECT t.doc_id, t.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(FLOOR(-ln(f.cnt / tot.total) * 1e6) AS BIGINT)) AS nll_fix
+      FROM tok t JOIN freq f ON t.tok = f.tok, tot
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(nll_fix AS DOUBLE) / n_tokens AS avg_nll_fix,
+           CAST(NTILE(3) OVER (
+             PARTITION BY lang
+             ORDER BY CAST(nll_fix AS DOUBLE) / n_tokens ASC, doc_id ASC
+           ) AS INT) AS bucket
+    FROM nll
+    """,
+    doc="CCNet-style perplexity buckets (Wenzek et al. 2020): score "
+    "every doc by the corpus-trained unigram avg NLL (the "
+    "text_unigram_logprob proxy, made rank-stable in fixed point) and "
+    "split each LANGUAGE into head/middle/tail terciles — the "
+    "standard quality-stratification step before mixture weighting. "
+    "Plan: one explode -> freq agg -> unhinted join back (vocab grows "
+    "with the corpus, AQE decides) -> per-doc integer agg -> per-lang "
+    "ntile. The ntile window sorts within each lang partition; lang "
+    "cardinality is catalog-sized, so at 100 TB the per-lang sort is "
+    "the one range-shuffle this op needs — swap the exact tercile for "
+    "sampled cutoffs only if a single language outgrows a range-"
+    "partitioned sort.",
+    tags=("text", "quality", "pipeline", "lm", "ccnet"),
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    nll = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.floor(-F.log(F.col("cnt") / F.col("total")) * F.lit(1e6)).cast(
+                    "long"
+                )
+            ).alias("nll_fix"),
+        )
+    )
+    avg = F.col("nll_fix").cast("double") / F.col("n_tokens")
+    w = W.partitionBy("lang").orderBy(avg.asc(), F.col("doc_id").asc())
+    return nll.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        avg.alias("avg_nll_fix"),
+        F.ntile(3).over(w).cast("int").alias("bucket"),
+    )

@@ -509,3 +509,16 @@ def test_nb_classifier_model_join_broadcasts(spark, sf_dir):
     # the per-doc score aggregate stays a hash aggregate over the
     # stream side, not a windowed global structure
     assert "Window" not in plan
+
+
+def test_source_overlap_scans_corpus_once(spark, sf_dir):
+    """The size columns come from window maxes over the pair matrix,
+    not filtered self-joins: a join formulation pushes its filters
+    below the count aggregate's exchange, defeats exchange reuse, and
+    re-scans + re-shingles the whole corpus per consumer (measured 3
+    scans). Pin the single-scan shape."""
+    from data_pipeline_csv_spark.queries import REGISTRY
+
+    df = REGISTRY["corpus_source_overlap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1

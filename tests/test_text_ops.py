@@ -349,3 +349,44 @@ def test_bm25_matches_pure_python_twin(spark):
     assert [r.doc_id for r in got] == order
     for r in got:
         assert r.score_fp == want[r.doc_id], r
+
+
+def test_ccnet_buckets_terciles_and_duplicate_ties(spark, sf_dir):
+    """Per-lang ntile(3) is balanced, and planted exact-duplicate docs
+    get bit-equal fixed-point NLL (ordered by the doc_id tie-break,
+    never by float noise)."""
+    from data_pipeline_csv_spark.queries import REGISTRY
+
+    out = REGISTRY["text_ccnet_buckets"].fn(spark, sf_dir).collect()
+    assert {r["bucket"] for r in out} == {1, 2, 3}
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        counts = [sum(1 for r in rows if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(counts) - min(counts) <= 1, (lang, counts)  # NTILE balance
+        # bucket must be monotone in (avg_nll_fix, doc_id)
+        ordered = sorted(rows, key=lambda r: (r["avg_nll_fix"], r["doc_id"]))
+        assert [r["bucket"] for r in ordered] == sorted(r["bucket"] for r in rows)
+    # equal text => bit-equal fixed NLL (the tie the doc_id break
+    # resolves; a raw float key would order twins by summation noise).
+    # sf0.001 plants no exact dups, so pin it on a literal frame.
+    import duckdb
+
+    dup = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en"),
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta beta beta", "en"),
+            (3, "zeta eta theta iota", "en"),
+            (4, "unique words here now", "en"),
+            (5, "more filler text rows", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    con = duckdb.connect()
+    con.register("documents", dup.toPandas())
+    oracle_rows = con.sql(REGISTRY["text_ccnet_buckets"].oracle).fetchall()
+    vals = {r[0]: (r[3], r[4]) for r in oracle_rows}
+    assert vals[0][0] == vals[1][0]  # identical docs tie exactly
+    assert vals[0][1] <= vals[1][1]  # doc_id breaks the tie
