@@ -138,6 +138,13 @@ HEADLINE = [
     "embedding_pca_project",
     "corpus_source_overlap",
     "text_ccnet_buckets",
+    # further r8 debuts (session 2): deterministic label-propagation
+    # communities — 2 rounds, each a message join + count agg +
+    # per-node window argmax, ONE lazy plan, zero driver traffic; and
+    # the CDC VERSION-AS-OF read — SCD2 intervals (one key shuffle)
+    # interval-joined to the broadcast 3-row version list.
+    "graph_label_propagation",
+    "cdc_read_asof",
     # r7 debut: streaming MERGE INTO — 3 staged epochs folding into
     # the tombstone-keeping keyed snapshot + the drain/read machinery.
     "streaming_cdc_upsert",

@@ -164,3 +164,54 @@ def pagerank(
         if iterations > 4 and i < iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection on directed ``edges(src, dst)`` (symmetrize
+    for the undirected reading, as with :func:`pagerank`).
+
+    Deterministic variant: every node starts labeled with its own id;
+    each round, a node adopts the label held by the most of its
+    in-neighbors, ties broken toward the SMALLER label (the classic
+    random tie-break is replaced so the result is a pure function of
+    the graph — same contract as the fixed-point PageRank). A node
+    with no in-edges keeps dropping out of the update; symmetrized
+    graphs have none.
+
+    Everything is integer arithmetic — counts and id comparisons — so
+    unlike PageRank no fixed-point quantization is needed and the
+    unrolled SQL replay (queries/graph.py) is exact by construction.
+    Unlike the other iterative operators this one is ONE lazy plan:
+    zero driver traffic, no per-round collect. Per round: one message
+    join (shuffle on src), one (node, label) count agg and one
+    per-node window argmax — each keyed on graph keys, the window
+    group sized by in-degree. O(iterations) rounds, GraphX/Pregel's
+    scaling regime.
+    """
+    from pyspark.sql import Window as W
+
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        msgs = edges.join(lab, edges["src"] == lab["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        lab = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    size_w = W.partitionBy("label")
+    return lab.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("community_size"),
+    )

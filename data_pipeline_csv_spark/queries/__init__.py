@@ -68,25 +68,31 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     BM25 ranked retrieval, fixed-point full value oracle), and the
 #     session-2 debuts embedding_pca_project (power-iteration PCA,
 #     full fixed-point replay oracle), corpus_source_overlap
-#     (pairwise source n-gram Jaccard matrix, full value oracle) and
+#     (pairwise source n-gram Jaccard matrix, full value oracle),
 #     text_ccnet_buckets (per-lang fixed-point perplexity terciles,
+#     full value oracle), graph_label_propagation (deterministic
+#     2-round community detection, integer-exact unrolled replay) and
+#     cdc_read_asof (VERSION AS OF time travel from SCD2 intervals,
 #     full value oracle).
 # (b) union RECENCY: window_rank_orders (the registry's one r03 row —
-#     the lone straggler the r7 verdict flagged) and 29 of the 41
+#     the lone straggler the r7 verdict flagged) and 27 of the 41
 #     entries whose latest driver row is r04 (streaming_incremental_mv
 #     is one of the 41 but rides in half (a) as a changed query).
-#     Eleven r04 entries (q1_pricing_summary, q3_shipping_priority,
+#     Thirteen r04 entries (q1_pricing_summary, q3_shipping_priority,
 #     q9_product_profit, q5_local_supplier_volume, profile_lineitem,
 #     corpus_split_report, cdc_scd2_history, events_daily_pivot, plus
-#     window_events_suite / window_lag_lead / window_moving_avg —
-#     untouched derivations whose sibling window queries are
-#     r07-green — the lowest-risk carryover) wait for the r9 window,
+#     window_events_suite / window_lag_lead / window_moving_avg and
+#     sketch_distinct_customers / sketch_price_quantiles — untouched
+#     derivations whose sibling window/sketch queries are r07-green or
+#     r8 debuts — the lowest-risk carryover) wait for the r9 window,
 #     which they fit with room to spare; after this round no entry's
 #     latest driver row is older than r04.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (20) ---
+    # --- new or changed implementations this round (22) ---
     "embedding_pca_project",
+    "graph_label_propagation",
+    "cdc_read_asof",
     "corpus_source_overlap",
     "text_ccnet_buckets",
     "text_bpe_encode",
@@ -108,7 +114,7 @@ _PRIORITY = [
     "similarity_ann_pq_rerank",
     # --- last driver-verified in r03 (1) ---
     "window_rank_orders",
-    # --- last driver-verified in r04 (32 of the remaining 40) ---
+    # --- last driver-verified in r04 (27 of the remaining 40) ---
     "asof_purchase_last_click",
     "cdc_merge_snapshot",
     "cluster_kmeans_embeddings",
@@ -127,8 +133,6 @@ _PRIORITY = [
     "sample_weighted_reservoir",
     "similarity_cosine_topk",
     "similarity_label_knn",
-    "sketch_distinct_customers",
-    "sketch_price_quantiles",
     "streaming_attribution_join",
     "streaming_dedup_event_ids",
     "streaming_enriched_rollup",

@@ -183,3 +183,65 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     ranks = pagerank(edges, iterations=_ITERS, redistribute_dangling=True)
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")
+
+
+_LPA_ITERS = 2
+
+_LPA_ROUND = """
+    c{i} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{prev} l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _lpa_oracle() -> str:
+    rounds = ",".join(
+        _LPA_ROUND.format(i=i, prev=i - 1) for i in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+    WITH eu AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(l_partkey + {_PART_OFFSET} AS BIGINT) AS b
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM eu
+      UNION ALL
+      SELECT b AS src, a AS dst FROM eu
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {rounds}
+    SELECT node, label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM l{_LPA_ITERS}
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection on the symmetrized supplier<->part "
+    "supply graph: 2 synchronous label-propagation rounds (Raghavan "
+    "et al. 2007), deterministic min-label tie-break. Pure integer "
+    "message passing, so the unrolled CTE replay is exact with NO "
+    "fixed-point quantization — and unlike the other iterative "
+    "operators the whole thing is ONE lazy plan with zero driver "
+    "traffic. Per round: message join + (node, label) count + "
+    "per-node window argmax, all keyed on graph keys "
+    "(operators/graph.py label_propagation).",
+    tags=("graph", "iterative", "clustering", "scale"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iterations=_LPA_ITERS)

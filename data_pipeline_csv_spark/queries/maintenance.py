@@ -153,3 +153,42 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("bigint").alias("valid_to"),
         "is_current",
     )
+
+
+@query(
+    "cdc_read_asof",
+    oracle=f"""
+    WITH {_CHANGES_SQL},
+    hist AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, seq, op,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS vt
+      FROM changes
+    ),
+    h2 AS (SELECT * FROM hist WHERE op <> 'D'),
+    v AS (SELECT CAST(r.i AS BIGINT) AS as_of FROM range(1, 4) r(i))
+    SELECT v.as_of, o_orderkey, o_orderstatus, o_totalprice,
+           CAST(seq AS BIGINT) AS valid_from,
+           CAST(vt AS BIGINT) AS valid_to
+    FROM h2 JOIN v ON seq <= v.as_of AND (vt IS NULL OR v.as_of < vt)
+    """,
+    doc="Time travel over the change log (Delta/Iceberg VERSION AS OF "
+    "as explicit algebra): the full table snapshot at EACH of versions "
+    "1..3, reconstructed in ONE pass — SCD2 validity intervals (one "
+    "key shuffle) interval-joined against the broadcast 3-row version "
+    "list; no per-version re-merge of the log. Version 1 shows every "
+    "key pre-update, version 3 drops the deleted keys "
+    "(operators/cdc.py snapshots_asof).",
+    tags=("cdc", "timetravel", "asof", "window"),
+)
+def cdc_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import snapshots_asof
+
+    snaps = snapshots_asof(_changes(spark, sf_dir), ["o_orderkey"], versions=(1, 2, 3))
+    return snaps.select(
+        "as_of",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+    )

@@ -120,3 +120,33 @@ def test_pagerank_dangling_partition_invariant(spark):
     b = {r["node"]: r["rank"]
          for r in pagerank(many, iterations=3, redistribute_dangling=True).collect()}
     assert a == b  # bit-identical, not approximately
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques bridged by one edge: after 2 rounds every clique
+    member carries its clique's minimum id as community label."""
+    from data_pipeline_csv_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    out = {r["node"]: r for r in label_propagation(df, iterations=2).collect()}
+    assert all(out[n]["community"] == 1 for n in (1, 2, 3))
+    assert all(out[n]["community"] == 10 for n in (11, 12, 13))
+    # sizes are exact and consistent with the labeling
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in out.values())
+    assert all(r["community_size"] == sizes[r["community"]] for r in out.values())
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from data_pipeline_csv_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a in range(1, 8) for b in range(1, 8) if a != b and (a + b) % 3]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    r1 = sorted(map(tuple, label_propagation(df.repartition(5), 2).collect()))
+    r2 = sorted(map(tuple, label_propagation(df.repartition(2), 2).collect()))
+    assert r1 == r2

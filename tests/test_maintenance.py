@@ -98,3 +98,24 @@ def test_scd2_intervals_chain_and_tombstone(spark, sf_dir):
     assert mismatch == 0
     # closed intervals end strictly after they start
     assert hist.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
+
+
+def test_snapshots_asof_literal_log(spark):
+    """Hand-checked time travel: v1 sees the insert, v2 the update,
+    v3 nothing (deleted)."""
+    from data_pipeline_csv_spark.operators.cdc import snapshots_asof
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 1, "I"),
+            (1, "b", 2, "U"),
+            (1, None, 3, "D"),
+            (2, "x", 1, "I"),
+        ],
+        "k: long, val: string, seq: long, op: string",
+    )
+    out = snapshots_asof(changes, ["k"], versions=(1, 2, 3))
+    got = {(r["as_of"], r["k"]): r["val"] for r in out.collect()}
+    assert got[(1, 1)] == "a" and got[(2, 1)] == "b"
+    assert (3, 1) not in got  # deleted key gone at v3
+    assert got[(1, 2)] == got[(2, 2)] == got[(3, 2)] == "x"
