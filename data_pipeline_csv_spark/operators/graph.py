@@ -184,10 +184,13 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     unrolled SQL replay (queries/graph.py) is exact by construction.
     Unlike the other iterative operators this one is ONE lazy plan:
     zero driver traffic, no per-round collect. Per round: one message
-    join (shuffle on src), one (node, label) count agg and one
-    per-node window argmax — each keyed on graph keys, the window
-    group sized by in-degree. O(iterations) rounds, GraphX/Pregel's
-    scaling regime.
+    join (shuffle on src), one (node, label) count agg, and the
+    per-node argmax FUSED into a second aggregate via ``max_by`` over
+    struct ordering (max (cnt, -label) == most votes, smaller label
+    on ties) — no per-node window sort, so a hub whose in-neighbors
+    carry many distinct labels costs a hash-agg probe per label
+    instead of sorting its whole (node, label) group in one task.
+    O(iterations) rounds, GraphX/Pregel's scaling regime.
     """
     from pyspark.sql import Window as W
 
@@ -203,11 +206,16 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
             F.col("dst").alias("node"), "label"
         )
         cnt = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
-        lab = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+        # argmax as an aggregate, not a window: struct comparison is
+        # lexicographic and (cnt, -label) pairs are unique within a
+        # node (labels are distinct per group), so max_by is exactly
+        # "highest count, ties to the SMALLER label" with no
+        # nondeterminism. Both aggs share the (node,...) key space, so
+        # AQE/partial aggregation apply; nothing sorts per node.
+        lab = cnt.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias(
+                "label"
+            )
         )
     size_w = W.partitionBy("label")
     return lab.select(

@@ -522,3 +522,15 @@ def test_source_overlap_scans_corpus_once(spark, sf_dir):
     df = REGISTRY["corpus_source_overlap"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_label_propagation_argmax_has_no_per_round_window(spark, sf_dir):
+    """The per-round argmax is a max_by AGGREGATE fused onto the
+    (node, label) vote counts, not a row_number window: at extreme hub
+    in-degree a window sorts the hub's whole (node, label) group in
+    one task, while the aggregate stays a hash-agg probe per label.
+    The ONLY Window in the 2-round plan is the final community-size
+    annotation."""
+    df = REGISTRY["graph_label_propagation"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window ") == 1, plan
