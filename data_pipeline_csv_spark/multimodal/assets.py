@@ -79,3 +79,49 @@ def synthetic_assets(spark: SparkSession, sf_dir: str, modality: str = "image") 
             F.length("content").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def synthetic_assets_with_variants(
+    spark: SparkSession,
+    sf_dir: str,
+    every_k: int = 10,
+    id_offset: int = 10_000_000,
+    perturb_mod: int = 37,
+) -> DataFrame:
+    """Image asset table seeded with NEAR-DUPLICATES: every document
+    yields its SGV1 image, and every ``every_k``-th document ALSO
+    yields a variant — the same image upscaled 2x (nearest neighbor)
+    with every ``perturb_mod``-th pixel of the upscaled raster
+    inverted (v -> 255 - v). That is exactly the perceptual-dedup
+    scenario (same picture re-encoded at another resolution with
+    sparse pixel damage), and every byte stays pure arithmetic on
+    doc_id, so a DuckDB oracle can recompute any variant pixel without
+    decoding anything (queries/multimodal.py multimodal_phash_neardup).
+    """
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import HEADER, MAGIC, decode_sgv1, encode_sgv1
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = encode_sgv1(i, MOD_IMAGE)
+                ids.append(i)
+                blobs.append(blob)
+                if i % every_k == 0:
+                    img = decode_sgv1(blob)["data"][0]
+                    up = img.repeat(2, axis=0).repeat(2, axis=1)
+                    flat = up.ravel().copy()
+                    mask = (np.arange(flat.size) % perturb_mod) == 0
+                    flat[mask] = 255 - flat[mask]
+                    h2, w2 = up.shape
+                    ids.append(i + id_offset)
+                    blobs.append(
+                        HEADER.pack(MAGIC, MOD_IMAGE, w2, h2, 1) + flat.tobytes()
+                    )
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(encode, schema="asset_id long, content binary")

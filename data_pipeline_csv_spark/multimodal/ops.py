@@ -137,3 +137,41 @@ def frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
         run,
         schema="asset_id long, frame_no int, width int, height int, frame_mean double, frame binary",
     )
+
+
+def dhash_images(assets: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image asset — the standard
+    perceptual fingerprint: nearest-neighbor downsample to a 9x8
+    gray grid, then bit (r, c) = 1 iff grid[r][c] > grid[r][c+1]
+    (8 comparisons per row x 8 rows), packed little-endian into one
+    signed int64. Resolution-invariant by construction (any
+    NN-upscaled copy samples back to the SAME source pixels, so its
+    dHash is identical), which is what makes hamming distance on it a
+    near-duplicate signal. Videos hash their first frame. Output:
+    (asset_id, dhash) — one small row per asset; banding/joins happen
+    downstream in JVM bit-ops (operators/dedup.py
+    hamming_neardup_pairs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                d = decode_sgv1(bytes(blob))
+                img = d["data"][0]
+                h, w = img.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = img[np.ix_(ys, xs)].astype(np.int16)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()  # bit index r*8+c
+                hv = 0
+                for b in np.nonzero(bits)[0]:
+                    hv |= 1 << int(b)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(aid)
+                hashes.append(hv)
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id long, dhash long"
+    )

@@ -775,6 +775,128 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _hamming_band_entries(
+    fp: DataFrame, bands: int, width: int, id_col: str, hash_col: str
+) -> DataFrame:
+    """(_id, _h, band_id, band_val) pigeonhole band entries of an
+    integer-fingerprint frame — the index/probe unit shared by
+    :func:`hamming_neardup_pairs` (full corpus) and
+    :func:`hamming_probe_pairs` (incremental batch-vs-index)."""
+    mask = F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    return fp.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    ((F.shiftrightunsigned(F.col(hash_col), j * width))
+                     .bitwiseAND(mask)).alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("_id", "_h", "b.band_id", "b.band_val")
+
+
+def hamming_probe_pairs(
+    index_fp: DataFrame,
+    new_fp: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """INCREMENTAL hamming near-dup: pair an arriving fingerprint
+    batch against the existing corpus AND within itself, without
+    re-pairing the corpus — the perceptual twin of the MinHash
+    ``incremental_neardup_pairs`` shape. Cross candidates come from
+    one band equi-join of the (in production, materialized and
+    bucketed) index entries against the batch's entries — broadcast
+    when the batch is small (``broadcast_probe``, the daily-ingest
+    case: the corpus side never shuffles), sort-merge against a
+    bucketed index table otherwise; within-batch pairs reuse
+    :func:`hamming_neardup_pairs` on the O(batch) side only. Same
+    pigeonhole guarantee, so incremental union batch-internal equals
+    the one-shot pairing restricted to pairs touching the batch.
+    ``index_fp`` and ``new_fp`` must have disjoint ids. Emits
+    (d1, d2, hamming), d1 < d2.
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    idx = _hamming_band_entries(index_fp, bands, width, id_col, hash_col)
+    probe = _hamming_band_entries(new_fp, bands, width, id_col, hash_col)
+    if broadcast_probe:
+        probe = F.broadcast(probe)
+    cross = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("d1"),
+            F.greatest("a._id", "b._id").alias("d2"),
+            F.col("a._h").alias("h1"),
+            F.col("b._h").alias("h2"),
+        )
+        .distinct()
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    within = hamming_neardup_pairs(new_fp, max_hamming, bits, id_col, hash_col)
+    return cross.unionByName(within)
+
+
+def hamming_neardup_pairs(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Generic hamming-distance near-dup pairing over precomputed
+    integer fingerprints — the pigeonhole bander behind
+    :func:`simhash_neardup_pairs`, factored over ANY fingerprint
+    column (SimHash, perceptual dHash/pHash, audio chromaprints):
+    split the ``bits``-bit value into ``max_hamming + 1`` bands; any
+    pair within distance k agrees EXACTLY on >= 1 band (pigeonhole —
+    no misses), so candidate generation is (max_hamming + 1) equi-
+    joins on tiny band values, never all-pairs, and ``bit_count(xor)``
+    verifies the exact distance. Emits (d1, d2, hamming), d1 < d2.
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    banded = _hamming_band_entries(fp, bands, width, id_col, hash_col)
+    a, bnd = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            bnd,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.col("a._h").alias("h1"),
+            F.col("b._h").alias("h2"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 # 60-bit shingle hash from the top 15 hex nibbles of md5. md5 is
 # available with identical output in Spark AND DuckDB, and the nibble
 # parse is plain integer arithmetic (max value 16^15-1 ~ 1.15e18,

@@ -286,6 +286,122 @@ def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None
         .partitionBy("list_id")
         .parquet(path)
     )
+    _write_ivf_list_stats(
+        corpus.sparkSession.read.parquet(path), centroids, path
+    )
+
+
+def _ivf_stats_path(layout_path: str) -> str:
+    # underscore prefix: Spark's file index skips it, so the stats
+    # sidecar never pollutes spark.read.parquet(layout_path)
+    import os
+
+    return os.path.join(layout_path, "_list_stats")
+
+
+def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Per-list build stats sidecar: (list_id, n_vec, min_sim) — each
+    cell's population and its observed 'edge' (the weakest member's
+    cosine to the cell centroid). nlists rows total; computed from the
+    already-partitioned files with one broadcast join + agg, and the
+    artifact every later :func:`ivf_append` reads so drift accounting
+    NEVER re-scans the base corpus."""
+    (
+        members.join(
+            F.broadcast(centroids), members["list_id"] == centroids["c_id"]
+        )
+        .select("list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s"))
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vec"), F.min("_s").alias("min_sim"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_ivf_stats_path(path))
+    )
+
+
+def ivf_append(new_corpus: DataFrame, centroids: DataFrame, layout_path: str) -> dict:
+    """Incremental IVF maintenance: route NEW vectors into an existing
+    :func:`write_ivf_layout` corpus without rebuilding it.
+
+    The new batch is assigned with the SAME centroids the layout was
+    built with (so probes stay consistent: a query's nprobe lists
+    contain every appended vector a rebuild would put there — appended
+    recall is exact w.r.t. the frozen coarse quantizer), then written
+    ``mode("append")`` under the same ``partitionBy(list_id)``:
+    Spark's dynamic partition append creates files ONLY in the
+    partitions present in the batch — untouched lists' directories are
+    not opened, let alone rewritten (pinned by
+    tests/test_plans.py::test_ivf_append_touches_only_appended_lists).
+    This is what a continuously-ingesting 100 TB ANN corpus runs
+    between retrains: per-batch cost is O(batch) assignment + an
+    append into at most |batch| lists.
+
+    Returns a drift report telling the owner WHEN to retrain: an
+    appended vector has "drifted" if its cosine to its assigned
+    centroid falls below that cell's build-time edge (the sidecar's
+    per-list min_sim — :func:`_write_ivf_list_stats`), i.e. it lands
+    outside the population the quantizer was trained on. The sidecar
+    is then merged (min of sims, sum of counts; nlists rows) so drift
+    accounting stays exact across repeated appends.
+    ``{"n_appended", "n_drifted", "drift_ratio", "lists_touched"}``.
+    """
+    spark = new_corpus.sparkSession
+    assigned = ivf_assign_lists(new_corpus.select("vec_id", "embedding"), centroids)
+    sim = assigned.join(
+        F.broadcast(centroids), assigned["list_id"] == centroids["c_id"]
+    ).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_sim"),
+    )
+    stats = spark.read.parquet(_ivf_stats_path(layout_path))
+    # one bounded materialization: |batch| rows reduced to 1 metrics row
+    # + the touched-list set (<= |batch| ids); the append itself below
+    # re-runs the O(batch) assignment rather than persisting it — batch
+    # frames are small by definition and the layout write is the cost.
+    rep = (
+        sim.join(F.broadcast(stats), "list_id", "left")
+        .select(
+            "list_id",
+            (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).alias("_drift"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_appended"),
+            F.sum(F.col("_drift").cast("int")).alias("n_drifted"),
+            F.collect_set("list_id").alias("lists"),
+        )
+        .collect()[0]
+    )
+    sim.select("vec_id", "embedding", "list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(layout_path)
+    # merge the sidecar so the NEXT append's drift baseline includes
+    # this batch (write to a temp sidecar, then swap — the stats frame
+    # reads the path it would otherwise overwrite mid-plan)
+    import os
+    import shutil
+
+    batch_stats = sim.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vec"), F.min("_sim").alias("min_sim")
+    )
+    merged = (
+        stats.unionByName(batch_stats)
+        .groupBy("list_id")
+        .agg(F.sum("n_vec").alias("n_vec"), F.min("min_sim").alias("min_sim"))
+    )
+    tmp_stats = _ivf_stats_path(layout_path) + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
+    shutil.rmtree(_ivf_stats_path(layout_path))
+    os.replace(tmp_stats, _ivf_stats_path(layout_path))
+    n_app = int(rep["n_appended"])
+    n_drift = int(rep["n_drifted"] or 0)
+    return {
+        "n_appended": n_app,
+        "n_drifted": n_drift,
+        "drift_ratio": (n_drift / n_app) if n_app else 0.0,
+        "lists_touched": sorted(int(x) for x in rep["lists"]),
+    }
 
 
 _IVF_LAYOUT_CACHE: dict = {}

@@ -38,110 +38,93 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-8 rotation, two halves:
-# (a) every query whose implementation is new or changed this round —
-#     the two DEBUTS corpus_write_shards (the materialized training-
-#     shard writer, read-back value oracle over the written files) and
-#     graph_pagerank_dangling (the full-PageRank dangling-mass term on
-#     a ~80%-dangling directed graph, unrolled replay oracle);
-#     corpus_e2e_prep (recomposed end to end: bloom decontamination +
-#     DSIR + span surgery + shard shuffle, new full-value oracle);
-#     corpus_shuffle_shards (carry-columns pass-through for the
-#     writer); streaming_cdc_upsert + streaming_incremental_mv (the
-#     shared generation-snapshot commit protocol: epoch id atomic with
-#     the symlink repoint, per-attempt dirs, generation GC);
-#     streaming_dedup_neardup (observational phase_timings hook);
-#     dedup_containment_lsh_ensemble (adaptive signature width from
-#     the observed stratum range); and the audit-scaffolding
-#     extraction into queries/audit.py (plan-byte-identical, but
-#     changed code paths): dedup_containment_lsh,
-#     similarity_neardup_clustered, similarity_ann_pq_rerank; plus the
-#     late-round debuts text_bpe_encode (BPE encoding with the
-#     trained merges, full train+encode replay oracle) and
-#     text_quality_classifier (hashed-NB fastText-shape gate, full
-#     train+score replay oracle), sketch_kmv_setops (KMV/theta
-#     distinct sketches with union AND intersection, full value
-#     oracle), sketch_heavy_hitters_cms (Count-Min top-k frequency
-#     audit, full value oracle), streaming_heavy_hitters (the same
-#     counters folded through the streaming MV state — additive, so
-#     the batch oracle applies verbatim), text_bm25_topk (Okapi
-#     BM25 ranked retrieval, fixed-point full value oracle), and the
-#     session-2 debuts embedding_pca_project (power-iteration PCA,
-#     full fixed-point replay oracle), corpus_source_overlap
-#     (pairwise source n-gram Jaccard matrix, full value oracle),
-#     text_ccnet_buckets (per-lang fixed-point perplexity terciles,
-#     full value oracle), graph_label_propagation (deterministic
-#     2-round community detection, integer-exact unrolled replay) and
-#     cdc_read_asof (VERSION AS OF time travel from SCD2 intervals,
-#     full value oracle).
-# (b) union RECENCY: window_rank_orders (the registry's one r03 row —
-#     the lone straggler the r7 verdict flagged) and 27 of the 41
-#     entries whose latest driver row is r04 (streaming_incremental_mv
-#     is one of the 41 but rides in half (a) as a changed query).
-#     Thirteen r04 entries (q1_pricing_summary, q3_shipping_priority,
-#     q9_product_profit, q5_local_supplier_volume, profile_lineitem,
-#     corpus_split_report, cdc_scd2_history, events_daily_pivot, plus
-#     window_events_suite / window_lag_lead / window_moving_avg and
-#     sketch_distinct_customers / sketch_price_quantiles — untouched
-#     derivations whose sibling window/sketch queries are r07-green or
-#     r8 debuts — the lowest-risk carryover) wait for the r9 window,
-#     which they fit with room to spare; after this round no entry's
-#     latest driver row is older than r04.
+# Round-9 rotation, three parts:
+# (a) every query that is NEW or whose implementation CHANGED this
+#     round — the three DEBUTS multimodal_phash_neardup (perceptual
+#     dHash near-dup with 4x16-bit pigeonhole banding, full HUGEINT
+#     splitmix64 replay oracle + brute-force pair verification),
+#     similarity_ivf_append (incremental IVF maintenance: append into
+#     the existing partitioned layout + per-list stats sidecar + drift
+#     report, bounds oracle) and streaming_distinct_kmv (the KMV
+#     sketch folded through the generation-committed state — union is
+#     KMV's merge rule, so batch == streaming bit-identically; full
+#     value oracle); plus the CHANGED graph_label_propagation (the
+#     per-round argmax window is now a fused max_by aggregate —
+#     identical output, new code path) and similarity_ann_ivf_ondisk /
+#     similarity_ann_pq_rerank (write_ivf_layout now also writes the
+#     _list_stats sidecar at build time — serving unchanged, but the
+#     build path they amortize is new code).
+# (b) the 13 entries whose latest driver row was r04 — the carryover
+#     the r8 rotation scheduled for this window (q1/q3/q5/q9,
+#     profile_lineitem, corpus_split_report, cdc_scd2_history,
+#     events_daily_pivot, window_events_suite/lag_lead/moving_avg,
+#     sketch_distinct_customers/price_quantiles). After this round no
+#     entry's latest driver row is older than r06.
+# (c) union RECENCY: 30 of the 41 entries whose latest driver row is
+#     r06, oldest-first priority. The 11 left for the r10 window are
+#     the lowest-risk untouched single-concept relational queries
+#     (filter_project, distinct_order_attrs, left_join_order_counts,
+#     semi_join_active_customers, anti_join_never_urgent,
+#     semi_anti_customers, full_outer_nation_activity, rollup_returns,
+#     cube_order_status, scalar_functions, q22_sales_opportunity) —
+#     every one a thin wrapper
+#     over one or two Spark relational operators whose siblings stay
+#     green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (22) ---
-    "embedding_pca_project",
+    # --- new or changed implementations this round (7) ---
+    "multimodal_phash_neardup",
+    "multimodal_phash_incremental",
+    "similarity_ivf_append",
+    "streaming_distinct_kmv",
     "graph_label_propagation",
-    "cdc_read_asof",
-    "corpus_source_overlap",
-    "text_ccnet_buckets",
-    "text_bpe_encode",
-    "text_quality_classifier",
-    "sketch_kmv_setops",
-    "sketch_heavy_hitters_cms",
-    "streaming_heavy_hitters",
-    "text_bm25_topk",
-    "corpus_write_shards",
-    "graph_pagerank_dangling",
-    "corpus_e2e_prep",
-    "corpus_shuffle_shards",
-    "streaming_cdc_upsert",
-    "streaming_incremental_mv",
-    "streaming_dedup_neardup",
-    "dedup_containment_lsh_ensemble",
-    "dedup_containment_lsh",
-    "similarity_neardup_clustered",
+    "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
-    # --- last driver-verified in r03 (1) ---
-    "window_rank_orders",
-    # --- last driver-verified in r04 (27 of the remaining 40) ---
-    "asof_purchase_last_click",
-    "cdc_merge_snapshot",
-    "cluster_kmeans_embeddings",
-    "contrastive_hard_negatives",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "events_conversion_funnel",
-    "events_decay_score",
-    "events_dedup_first",
-    "events_gapfill_resample",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_sliding_counts",
-    "incremental_mv_refresh",
-    "revenue_by_nation",
-    "sample_weighted_reservoir",
-    "similarity_cosine_topk",
-    "similarity_label_knn",
-    "streaming_attribution_join",
-    "streaming_dedup_event_ids",
-    "streaming_enriched_rollup",
-    "streaming_hourly_rollup",
-    "streaming_session_windows",
-    "text_repetition_filter",
-    "text_tfidf_terms",
-    "udaf_discount_sumsq",
-    "udtf_sentence_split",
+    # --- last driver-verified in r04 (13) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "profile_lineitem",
+    "corpus_split_report",
+    "cdc_scd2_history",
+    "events_daily_pivot",
+    "window_events_suite",
+    "window_lag_lead",
+    "window_moving_avg",
+    "sketch_distinct_customers",
+    "sketch_price_quantiles",
+    # --- last driver-verified in r06 (31 of 41) ---
+    "percentiles_order_value",
+    "skew_salted_join_priority",
+    "udf_scalar_normalize_name",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cc_clusters",
+    "dedup_dup_spans",
+    "dedup_span_coverage",
+    "graph_pagerank_suppliers",
+    "multimodal_decode_roundtrip",
+    "multimodal_image_features",
+    "multimodal_frame_stats",
+    "text_profile",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "corpus_dedup_keep_best",
+    "corpus_quality_funnel",
+    "corpus_decontaminate",
+    "count_distinct_parts",
+    "topk_expensive_orders",
+    "range_join_price_bands",
+    "promo_revenue_share",
+    "date_functions",
+    "json_extract_props",
+    "similarity_embedding_neardup",
+    "similarity_ann_recall_audit",
+    "similarity_neardup_pruned",
+    "embedding_quantize_int8",
+    "q8_market_share",
+    "q18_large_volume_customers",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

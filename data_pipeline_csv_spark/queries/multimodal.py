@@ -200,3 +200,156 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.first(F.length("frame").cast("long")).alias("frame_bytes"),
     )
+
+
+# ---- perceptual-hash near-dup oracle ---------------------------------
+# The dHash samples only 72 grid pixels per asset, so instead of
+# regenerating whole payloads (the _PIXEL_CTE above) the oracle
+# computes, per sampled grid point, the ONE splitmix64 word that
+# carries its byte: linear position po in the ORIGINAL raster -> word
+# (po // 8 + 1), byte (po % 8). Variants never materialize: a 2x
+# nearest-neighbor upscale samples back to floor-half coordinates of
+# the original raster (floor(floor(2x)/2) = floor(x)), and the sparse
+# inversion applies where the VARIANT-raster linear position pv hits
+# the perturbation stride. Pure integer arithmetic end to end.
+_PHASH_MAXHAM = 3
+_PHASH_CTE = f"""
+    assets AS (
+      SELECT doc_id AS aid, doc_id AS seed,
+             CAST(8 + doc_id % 9 AS HUGEINT) AS w,
+             CAST(8 + doc_id % 7 AS HUGEINT) AS h,
+             CAST(1 AS HUGEINT) AS up
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id,
+             CAST(8 + doc_id % 9 AS HUGEINT),
+             CAST(8 + doc_id % 7 AS HUGEINT),
+             CAST(2 AS HUGEINT)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    grid AS (
+      SELECT aid, seed, w, h, up, gr.r AS r, gc.c AS c,
+             ((gr.r * (up * h)) // 8) AS yv,
+             ((gc.c * (up * w)) // 9) AS xv
+      FROM assets, range(0, 8) gr(r), range(0, 9) gc(c)
+    ),
+    coords AS (
+      SELECT aid, r, c,
+             ((yv // up) * w + (xv // up)) AS po,
+             (yv * (up * w) + xv) AS pv,
+             up, seed
+      FROM grid
+    ),
+    pwords AS (
+      SELECT aid, r, c, pv, up, (po % 8) AS b,
+             (seed + (po // 8 + 1) * {_PHI}) % {_M64} AS x
+      FROM coords
+    ),
+    p1 AS (SELECT aid, r, c, pv, up, b,
+           {_mul64(_xor64('x', _shr64('x', '30')), _C1)} AS z FROM pwords),
+    p2 AS (SELECT aid, r, c, pv, up, b,
+           {_mul64(_xor64('z', _shr64('z', '27')), _C2)} AS z FROM p1),
+    p3 AS (SELECT aid, r, c, pv, up, b,
+           {_xor64('z', _shr64('z', '31'))} AS z FROM p2),
+    vals AS (
+      SELECT aid, r, c,
+             CASE WHEN up = 2 AND pv % 37 = 0
+                  THEN 255 - ({_shr64('z', '8 * b')} % 256)
+                  ELSE ({_shr64('z', '8 * b')} % 256) END AS v
+      FROM p3
+    ),
+    packed AS (
+      SELECT l.aid,
+             SUM(CASE WHEN l.v > rt.v
+                      THEN CAST(power(2, l.r * 8 + l.c) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS hv
+      FROM vals l
+      JOIN vals rt ON l.aid = rt.aid AND l.r = rt.r AND rt.c = l.c + 1
+      WHERE l.c < 8
+      GROUP BY l.aid
+    ),
+    hashes AS (
+      SELECT aid,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - {_M64} ELSE hv END AS BIGINT) AS hsh
+      FROM packed
+    )
+"""
+
+
+@query(
+    "multimodal_phash_neardup",
+    # FULL value oracle: DuckDB recomputes every sampled pixel byte in
+    # HUGEINT splitmix64 math, packs the 64-bit dHashes, and brute-
+    # forces ALL pairs with bit_count(xor) — so both the perceptual
+    # hashing and the banding (which must lose NO pair at hamming <= 3,
+    # the pigeonhole guarantee) are verified value-for-value.
+    oracle=f"""
+    WITH {_PHASH_CTE}
+    SELECT a.aid AS d1, b.aid AS d2,
+           CAST(bit_count(xor(a.hsh, b.hsh)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.aid < b.aid
+    WHERE bit_count(xor(a.hsh, b.hsh)) <= {_PHASH_MAXHAM}
+    """,
+    doc="Perceptual-hash image near-dup — the multimodal member of the "
+    "dedup family: every asset's 64-bit dHash (9x8 NN-downsample, "
+    "horizontal gradient signs — multimodal/ops.py dhash_images) is "
+    "banded 4x16 bits so any pair within hamming 3 agrees exactly on "
+    ">= 1 band (pigeonhole: equi-joins on tiny band values, never "
+    "all-pairs — operators/dedup.py hamming_neardup_pairs), then "
+    "bit_count(xor) verifies the exact distance. The asset table "
+    "seeds true near-dups: every 10th image also appears 2x-upscaled "
+    "with sparse pixel inversions (multimodal/assets.py "
+    "synthetic_assets_with_variants) — resolution changes hash "
+    "identically by construction, the damage moves a few bits. The "
+    "oracle replays every sampled byte in HUGEINT splitmix64 SQL and "
+    "brute-forces all pairs, so banding losslessness is value-checked.",
+    tags=("multimodal", "dedup", "phash", "binary", "scale"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import dhash_images, synthetic_assets_with_variants
+    from ..operators.dedup import hamming_neardup_pairs
+
+    assets = synthetic_assets_with_variants(spark, sf_dir)
+    fp = dhash_images(assets)
+    return hamming_neardup_pairs(
+        fp, max_hamming=_PHASH_MAXHAM, bits=64, id_col="asset_id", hash_col="dhash"
+    )
+
+
+@query(
+    "multimodal_phash_incremental",
+    # Same FULL splitmix64 replay oracle as multimodal_phash_neardup,
+    # restricted to pairs TOUCHING the new batch (variants carry ids
+    # >= 10M, so "d2 is a variant" selects exactly cross + within-new):
+    # the incremental probe must reproduce the one-shot answer for the
+    # arriving batch without re-pairing the existing corpus.
+    oracle=f"""
+    WITH {_PHASH_CTE}
+    SELECT a.aid AS d1, b.aid AS d2,
+           CAST(bit_count(xor(a.hsh, b.hsh)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.aid < b.aid
+    WHERE bit_count(xor(a.hsh, b.hsh)) <= {_PHASH_MAXHAM}
+      AND b.aid >= 10000000
+    """,
+    doc="INCREMENTAL perceptual dedup — the continuous-ingestion shape "
+    "of multimodal_phash_neardup: the existing corpus's dHash band "
+    "entries act as the index, the arriving batch (the 2x-upscaled "
+    "perturbed re-uploads) is hashed, BROADCAST, and probed with one "
+    "band equi-join — the corpus side never shuffles and is never "
+    "re-paired against itself — plus within-batch pairs over the "
+    "O(batch) side only (operators/dedup.py hamming_probe_pairs). "
+    "Incremental-equals-one-shot is pinned in "
+    "tests/test_multimodal.py::test_phash_incremental_equals_oneshot "
+    "and value-checked here by the brute-force oracle restricted to "
+    "batch-touching pairs.",
+    tags=("multimodal", "dedup", "phash", "incremental", "scale"),
+)
+def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import dhash_images, synthetic_assets_with_variants
+    from ..operators.dedup import hamming_probe_pairs
+
+    fp = dhash_images(synthetic_assets_with_variants(spark, sf_dir))
+    old = fp.filter(F.col("asset_id") < 10_000_000)
+    new = fp.filter(F.col("asset_id") >= 10_000_000)
+    return hamming_probe_pairs(old, new, max_hamming=_PHASH_MAXHAM, bits=64)

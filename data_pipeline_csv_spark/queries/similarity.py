@@ -845,3 +845,149 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
     v, _ = power_iteration_top(corpus, dim=64, iters=_PCA_ITERS)
     return project_onto(corpus, v)
+
+
+_IVF_APPEND_CACHE: dict = {}
+
+
+def _ivf_append_demo_cached(spark: SparkSession, sf_dir: str):
+    """Build-once scaffolding for similarity_ivf_append: an IVF layout
+    over the BASE 80% of the corpus (vec_id % 5 != 0), then ONE
+    ivf_append of the remaining 20% — the continuously-ingesting-corpus
+    scenario. Memoized per corpus version like ivf_layout_cached (and
+    for the same reason: the audit measures serving against the merged
+    index, not rebuilds); the untouched-partition file check runs at
+    append time, when 'before' is observable, and rides the cache.
+    Returns (layout_path, drift_report, untouched_ok)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import ivf_append, write_ivf_layout
+
+    hit = _IVF_APPEND_CACHE.get(sf_dir)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_centroids_df(
+        spark, base, k=16, iters=2, cache_key=(sf_dir, "ivf_append_base")
+    )
+    layout = tempfile.mkdtemp(prefix="sg_ivf_append_")
+    write_ivf_layout(base, cents, layout)
+
+    def _files():
+        return {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(layout, d, f)))
+                for f in os.listdir(os.path.join(layout, d))
+                if not f.startswith(".")
+            )
+            for d in os.listdir(layout)
+            if d.startswith("list_id=")
+        }
+
+    before = _files()
+    rep = ivf_append(new, cents, layout)
+    after = _files()
+    touched = {f"list_id={i}" for i in rep["lists_touched"]}
+    untouched_ok = all(
+        files == after.get(d) for d, files in before.items() if d not in touched
+    )
+    out = (layout, rep, untouched_ok)
+    _IVF_APPEND_CACHE[sf_dir] = out
+    atexit.register(shutil.rmtree, layout, ignore_errors=True)
+    return out
+
+
+@query(
+    "similarity_ivf_append",
+    # Bounds-oracle (pattern of similarity_ann_ivf_ondisk): the oracle
+    # recomputes the exact top-10 side in SQL and emits TRUE flags; the
+    # Spark side hash-matches only if (a) probe recall@10 against the
+    # APPENDED merged index is >= 0.75 (measured 0.85 at sf0.001/0.01/
+    # 0.1 with nprobe=6), (b) the append created files only under the
+    # appended lists' partition dirs (every other list byte-untouched),
+    # and (c) the drift ratio — appended vectors landing outside their
+    # cell's build-time edge, the retrain signal — stays under 0.5
+    # (measured 0.15/0.36/0.045).
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 4),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND qe.vec_id != ce.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok,
+           TRUE AS append_isolated_ok,
+           TRUE AS drift_ok
+    FROM topk
+    """,
+    doc="INCREMENTAL IVF maintenance audit: an IVF layout built on 80% "
+    "of the corpus ingests the remaining 20% via ivf_append — new "
+    "vectors routed into the existing lists with the frozen coarse "
+    "quantizer, files created ONLY under the appended lists' "
+    "partitions (operators/similarity.py ivf_append; isolation pinned "
+    "by tests/test_similarity.py::test_ivf_append_touches_only_"
+    "appended_lists), the per-list stats sidecar merged for exact "
+    "drift accounting across appends. The probe then serves top-10 "
+    "from the MERGED on-disk index (partition-pruned, nprobe=6) and "
+    "must keep recall >= 0.75 against exact brute force over the full "
+    "corpus; the drift ratio (appended vectors outside their cell's "
+    "build-time min-cosine edge — the when-to-retrain signal) must "
+    "stay < 0.5. What a continuously-ingesting ANN corpus runs "
+    "between retrains.",
+    tags=("similarity", "ann", "incremental", "layout", "audit"),
+)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import ann_ivf_probe_ondisk
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    cents = kmeans_centroids_df(
+        spark, base, k=16, iters=2, cache_key=(sf_dir, "ivf_append_base")
+    )
+    layout, rep, untouched_ok = _ivf_append_demo_cached(spark, sf_dir)
+    q_ids = QUERY_IDS[:4]
+    queries = corpus.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = ann_ivf_probe_ondisk(spark, layout, queries, cents, k=10, nprobe=6)
+    exact = cosine_topk(corpus, q_ids, k=10).select("q_id", "vec_id")
+    truth = exact.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+    )
+    hits = exact.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "leftsemi"
+    ).agg(F.count(F.lit(1)).alias("_n_hit"))
+    return truth.crossJoin(F.broadcast(hits)).select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        "n_truth",
+        (F.col("_n_hit") >= F.lit(0.75) * F.col("n_truth")).alias("recall_ok"),
+        F.lit(bool(untouched_ok)).alias("append_isolated_ok"),
+        F.lit(rep["drift_ratio"] < 0.5).alias("drift_ok"),
+    )

@@ -456,3 +456,68 @@ def streaming_dedup_neardup(
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
 
+
+
+from .sketches import _KMV_K, _KMV_NUM, _KMV_T60, _kmv_h  # noqa: E402
+
+
+@query(
+    "streaming_distinct_kmv",
+    # FULL value oracle, same contract as the batch sketch_kmv_setops:
+    # KMV is deterministic by construction (md5-derived 60-bit hashes),
+    # and its merge rule is a set union — so the drained streaming fold
+    # is bit-identical to the one-shot batch sketch for ANY epoch split
+    # of the feed, and DuckDB replays the sketch and the estimate
+    # bit-for-bit. (DISTINCT is on the hash: the sketch state is a hash
+    # set; 60-bit md5 collisions on bigint keys are ~n^2/2^61.)
+    oracle=f"""
+    WITH s AS (
+      SELECT DISTINCT {_kmv_h('user_id')} AS h FROM events
+      ORDER BY h LIMIT {_KMV_K}
+    )
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(h) AS BIGINT) AS theta,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+    FROM s
+    """,
+    doc="Streaming distinct-user KMV/theta sketch: the staged event feed "
+    "drains through foreachBatch in 4 epochs; each epoch hashes its "
+    "micro-batch's user ids, unions with the <=k-row generation-"
+    "committed state and keeps the k smallest (KMV's merge rule IS set "
+    "union, so the drained sketch is bit-identical to the one-shot "
+    "batch build for any epoch split — streaming/sinks.py "
+    "kmv_state_writer). State is <=128 rows forever, no watermark; the "
+    "final estimate replays the batch estimator exactly. At sf0.001 "
+    "the feed has <k distinct users, exercising the exact small-set "
+    "branch end to end (operators/kmv.py).",
+    tags=("streaming", "sketch", "kmv", "theta", "foreachBatch", "scale"),
+)
+def streaming_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, run_streaming_kmv, stage_events_dir
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    state = tempfile.mkdtemp(prefix="sg_kmv_")
+    try:
+        stage_events_dir(spark, sf_dir, staged, n_files=4)
+        stream = read_events_stream(spark, staged).select("user_id")
+        sketch = run_streaming_kmv(
+            stream, spark, state_root=state, checkpoint=f"{state}/_chk",
+            key_col="user_id", k=_KMV_K,
+        )
+        out = sketch.agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_th")
+        ).select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.col("_n").cast("bigint").alias("n"),
+            F.col("_th").cast("bigint").alias("theta"),
+            F.when(F.col("_n") < _KMV_K, F.col("_n").cast("double"))
+            .otherwise(F.lit(float((_KMV_K - 1) * (1 << 60))) / F.col("_th").cast("double"))
+            .alias("est_distinct"),
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -33,7 +33,9 @@ from .sinks import (
     run_streaming_cdc_merge,
     compact_neardup_state,
     foreach_batch_parquet,
+    kmv_state_writer,
     neardup_epoch_writer,
+    run_streaming_kmv,
     run_streaming_neardup,
     run_to_memory,
 )
@@ -62,6 +64,8 @@ __all__ = [
     "run_streaming_cdc_merge",
     "cdc_upsert_writer",
     "read_docs_stream",
+    "run_streaming_kmv",
+    "kmv_state_writer",
     "run_streaming_neardup",
     "neardup_epoch_writer",
     "compact_neardup_state",

@@ -297,6 +297,69 @@ def run_incremental_mv(
     return spark.read.parquet(os.path.join(state_root, "current"))
 
 
+def kmv_state_writer(state_root: str, key_col: str, k: int):
+    """foreachBatch writer folding a KMV/theta distinct sketch
+    (operators/kmv.py) through the generation-snapshot commit protocol
+    — the streaming twin of the batch ``kmv_sketch``, completing the
+    "every sketch has a streaming twin" pairing CMS got in r8
+    (state_merge_writer / streaming_heavy_hitters).
+
+    KMV's merge rule IS a union: the sketch of A ∪ B is the k smallest
+    distinct hash values of the two sketches' union, so each epoch
+    hashes its micro-batch keys, unions with the ≤k-row current state,
+    and keeps the k smallest — which plans as distinct +
+    TakeOrderedAndProject, the same driver-free per-partition-k-merge
+    shape as the batch build. State is ≤k rows FOREVER, no watermark;
+    commit/replay semantics are exactly :func:`_commit_generation`'s
+    (epoch id atomic with the symlink repoint, per-attempt dirs, GC).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.kmv import _hash60
+
+    cur = os.path.join(state_root, "current")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _committed_epoch(cur) >= epoch_id:
+            return  # epoch replay: already folded
+        spark = batch_df.sparkSession
+        delta = batch_df.select(_hash60(F.col(key_col)).alias("h"))
+        if os.path.lexists(cur):
+            delta = spark.read.parquet(cur).unionByName(delta)
+        merged = delta.distinct().orderBy("h").limit(k)
+        _commit_generation(state_root, cur, merged, epoch_id)
+
+    return write_epoch
+
+
+def run_streaming_kmv(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    state_root: str,
+    checkpoint: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Drain a bounded stream through :func:`kmv_state_writer`; return
+    the ≤k-row drained sketch (column ``h``)."""
+    import os
+
+    os.makedirs(state_root, exist_ok=True)
+    q = (
+        stream_df.writeStream.foreachBatch(kmv_state_writer(state_root, key_col, k))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(os.path.join(state_root, "current"))
+
+
 def _neardup_paths(state_root: str) -> dict:
     import os
 

@@ -98,3 +98,103 @@ def test_frame_sample_fanout(spark, sf_dir):
     for aid, n in got.items():
         _, _, total = asset_dims(aid, MOD_VIDEO)
         assert n == -(-total // 2)  # ceil(frames / 2)
+
+
+def test_dhash_resolution_invariant(spark, sf_dir):
+    """A nearest-neighbor 2x upscale must hash IDENTICALLY (the NN
+    downsample lands on the same source pixels: floor(floor(2x)/2) ==
+    floor(x)) — the property that makes dHash a perceptual signal."""
+    import numpy as np
+
+    from data_pipeline_csv_spark.multimodal import dhash_images, synthetic_assets
+    from data_pipeline_csv_spark.multimodal.codecs import HEADER, MAGIC, MOD_IMAGE, decode_sgv1, encode_sgv1
+
+    def up_blob(i):
+        img = decode_sgv1(encode_sgv1(i, MOD_IMAGE))["data"][0]
+        up = img.repeat(2, axis=0).repeat(2, axis=1)
+        h2, w2 = up.shape
+        return HEADER.pack(MAGIC, MOD_IMAGE, w2, h2, 1) + up.tobytes()
+
+    rows = []
+    for i in range(40):
+        rows.append((i, bytearray(encode_sgv1(i, MOD_IMAGE))))
+        rows.append((i + 1000, bytearray(up_blob(i))))
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {r["asset_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    for i in range(40):
+        assert got[i] == got[i + 1000]
+
+
+def test_phash_banding_equals_brute_force(spark, sf_dir):
+    """Pigeonhole banding must lose NO pair at hamming <= max_hamming:
+    compare the banded pair set against a python brute force over the
+    collected fingerprints (every pair, exact popcount)."""
+    from itertools import combinations
+
+    from data_pipeline_csv_spark.multimodal import (
+        dhash_images,
+        synthetic_assets_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import hamming_neardup_pairs
+
+    fp = dhash_images(synthetic_assets_with_variants(spark, sf_dir))
+    hashes = {r["asset_id"]: r["dhash"] for r in fp.collect()}
+    want = set()
+    for (a, ha), (b, hb) in combinations(sorted(hashes.items()), 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in hamming_neardup_pairs(fp, max_hamming=3).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_phash_pairs_plan_has_no_all_pairs_join(spark, sf_dir):
+    """Candidate generation is band equi-joins, never a cartesian."""
+    import contextlib
+    import io
+
+    from data_pipeline_csv_spark.queries import REGISTRY
+
+    df = REGISTRY["multimodal_phash_neardup"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_incremental_equals_oneshot(spark, sf_dir):
+    """Incremental probe (corpus index vs arriving batch + within-
+    batch) must equal the one-shot pairing restricted to pairs that
+    touch the batch — for any old/new split."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.multimodal import (
+        dhash_images,
+        synthetic_assets_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        hamming_probe_pairs,
+    )
+
+    fp = dhash_images(synthetic_assets_with_variants(spark, sf_dir)).persist()
+    for split in (F.col("asset_id") >= 10_000_000, F.col("asset_id") % 3 == 0):
+        new = fp.filter(split)
+        old = fp.filter(~split)
+        new_ids = {r["asset_id"] for r in new.select("asset_id").collect()}
+        got = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in hamming_probe_pairs(old, new, max_hamming=3).collect()
+        }
+        want = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in hamming_neardup_pairs(fp, max_hamming=3).collect()
+            if r["d1"] in new_ids or r["d2"] in new_ids
+        }
+        assert got == want
+    fp.unpersist()

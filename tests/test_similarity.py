@@ -292,3 +292,56 @@ def test_semdedup_triu_chain_semantics(spark):
     # cos(x1,x2) = cos(x2,x3) ~ 0.850 >= 0.8; cos(x1,x3) ~ 0.445 < 0.8
     got = {r.vec_id: r.keep for r in semdedup_verdicts(corpus, cents, eps=0.8).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_ivf_append_touches_only_appended_lists(spark, sf_dir, tmp_path):
+    """Incremental maintenance contract: appending a batch creates
+    files ONLY under the appended lists' partition directories; every
+    other list's file set is byte-untouched, and the merged index
+    serves the union of base + appended vectors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        write_ivf_layout,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_centroids_df(
+        spark, base, k=8, iters=2, cache_key=(sf_dir, "ivf_append_test")
+    )
+    layout = str(tmp_path / "layout")
+    write_ivf_layout(base, cents, layout)
+
+    def _files():
+        out = {}
+        for d in os.listdir(layout):
+            if not d.startswith("list_id="):
+                continue
+            out[d] = sorted(
+                (f, os.path.getsize(os.path.join(layout, d, f)))
+                for f in os.listdir(os.path.join(layout, d))
+                if not f.startswith(".")
+            )
+        return out
+
+    before = _files()
+    rep = ivf_append(new, cents, layout)
+    after = _files()
+    touched = {f"list_id={i}" for i in rep["lists_touched"]}
+    assert rep["n_appended"] == new.count() > 0
+    for d, files in before.items():
+        if d in touched:
+            assert set(files) < set(after[d])  # old files intact, new added
+        else:
+            assert files == after[d]  # byte-untouched
+    # merged index serves base + appended
+    merged_ids = {r["vec_id"] for r in spark.read.parquet(layout).collect()}
+    assert merged_ids == {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert 0.0 <= rep["drift_ratio"] <= 1.0

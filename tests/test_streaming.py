@@ -399,3 +399,51 @@ def test_neardup_phase_timings_hook_is_observational(spark, tmp_path, sf_dir):
     assert phases["n_epochs"] == 3
     for key in ("compact", "signature", "candidates", "verify", "write"):
         assert key in phases and phases[key] >= 0.0
+
+
+def test_streaming_kmv_bit_identical_to_batch_sketch(spark, sf_dir, tmp_path):
+    """KMV's merge rule is a set union, so the drained streaming fold
+    must equal the one-shot batch sketch EXACTLY (same hash rows, same
+    order) regardless of how the feed splits into epochs."""
+    from data_pipeline_csv_spark.operators.kmv import _hash60
+    from data_pipeline_csv_spark.streaming import (
+        read_events_stream,
+        run_streaming_kmv,
+        stage_events_dir,
+    )
+
+    k = 32
+    staged = str(tmp_path / "staged")
+    stage_events_dir(spark, sf_dir, staged, n_files=3)
+    stream = read_events_stream(spark, staged).select("user_id")
+    drained = run_streaming_kmv(
+        stream, spark, state_root=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "state/_chk"), key_col="user_id", k=k,
+    )
+    got = [r["h"] for r in drained.orderBy("h").collect()]
+    events = load_table(spark, sf_dir, "events")
+    want = [
+        r["h"]
+        for r in events.select(_hash60(F.col("user_id")).alias("h"))
+        .distinct().orderBy("h").limit(k).collect()
+    ]
+    assert got == want and 0 < len(got) <= k
+
+
+def test_streaming_kmv_epoch_replay_short_circuits(spark, sf_dir, tmp_path):
+    """A replayed epoch (foreachBatch at-least-once) must not change the
+    committed sketch: the writer short-circuits on the committed epoch
+    id encoded in the symlink target."""
+    from data_pipeline_csv_spark.streaming.sinks import kmv_state_writer
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    w = kmv_state_writer(str(tmp_path / "st"), "user_id", 16)
+    w(events, 0)
+    before = sorted(
+        r["h"] for r in spark.read.parquet(str(tmp_path / "st/current")).collect()
+    )
+    w(events.limit(3), 0)  # replay of epoch 0 with different content
+    after = sorted(
+        r["h"] for r in spark.read.parquet(str(tmp_path / "st/current")).collect()
+    )
+    assert before == after

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""sf1.0 scaling spot-check (round-9 ask #6): measure the sec/SF slope
+of the most expensive headline queries between sf0.1 and a 10x-scaled
+derivative, converting the 100 TB design claims from plan-shape
+argument to measured trend.
+
+The sf1.0 input is DERIVED from the driver's sf0.1 testdata (never
+synthesized from scratch): each table is replicated 10x with replica-
+offset keys so cardinalities genuinely grow —
+
+- documents: doc_id offset per replica AND every 8th token replaced by
+  a replica-salted token. The salting kills cross-replica 3-gram
+  similarity (Jaccard ~0.6 << the 0.8 threshold) while preserving
+  WITHIN-replica near-dup structure, so the corpus carries the same
+  dup RATE at 10x size — the honest scaling scenario for the dedup
+  queries. Identical replicas instead would near-duplicate every doc
+  9 times and measure an artificial quadratic blowup.
+- lineitem: l_suppkey/l_partkey offset by 1e6 per replica (10 disjoint
+  supply graphs; stays below the 1e7 part-id offset).
+- embeddings: vec_id offset per replica (PCA/ANN cost is row-bound).
+- orders: o_orderkey offset per replica (the CDC change-feed source).
+
+Usage: python tools/scale_spotcheck.py  -> prints one JSON line and
+writes SCALE_SPOTCHECK_r09.json. The derived data lives in
+.scale_sf1/ (gitignored), built once and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_csv_spark.queries import REGISTRY
+from data_pipeline_csv_spark.session import get_spark
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, ".scale_sf1")
+REPLICAS = 10
+
+QUERIES = [
+    "streaming_dedup_neardup",
+    "streaming_heavy_hitters",
+    "graph_label_propagation",
+    "graph_pagerank_suppliers",
+    "embedding_pca_project",
+    "streaming_cdc_upsert",
+]
+
+
+def build_sf1(spark) -> None:
+    if os.path.isdir(os.path.join(SF1, "documents.parquet")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = docs.count()
+    salted = (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("bigint") * n_docs).alias("doc_id"),
+            F.array_join(
+                F.zip_with(
+                    F.split(F.col("text"), " "),
+                    F.sequence(F.lit(0), F.size(F.split(F.col("text"), " ")) - 1),
+                    lambda t, i: F.when(
+                        i % 8 == 0,
+                        F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit("s"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    salted.repartition(16).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    li.crossJoin(rep).select(
+        *[c for c in li.columns if c not in ("l_suppkey", "l_partkey")],
+        (F.col("l_suppkey") + F.col("rep").cast("bigint") * 1_000_000).alias("l_suppkey"),
+        (F.col("l_partkey") + F.col("rep").cast("bigint") * 1_000_000).alias("l_partkey"),
+    ).repartition(32).write.mode("overwrite").parquet(f"{SF1}/lineitem.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_emb = emb.count()
+    emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("rep").cast("bigint") * n_emb).alias("vec_id"),
+        "embedding",
+        "label",
+    ).repartition(16).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    orders.crossJoin(rep).select(
+        *[c for c in orders.columns if c != "o_orderkey"],
+        (F.col("o_orderkey") + F.col("rep").cast("bigint") * 10_000_000).alias("o_orderkey"),
+    ).repartition(16).write.mode("overwrite").parquet(f"{SF1}/orders.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_spotcheck",
+                      driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+    build_sf1(spark)
+    # one codegen warmup per query at the smallest SF, then ONE timed
+    # run per (query, SF) — this is a slope probe, not the bench
+    for name in QUERIES:
+        REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in QUERIES:
+        row = {}
+        for label, d in (("sf0.1", SF01), ("sf1.0", SF1)):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        row["ratio_10x"] = round(row["sf1.0"] / row["sf0.1"], 2)
+        out[name] = row
+        print(name, row, flush=True)
+    rec = {"metric": "scale_spotcheck", "replicas": REPLICAS, "queries": out}
+    with open(os.path.join(ROOT, "SCALE_SPOTCHECK_r09.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
