@@ -161,6 +161,9 @@ HEADLINE = [
     # - and its incremental twin: corpus band index + broadcast batch
     #   probe + within-batch pairs (the continuous-ingestion path).
     "multimodal_phash_incremental",
+    # - acoustic-fingerprint near-dup: PCM energy-contour hash +
+    #   8x8-bit banding at hamming<=7 (the audio dedup member).
+    "multimodal_audio_fingerprint",
     # - incremental IVF maintenance audit: the base layout + one
     #   append are amortized per corpus version (first iteration
     #   builds; min-of-3 measures the merged-index probe + the exact
@@ -187,6 +190,14 @@ HEADLINE = [
 # per-query delta. Per-query MEDIANS (of the same 3 timed iterations)
 # ride alongside the mins as "queries_median" so a noisy-iteration
 # round is visible without re-running.
+# r9 observation (measured twice, incl. a quiet single-purpose rerun):
+# the string/shuffle-heavy cluster (dedup_exact/minhash, text_*,
+# corpus_*) sits ~20-40% above its r8 numbers on UNCHANGED code while
+# the scan-agg cluster (q1/q3/q5, revenue, windows, events) is flat to
+# -10% — same one-sided host inflation class as r8, now with a canary
+# baseline on record (r9 canary_sec ~0.26) so r10 can read the drift
+# factor directly. dedup_minhash_lsh single-iteration spread measured
+# 2.6-10.5 s in the quiet rerun — min-of-3 is doing real work here.
 # r9 engine-side deltas to expect: graph_label_propagation — the
 # per-round argmax window became a max_by aggregate (hub-skew hedge);
 # similarity_ann_pq_rerank / similarity_ann_ivf_ondisk — the layout

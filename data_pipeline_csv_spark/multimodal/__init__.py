@@ -25,19 +25,33 @@ partition on ``asset_id`` so a skewed source file can't hot-spot one
 executor.
 """
 
-from .assets import ASSET_SCHEMA, synthetic_assets, synthetic_assets_with_variants
+from .assets import (
+    ASSET_SCHEMA,
+    synthetic_assets,
+    synthetic_assets_with_variants,
+    synthetic_audio_with_variants,
+)
 from .codecs import decode_sgv1, decode_real_image, encode_sgv1_batch
-from .ops import decode_assets, dhash_images, frame_sample, image_features, resize_images
+from .ops import (
+    audio_fingerprint,
+    decode_assets,
+    dhash_images,
+    frame_sample,
+    image_features,
+    resize_images,
+)
 
 __all__ = [
     "ASSET_SCHEMA",
     "synthetic_assets",
     "synthetic_assets_with_variants",
+    "synthetic_audio_with_variants",
     "decode_sgv1",
     "decode_real_image",
     "encode_sgv1_batch",
     "decode_assets",
     "dhash_images",
+    "audio_fingerprint",
     "frame_sample",
     "image_features",
     "resize_images",

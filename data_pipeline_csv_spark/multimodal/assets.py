@@ -125,3 +125,43 @@ def synthetic_assets_with_variants(
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return ids.mapInPandas(encode, schema="asset_id long, content binary")
+
+
+def synthetic_audio_with_variants(
+    spark: SparkSession,
+    sf_dir: str,
+    every_k: int = 10,
+    id_offset: int = 10_000_000,
+    dropout_mod: int = 41,
+) -> DataFrame:
+    """Audio asset table seeded with NEAR-DUPLICATES: every document
+    yields its SGV1 PCM clip (256 + id%512 int16 samples), and every
+    ``every_k``-th document ALSO yields a variant with every
+    ``dropout_mod``-th sample zeroed — the lossy-reencode/dropout
+    scenario audio dedup exists for. Like the image variants, every
+    sample stays pure arithmetic on doc_id (splitmix64 byte pairs),
+    so the DuckDB oracle recomputes any variant sample in SQL."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import HEADER, MAGIC, MOD_AUDIO, decode_sgv1, encode_sgv1
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = encode_sgv1(i, MOD_AUDIO)
+                ids.append(i)
+                blobs.append(blob)
+                if i % every_k == 0:
+                    s = decode_sgv1(blob)["data"].copy()
+                    s[::dropout_mod] = 0
+                    ids.append(i + id_offset)
+                    blobs.append(
+                        HEADER.pack(MAGIC, MOD_AUDIO, 0, 0, s.size) + s.tobytes()
+                    )
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(encode, schema="asset_id long, content binary")

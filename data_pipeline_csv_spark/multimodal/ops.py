@@ -141,7 +141,9 @@ def frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
 
 def dhash_images(assets: DataFrame) -> DataFrame:
     """64-bit difference hash (dHash) per image asset — the standard
-    perceptual fingerprint: nearest-neighbor downsample to a 9x8
+    perceptual fingerprint (Krawetz, "Kind of Like That", 2013 — the
+    gradient-hash member of the aHash/pHash/dHash family; original
+    implementation): nearest-neighbor downsample to a 9x8
     gray grid, then bit (r, c) = 1 iff grid[r][c] > grid[r][c+1]
     (8 comparisons per row x 8 rows), packed little-endian into one
     signed int64. Resolution-invariant by construction (any
@@ -174,4 +176,44 @@ def dhash_images(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "content").mapInPandas(
         run, schema="asset_id long, dhash long"
+    )
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """64-bit acoustic fingerprint per audio asset — the energy-
+    contour sign hash (the shape of Haitsma & Kalker's "A Highly
+    Robust Audio Fingerprint System", ISMIR 2002 — band-energy
+    difference signs; simplified here to time-windows over PCM since
+    the container ships no FFT dependency, implementation original): the PCM clip is cut into 65 contiguous
+    index windows (window of sample j is (j*65)//n — pure integer
+    arithmetic both engines agree on), each window's energy is the
+    exact integer sum of |sample|, and bit k = 1 iff E_k > E_{k+1}
+    (the energy-gradient sign contour, robust to volume scaling and
+    sparse sample damage), packed into one signed int64. Pairing then
+    rides the same pigeonhole banders as every other fingerprint
+    (operators/dedup.py hamming_neardup_pairs). Output:
+    (asset_id, afp)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                s = np.abs(decode_sgv1(bytes(blob))["data"].astype(np.int64))
+                n = s.size
+                k = (np.arange(n) * 65) // n
+                # float64 bincount sums are exact here: max energy
+                # 768 * 32768 << 2^53
+                energy = np.bincount(k, weights=s, minlength=65).astype(np.int64)
+                bits = energy[:-1] > energy[1:]
+                hv = 0
+                for b in np.nonzero(bits)[0]:
+                    hv |= 1 << int(b)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(aid)
+                hashes.append(hv)
+            yield pd.DataFrame({"asset_id": ids, "afp": hashes})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id long, afp long"
     )

@@ -353,3 +353,101 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = fp.filter(F.col("asset_id") < 10_000_000)
     new = fp.filter(F.col("asset_id") >= 10_000_000)
     return hamming_probe_pairs(old, new, max_hamming=_PHASH_MAXHAM, bits=64)
+
+
+# ---- audio fingerprint near-dup oracle -------------------------------
+# Audio samples are int16 little-endian byte PAIRS of the splitmix64
+# stream: sample j's two bytes live in word j//4 (+1, 1-based) at bit
+# offset 8*((2j)%8) — one shift+mod yields the unsigned 16-bit value.
+# Window of sample j is (j*65)//n (pure integer arithmetic); energies
+# are exact integer sums of |sample|; bit k = E_k > E_{k+1}.
+_AFP_MAXHAM = 7
+_AFP_CTE = f"""
+    aassets AS (
+      SELECT doc_id AS aid, doc_id AS seed,
+             CAST(256 + doc_id % 512 AS HUGEINT) AS n,
+             0 AS drop_mod
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id,
+             CAST(256 + doc_id % 512 AS HUGEINT), 41
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    awords AS (
+      SELECT aid, n, drop_mod, r.i AS wi,
+             (seed + r.i * {_PHI}) % {_M64} AS x
+      FROM aassets JOIN range(1, 193) r(i) ON r.i <= (n + 3) // 4
+    ),
+    a1 AS (SELECT aid, n, drop_mod, wi,
+           {_mul64(_xor64('x', _shr64('x', '30')), _C1)} AS z FROM awords),
+    a2 AS (SELECT aid, n, drop_mod, wi,
+           {_mul64(_xor64('z', _shr64('z', '27')), _C2)} AS z FROM a1),
+    a3 AS (SELECT aid, n, drop_mod, wi,
+           {_xor64('z', _shr64('z', '31'))} AS z FROM a2),
+    asamples AS (
+      SELECT a3.aid, a3.n, j.j,
+             CASE WHEN a3.drop_mod > 0 AND j.j % a3.drop_mod = 0 THEN 0
+                  ELSE abs(CASE WHEN ({_shr64('z', '8 * ((2 * j.j) % 8)')} % 65536) >= 32768
+                                THEN CAST(({_shr64('z', '8 * ((2 * j.j) % 8)')} % 65536) AS BIGINT) - 65536
+                                ELSE CAST(({_shr64('z', '8 * ((2 * j.j) % 8)')} % 65536) AS BIGINT) END)
+             END AS a
+      FROM a3 JOIN range(0, 768) j(j)
+        ON j.j < a3.n AND (j.j // 4 + 1) = a3.wi
+    ),
+    aenergy AS (
+      SELECT aid, CAST((j * 65) // n AS INT) AS k, SUM(a) AS e
+      FROM asamples GROUP BY 1, 2
+    ),
+    apacked AS (
+      SELECT l.aid,
+             SUM(CASE WHEN l.e > rt.e
+                      THEN CAST(power(2, l.k) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS hv
+      FROM aenergy l JOIN aenergy rt ON l.aid = rt.aid AND rt.k = l.k + 1
+      WHERE l.k < 64
+      GROUP BY l.aid
+    ),
+    ahashes AS (
+      SELECT aid,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - {_M64} ELSE hv END AS BIGINT) AS hsh
+      FROM apacked
+    )
+"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    # FULL value oracle: DuckDB regenerates every 16-bit PCM sample
+    # from the splitmix64 stream, rebuilds the 65-window energy
+    # contour, packs the 64-bit fingerprints and brute-forces ALL
+    # pairs — hashing AND banding losslessness value-checked, exactly
+    # the phash contract.
+    oracle=f"""
+    WITH {_AFP_CTE}
+    SELECT a.aid AS d1, b.aid AS d2,
+           CAST(bit_count(xor(a.hsh, b.hsh)) AS INT) AS hamming
+    FROM ahashes a JOIN ahashes b ON a.aid < b.aid
+    WHERE bit_count(xor(a.hsh, b.hsh)) <= {_AFP_MAXHAM}
+    """,
+    doc="Acoustic-fingerprint near-dup — the dedup family's AUDIO "
+    "member, completing the modality matrix (text x5, embeddings x2, "
+    "image x2, audio): 64-bit energy-contour hash per PCM clip (65 "
+    "contiguous index windows, exact integer |sample| sums, bit = "
+    "energy-gradient sign — multimodal/ops.py audio_fingerprint), "
+    "8x8-bit pigeonhole banding for hamming<=7 candidates (the "
+    "dropout damage moves ~2-7 bits; equi-joins only, never "
+    "all-pairs), exact bit_count verify. The asset table seeds true "
+    "near-dups: every 10th clip reappears with every 41st sample "
+    "zeroed (multimodal/assets.py synthetic_audio_with_variants).",
+    tags=("multimodal", "audio", "dedup", "fingerprint", "scale"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import audio_fingerprint, synthetic_audio_with_variants
+    from ..operators.dedup import hamming_neardup_pairs
+
+    assets = synthetic_audio_with_variants(spark, sf_dir)
+    fp = audio_fingerprint(assets)
+    return hamming_neardup_pairs(
+        fp, max_hamming=_AFP_MAXHAM, bits=64, id_col="asset_id", hash_col="afp"
+    )

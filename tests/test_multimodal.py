@@ -198,3 +198,63 @@ def test_phash_incremental_equals_oneshot(spark, sf_dir):
         }
         assert got == want
     fp.unpersist()
+
+
+def test_audio_fingerprint_banding_equals_brute_force(spark, sf_dir):
+    """Same pigeonhole-losslessness pin as the image pHash, for the
+    audio fingerprint at hamming <= 7 (8x8-bit bands)."""
+    from itertools import combinations
+
+    from data_pipeline_csv_spark.multimodal import (
+        audio_fingerprint,
+        synthetic_audio_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import hamming_neardup_pairs
+
+    fp = audio_fingerprint(synthetic_audio_with_variants(spark, sf_dir))
+    hashes = {r["asset_id"]: r["afp"] for r in fp.collect()}
+    want = set()
+    for (a, ha), (b, hb) in combinations(sorted(hashes.items()), 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 7:
+            want.add((a, b, d))
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in hamming_neardup_pairs(
+            fp, max_hamming=7, hash_col="afp"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_audio_fingerprint_volume_invariant(spark, sf_dir):
+    """Energy-gradient SIGNS are unchanged by a uniform volume scale
+    (the monotone map preserves every E_k > E_{k+1} comparison) — the
+    robustness property that makes the contour a fingerprint."""
+    import numpy as np
+
+    from data_pipeline_csv_spark.multimodal import audio_fingerprint
+    from data_pipeline_csv_spark.multimodal.codecs import (
+        HEADER,
+        MAGIC,
+        MOD_AUDIO,
+        decode_sgv1,
+        encode_sgv1,
+    )
+
+    rows = []
+    for i in range(30):
+        blob = encode_sgv1(i, MOD_AUDIO)
+        rows.append((i, bytearray(blob)))
+        s = decode_sgv1(blob)["data"].astype(np.int32)
+        half = (s // 2).astype(np.int16)  # uniform volume cut
+        rows.append((i + 1000, bytearray(HEADER.pack(MAGIC, MOD_AUDIO, 0, 0, half.size) + half.tobytes())))
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {r["asset_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    # s//2 floors toward -inf for negatives: |floor(s/2)| = ceil(|s|/2)
+    # for s<0 — still monotone nondecreasing in |s|, so window-energy
+    # ORDER can only change where energies were within rounding of
+    # each other; require hamming <= 2 rather than exact equality.
+    for i in range(30):
+        d = bin((got[i] ^ got[i + 1000]) & ((1 << 64) - 1)).count("1")
+        assert d <= 2, (i, d)
