@@ -164,6 +164,10 @@ HEADLINE = [
     # - acoustic-fingerprint near-dup: PCM energy-contour hash +
     #   8x8-bit banding at hamming<=7 (the audio dedup member).
     "multimodal_audio_fingerprint",
+    # - hybrid retrieval: BM25 top-50 + cosine top-50 fused by RRF;
+    #   its number is dominated by the two retrievers (the fusion is
+    #   O(k') rows), so it tracks the retrieval hot path end to end.
+    "text_hybrid_retrieval_rrf",
     # - incremental IVF maintenance audit: the base layout + one
     #   append are amortized per corpus version (first iteration
     #   builds; min-of-3 measures the merged-index probe + the exact

@@ -80,3 +80,55 @@ def bm25_topk(
     return sel.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", F.col("score_fp").cast("bigint").alias("score_fp"), "rank"
     )
+
+
+RRF_SCALE = 1_000_000_000_000  # 1/(c+r) in 1e-12 fixed point
+
+
+def rrf_fuse(ranked: dict, k: int = 20, c: int = 60, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of named ranked lists — the standard hybrid-retrieval
+    combiner (lexical BM25 + embedding ANN in every modern RAG
+    stack): score(d) = Σ_lists 1/(c + rank_list(d)), absent lists
+    contribute 0. Each contribution is ONE IEEE division of exact
+    integers floored to 1e-12 fixed point, so fused scores are exact
+    int64 sums any engine replays bit-for-bit — the same determinism
+    contract as the BM25 scores themselves.
+
+    Scale shape: the inputs are top-k' lists (tiny by construction),
+    so fusion is a union + one hash agg + TakeOrderedAndProject over
+    O(Σ k') rows, regardless of corpus size — the expensive parts are
+    the upstream retrievers, which keep their own scale paths.
+    Returns (doc_id, r_<name>... , rrf_fp, rank).
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window as W
+
+    parts = [
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(name).alias("_src"),
+            F.col("rank").cast("int").alias("_r"),
+            F.floor(
+                F.lit(float(RRF_SCALE)) / (F.lit(c) + F.col("rank")).cast("double")
+            ).cast("bigint").alias("_c"),
+        )
+        for name, df in ranked.items()
+    ]
+    un = _reduce(lambda a, b: a.unionByName(b), parts)
+    fused = un.groupBy("doc_id").agg(
+        F.sum("_c").alias("rrf_fp"),
+        *[
+            F.max(F.when(F.col("_src") == name, F.col("_r"))).alias(f"r_{name}")
+            for name in ranked
+        ],
+    )
+    sel = fused.orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc()).limit(k)
+    w = W.orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc())
+    return sel.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id",
+        *[f"r_{name}" for name in ranked],
+        F.col("rrf_fp").cast("bigint").alias("rrf_fp"),
+        "rank",
+    )

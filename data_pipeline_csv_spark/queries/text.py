@@ -875,3 +875,110 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_nll_fix"),
         F.ntile(3).over(w).cast("int").alias("bucket"),
     )
+
+
+from .similarity import _PROD as _VPROD, _VEC_CTE  # noqa: E402
+
+
+@query(
+    "text_hybrid_retrieval_rrf",
+    # FULL value oracle: both retrievers are already bit-replayable
+    # (BM25 fixed-point scores; exact fixed-point cosine ranks), and
+    # each RRF contribution is floor(1e12 / (c + rank)) — one IEEE
+    # division of exact integers — so the fused scores are exact int64
+    # sums DuckDB reproduces bit-for-bit.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(toks) AS dl, toks FROM (
+        SELECT doc_id, {{toks}} AS toks FROM documents)
+    ),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(CAST(FLOOR(
+               ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2) / (tf.tf + 1.2 * ((1.0 - 0.75)
+                   + (0.75 * tf.dl) / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+               * 1000000.0) AS BIGINT)) AS score_fp
+      FROM tf JOIN dfq USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+    ),
+    bm AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank
+        FROM sc
+      ) WHERE rank <= 50
+    ),
+    {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id = 0),
+    dots AS (
+      SELECT ce.vec_id AS vec_id,
+             SUM({_VPROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe JOIN ce ON qe.i = ce.i AND ce.vec_id != 0
+      GROUP BY 1
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id, rank FROM (
+        SELECT dots.vec_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = 0
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 50
+    ),
+    contrib AS (
+      SELECT doc_id, 'lex' AS src, rank,
+             CAST(FLOOR(1000000000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM bm
+      UNION ALL
+      SELECT doc_id, 'sem', rank,
+             CAST(FLOOR(1000000000000.0 / (60 + rank)) AS BIGINT)
+      FROM sem
+    ),
+    fused AS (
+      SELECT doc_id,
+             SUM(c) AS rrf_fp,
+             CAST(MAX(CASE WHEN src = 'lex' THEN rank END) AS INT) AS r_lex,
+             CAST(MAX(CASE WHEN src = 'sem' THEN rank END) AS INT) AS r_sem
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 20
+    """.replace("{toks}", _TOKS),
+    doc="HYBRID retrieval — the RAG-stack standard: BM25 top-50 for "
+    "the query {hash, join, scan} fused with embedding-cosine top-50 "
+    "for query vector 0 by reciprocal-rank fusion (Cormack et al., "
+    "SIGIR 2009, c=60; operators/bm25.py rrf_fuse), final top-20. "
+    "Fusion is a union + hash agg + TakeOrderedAndProject over "
+    "O(k') rows whatever the corpus size — the retrievers keep their "
+    "own scale paths (BM25's isin-pruned single pass; the embedding "
+    "side swaps to the partition-pruned IVF probe at deployment "
+    "scale, exact brute force here so the oracle stays full-value).",
+    tags=("text", "retrieval", "hybrid", "rrf", "similarity"),
+)
+def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.bm25 import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    lex = bm25_topk(_docs(spark, sf_dir), ("hash", "join", "scan"), k=50).select(
+        "doc_id", "rank"
+    )
+    sem = cosine_topk(
+        balanced(spark, load_table(spark, sf_dir, "embeddings")), [0], k=50
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse({"lex": lex, "sem": sem}, k=20, c=60)

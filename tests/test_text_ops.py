@@ -390,3 +390,32 @@ def test_ccnet_buckets_terciles_and_duplicate_ties(spark, sf_dir):
     vals = {r[0]: (r[3], r[4]) for r in oracle_rows}
     assert vals[0][0] == vals[1][0]  # identical docs tie exactly
     assert vals[0][1] <= vals[1][1]  # doc_id breaks the tie
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    """RRF fusion vs a literal python twin: overlapping, disjoint and
+    single-list docs (absent lists contribute 0), deterministic ties."""
+    from data_pipeline_csv_spark.operators.bm25 import RRF_SCALE, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (7, 4)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (1, 2), (9, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["r_lex"], r["r_sem"], r["rrf_fp"], r["rank"])
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k=10, c=60).collect()
+    }
+    import math
+
+    def c(r):
+        return math.floor(RRF_SCALE / (60 + r))
+
+    want_scores = {
+        1: c(1) + c(2), 2: c(2) + c(1), 3: c(3), 7: c(4), 9: c(3)}
+    ranked = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, (doc, score) in enumerate(ranked, 1):
+        assert got[doc][2] == score and got[doc][3] == rank
+    assert got[1][0] == 1 and got[1][1] == 2
+    assert got[3][1] is None and got[9][0] is None  # absent-list ranks

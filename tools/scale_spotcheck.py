@@ -118,9 +118,16 @@ def main() -> None:
     for name in QUERIES:
         row = {}
         for label, d in (("sf0.1", SF01), ("sf1.0", SF1)):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
-            row[label] = round(time.perf_counter() - t0, 2)
+            # min-of-2: single runs on this host were measured varying
+            # up to 4x (see bench.py's r9 note); the slope needs the
+            # engine floor, not the co-tenancy ceiling
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+                el = round(time.perf_counter() - t0, 2)
+                best = el if best is None or el < best else best
+            row[label] = best
         row["ratio_10x"] = round(row["sf1.0"] / row["sf0.1"], 2)
         out[name] = row
         print(name, row, flush=True)
