@@ -168,6 +168,13 @@ HEADLINE = [
     #   its number is dominated by the two retrievers (the fusion is
     #   O(k') rows), so it tracks the retrieval hot path end to end.
     "text_hybrid_retrieval_rrf",
+    # - feature-store point-in-time join: events x versioned SCD2 dim,
+    #   keyed equi-join with the validity-interval residual.
+    "events_pit_join",
+    # - filtered ANN: (list_id, label)-partitioned labeled layout,
+    #   static partition pruning on both dimensions, nprobe=8 probe +
+    #   the exact filtered brute-force truth side.
+    "similarity_ann_filtered",
     # - incremental IVF maintenance audit: the base layout + one
     #   append are amortized per corpus version (first iteration
     #   builds; min-of-3 measures the merged-index probe + the exact

@@ -117,16 +117,21 @@ def ann_ivf_topk(
     return _ivf_rerank(probes, assigned, k)
 
 
-def ivf_assign_lists(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, embedding, list_id): nearest centroid per corpus vector
-    (one broadcast join; ties to the lowest c_id)."""
+def ivf_assign_lists(
+    corpus: DataFrame, centroids: DataFrame, carry: tuple = ()
+) -> DataFrame:
+    """(vec_id, embedding, *carry, list_id): nearest centroid per
+    corpus vector (one broadcast join; ties to the lowest c_id).
+    ``carry`` names metadata columns to keep alongside the vector —
+    the filtered-ANN path stores them IN the layout so a predicate
+    pushes into the pruned scan instead of re-touching the corpus."""
     w_assign = W.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("c_id").asc())
     return (
         corpus.join(F.broadcast(centroids), how="cross")
         .withColumn("_cs", cosine_fast(F.col("embedding"), F.col("c_emb")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("list_id"))
+        .select("vec_id", "embedding", *carry, F.col("c_id").alias("list_id"))
     )
 
 
@@ -268,7 +273,13 @@ def semdedup_verdicts(
     )
 
 
-def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None:
+def write_ivf_layout(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    carry: tuple = (),
+    partition_cols: tuple = ("list_id",),
+) -> None:
     """Materialize the IVF index AS the storage layout: the corpus
     written Hive-partitioned by its inverted-list id.
 
@@ -281,9 +292,11 @@ def write_ivf_layout(corpus: DataFrame, centroids: DataFrame, path: str) -> None
     row-group-sized by the normal writer path.
     """
     (
-        ivf_assign_lists(corpus.select("vec_id", "embedding"), centroids)
+        ivf_assign_lists(
+            corpus.select("vec_id", "embedding", *carry), centroids, carry=carry
+        )
         .write.mode("overwrite")
-        .partitionBy("list_id")
+        .partitionBy(*partition_cols)
         .parquet(path)
     )
     _write_ivf_list_stats(
@@ -407,7 +420,13 @@ def ivf_append(new_corpus: DataFrame, centroids: DataFrame, layout_path: str) ->
 _IVF_LAYOUT_CACHE: dict = {}
 
 
-def ivf_layout_cached(corpus: DataFrame, centroids: DataFrame, cache_key) -> str:
+def ivf_layout_cached(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    cache_key,
+    carry: tuple = (),
+    partition_cols: tuple = ("list_id",),
+) -> str:
     """Build-once :func:`write_ivf_layout` — returns the layout path,
     memoizing the full-corpus assignment+write per ``cache_key`` (the
     corpus version, e.g. its sf_dir) for the life of the process, the
@@ -428,7 +447,7 @@ def ivf_layout_cached(corpus: DataFrame, centroids: DataFrame, cache_key) -> str
     if path is not None and os.path.isdir(path):
         return path
     path = tempfile.mkdtemp(prefix="sg_ivf_cache_")
-    write_ivf_layout(corpus, centroids, path)
+    write_ivf_layout(corpus, centroids, path, carry=carry, partition_cols=partition_cols)
     _IVF_LAYOUT_CACHE[cache_key] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
@@ -442,6 +461,7 @@ def ann_ivf_probe_ondisk(
     k: int = 10,
     nprobe: int = 4,
     return_lists: bool = False,
+    where=None,
 ):
     """IVF top-k against a :func:`write_ivf_layout` corpus — the probe
     reads only the probed lists' partitions.
@@ -464,6 +484,13 @@ def ann_ivf_probe_ondisk(
         r["list_id"] for r in probes.select("list_id").distinct().collect()
     )
     pruned = read_ivf_lists(spark, layout_path, lists)
+    if where is not None:
+        # FILTERED ANN: the metadata predicate lands on the pruned
+        # layout scan itself (PushedFilters — the carry columns live
+        # IN the layout), so candidate fetch reads only matching row
+        # groups of only the probed lists; the corpus is never
+        # re-touched for metadata.
+        pruned = pruned.filter(where)
     out = _ivf_rerank(F.broadcast(probes), pruned, k)
     return (out, lists) if return_lists else out
 

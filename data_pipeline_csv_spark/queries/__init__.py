@@ -60,24 +60,27 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     events_daily_pivot, window_events_suite/lag_lead/moving_avg,
 #     sketch_distinct_customers/price_quantiles). After this round no
 #     entry's latest driver row is older than r06.
-# (c) union RECENCY: 28 of the 41 entries whose latest driver row is
-#     r06, oldest-first priority. The 13 left for the r10 window are
+# (c) union RECENCY: 26 of the 41 entries whose latest driver row is
+#     r06, oldest-first priority. The 15 left for the r10 window are
 #     the lowest-risk untouched single-concept relational queries
 #     (filter_project, distinct_order_attrs, left_join_order_counts,
 #     semi_join_active_customers, anti_join_never_urgent,
 #     semi_anti_customers, full_outer_nation_activity, rollup_returns,
 #     cube_order_status, scalar_functions, q22_sales_opportunity,
-#     q18_large_volume_customers, q8_market_share) —
+#     q18_large_volume_customers, q8_market_share, date_functions,
+#     promo_revenue_share) —
 #     every one a thin wrapper
 #     over one or two Spark relational operators whose siblings stay
 #     green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (9) ---
+    # --- new or changed implementations this round (11) ---
     "multimodal_phash_neardup",
     "multimodal_phash_incremental",
     "multimodal_audio_fingerprint",
     "text_hybrid_retrieval_rrf",
+    "events_pit_join",
+    "similarity_ann_filtered",
     "similarity_ivf_append",
     "streaming_distinct_kmv",
     "graph_label_propagation",
@@ -119,8 +122,6 @@ _PRIORITY = [
     "count_distinct_parts",
     "topk_expensive_orders",
     "range_join_price_bands",
-    "promo_revenue_share",
-    "date_functions",
     "json_extract_props",
     "similarity_embedding_neardup",
     "similarity_ann_recall_audit",

@@ -346,3 +346,91 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp_money(F.col("term"), VALUE_SCALE).alias("decayed_score"),
         )
     )
+
+
+@query(
+    "events_pit_join",
+    # Full value oracle: the dimension is pure arithmetic on
+    # c_custkey, the interval predicate is exact timestamp
+    # comparisons, and every event lands in exactly one validity
+    # window — DuckDB replays the whole join row-for-row.
+    oracle="""
+    WITH dimv AS (
+      SELECT c_custkey, c_mktsegment, r.v AS v,
+             CASE WHEN r.v = 0 THEN TIMESTAMP '2023-12-01'
+                  WHEN r.v = 1 THEN TIMESTAMP '2024-01-01'
+                       + INTERVAL (8 + c_custkey % 5) DAY
+                  ELSE TIMESTAMP '2024-01-01'
+                       + INTERVAL (17 + c_custkey % 7) DAY END AS valid_from,
+             (c_custkey + r.v) % 4 AS tier
+      FROM customer, range(0, 3) r(v)
+    ),
+    dim AS (
+      SELECT *, LEAD(valid_from) OVER (
+        PARTITION BY c_custkey ORDER BY v) AS valid_to
+      FROM dimv
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(d.v AS INT) AS version,
+           CAST(d.tier AS BIGINT) AS tier,
+           d.c_mktsegment AS mktsegment
+    FROM events e JOIN dim d ON e.user_id = d.c_custkey
+      AND e.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    doc="POINT-IN-TIME join — the feature-store primitive (Feast/"
+    "Tecton's PIT-correct training join): every event joins the "
+    "dimension VERSION that was valid at the event's timestamp, never "
+    "a later one — the leakage-free way to attach features to "
+    "training examples. The versioned dimension is an SCD2-shaped "
+    "table (3 validity windows per customer, boundaries arithmetic on "
+    "the key; valid_to derived by LEAD over versions — one dim-sized "
+    "window); the join is an EQUI-join on the key carrying the "
+    "interval predicate as a post-join filter, so it shuffles on "
+    "user_id exactly like any keyed fact-dim join (no range-join "
+    "blowup; AQE handles skew). At 100 TB: events shuffle once on "
+    "user key, dim versions are |keys| x versions rows — "
+    "broadcastable while small, bucketed when not.",
+    tags=("events", "join", "pit", "scd2", "feature-store", "scale"),
+)
+def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dimv = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "v",
+        F.when(F.col("v") == 0, F.expr("timestamp'2023-12-01'"))
+        .when(
+            F.col("v") == 1,
+            F.expr("timestamp'2024-01-01' + make_interval(0, 0, 0, CAST(8 + c_custkey % 5 AS INT))"),
+        )
+        .otherwise(
+            F.expr("timestamp'2024-01-01' + make_interval(0, 0, 0, CAST(17 + c_custkey % 7 AS INT))")
+        )
+        .alias("valid_from"),
+        ((F.col("c_custkey") + F.col("v")) % 4).alias("tier"),
+    )
+    dim = dimv.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(W.partitionBy("c_custkey").orderBy("v")),
+    )
+    return (
+        ev.join(
+            dim,
+            (ev["user_id"] == dim["c_custkey"])
+            & (ev["ts"] >= dim["valid_from"])
+            & (dim["valid_to"].isNull() | (ev["ts"] < dim["valid_to"])),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v").cast("int").alias("version"),
+            F.col("tier").cast("bigint").alias("tier"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )

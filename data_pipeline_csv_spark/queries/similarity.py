@@ -991,3 +991,118 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(untouched_ok)).alias("append_isolated_ok"),
         F.lit(rep["drift_ratio"] < 0.5).alias("drift_ok"),
     )
+
+
+@query(
+    "similarity_ann_filtered",
+    # Bounds-oracle (pattern of similarity_ann_ivf_ondisk): the exact
+    # FILTERED top-10 side replayed in SQL + TRUE flags. The Spark
+    # side hash-matches only if (a) filtered recall@10 >= 0.5
+    # (measured 0.575/0.75/0.85 at sf0.001/0.01/0.1 with nprobe=8 —
+    # filtered ANN needs more probes than unfiltered search because
+    # the ~10%-selectivity predicate thins every list; at deployment
+    # nlists is thousands and nprobe/nlists stays tiny) and (b) the
+    # probe still pruned lists.
+    oracle=f"""
+    WITH {_VEC_CTE},
+    qe AS (SELECT * FROM ce WHERE vec_id < 4),
+    lab AS (SELECT vec_id FROM embeddings WHERE label = 3),
+    dots AS (
+      SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+             SUM({_PROD.format(a='qe.x', b='ce.x')}) AS dxy
+      FROM qe
+      JOIN ce ON qe.i = ce.i AND ce.vec_id != qe.vec_id
+      JOIN lab ON ce.vec_id = lab.vec_id
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, dots.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(dxy AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+                 dots.vec_id ASC) AS rank
+        FROM dots
+        JOIN norms nq ON dots.q_id = nq.vec_id
+        JOIN norms nc ON dots.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok,
+           TRUE AS pruned_ok
+    FROM topk
+    """,
+    doc="FILTERED ANN — metadata-constrained vector search (the "
+    "vector-database staple: 'nearest neighbors WHERE label = 3'): "
+    "the layout carries the metadata column AND partitions by "
+    "(list_id, label), so the predicate lands as a STATIC partition "
+    "filter next to the probed-list INSET — the scan opens only "
+    "(probed list, matching label) directories, never re-touching "
+    "the corpus for metadata (plan pinned by tests/test_plans.py::"
+    "test_filtered_ann_label_is_partition_filter). Audit: filtered "
+    "recall@10 vs exact brute force over the label-restricted corpus "
+    ">= 0.5 at nprobe=8 plus a genuinely-pruned flag. The honest "
+    "trade documented in-code: selectivity thins lists, so filtered "
+    "search probes more lists than unfiltered — at deployment scale "
+    "(thousands of lists) nprobe/nlists stays tiny, and hard tenant/"
+    "language splits become their own partition dimension exactly as "
+    "here.",
+    tags=("similarity", "ann", "filtered", "layout", "audit", "scale"),
+)
+def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import cosine_from_parts, dot_exact, norm_sq_exact
+    from ..operators.clustering import kmeans_centroids_df
+    from ..operators.similarity import ann_ivf_probe_ondisk, ivf_layout_cached
+
+    def _cos(a, b):
+        return cosine_from_parts(dot_exact(a, b), norm_sq_exact(a), norm_sq_exact(b))
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    layout = ivf_layout_cached(
+        corpus, cents, cache_key=(sf_dir, "ivf16_labeled"),
+        carry=("label",), partition_cols=("list_id", "label"),
+    )
+    q_ids = QUERY_IDS[:4]
+    queries = corpus.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx, lists = ann_ivf_probe_ondisk(
+        spark, layout, queries, cents, k=10, nprobe=8,
+        return_lists=True, where=(F.col("label") == 3),
+    )
+    n_lists = cents.count()
+    exact = (
+        corpus.filter(F.col("label") == 3).alias("c")
+        .join(F.broadcast(queries).alias("q"), F.col("c.vec_id") != F.col("q.q_id"))
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("vec_id"),
+            _cos(F.col("q.q_emb"), F.col("c.embedding")).alias("_cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+    exact_top = (
+        exact.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("q_id", "vec_id")
+    )
+    truth = exact_top.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+    )
+    hits = exact_top.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "leftsemi"
+    ).agg(F.count(F.lit(1)).alias("_n_hit"))
+    return truth.crossJoin(F.broadcast(hits)).select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        "n_truth",
+        (F.col("_n_hit") >= F.lit(0.5) * F.col("n_truth")).alias("recall_ok"),
+        F.lit(len(lists) < n_lists).alias("pruned_ok"),
+    )

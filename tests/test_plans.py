@@ -534,3 +534,50 @@ def test_label_propagation_argmax_has_no_per_round_window(spark, sf_dir):
     df = REGISTRY["graph_label_propagation"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window ") == 1, plan
+
+
+def test_pit_join_is_keyed_equi_join(spark, sf_dir):
+    """The point-in-time join must plan as an equi-join on the user
+    key with the validity interval as a residual condition — never a
+    nested-loop/cartesian range join."""
+    plan = _plan(REGISTRY["events_pit_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filtered_ann_label_is_partition_filter(spark, sf_dir):
+    """Filtered ANN: the metadata predicate must land as a STATIC
+    PartitionFilter on the layout scan (the labeled layout partitions
+    by (list_id, label)), alongside the probed-list INSET — the scan
+    opens only (probed list, matching label) directories."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        ann_ivf_probe_ondisk,
+        ivf_layout_cached,
+    )
+    from data_pipeline_csv_spark.sources.tables import balanced, load_table
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids_df(
+        spark, corpus, k=16, iters=2, cache_key=(sf_dir, "embeddings")
+    )
+    layout = ivf_layout_cached(
+        corpus, cents, cache_key=(sf_dir, "ivf16_labeled"),
+        carry=("label",), partition_cols=("list_id", "label"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = ann_ivf_probe_ondisk(
+        spark, layout, queries, cents, k=5, nprobe=4, where=(F.col("label") == 3)
+    )
+    plan = _plan(approx)
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"label#\d+ = 3", pf[0]), pf
+    # probed-list restriction is also a partition filter (IN / INSET
+    # depending on the list count)
+    assert re.search(r"list_id#\d+ IN", pf[0]), pf
