@@ -209,6 +209,10 @@ HEADLINE = [
 # baseline on record (r9 canary_sec ~0.26) so r10 can read the drift
 # factor directly. dedup_minhash_lsh single-iteration spread measured
 # 2.6-10.5 s in the quiet rerun — min-of-3 is doing real work here.
+# Within r9 itself the canary varied 0.26 -> 0.38 s (+44%) between two
+# full runs hours apart, with the unchanged-query cluster moving the
+# same direction and magnitude — direct evidence the cluster drift is
+# the host, not the engine.
 # r9 engine-side deltas to expect: graph_label_propagation — the
 # per-round argmax window became a max_by aggregate (hub-skew hedge);
 # similarity_ann_pq_rerank / similarity_ann_ivf_ondisk — the layout
