@@ -175,6 +175,10 @@ HEADLINE = [
     #   static partition pruning on both dimensions, nprobe=8 probe +
     #   the exact filtered brute-force truth side.
     "similarity_ann_filtered",
+    # - z-order layout scan: the 256-rectangle Morton layout is
+    #   amortized per corpus version; min-of-3 measures the 9-bucket
+    #   pruned 2-D box scan.
+    "layout_zorder_pruned_scan",
     # - incremental IVF maintenance audit: the base layout + one
     #   append are amortized per corpus version (first iteration
     #   builds; min-of-3 measures the merged-index probe + the exact

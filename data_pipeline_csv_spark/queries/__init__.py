@@ -60,27 +60,28 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     events_daily_pivot, window_events_suite/lag_lead/moving_avg,
 #     sketch_distinct_customers/price_quantiles). After this round no
 #     entry's latest driver row is older than r06.
-# (c) union RECENCY: 26 of the 41 entries whose latest driver row is
-#     r06, oldest-first priority. The 15 left for the r10 window are
+# (c) union RECENCY: 25 of the 41 entries whose latest driver row is
+#     r06, oldest-first priority. The 16 left for the r10 window are
 #     the lowest-risk untouched single-concept relational queries
 #     (filter_project, distinct_order_attrs, left_join_order_counts,
 #     semi_join_active_customers, anti_join_never_urgent,
 #     semi_anti_customers, full_outer_nation_activity, rollup_returns,
 #     cube_order_status, scalar_functions, q22_sales_opportunity,
 #     q18_large_volume_customers, q8_market_share, date_functions,
-#     promo_revenue_share) —
+#     promo_revenue_share, count_distinct_parts) —
 #     every one a thin wrapper
 #     over one or two Spark relational operators whose siblings stay
 #     green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (11) ---
+    # --- new or changed implementations this round (12) ---
     "multimodal_phash_neardup",
     "multimodal_phash_incremental",
     "multimodal_audio_fingerprint",
     "text_hybrid_retrieval_rrf",
     "events_pit_join",
     "similarity_ann_filtered",
+    "layout_zorder_pruned_scan",
     "similarity_ivf_append",
     "streaming_distinct_kmv",
     "graph_label_propagation",
@@ -119,7 +120,6 @@ _PRIORITY = [
     "corpus_dedup_keep_best",
     "corpus_quality_funnel",
     "corpus_decontaminate",
-    "count_distinct_parts",
     "topk_expensive_orders",
     "range_join_price_bands",
     "json_extract_props",

@@ -192,3 +192,90 @@ def cdc_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").cast("bigint").alias("valid_from"),
         F.col("valid_to").cast("bigint").alias("valid_to"),
     )
+
+
+_ZORDER_CACHE: dict = {}
+
+
+def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once z-ordered orders layout (the ivf_layout_cached
+    contract): quantized (price, order-day) interleaved into a 20-bit
+    Morton value, bucketed by its top 8 bits -> 256 rectangle
+    partitions, z-sorted within each."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import write_zorder_layout
+
+    path = _ZORDER_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    xq = F.least(
+        F.lit(1023), F.floor(F.col("o_totalprice") * 1024.0 / 500000.0)
+    ).cast("int")
+    yq = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) / 3).cast("int")
+    path = tempfile.mkdtemp(prefix="sg_zorder_")
+    write_zorder_layout(orders, xq, yq, path)
+    _ZORDER_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_zorder_pruned_scan",
+    # FULL value oracle: the result is a plain 2-D range filter DuckDB
+    # replays directly — which makes it a covering-completeness check
+    # on the z-order machinery: if the driver-side bucket enumeration
+    # missed ONE intersecting rectangle, Spark would return fewer rows
+    # and the hash would diverge.
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice >= 200000 AND o_totalprice <= 250000
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    """,
+    doc="Z-ORDER layout + 2-D pruned scan — the lakehouse OPTIMIZE "
+    "ZORDER BY shape (Morton 1966; Delta/Iceberg/Hudi ship it): "
+    "orders materialized partitioned by the top 8 bits of the "
+    "interleaved (quantized price, order-day) Morton value, so every "
+    "partition is an axis-aligned RECTANGLE in (price, date) space "
+    "and a 2-D range query statically prunes to the rectangles "
+    "intersecting its box — measured 9 of 256 buckets for this "
+    "price x year box (a single-column sort prunes only one "
+    "dimension). The covering set is driver-side arithmetic over the "
+    "fixed bucket grid (no data touched), inlined as literals like "
+    "the IVF probe; rows are z-sorted within buckets so row-group "
+    "min/max stay tight on BOTH columns at 100 TB "
+    "(operators/layout.py; plan pinned by tests/test_plans.py::"
+    "test_zorder_scan_prunes_buckets).",
+    tags=("layout", "zorder", "pruning", "scale"),
+)
+def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from datetime import date
+
+    from ..operators.layout import zorder_covering_buckets
+
+    layout = _zorder_layout_cached(spark, sf_dir)
+    xq_lo = math.floor(200000 * 1024.0 / 500000.0)
+    xq_hi = math.floor(250000 * 1024.0 / 500000.0)
+    yq_lo = (date(1997, 1, 1) - date(1995, 1, 1)).days // 3
+    yq_hi = (date(1997, 12, 31) - date(1995, 1, 1)).days // 3
+    buckets = zorder_covering_buckets(xq_lo, xq_hi, yq_lo, yq_hi)
+    return (
+        spark.read.parquet(layout)
+        .where(F.col("zb").isin(buckets))
+        .where(
+            (F.col("o_totalprice") >= 200000)
+            & (F.col("o_totalprice") <= 250000)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -581,3 +581,18 @@ def test_filtered_ann_label_is_partition_filter(spark, sf_dir):
     # probed-list restriction is also a partition filter (IN / INSET
     # depending on the list count)
     assert re.search(r"list_id#\d+ IN", pf[0]), pf
+
+
+def test_zorder_scan_prunes_buckets(spark, sf_dir):
+    """The 2-D box scan must read only the covering rectangles: the
+    layout scan's PartitionFilters carries a zb IN-set far below the
+    256-bucket grid, and the raw predicates push into the scan."""
+    import re
+
+    df = REGISTRY["layout_zorder_pruned_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
+    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
+    assert 0 < n_in < 64, pf  # 9 covering buckets of 256 for this box
+    assert "PushedFilters" in plan

@@ -64,3 +64,31 @@ def test_table_num_rows_walks_directories(tmp_path):
     _write_events_ns(str(ds / "a.parquet"))
     _write_events_ns(str(ds / "b.parquet"))
     assert table_num_rows(str(tmp_path), "events") == 6
+
+
+def test_zorder_covering_buckets_complete(spark):
+    """Covering completeness, brute force: for random quantized boxes,
+    every (xq, yq) cell inside the box must map to a bucket in the
+    covering set (monotone quantization then makes the raw-row claim)."""
+    import random
+
+    from data_pipeline_csv_spark.operators.layout import (
+        zorder_covering_buckets,
+    )
+
+    rng = random.Random(7)
+
+    def z(xq, yq, bits=10):
+        v = 0
+        for i in range(bits):
+            v |= ((xq >> i) & 1) << (2 * i + 1) | ((yq >> i) & 1) << (2 * i)
+        return v
+
+    for _ in range(25):
+        x0 = rng.randrange(0, 1024); x1 = rng.randrange(x0, 1024)
+        y0 = rng.randrange(0, 1024); y1 = rng.randrange(y0, 1024)
+        cover = set(zorder_covering_buckets(x0, x1, y0, y1))
+        for _ in range(200):
+            xq = rng.randrange(x0, x1 + 1)
+            yq = rng.randrange(y0, y1 + 1)
+            assert (z(xq, yq) >> 12) in cover, (x0, x1, y0, y1, xq, yq)
