@@ -179,6 +179,9 @@ HEADLINE = [
     #   amortized per corpus version; min-of-3 measures the 9-bucket
     #   pruned 2-D box scan.
     "layout_zorder_pruned_scan",
+    # - session co-occurrence PMI: the sessionize window pair + the
+    #   session-keyed pair self-join + broadcast count tables.
+    "events_session_pmi",
     # - incremental IVF maintenance audit: the base layout + one
     #   append are amortized per corpus version (first iteration
     #   builds; min-of-3 measures the merged-index probe + the exact

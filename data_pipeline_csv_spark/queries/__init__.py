@@ -60,21 +60,22 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     events_daily_pivot, window_events_suite/lag_lead/moving_avg,
 #     sketch_distinct_customers/price_quantiles). After this round no
 #     entry's latest driver row is older than r06.
-# (c) union RECENCY: 25 of the 41 entries whose latest driver row is
-#     r06, oldest-first priority. The 16 left for the r10 window are
+# (c) union RECENCY: 24 of the 41 entries whose latest driver row is
+#     r06, oldest-first priority. The 17 left for the r10 window are
 #     the lowest-risk untouched single-concept relational queries
 #     (filter_project, distinct_order_attrs, left_join_order_counts,
 #     semi_join_active_customers, anti_join_never_urgent,
 #     semi_anti_customers, full_outer_nation_activity, rollup_returns,
 #     cube_order_status, scalar_functions, q22_sales_opportunity,
 #     q18_large_volume_customers, q8_market_share, date_functions,
-#     promo_revenue_share, count_distinct_parts) —
+#     promo_revenue_share, count_distinct_parts,
+#     topk_expensive_orders) —
 #     every one a thin wrapper
 #     over one or two Spark relational operators whose siblings stay
 #     green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (12) ---
+    # --- new or changed implementations this round (13) ---
     "multimodal_phash_neardup",
     "multimodal_phash_incremental",
     "multimodal_audio_fingerprint",
@@ -82,6 +83,7 @@ _PRIORITY = [
     "events_pit_join",
     "similarity_ann_filtered",
     "layout_zorder_pruned_scan",
+    "events_session_pmi",
     "similarity_ivf_append",
     "streaming_distinct_kmv",
     "graph_label_propagation",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "corpus_dedup_keep_best",
     "corpus_quality_funnel",
     "corpus_decontaminate",
-    "topk_expensive_orders",
     "range_join_price_bands",
     "json_extract_props",
     "similarity_embedding_neardup",

@@ -434,3 +434,114 @@ def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("mktsegment"),
         )
     )
+
+
+@query(
+    "events_session_pmi",
+    # Full value oracle: counts are integers, and each PMI is
+    # ln(exact-int / exact-double-product) — two IEEE ops in a pinned
+    # association, floored to 1e-6 fixed point (the BM25 determinism
+    # contract). Sessionization replays the events_sessionize CTE.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT user_id, event_type,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+    n AS (
+      SELECT COUNT(*) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_seq FROM st)
+    ),
+    tc AS (SELECT event_type, COUNT(*) AS c FROM st GROUP BY 1),
+    pc AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS c_ab
+      FROM st a
+      JOIN st b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+               AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pc.t1, pc.t2,
+           CAST(pc.c_ab AS BIGINT) AS c_ab,
+           CAST(ca.c AS BIGINT) AS c_a,
+           CAST(cb.c AS BIGINT) AS c_b,
+           CAST(FLOOR(ln(CAST(n.n_sessions * pc.c_ab AS DOUBLE)
+                         / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000.0) AS BIGINT)
+             AS pmi_fp
+    FROM pc
+    JOIN tc ca ON pc.t1 = ca.event_type
+    JOIN tc cb ON pc.t2 = cb.event_type
+    CROSS JOIN n
+    """,
+    doc="Session co-occurrence PMI — association mining (Church & "
+    "Hanks 1990's pointwise mutual information over market-basket "
+    "sessions): which event types occur together in a user session "
+    "more than chance predicts. Gap-sessionize (the events_sessionize "
+    "window pair), distinct (session, type) incidence, WITHIN-session "
+    "pair expansion via a session-keyed self-join (per-session type "
+    "sets are tiny — bounded by the event-type vocabulary, so the "
+    "join fans out O(|types|^2) per session, never corpus-quadratic), "
+    "then PMI from the broadcast type-count table and 1-row session "
+    "total. Counts are exact integers; each PMI is two IEEE ops "
+    "floored to 1e-6 fixed point, replayed bit-for-bit.",
+    tags=("events", "pmi", "association", "sessions", "scale"),
+)
+def events_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    cur_us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        prev_us.isNull() | ((cur_us - prev_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    st = (
+        ev.withColumn("_ns", new_session)
+        .withColumn("session_seq", F.sum("_ns").over(w_run))
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    n = st.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pc.join(F.broadcast(tc.withColumnRenamed("event_type", "t1").withColumnRenamed("c", "c_a")), "t1")
+        .join(F.broadcast(tc.withColumnRenamed("event_type", "t2").withColumnRenamed("c", "c_b")), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.floor(
+                F.log(
+                    (F.col("n_sessions") * F.col("c_ab")).cast("double")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                )
+                * 1_000_000.0
+            ).cast("bigint").alias("pmi_fp"),
+        )
+    )
