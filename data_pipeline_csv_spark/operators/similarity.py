@@ -312,27 +312,133 @@ def _ivf_stats_path(layout_path: str) -> str:
     return os.path.join(layout_path, "_list_stats")
 
 
+def _stats_current_link(layout_path: str) -> str:
+    import os
+
+    return os.path.join(_ivf_stats_path(layout_path), "current")
+
+
+def _read_ivf_stats(spark, layout_path: str):
+    """Committed sidecar state: (stats DataFrame, applied-batches dict).
+
+    The sidecar is generation-committed (same protocol as the streaming
+    sinks' :func:`~..streaming.sinks._commit_generation`): parquet
+    generations under ``_list_stats/gen-<n>-<uuid>/`` with a ``current``
+    symlink naming the committed one, plus an ``_applied.json`` commit
+    record inside each generation mapping applied batch_id -> its drift
+    report. Pre-r10 layouts (flat parquet directly in ``_list_stats``,
+    no ``n_drift`` column, no batch record) read as generation 0 with
+    an empty applied set."""
+    import json
+    import os
+
+    root = _ivf_stats_path(layout_path)
+    cur = _stats_current_link(layout_path)
+    if os.path.lexists(cur):
+        gen = os.path.join(root, os.readlink(cur))
+        stats = spark.read.parquet(gen)
+        rec = os.path.join(gen, "_applied.json")
+        with open(rec) as f:
+            applied = json.load(f).get("batches", {})
+    else:  # legacy flat sidecar
+        stats = spark.read.parquet(root)
+        applied = {}
+    if "n_drift" not in stats.columns:
+        stats = stats.withColumn("n_drift", F.lit(0).cast("bigint"))
+    return stats.select("list_id", "n_vec", "min_sim", "n_drift"), applied
+
+
+def _commit_ivf_stats(stats: DataFrame, layout_path: str, applied: dict) -> None:
+    """Write ``stats`` as a per-attempt-unique generation, record the
+    applied-batch set inside it, then commit with ONE atomic symlink
+    replace and GC superseded generations (keep current + predecessor).
+    A crash before the replace leaves the previous generation committed
+    and the half-written one unreferenced — the retry overwrites it."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    root = _ivf_stats_path(layout_path)
+    os.makedirs(root, exist_ok=True)
+    cur = _stats_current_link(layout_path)
+    prev = os.readlink(cur) if os.path.lexists(cur) else None
+    n = int(prev.split("-")[1]) + 1 if prev else 0
+    gen_name = f"gen-{n}-{uuid.uuid4().hex[:8]}"
+    gen = os.path.join(root, gen_name)
+    stats.coalesce(1).write.mode("overwrite").parquet(gen)
+    with open(os.path.join(gen, "_applied.json"), "w") as f:
+        json.dump({"batches": applied}, f)
+    tmp = f"{cur}.tmp-{uuid.uuid4().hex[:8]}"
+    os.symlink(gen_name, tmp)
+    os.replace(tmp, cur)  # atomic: the new stats + batch record commit together
+    keep = {gen_name, prev}
+    for d in os.listdir(root):
+        if d.startswith("gen-") and d not in keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        elif d.endswith(".parquet") or d == "_SUCCESS":  # legacy flat files
+            os.remove(os.path.join(root, d))
+
+
 def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -> None:
-    """Per-list build stats sidecar: (list_id, n_vec, min_sim) — each
-    cell's population and its observed 'edge' (the weakest member's
-    cosine to the cell centroid). nlists rows total; computed from the
-    already-partitioned files with one broadcast join + agg, and the
-    artifact every later :func:`ivf_append` reads so drift accounting
-    NEVER re-scans the base corpus."""
-    (
+    """Per-list build stats sidecar: (list_id, n_vec, min_sim, n_drift)
+    — each cell's population, its observed 'edge' (the weakest member's
+    cosine to the cell centroid), and the count of appended members
+    that landed below that edge (0 at build). nlists rows total;
+    computed from the already-partitioned files with one broadcast join
+    + agg, and the artifact every later :func:`ivf_append` reads so
+    drift accounting NEVER re-scans the base corpus."""
+    stats = (
         members.join(
             F.broadcast(centroids), members["list_id"] == centroids["c_id"]
         )
         .select("list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s"))
         .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n_vec"), F.min("_s").alias("min_sim"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_ivf_stats_path(path))
+        .agg(
+            F.count(F.lit(1)).alias("n_vec"),
+            F.min("_s").alias("min_sim"),
+            F.lit(0).cast("bigint").alias("n_drift"),
+        )
     )
+    _commit_ivf_stats(stats, path, {})
 
 
-def ivf_append(new_corpus: DataFrame, centroids: DataFrame, layout_path: str) -> dict:
+def _layout_partition_cols(layout_path: str) -> tuple:
+    """Partition columns of a written layout, read from its directory
+    structure (the first ``name=value`` chain) — metadata-only, no
+    files opened."""
+    import os
+
+    cols = []
+    d = layout_path
+    while True:
+        subs = sorted(
+            e
+            for e in os.listdir(d)
+            if "=" in e and not e.startswith((".", "_"))
+            and os.path.isdir(os.path.join(d, e))
+        )
+        if not subs:
+            return tuple(cols)
+        cols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+
+
+def _safe_batch_tag(batch_id: str) -> str:
+    import hashlib
+
+    if all(c.isalnum() or c in "_-" for c in batch_id) and 0 < len(batch_id) <= 48:
+        return batch_id
+    return hashlib.sha256(batch_id.encode()).hexdigest()[:16]
+
+
+def ivf_append(
+    new_corpus: DataFrame,
+    centroids: DataFrame,
+    layout_path: str,
+    batch_id: str | None = None,
+    carry: tuple = (),
+) -> dict:
     """Incremental IVF maintenance: route NEW vectors into an existing
     :func:`write_ivf_layout` corpus without rebuilding it.
 
@@ -354,67 +460,360 @@ def ivf_append(new_corpus: DataFrame, centroids: DataFrame, layout_path: str) ->
     centroid falls below that cell's build-time edge (the sidecar's
     per-list min_sim — :func:`_write_ivf_list_stats`), i.e. it lands
     outside the population the quantizer was trained on. The sidecar
-    is then merged (min of sims, sum of counts; nlists rows) so drift
-    accounting stays exact across repeated appends.
-    ``{"n_appended", "n_drifted", "drift_ratio", "lists_touched"}``.
+    is then merged (min of sims, sum of counts and per-list drift
+    counts; nlists rows) so drift accounting stays exact across
+    repeated appends — and per-list ``n_drift`` is what
+    :func:`ivf_retrain` consumes to pick WHICH cells to refit.
+    ``{"n_appended", "n_drifted", "drift_ratio", "lists_touched",
+    "batch_id", "replayed"}``.
+
+    CRASH SAFETY / IDEMPOTENCY (r10): callers pass a stable
+    ``batch_id`` as the idempotency token. The batch is staged under
+    ``<layout>/_staging/batch-<id>/`` (underscore-prefixed: invisible
+    to layout readers), its data files are MOVED into the live
+    partition dirs with a ``b<id>-`` filename prefix, and the merged
+    sidecar + the applied-batch record commit together via the
+    sidecar's atomic symlink replace (:func:`_commit_ivf_stats`) —
+    the LAST step. A replayed committed batch short-circuits to its
+    recorded report; a retry of a crashed attempt first removes any
+    ``b<id>-`` files the partial move left (the staging manifest names
+    exactly the partitions to sweep), so no duplicate vec_ids can ever
+    enter the layout. ``carry`` must name the metadata columns the
+    layout was built with (e.g. the filtered-ANN ``("label",)``
+    layout); a schema or partition mismatch with the existing files
+    fails fast instead of corrupting the layout.
     """
+    import json
+    import os
+    import shutil
+    import uuid
+
     spark = new_corpus.sparkSession
-    assigned = ivf_assign_lists(new_corpus.select("vec_id", "embedding"), centroids)
-    sim = assigned.join(
-        F.broadcast(centroids), assigned["list_id"] == centroids["c_id"]
-    ).select(
-        "vec_id",
-        "embedding",
-        "list_id",
-        cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_sim"),
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    tag = _safe_batch_tag(batch_id)
+
+    # --- fail fast on layout mismatch (ADVICE r9): the live schema is
+    # the contract; an append that would drop a carry/partition column
+    # corrupts every later filtered probe.
+    pcols = _layout_partition_cols(layout_path)
+    if "list_id" not in pcols:
+        raise ValueError(f"not an IVF layout (partitions {pcols}): {layout_path}")
+    live_cols = set(spark.read.parquet(layout_path).schema.names)
+    batch_cols = {"vec_id", "embedding", "list_id", *carry}
+    if not set(pcols) <= batch_cols:
+        raise ValueError(
+            f"layout partitioned by {pcols} but append carries only {sorted(carry)}"
+        )
+    if live_cols != batch_cols:
+        raise ValueError(
+            f"append schema {sorted(batch_cols)} != layout schema {sorted(live_cols)}"
+        )
+
+    stats, applied = _read_ivf_stats(spark, layout_path)
+    staging = os.path.join(layout_path, "_staging", f"batch-{tag}")
+    if batch_id in applied:  # committed replay: short-circuit
+        shutil.rmtree(staging, ignore_errors=True)
+        return {**applied[batch_id], "replayed": True}
+
+    # --- sweep a crashed attempt's partial move (manifest names the
+    # partitions it could have touched) before re-staging
+    manifest = os.path.join(staging, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            for rel in json.load(f)["partitions"]:
+                live_dir = os.path.join(layout_path, rel)
+                if os.path.isdir(live_dir):
+                    for fn in os.listdir(live_dir):
+                        if fn.startswith(f"b{tag}-"):
+                            os.remove(os.path.join(live_dir, fn))
+
+    # --- stage: ONE assignment job writes the routed batch, partitioned
+    # exactly like the layout; the two report jobs below are O(batch)
+    # re-reads of the staged files, never of the corpus.
+    data_dir = os.path.join(staging, "data")
+    (
+        ivf_assign_lists(
+            new_corpus.select("vec_id", "embedding", *carry), centroids, carry=carry
+        )
+        .write.mode("overwrite")
+        .partitionBy(*pcols)
+        .parquet(data_dir)
     )
-    stats = spark.read.parquet(_ivf_stats_path(layout_path))
-    # one bounded materialization: |batch| rows reduced to 1 metrics row
-    # + the touched-list set (<= |batch| ids); the append itself below
-    # re-runs the O(batch) assignment rather than persisting it — batch
-    # frames are small by definition and the layout write is the cost.
-    rep = (
+    staged = spark.read.parquet(data_dir)
+    sim = staged.join(
+        F.broadcast(centroids), staged["list_id"] == centroids["c_id"]
+    ).select(
+        "list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_sim")
+    )
+    rep_row = (
         sim.join(F.broadcast(stats), "list_id", "left")
         .select(
-            "list_id",
-            (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).alias("_drift"),
+            (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).alias("_drift")
         )
         .agg(
             F.count(F.lit(1)).alias("n_appended"),
             F.sum(F.col("_drift").cast("int")).alias("n_drifted"),
-            F.collect_set("list_id").alias("lists"),
         )
         .collect()[0]
     )
-    sim.select("vec_id", "embedding", "list_id").write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(layout_path)
-    # merge the sidecar so the NEXT append's drift baseline includes
-    # this batch (write to a temp sidecar, then swap — the stats frame
-    # reads the path it would otherwise overwrite mid-plan)
-    import os
-    import shutil
+    # eagerly materialized (<= nlists rows): the staged files these
+    # plans read are renamed into the live partitions below, so nothing
+    # may lazily re-read them afterwards
+    batch_rows = (
+        sim.join(F.broadcast(stats.select("list_id", "min_sim")), "list_id", "left")
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vec"),
+            F.min("_sim").alias("min_sim_b"),
+            F.sum(
+                (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).cast("bigint")
+            ).alias("n_drift"),
+        )
+        .select("list_id", "n_vec", F.col("min_sim_b").alias("min_sim"), "n_drift")
+        .collect()
+    )
 
-    batch_stats = sim.groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("n_vec"), F.min("_sim").alias("min_sim")
+    # --- move staged files into the live partitions (rename: same FS),
+    # prefixed so a retry can identify this batch's files
+    def _part_dirs(root):
+        out = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            if any(f.endswith(".parquet") for f in filenames):
+                out.append(os.path.relpath(dirpath, root))
+        return sorted(out)
+
+    parts = _part_dirs(data_dir)
+    with open(manifest, "w") as f:
+        json.dump({"partitions": parts}, f)
+    for rel in parts:
+        live_dir = os.path.join(layout_path, rel)
+        os.makedirs(live_dir, exist_ok=True)
+        src_dir = os.path.join(data_dir, rel)
+        for fn in os.listdir(src_dir):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src_dir, fn), os.path.join(live_dir, f"b{tag}-{fn}")
+                )
+
+    # --- commit: merged sidecar + applied-batch record in one atomic swap
+    lists_touched = sorted(
+        {
+            int(rel.split(os.sep)[0].split("=", 1)[1])
+            for rel in parts
+            if rel.split(os.sep)[0].startswith("list_id=")
+        }
+    )
+    batch_stats = spark.createDataFrame(
+        [
+            (int(r["list_id"]), int(r["n_vec"]), float(r["min_sim"]), int(r["n_drift"]))
+            for r in batch_rows
+        ],
+        "list_id long, n_vec bigint, min_sim double, n_drift bigint",
     )
     merged = (
         stats.unionByName(batch_stats)
         .groupBy("list_id")
-        .agg(F.sum("n_vec").alias("n_vec"), F.min("min_sim").alias("min_sim"))
+        .agg(
+            F.sum("n_vec").alias("n_vec"),
+            F.min("min_sim").alias("min_sim"),
+            F.sum("n_drift").alias("n_drift"),
+        )
     )
-    tmp_stats = _ivf_stats_path(layout_path) + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
-    shutil.rmtree(_ivf_stats_path(layout_path))
-    os.replace(tmp_stats, _ivf_stats_path(layout_path))
-    n_app = int(rep["n_appended"])
-    n_drift = int(rep["n_drifted"] or 0)
-    return {
+    n_app = int(rep_row["n_appended"])
+    n_drift = int(rep_row["n_drifted"] or 0)
+    report = {
         "n_appended": n_app,
         "n_drifted": n_drift,
         "drift_ratio": (n_drift / n_app) if n_app else 0.0,
-        "lists_touched": sorted(int(x) for x in rep["lists"]),
+        "lists_touched": lists_touched,
+        "batch_id": batch_id,
+        "replayed": False,
     }
+    _commit_ivf_stats(merged, layout_path, {**applied, batch_id: report})
+    shutil.rmtree(staging, ignore_errors=True)
+    return report
+
+
+def _distortion_fp(sub: DataFrame, cents: DataFrame) -> int:
+    """Total fixed-point squared-L2 distortion of ``sub`` against its
+    nearest centroid in ``cents`` — the exact int64 quantity Lloyd
+    iterations monotonically decrease (same metric as the trainer;
+    order-invariant sum, so DuckDB-replayable). One O(|sub|) job, one
+    row to the driver."""
+    return int(
+        assign_nearest_centroid_fp(sub, cents)
+        .agg(F.sum("dist_fp").alias("j"))
+        .collect()[0]["j"]
+        or 0
+    )
+
+
+def ivf_retrain(
+    spark,
+    layout_path: str,
+    centroids: DataFrame,
+    drift_threshold: float = 0.2,
+    iters: int = 2,
+) -> tuple:
+    """Consume :func:`ivf_append`'s drift signal: refit ONLY the
+    drifted cells of an IVF layout, leaving every other list's files
+    byte-untouched.
+
+    A continuously-ingesting ANN corpus appends between retrains;
+    appended vectors that land outside their cell's build-time edge
+    accumulate in the sidecar's per-list ``n_drift``. When a cell's
+    drift ratio (n_drift / n_vec) crosses ``drift_threshold`` it no
+    longer represents its population and probe ranking degrades. This
+    operator:
+
+    1. picks the drifted cells from the sidecar (nlists rows — no
+       corpus scan decides anything);
+    2. reads ONLY those cells' partitions (partition-pruned scan);
+    3. runs ``iters`` warm-started Lloyd iterations over that
+       sub-corpus, initialized from the CURRENT centroids of exactly
+       those cells (the trainer's map-side-combine partials: <= k rows
+       to the driver per iteration) — cell ids and count are preserved,
+       so untouched lists and every downstream probe stay consistent;
+    4. re-assigns the sub-corpus among the refitted cells (same cosine
+       rule as the layout build) and swaps ONLY those partition dirs
+       (per-list dir rename — each list is atomically all-old or
+       all-new; carry/extra partition columns ride along unchanged);
+    5. commits refreshed sidecar rows (n_drift reset, new edges) via
+       the atomic generation swap, applied-batch record carried over.
+
+    Returns ``(new_centroids_df, report)`` where the centroids frame
+    keeps the untouched cells' centroids verbatim. The report carries
+    the exact fixed-point L2 distortion of the retrained sub-corpus
+    before/after (Lloyd guarantees non-increase — the auditable
+    "recall machinery got better" invariant).
+    """
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    from .clustering import SCALE, _reduce_partials
+
+    stats, applied = _read_ivf_stats(spark, layout_path)
+    srows = {int(r["list_id"]): r for r in stats.collect()}
+    drifted = sorted(
+        lid
+        for lid, r in srows.items()
+        if int(r["n_vec"]) > 0
+        and int(r["n_drift"] or 0) / int(r["n_vec"]) > drift_threshold
+    )
+    no_op = {
+        "retrained_lists": [],
+        "n_vec_rewritten": 0,
+        "iters": iters,
+        "distortion_fp_before": 0,
+        "distortion_fp_after": 0,
+    }
+    if not drifted:
+        return centroids, no_op
+
+    pcols = _layout_partition_cols(layout_path)
+    if not pcols or pcols[0] != "list_id":
+        raise ValueError(
+            f"retrain needs a list_id-first partitioned layout, got {pcols}"
+        )
+    sub = read_ivf_lists(spark, layout_path, drifted).persist()
+    try:
+        cent_rows = {int(r["c_id"]): r["c_emb"] for r in centroids.collect()}
+        dim = len(next(iter(cent_rows.values())))
+        size = max(cent_rows) + 1
+        C = np.zeros((size, dim), dtype=np.float64)
+        alive = np.zeros(size, dtype=bool)
+        for cid, emb in cent_rows.items():
+            C[cid] = np.asarray(emb, dtype=np.float64)
+        alive[drifted] = True  # Lloyd runs over the drifted cells only
+
+        old_cents = centroids.filter(F.col("c_id").isin(drifted))
+        j_before = _distortion_fp(sub, old_cents)
+        vecs = sub.select("vec_id", "embedding")
+        for _ in range(iters):
+            reduced = _reduce_partials(vecs, C, alive)
+            cnt = np.zeros(size, dtype=np.int64)
+            S = np.zeros_like(C, dtype=np.int64)
+            for r in reduced:
+                cnt[r["cluster"]] += r["n"]
+                S[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
+            upd = (cnt > 0) & alive
+            C = np.where(
+                upd[:, None],
+                S.astype(np.float64) / np.maximum(cnt, 1)[:, None] / float(SCALE),
+                C,
+            )
+
+        import pandas as pd
+
+        new_cents = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "c_id": sorted(cent_rows),
+                    "c_emb": [C[cid].tolist() for cid in sorted(cent_rows)],
+                }
+            ),
+            "c_id long, c_emb array<double>",
+        )
+        retr_cents = new_cents.filter(F.col("c_id").isin(drifted))
+        j_after = _distortion_fp(sub, retr_cents)
+
+        # re-assign within the refitted cells (layout's own cosine rule)
+        carry = tuple(c for c in sub.columns if c not in ("vec_id", "embedding", "list_id"))
+        staging = os.path.join(
+            layout_path, "_staging", f"retrain-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            ivf_assign_lists(
+                sub.select("vec_id", "embedding", *carry), retr_cents, carry=carry
+            )
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(staging)
+        )
+        n_rewritten = int(sub.count())
+    finally:
+        sub.unpersist()
+
+    # swap only the drifted lists' dirs: each list atomically all-old
+    # or all-new; lists the re-assignment emptied are removed.
+    for lid in drifted:
+        live_dir = os.path.join(layout_path, f"list_id={lid}")
+        staged_dir = os.path.join(staging, f"list_id={lid}")
+        retired = f"{live_dir}.retired"
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, retired)
+        if os.path.isdir(staged_dir):
+            os.rename(staged_dir, live_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # refreshed sidecar rows for the retrained cells (new edges, drift
+    # reset); untouched rows and the applied-batch record carried over.
+    members = read_ivf_lists(spark, layout_path, drifted)
+    fresh = (
+        members.join(F.broadcast(retr_cents), members["list_id"] == F.col("c_id"))
+        .select("list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s"))
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vec"),
+            F.min("_s").alias("min_sim"),
+            F.lit(0).cast("bigint").alias("n_drift"),
+        )
+    )
+    kept = stats.filter(~F.col("list_id").isin(drifted))
+    _commit_ivf_stats(kept.unionByName(fresh), layout_path, applied)
+    report = {
+        "retrained_lists": drifted,
+        "n_vec_rewritten": n_rewritten,
+        "iters": iters,
+        "distortion_fp_before": j_before,
+        "distortion_fp_after": j_after,
+    }
+    return new_cents, report
 
 
 _IVF_LAYOUT_CACHE: dict = {}

@@ -345,3 +345,156 @@ def test_ivf_append_touches_only_appended_lists(spark, sf_dir, tmp_path):
     merged_ids = {r["vec_id"] for r in spark.read.parquet(layout).collect()}
     assert merged_ids == {r["vec_id"] for r in corpus.select("vec_id").collect()}
     assert 0.0 <= rep["drift_ratio"] <= 1.0
+
+
+def _mini_layout(spark, sf_dir, tmp_path, carry=(), partition_cols=("list_id",)):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import write_ivf_layout
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id", "embedding", *carry
+    )
+    new = corpus.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding", *carry)
+    cents = kmeans_centroids_df(
+        spark, base, k=8, iters=2, cache_key=(sf_dir, "ivf_mini")
+    )
+    layout = str(tmp_path / "layout")
+    write_ivf_layout(base, cents, layout, carry=carry, partition_cols=partition_cols)
+    return base, new, cents, layout
+
+
+def test_ivf_append_replay_short_circuits(spark, sf_dir, tmp_path):
+    """Idempotency contract: re-appending a committed batch_id is a
+    no-op returning the recorded report — no duplicate vec_ids."""
+    from data_pipeline_csv_spark.operators.similarity import ivf_append
+
+    base, new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
+    rep1 = ivf_append(new, cents, layout, batch_id="daily-001")
+    ids_after_first = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    rep2 = ivf_append(new, cents, layout, batch_id="daily-001")
+    assert rep2["replayed"] is True
+    assert rep2["n_appended"] == rep1["n_appended"]
+    assert rep2["lists_touched"] == rep1["lists_touched"]
+    ids_after_second = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    assert sorted(ids_after_second) == sorted(ids_after_first)
+    assert len(ids_after_first) == len(set(ids_after_first))
+
+
+def test_ivf_append_crash_retry_no_duplicates(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash-safety contract: a failure AFTER the data-file move but
+    BEFORE the sidecar commit (the widest window) leaves the staging
+    manifest behind; the retry sweeps the partial move and lands the
+    batch exactly once."""
+    import data_pipeline_csv_spark.operators.similarity as sim
+    from data_pipeline_csv_spark.operators.similarity import ivf_append
+
+    base, new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
+    n_base = spark.read.parquet(layout).count()
+
+    real_commit = sim._commit_ivf_stats
+    boom = {"n": 0}
+
+    def crashing_commit(*a, **kw):
+        boom["n"] += 1
+        raise RuntimeError("simulated crash before sidecar commit")
+
+    monkeypatch.setattr(sim, "_commit_ivf_stats", crashing_commit)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        ivf_append(new, cents, layout, batch_id="daily-002")
+    assert boom["n"] == 1
+    monkeypatch.setattr(sim, "_commit_ivf_stats", real_commit)
+    rep = ivf_append(new, cents, layout, batch_id="daily-002")
+    assert rep["replayed"] is False
+    ids = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    assert len(ids) == len(set(ids)) == n_base + rep["n_appended"]
+    # committed: a further retry replays
+    assert ivf_append(new, cents, layout, batch_id="daily-002")["replayed"] is True
+
+
+def test_ivf_append_schema_mismatch_fails_fast(spark, sf_dir, tmp_path):
+    """Appending without the layout's carry/partition columns must
+    raise, not corrupt the labeled layout (r9 ADVICE)."""
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.similarity import ivf_append
+
+    base, new, cents, layout = _mini_layout(
+        spark, sf_dir, tmp_path, carry=("label",), partition_cols=("list_id", "label")
+    )
+    with _pytest.raises(ValueError, match="partitioned by|schema"):
+        ivf_append(new.select("vec_id", "embedding"), cents, layout)
+    # and the carry-aware append works
+    rep = ivf_append(new, cents, layout, batch_id="lab-1", carry=("label",))
+    assert rep["n_appended"] > 0
+    cols = set(spark.read.parquet(layout).columns)
+    assert {"vec_id", "embedding", "list_id", "label"} <= cols
+
+
+def test_ivf_retrain_refits_only_drifted_lists(spark, sf_dir, tmp_path):
+    """Retrain contract: cells past the drift threshold are refitted
+    (distortion non-increasing — Lloyd), every other list's files are
+    byte-identical, and the sidecar's drift counters reset."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_stats,
+        ivf_append,
+        ivf_retrain,
+        write_ivf_layout,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("label") < 5).select("vec_id", "embedding")
+    new = corpus.filter(F.col("label") >= 5).select("vec_id", "embedding")
+    cents = kmeans_centroids_df(
+        spark, base, k=8, iters=2, cache_key=(sf_dir, "ivf_retrain_mini")
+    )
+    layout = str(tmp_path / "layout")
+    write_ivf_layout(base, cents, layout)
+    ivf_append(new, cents, layout, batch_id="drift-1")
+
+    def _files():
+        return {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(layout, d, f)))
+                for f in os.listdir(os.path.join(layout, d))
+                if not f.startswith(".")
+            )
+            for d in os.listdir(layout)
+            if d.startswith("list_id=")
+        }
+
+    before = _files()
+    n_before = spark.read.parquet(layout).count()
+    new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    assert rep["retrained_lists"], "planted drift must trigger refits"
+    assert rep["distortion_fp_after"] <= rep["distortion_fp_before"]
+    after = _files()
+    retrained = {f"list_id={i}" for i in rep["retrained_lists"]}
+    for d, files in before.items():
+        if d not in retrained:
+            assert files == after.get(d), d
+    # no vectors lost or duplicated by the partition swaps
+    ids = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    assert len(ids) == len(set(ids)) == n_before
+    # drift counters reset on the retrained cells
+    stats, _ = _read_ivf_stats(spark, layout)
+    for r in stats.collect():
+        if int(r["list_id"]) in rep["retrained_lists"]:
+            assert int(r["n_drift"]) == 0
+    # untouched cells keep their centroids bit-identically
+    old = {r["c_id"]: list(r["c_emb"]) for r in cents.collect()}
+    newc = {r["c_id"]: list(r["c_emb"]) for r in new_cents.collect()}
+    for cid in old:
+        if cid not in rep["retrained_lists"]:
+            assert old[cid] == newc[cid]
