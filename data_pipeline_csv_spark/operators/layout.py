@@ -67,6 +67,276 @@ def write_zorder_layout(
     )
 
 
+def derive_zorder_spec(
+    table_path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = ZBITS,
+    prefix_bits: int = PREFIX_BITS,
+) -> dict:
+    """Quantization spec DERIVED FROM COLUMN STATS: min/max of the two
+    sort keys read from the parquet FOOTERS (metadata-only — no data
+    scanned, the same footer walk as sources.tables.table_num_rows).
+    x is a numeric column scaled onto [0, 2^bits); y is a date/
+    timestamp column bucketed into day quanta sized so the observed
+    range fits in 2^bits. The spec carries the exact constants
+    (x_min, x_scale, y_epoch, y_q) so the ROW-side quantizer
+    (:func:`zquant_cols`) and the DRIVER-side one (:func:`zquant_x` /
+    :func:`zquant_y`) evaluate the identical IEEE-double arithmetic —
+    agreement of the two is what makes the covering-bucket enumeration
+    complete. Both clamp to [0, 2^bits - 1] (ADVICE r9: an out-of-
+    domain appended row must saturate at the edge bucket, never wrap)."""
+    import datetime
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(table_path):
+        for root, _dirs, fns in os.walk(table_path):
+            files += [
+                os.path.join(root, f)
+                for f in fns
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+    else:
+        files = [table_path]
+    x_min = x_max = y_min = y_max = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            sx = md.row_group(rg).column(idx[x_col]).statistics
+            sy = md.row_group(rg).column(idx[y_col]).statistics
+            if sx is None or sy is None:
+                continue
+            x_min = sx.min if x_min is None else min(x_min, sx.min)
+            x_max = sx.max if x_max is None else max(x_max, sx.max)
+            y_min = sy.min if y_min is None else min(y_min, sy.min)
+            y_max = sy.max if y_max is None else max(y_max, sy.max)
+    if isinstance(y_min, datetime.datetime):
+        y_min, y_max = y_min.date(), y_max.date()
+    n = 1 << bits
+    span = float(x_max) - float(x_min)
+    days = (y_max - y_min).days + 1
+    return {
+        "bits": bits,
+        "prefix_bits": prefix_bits,
+        "x_col": x_col,
+        "y_col": y_col,
+        "x_min": float(x_min),
+        "x_scale": (float(n) / span) if span > 0 else 1.0,
+        "y_epoch": y_min.isoformat(),
+        "y_q": max(1, math.ceil(days / n)),
+    }
+
+
+def zquant_x(spec: dict, x: float) -> int:
+    """Driver-side x quantizer — the exact arithmetic of
+    :func:`zquant_cols`, for quantizing query-box bounds."""
+    import math
+
+    n = (1 << spec["bits"]) - 1
+    return min(n, max(0, math.floor((float(x) - spec["x_min"]) * spec["x_scale"])))
+
+
+def zquant_y(spec: dict, y) -> int:
+    """Driver-side y (date) quantizer. ``y`` is a datetime.date."""
+    from datetime import date
+
+    n = (1 << spec["bits"]) - 1
+    days = (y - date.fromisoformat(spec["y_epoch"])).days
+    # Python // floors toward -inf, matching Spark's F.floor (ADVICE
+    # r9: cast('int') truncates toward zero and diverges below epoch)
+    return min(n, max(0, days // spec["y_q"]))
+
+
+def zquant_cols(spec: dict) -> tuple[Column, Column]:
+    """Row-side quantizers for the spec's two sort keys — same
+    constants, same multiply + floor + clamp as the driver side."""
+    n = F.lit((1 << spec["bits"]) - 1)
+    xq = F.least(
+        n,
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(
+                (F.col(spec["x_col"]) - F.lit(spec["x_min"])) * F.lit(spec["x_scale"])
+            ),
+        ),
+    ).cast("int")
+    yq = F.least(
+        n,
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(
+                F.datediff(F.col(spec["y_col"]), F.lit(spec["y_epoch"]))
+                / F.lit(spec["y_q"])
+            ),
+        ),
+    ).cast("int")
+    return xq, yq
+
+
+def _spec_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zorder_spec.json")
+
+
+def _dirty_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_dirty")
+
+
+def write_zorder_table(df: DataFrame, spec: dict, path: str) -> None:
+    """:func:`write_zorder_layout` plus the spec persisted as a sidecar
+    (underscore-prefixed: invisible to layout readers), so appends and
+    compactions quantize with the layout's OWN constants instead of
+    re-deriving (re-derivation from post-append stats would shift the
+    grid and break every existing bucket's rectangle)."""
+    import json
+    import os
+
+    xq, yq = zquant_cols(spec)
+    write_zorder_layout(
+        df, xq, yq, path, bits=spec["bits"], prefix_bits=spec["prefix_bits"]
+    )
+    tmp = _spec_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, _spec_path(path))
+
+
+def read_zorder_spec(path: str) -> dict:
+    import json
+
+    with open(_spec_path(path)) as f:
+        return json.load(f)
+
+
+def zorder_append(df_new: DataFrame, path: str) -> list[int]:
+    """Append rows into an existing z-order layout: quantize with the
+    LAYOUT'S spec, route into the covering bucket partitions (only
+    those dirs gain files — the IVF-append isolation property), and
+    mark each touched bucket DIRTY (an empty marker file per bucket —
+    atomic, idempotent). Appended rows are NOT z-sorted within the
+    bucket: bucket membership (the pruning contract) is exact
+    immediately; only row-group min/max tightness degrades until
+    :func:`zorder_compact` folds the dirty buckets. Returns the dirty
+    bucket ids."""
+    import os
+    import shutil
+    import uuid
+
+    spec = read_zorder_spec(path)
+    xq, yq = zquant_cols(spec)
+    z = zvalue(xq, yq, spec["bits"])
+    zb = F.shiftrightunsigned(z, 2 * spec["bits"] - spec["prefix_bits"]).cast("int")
+    staging = os.path.join(path, "_staging", f"append-{uuid.uuid4().hex[:8]}")
+    (
+        df_new.withColumn("zb", zb)
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(staging)
+    )
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith("zb=")
+    )
+    os.makedirs(_dirty_dir(path), exist_ok=True)
+    for b in touched:  # mark dirty BEFORE the files land
+        open(os.path.join(_dirty_dir(path), str(b)), "w").close()
+    for b in touched:
+        src = os.path.join(staging, f"zb={b}")
+        dst = os.path.join(path, f"zb={b}")
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(src, fn), os.path.join(dst, fn))
+    shutil.rmtree(staging, ignore_errors=True)
+    return touched
+
+
+def zorder_compact(spark, path: str) -> list[int]:
+    """Fold the dirty buckets of an appended z-order layout: ONE
+    partition-pruned job re-sorts exactly the dirty buckets' rows by
+    z-value and rewrites those partitions; every clean bucket's files
+    stay byte-untouched (the tiered-compaction shape of the streaming
+    near-dup state, applied to layout maintenance). Per-bucket dir
+    swap is atomic — a crash leaves each bucket either fully old
+    (still dirty, recompacted on retry) or fully new. Returns the
+    compacted bucket ids."""
+    import os
+    import shutil
+    import uuid
+
+    ddir = _dirty_dir(path)
+    dirty = (
+        sorted(int(b) for b in os.listdir(ddir)) if os.path.isdir(ddir) else []
+    )
+    if not dirty:
+        return []
+    spec = read_zorder_spec(path)
+    xq, yq = zquant_cols(spec)
+    staging = os.path.join(path, "_staging", f"compact-{uuid.uuid4().hex[:8]}")
+    (
+        spark.read.parquet(path)
+        .where(F.col("zb").isin(dirty))  # static partition pruning
+        .withColumn("_z", zvalue(xq, yq, spec["bits"]))
+        .repartition("zb")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(staging)
+    )
+    for b in dirty:
+        live = os.path.join(path, f"zb={b}")
+        staged = os.path.join(staging, f"zb={b}")
+        retired = f"{live}.retired"
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(live, retired)
+            os.rename(staged, live)
+            shutil.rmtree(retired, ignore_errors=True)
+        marker = os.path.join(ddir, str(b))
+        if os.path.exists(marker):
+            os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    return dirty
+
+
+def zorder_pruned_scan(
+    spark, path: str, x_lo, x_hi, y_lo, y_hi
+) -> DataFrame:
+    """2-D range query against a spec-carrying z-order layout: the
+    query box is quantized with the layout's own spec, the covering
+    buckets enumerated driver-side, and the residual predicate applied
+    on the pruned scan."""
+    spec = read_zorder_spec(path)
+    buckets = zorder_covering_buckets(
+        zquant_x(spec, x_lo),
+        zquant_x(spec, x_hi),
+        zquant_y(spec, y_lo),
+        zquant_y(spec, y_hi),
+        bits=spec["bits"],
+        prefix_bits=spec["prefix_bits"],
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("zb").isin(buckets))
+        .where(
+            (F.col(spec["x_col"]) >= F.lit(x_lo))
+            & (F.col(spec["x_col"]) <= F.lit(x_hi))
+            & (F.col(spec["y_col"]) >= F.lit(y_lo.isoformat()).cast("timestamp"))
+            & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
+        )
+    )
+
+
 def _deinterleave_bucket(b: int, prefix_bits: int) -> tuple[int, int]:
     """Bucket id -> (x_hi, y_hi) cell coordinates. The bucket's bits
     alternate x/y starting from x (z's MSB is an x bit)."""

@@ -197,17 +197,33 @@ def cdc_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZORDER_CACHE: dict = {}
 
 
+def _orders_zorder_spec(sf_dir: str) -> dict:
+    """Quantization spec for the orders (price, order-date) layout,
+    DERIVED FROM COLUMN STATS (r9 ADVICE: the domain constants were
+    hard-coded): min/max from the parquet footers — metadata only, no
+    scan — with both quantizers clamped to the grid so out-of-domain
+    rows saturate at the edge bucket instead of wrapping."""
+    import os
+
+    from ..operators.layout import derive_zorder_spec
+
+    return derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+
+
 def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     """Build-once z-ordered orders layout (the ivf_layout_cached
-    contract): quantized (price, order-day) interleaved into a 20-bit
-    Morton value, bucketed by its top 8 bits -> 256 rectangle
-    partitions, z-sorted within each."""
+    contract): stats-derived quantized (price, order-day) interleaved
+    into a 20-bit Morton value, bucketed by its top 8 bits -> 256
+    rectangle partitions, z-sorted within each; the spec rides the
+    layout as a sidecar so appends/compactions reuse its grid."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from ..operators.layout import write_zorder_layout
+    from ..operators.layout import write_zorder_table
 
     path = _ZORDER_CACHE.get(sf_dir)
     if path is not None and os.path.isdir(path):
@@ -215,12 +231,8 @@ def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    xq = F.least(
-        F.lit(1023), F.floor(F.col("o_totalprice") * 1024.0 / 500000.0)
-    ).cast("int")
-    yq = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) / 3).cast("int")
     path = tempfile.mkdtemp(prefix="sg_zorder_")
-    write_zorder_layout(orders, xq, yq, path)
+    write_zorder_table(orders, _orders_zorder_spec(sf_dir), path)
     _ZORDER_CACHE[sf_dir] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
@@ -246,36 +258,128 @@ def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     "interleaved (quantized price, order-day) Morton value, so every "
     "partition is an axis-aligned RECTANGLE in (price, date) space "
     "and a 2-D range query statically prunes to the rectangles "
-    "intersecting its box — measured 9 of 256 buckets for this "
+    "intersecting its box — measured 6 of 256 buckets for this "
     "price x year box (a single-column sort prunes only one "
-    "dimension). The covering set is driver-side arithmetic over the "
-    "fixed bucket grid (no data touched), inlined as literals like "
-    "the IVF probe; rows are z-sorted within buckets so row-group "
-    "min/max stay tight on BOTH columns at 100 TB "
+    "dimension). The quantization grid is DERIVED FROM COLUMN STATS "
+    "(parquet footer min/max — metadata only) and both quantizers "
+    "clamp to the grid edges; the covering set is driver-side "
+    "arithmetic over the fixed bucket grid (no data touched), inlined "
+    "as literals like the IVF probe; rows are z-sorted within buckets "
+    "so row-group min/max stay tight on BOTH columns at 100 TB "
     "(operators/layout.py; plan pinned by tests/test_plans.py::"
-    "test_zorder_scan_prunes_buckets).",
+    "test_zorder_scan_prunes_buckets; quantizer agreement + clamps by "
+    "tests/test_maintenance.py::test_zorder_spec_quantizers_agree_"
+    "and_clamp).",
     tags=("layout", "zorder", "pruning", "scale"),
 )
 def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
     from datetime import date
 
-    from ..operators.layout import zorder_covering_buckets
+    from ..operators.layout import zorder_pruned_scan
 
     layout = _zorder_layout_cached(spark, sf_dir)
-    xq_lo = math.floor(200000 * 1024.0 / 500000.0)
-    xq_hi = math.floor(250000 * 1024.0 / 500000.0)
-    yq_lo = (date(1997, 1, 1) - date(1995, 1, 1)).days // 3
-    yq_hi = (date(1997, 12, 31) - date(1995, 1, 1)).days // 3
-    buckets = zorder_covering_buckets(xq_lo, xq_hi, yq_lo, yq_hi)
-    return (
-        spark.read.parquet(layout)
-        .where(F.col("zb").isin(buckets))
-        .where(
-            (F.col("o_totalprice") >= 200000)
-            & (F.col("o_totalprice") <= 250000)
-            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    return zorder_pruned_scan(
+        spark, layout, 200000, 250000, date(1997, 1, 1), date(1997, 12, 31)
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+_ZORDER_COMPACT_CACHE: dict = {}
+
+
+def _zorder_compacted_cached(spark: SparkSession, sf_dir: str):
+    """Build-once scaffolding for layout_zorder_compacted_scan: a
+    z-order layout over the BASE 80% of orders (o_orderkey % 5 != 0),
+    one :func:`~..operators.layout.zorder_append` of the remaining 20%
+    (bucket-routed but unsorted, dirty buckets marked), then ONE
+    :func:`~..operators.layout.zorder_compact` folding exactly the
+    dirty buckets. The clean-bucket byte-identity check runs at
+    compaction time, when 'before' is observable, and rides the cache.
+    Returns (layout_path, dirty_ids, compacted_ids, clean_untouched_ok)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        write_zorder_table,
+        zorder_append,
+        zorder_compact,
     )
+
+    hit = _ZORDER_COMPACT_CACHE.get(sf_dir)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="sg_zorder_inc_")
+    # production shape: stats predate the split (the spec comes from
+    # the table's footers once; appends reuse the layout's own grid)
+    write_zorder_table(base, _orders_zorder_spec(sf_dir), path)
+    dirty = zorder_append(incoming, path)
+
+    def _files():
+        return {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(path, d, f)))
+                for f in os.listdir(os.path.join(path, d))
+                if not f.startswith(".")
+            )
+            for d in os.listdir(path)
+            if d.startswith("zb=")
+        }
+
+    before = _files()
+    compacted = zorder_compact(spark, path)
+    after = _files()
+    dirty_set = {f"zb={b}" for b in compacted}
+    clean_ok = all(
+        files == after.get(d) for d, files in before.items() if d not in dirty_set
+    )
+    out = (path, dirty, compacted, clean_ok)
+    _ZORDER_COMPACT_CACHE[sf_dir] = out
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return out
+
+
+@query(
+    "layout_zorder_compacted_scan",
+    # FULL value oracle: the scan result is a plain 2-D range filter
+    # over the WHOLE orders table, which DuckDB replays directly — so
+    # the hash match proves the append lost nothing, the compaction
+    # folded without dropping or duplicating a row, and the covering
+    # enumeration stayed complete over the appended-then-compacted
+    # layout. The flags are pinned by tests/test_maintenance.py.
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice >= 200000 AND o_totalprice <= 250000
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    """,
+    doc="INCREMENTAL Z-ORDER maintenance (the lakehouse OPTIMIZE loop: "
+    "appends land unclustered, compaction restores clustering): a "
+    "layout built on 80% of orders ingests the rest via zorder_append "
+    "— rows routed into their covering bucket partitions with the "
+    "layout's OWN stats-derived grid (bucket membership, hence the "
+    "pruning contract, is exact immediately; only row-group min/max "
+    "tightness degrades), touched buckets marked dirty — then "
+    "zorder_compact re-sorts EXACTLY the dirty buckets in one "
+    "partition-pruned job and swaps their dirs atomically; clean "
+    "buckets stay byte-untouched (operators/layout.py). The query "
+    "serves the same 2-D box as layout_zorder_pruned_scan from the "
+    "compacted layout.",
+    tags=("layout", "zorder", "incremental", "compaction", "scale"),
+)
+def layout_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from ..operators.layout import zorder_pruned_scan
+
+    path, dirty, compacted, clean_ok = _zorder_compacted_cached(spark, sf_dir)
+    assert clean_ok and sorted(dirty) == sorted(compacted)
+    return zorder_pruned_scan(
+        spark, path, 200000, 250000, date(1997, 1, 1), date(1997, 12, 31)
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

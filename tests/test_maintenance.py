@@ -119,3 +119,123 @@ def test_snapshots_asof_literal_log(spark):
     assert got[(1, 1)] == "a" and got[(2, 1)] == "b"
     assert (3, 1) not in got  # deleted key gone at v3
     assert got[(1, 2)] == got[(2, 2)] == got[(3, 2)] == "x"
+
+
+def test_zorder_spec_quantizers_agree_and_clamp(spark, sf_dir):
+    """Row-side and driver-side quantizers must agree on every value,
+    including out-of-domain ones (which clamp, never wrap)."""
+    import os
+    from datetime import date, timedelta
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        zquant_cols,
+        zquant_x,
+        zquant_y,
+    )
+
+    spec = derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+    epoch = date.fromisoformat(spec["y_epoch"])
+    xs = [spec["x_min"], spec["x_min"] - 5.0, 1e9, 123456.78, 0.0, 250000.0]
+    ys = [
+        epoch,
+        epoch - timedelta(days=400),  # below epoch: clamp to 0, not wrap
+        epoch + timedelta(days=100000),  # beyond domain: clamp to max
+        date(1997, 6, 15),
+    ]
+    rows = [(float(x), y.isoformat()) for x in xs for y in ys]
+    df = spark.createDataFrame(rows, "o_totalprice double, d string").select(
+        "o_totalprice", F.col("d").cast("timestamp").alias("o_orderdate")
+    )
+    xq, yq = zquant_cols(spec)
+    got = df.select("o_totalprice", F.col("o_orderdate").cast("date").alias("d"),
+                    xq.alias("xq"), yq.alias("yq")).collect()
+    for r in got:
+        assert 0 <= r["xq"] <= 1023 and 0 <= r["yq"] <= 1023
+        assert r["xq"] == zquant_x(spec, r["o_totalprice"]), r
+        assert r["yq"] == zquant_y(spec, r["d"]), r
+
+
+def test_zorder_append_compact_roundtrip(spark, sf_dir, tmp_path):
+    """Append marks exactly the touched buckets dirty; compact folds
+    exactly those and clears the markers; clean buckets stay
+    byte-untouched; no row lost or duplicated; the pruned scan equals
+    a plain filter before AND after compaction."""
+    import os
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        write_zorder_table,
+        zorder_append,
+        zorder_compact,
+        zorder_pruned_scan,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    spec = derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = str(tmp_path / "zorders")
+    write_zorder_table(base, spec, path)
+    n_total = orders.count()
+
+    def _box():
+        lo, hi = date(1996, 1, 1), date(1998, 6, 30)
+        got = zorder_pruned_scan(spark, path, 150000, 300000, lo, hi)
+        want = orders.filter(
+            (F.col("o_totalprice") >= 150000)
+            & (F.col("o_totalprice") <= 300000)
+            & (F.col("o_orderdate") >= F.lit(lo.isoformat()).cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit(hi.isoformat()).cast("timestamp"))
+        )
+        return (
+            sorted(r["o_orderkey"] for r in got.collect()),
+            sorted(r["o_orderkey"] for r in want.collect()),
+        )
+
+    dirty = zorder_append(incoming, path)
+    assert dirty
+    assert sorted(os.listdir(os.path.join(path, "_dirty"))) == sorted(
+        str(b) for b in dirty
+    )
+    assert spark.read.parquet(path).count() == n_total
+    got, want = _box()
+    assert got == want  # pruning contract exact while unsorted
+
+    def _files():
+        return {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(path, d, f)))
+                for f in os.listdir(os.path.join(path, d))
+                if not f.startswith(".")
+            )
+            for d in os.listdir(path)
+            if d.startswith("zb=")
+        }
+
+    before = _files()
+    compacted = zorder_compact(spark, path)
+    assert sorted(compacted) == sorted(dirty)
+    assert not os.listdir(os.path.join(path, "_dirty"))
+    after = _files()
+    dirty_set = {f"zb={b}" for b in compacted}
+    for d, files in before.items():
+        if d not in dirty_set:
+            assert files == after.get(d), d
+    assert spark.read.parquet(path).count() == n_total
+    got, want = _box()
+    assert got == want
+    # idempotent: nothing dirty -> no-op
+    assert zorder_compact(spark, path) == []
