@@ -30,11 +30,13 @@ from .assets import (
     synthetic_assets,
     synthetic_assets_with_variants,
     synthetic_audio_with_variants,
+    synthetic_videos_with_variants,
 )
 from .codecs import decode_sgv1, decode_real_image, encode_sgv1_batch
 from .ops import (
     audio_fingerprint,
     decode_assets,
+    dhash_frames,
     dhash_images,
     frame_sample,
     image_features,
@@ -46,10 +48,12 @@ __all__ = [
     "synthetic_assets",
     "synthetic_assets_with_variants",
     "synthetic_audio_with_variants",
+    "synthetic_videos_with_variants",
     "decode_sgv1",
     "decode_real_image",
     "encode_sgv1_batch",
     "decode_assets",
+    "dhash_frames",
     "dhash_images",
     "audio_fingerprint",
     "frame_sample",

@@ -127,6 +127,58 @@ def synthetic_assets_with_variants(
     return ids.mapInPandas(encode, schema="asset_id long, content binary")
 
 
+def synthetic_videos_with_variants(
+    spark: SparkSession,
+    sf_dir: str,
+    every_k: int = 10,
+    id_offset: int = 10_000_000,
+    perturb_mod: int = 37,
+    trim: int = 1,
+) -> DataFrame:
+    """Video asset table seeded with TRIMMED RE-ENCODES: every document
+    yields its SGV1 video (4 + id%5 frames), and every ``every_k``-th
+    document ALSO yields a variant with the FIRST ``trim`` frame(s)
+    dropped and every remaining frame 2x-upscaled (nearest neighbor)
+    with every ``perturb_mod``-th pixel of that frame's upscaled
+    raster inverted — the re-encoded-with-a-trimmed-intro copy that
+    defeats single-frame perceptual hashing (the whole point of
+    frame-SET voting). Every byte stays pure arithmetic on doc_id, so
+    the DuckDB oracle recomputes any sampled variant pixel in SQL
+    (queries/multimodal.py multimodal_video_neardup)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import HEADER, MAGIC, decode_sgv1, encode_sgv1
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = encode_sgv1(i, MOD_VIDEO)
+                ids.append(i)
+                blobs.append(blob)
+                if i % every_k == 0:
+                    vid = decode_sgv1(blob)["data"][trim:]
+                    out_frames = []
+                    for frame in vid:
+                        up = frame.repeat(2, axis=0).repeat(2, axis=1)
+                        flat = up.ravel().copy()
+                        mask = (np.arange(flat.size) % perturb_mod) == 0
+                        flat[mask] = 255 - flat[mask]
+                        out_frames.append(flat)
+                    h2, w2 = vid.shape[1] * 2, vid.shape[2] * 2
+                    ids.append(i + id_offset)
+                    blobs.append(
+                        HEADER.pack(MAGIC, MOD_VIDEO, w2, h2, len(out_frames))
+                        + np.concatenate(out_frames).tobytes()
+                    )
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(encode, schema="asset_id long, content binary")
+
+
 def synthetic_audio_with_variants(
     spark: SparkSession,
     sf_dir: str,

@@ -149,7 +149,9 @@ def dhash_images(assets: DataFrame) -> DataFrame:
     signed int64. Resolution-invariant by construction (any
     NN-upscaled copy samples back to the SAME source pixels, so its
     dHash is identical), which is what makes hamming distance on it a
-    near-duplicate signal. Videos hash their first frame. Output:
+    near-duplicate signal. Videos hash their FIRST frame only — a
+    trimmed re-encode defeats this; use :func:`dhash_frames` + the
+    frame-set containment vote for video near-dup. Output:
     (asset_id, dhash) — one small row per asset; banding/joins happen
     downstream in JVM bit-ops (operators/dedup.py
     hamming_neardup_pairs)."""
@@ -176,6 +178,46 @@ def dhash_images(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "content").mapInPandas(
         run, schema="asset_id long, dhash long"
+    )
+
+
+def dhash_frames(assets: DataFrame, every_f: int = 1) -> DataFrame:
+    """Per-FRAME 64-bit dHash of video assets (every ``every_f``-th
+    frame) — the frame-set fingerprint for multi-frame video near-dup
+    (:func:`~..operators.dedup.frameset_containment_pairs`). Same
+    9x8-grid gradient hash as :func:`dhash_images` (Krawetz 2013,
+    implementation original), applied per sampled frame, so it keeps
+    the NN-upscale invariance per frame; a trimmed/re-encoded copy's
+    frame hashes are a (damaged) SUBSET of the original's, which is
+    what the downstream containment vote detects where any
+    single-frame hash fails. Output: (asset_id, frame_no, fhash) —
+    frame_no is the index AFTER sampling, i.e. the position in the
+    hashed frame sequence."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, hashes = [], [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                d = decode_sgv1(bytes(blob))
+                for out_no, fno in enumerate(range(0, d["frames"], every_f)):
+                    img = d["data"][fno]
+                    h, w = img.shape
+                    ys = (np.arange(8) * h) // 8
+                    xs = (np.arange(9) * w) // 9
+                    g = img[np.ix_(ys, xs)].astype(np.int16)
+                    bits = (g[:, :-1] > g[:, 1:]).ravel()
+                    hv = 0
+                    for b in np.nonzero(bits)[0]:
+                        hv |= 1 << int(b)
+                    if hv >= 1 << 63:
+                        hv -= 1 << 64
+                    ids.append(aid)
+                    fnos.append(out_no)
+                    hashes.append(hv)
+            yield pd.DataFrame({"asset_id": ids, "frame_no": fnos, "fhash": hashes})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id long, frame_no int, fhash long"
     )
 
 

@@ -897,6 +897,106 @@ def hamming_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def frameset_containment_pairs(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    id_col: str = "asset_id",
+    frame_col: str = "frame_no",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """Multi-frame VIDEO near-dup: frame-level hamming matches banded
+    with the same pigeonhole guarantee as
+    :func:`hamming_neardup_pairs`, then a FRAME-SET CONTAINMENT VOTE
+    per video pair — the ``containment_pairs`` shape applied to frame
+    fingerprints instead of n-grams. A trimmed re-encode's frames are
+    a (perceptually damaged) subset of the original's, so it pairs
+    even though no single designated frame (first, middle, ...) hash
+    survives the trim.
+
+    Stages, all equi-join shaped (never all-frame-pairs):
+    1. each sampled frame's ``bits``-bit dHash splits into
+       ``max_hamming + 1`` bands; candidate frame matches come from
+       band equi-joins across DIFFERENT videos (pigeonhole: no pair
+       within the distance is missed);
+    2. ``bit_count(xor)`` verifies the exact per-frame distance;
+    3. per video pair, count DISTINCT matched frames on each side and
+       vote: pair iff matched/|frames| >= tau on EITHER side (the
+       containment direction makes a short clip inside a long video
+       pair too). The vote compares integers
+       (``tau_den * matched >= tau_num * n_frames``) — no float
+       division, so the DuckDB oracle replays it exactly.
+
+    Emits (d1, d2, n1, n2, m1, m2), d1 < d2: frame counts and distinct
+    matched-frame counts per side — integers only, fully
+    value-hashable.
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    mask = (
+        F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    )
+    banded = frames.select(
+        F.col(id_col).alias("_vid"),
+        F.col(frame_col).alias("_f"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        (
+                            F.shiftrightunsigned(F.col(hash_col), j * width)
+                        ).bitwiseAND(mask).alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_vid", "_f", "_h", "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._vid") < F.col("b._vid")),
+        )
+        .select(
+            F.col("a._vid").alias("d1"),
+            F.col("b._vid").alias("d2"),
+            F.col("a._f").alias("f1"),
+            F.col("b._f").alias("f2"),
+            F.col("a._h").alias("h1"),
+            F.col("b._h").alias("h2"),
+        )
+        .distinct()
+        .filter(
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming
+        )
+    )
+    nf = frames.groupBy(F.col(id_col).alias("_vid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nf")
+    )
+    per_pair = matches.groupBy("d1", "d2").agg(
+        F.countDistinct("f1").cast("bigint").alias("m1"),
+        F.countDistinct("f2").cast("bigint").alias("m2"),
+    )
+    return (
+        per_pair.join(nf.withColumnRenamed("_vid", "d1"), "d1")
+        .withColumnRenamed("_nf", "n1")
+        .join(nf.withColumnRenamed("_vid", "d2"), "d2")
+        .withColumnRenamed("_nf", "n2")
+        .filter(
+            (F.lit(tau_den) * F.col("m1") >= F.lit(tau_num) * F.col("n1"))
+            | (F.lit(tau_den) * F.col("m2") >= F.lit(tau_num) * F.col("n2"))
+        )
+        .select("d1", "d2", "n1", "n2", "m1", "m2")
+    )
+
+
 # 60-bit shingle hash from the top 15 hex nibbles of md5. md5 is
 # available with identical output in Spark AND DuckDB, and the nibble
 # parse is plain integer arithmetic (max value 16^15-1 ~ 1.15e18,

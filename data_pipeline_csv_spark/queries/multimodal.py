@@ -451,3 +451,140 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(
         fp, max_hamming=_AFP_MAXHAM, bits=64, id_col="asset_id", hash_col="afp"
     )
+
+
+# ---- multi-frame video near-dup oracle --------------------------------
+# The per-frame dHash grid samples 72 pixels of frame f; a variant is
+# trimmed (first frame dropped) and 2x-upscaled with sparse inversion
+# per VARIANT-FRAME raster. Source position of a sampled variant pixel:
+# frame (f + trim) of the ORIGINAL raster at floor-half coordinates, so
+# po = (f + trim)*w*h + (yv//up)*w + (xv//up) indexes the original
+# payload and one splitmix64 word (po//8 + 1) carries its byte. The
+# inversion applies where the variant-frame raster position
+# pv = yv*(up*w) + xv hits the perturbation stride. Integer arithmetic
+# end to end — the oracle replays every sampled byte of every frame.
+_VIDEO_MAXHAM = 3
+_VIDEO_CTE = f"""
+    vassets AS (
+      SELECT doc_id AS aid, doc_id AS seed,
+             CAST(8 + doc_id % 9 AS HUGEINT) AS w,
+             CAST(8 + doc_id % 7 AS HUGEINT) AS h,
+             CAST(4 + doc_id % 5 AS HUGEINT) AS nf,
+             CAST(1 AS HUGEINT) AS up,
+             CAST(0 AS HUGEINT) AS trim
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id,
+             CAST(8 + doc_id % 9 AS HUGEINT),
+             CAST(8 + doc_id % 7 AS HUGEINT),
+             CAST(4 + doc_id % 5 AS HUGEINT) - 1,
+             CAST(2 AS HUGEINT),
+             CAST(1 AS HUGEINT)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    vframes AS (
+      SELECT aid, seed, w, h, up, trim, fr.f AS f
+      FROM vassets JOIN range(0, 8) fr(f) ON fr.f < nf
+    ),
+    vgrid AS (
+      SELECT aid, seed, w, h, up, trim, f, gr.r AS r, gc.c AS c,
+             ((gr.r * (up * h)) // 8) AS yv,
+             ((gc.c * (up * w)) // 9) AS xv
+      FROM vframes, range(0, 8) gr(r), range(0, 9) gc(c)
+    ),
+    vcoords AS (
+      SELECT aid, f, r, c,
+             ((f + trim) * (w * h) + (yv // up) * w + (xv // up)) AS po,
+             (yv * (up * w) + xv) AS pv,
+             up, seed
+      FROM vgrid
+    ),
+    vwords AS (
+      SELECT aid, f, r, c, pv, up, (po % 8) AS b,
+             (seed + (po // 8 + 1) * {_PHI}) % {_M64} AS x
+      FROM vcoords
+    ),
+    v1 AS (SELECT aid, f, r, c, pv, up, b,
+           {_mul64(_xor64('x', _shr64('x', '30')), _C1)} AS z FROM vwords),
+    v2 AS (SELECT aid, f, r, c, pv, up, b,
+           {_mul64(_xor64('z', _shr64('z', '27')), _C2)} AS z FROM v1),
+    v3 AS (SELECT aid, f, r, c, pv, up, b,
+           {_xor64('z', _shr64('z', '31'))} AS z FROM v2),
+    vvals AS (
+      SELECT aid, f, r, c,
+             CASE WHEN up = 2 AND pv % 37 = 0
+                  THEN 255 - ({_shr64('z', '8 * b')} % 256)
+                  ELSE ({_shr64('z', '8 * b')} % 256) END AS v
+      FROM v3
+    ),
+    vpacked AS (
+      SELECT l.aid, l.f,
+             SUM(CASE WHEN l.v > rt.v
+                      THEN CAST(power(2, l.r * 8 + l.c) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS hv
+      FROM vvals l
+      JOIN vvals rt ON l.aid = rt.aid AND l.f = rt.f
+                   AND l.r = rt.r AND rt.c = l.c + 1
+      WHERE l.c < 8
+      GROUP BY l.aid, l.f
+    ),
+    vhashes AS (
+      SELECT aid, f,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - {_M64} ELSE hv END AS BIGINT) AS hsh
+      FROM vpacked
+    ),
+    vmatch AS (
+      SELECT a.aid AS d1, b.aid AS d2, a.f AS f1, b.f AS f2
+      FROM vhashes a JOIN vhashes b ON a.aid < b.aid
+      WHERE bit_count(xor(a.hsh, b.hsh)) <= {_VIDEO_MAXHAM}
+    ),
+    vnf AS (SELECT aid, CAST(COUNT(*) AS BIGINT) AS nf FROM vhashes GROUP BY aid),
+    vvotes AS (
+      SELECT d1, d2,
+             CAST(COUNT(DISTINCT f1) AS BIGINT) AS m1,
+             CAST(COUNT(DISTINCT f2) AS BIGINT) AS m2
+      FROM vmatch GROUP BY d1, d2
+    )
+"""
+
+
+@query(
+    "multimodal_video_neardup",
+    # FULL value oracle: DuckDB replays every sampled pixel byte of
+    # EVERY frame in HUGEINT splitmix64 SQL, packs the per-frame
+    # dHashes, brute-forces ALL frame pairs across videos, and
+    # recomputes the integer containment vote — so per-frame hashing,
+    # banding losslessness AND the vote arithmetic are value-checked.
+    oracle=f"""
+    WITH {_VIDEO_CTE}
+    SELECT v.d1, v.d2, n1.nf AS n1, n2.nf AS n2, v.m1, v.m2
+    FROM vvotes v
+    JOIN vnf n1 ON v.d1 = n1.aid
+    JOIN vnf n2 ON v.d2 = n2.aid
+    WHERE 2 * v.m1 >= n1.nf OR 2 * v.m2 >= n2.nf
+    """,
+    doc="MULTI-FRAME video near-dup — closes the single-frame hole "
+    "(dhash_images hashes only frame 0, so a re-encode with a trimmed "
+    "intro defeats it): every frame of every video gets its own 64-bit "
+    "dHash (multimodal/ops.py dhash_frames — NN-upscale-invariant per "
+    "frame), frame MATCHES come from the same pigeonhole band "
+    "equi-joins as every other fingerprint (never all-frame-pairs), "
+    "and a FRAME-SET CONTAINMENT VOTE pairs two videos iff at least "
+    "half of EITHER side's frames have a hamming<=3 match on the "
+    "other (integer cross-multiplied — no float division; the "
+    "containment direction catches short-inside-long). The asset "
+    "table seeds true trimmed re-encodes: every 10th video reappears "
+    "minus its first frame, 2x-upscaled with sparse per-frame pixel "
+    "inversions (multimodal/assets.py synthetic_videos_with_variants) "
+    "— zero of those survive first-frame hashing, all pair here "
+    "(operators/dedup.py frameset_containment_pairs).",
+    tags=("multimodal", "video", "dedup", "phash", "scale"),
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import dhash_frames, synthetic_videos_with_variants
+    from ..operators.dedup import frameset_containment_pairs
+
+    assets = synthetic_videos_with_variants(spark, sf_dir)
+    frames = dhash_frames(assets)
+    return frameset_containment_pairs(frames, max_hamming=_VIDEO_MAXHAM, bits=64)

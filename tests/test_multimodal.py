@@ -258,3 +258,87 @@ def test_audio_fingerprint_volume_invariant(spark, sf_dir):
     for i in range(30):
         d = bin((got[i] ^ got[i + 1000]) & ((1 << 64) - 1)).count("1")
         assert d <= 2, (i, d)
+
+
+def test_video_variants_defeat_first_frame_hash(spark, sf_dir):
+    """The scenario multi-frame voting exists for: a trimmed re-encode
+    shares NO first frame with its original, so first-frame dHash
+    pairing finds zero variant pairs — while the frame-set containment
+    vote finds every planted one."""
+    from data_pipeline_csv_spark.multimodal import (
+        dhash_frames,
+        dhash_images,
+        synthetic_videos_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import (
+        frameset_containment_pairs,
+        hamming_neardup_pairs,
+    )
+
+    assets = synthetic_videos_with_variants(spark, sf_dir).persist()
+    planted = {
+        (r["asset_id"], r["asset_id"] + 10_000_000)
+        for r in assets.filter("asset_id % 10 = 0 AND asset_id < 10000000")
+        .select("asset_id")
+        .collect()
+    }
+    assert planted
+    # first-frame hashing: zero planted pairs survive the trim
+    ff = {
+        (r["d1"], r["d2"])
+        for r in hamming_neardup_pairs(dhash_images(assets), max_hamming=3).collect()
+    }
+    assert not (ff & planted)
+    # frame-set containment vote: high recall on the planted pairs
+    # (perceptual recall < 1 by nature — the sparse pixel damage
+    # pushes SOME frames past hamming 3, and a 3-4 frame variant
+    # needs half of them to match; measured 45/50 at sf0.001, same
+    # as the image-variant query) and zero false pairs.
+    votes = frameset_containment_pairs(dhash_frames(assets), max_hamming=3)
+    got = {(r["d1"], r["d2"]) for r in votes.collect()}
+    assert len(got & planted) >= 0.85 * len(planted)
+    assert got <= planted  # nothing but true re-encodes pairs
+    assets.unpersist()
+
+
+def test_frameset_vote_equals_bruteforce(spark, sf_dir):
+    """Banding losslessness + vote arithmetic vs a driver-side brute
+    force over all frame pairs."""
+    from collections import defaultdict
+
+    from data_pipeline_csv_spark.multimodal import (
+        dhash_frames,
+        synthetic_videos_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import frameset_containment_pairs
+
+    frames = dhash_frames(synthetic_videos_with_variants(spark, sf_dir)).persist()
+    rows = frames.collect()
+    by_vid = defaultdict(list)
+    for r in rows:
+        by_vid[r["asset_id"]].append((r["frame_no"], r["fhash"]))
+    vids = sorted(by_vid)
+    want = set()
+    for i, v1 in enumerate(vids):
+        for v2 in vids[i + 1 :]:
+            m1 = {
+                f1
+                for f1, h1 in by_vid[v1]
+                for _f2, h2 in by_vid[v2]
+                if bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 3
+            }
+            m2 = {
+                f2
+                for f2, h2 in by_vid[v2]
+                for _f1, h1 in by_vid[v1]
+                if bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 3
+            }
+            n1, n2 = len(by_vid[v1]), len(by_vid[v2])
+            if m1 and (2 * len(m1) >= n1 or 2 * len(m2) >= n2):
+                want.add((v1, v2, n1, n2, len(m1), len(m2)))
+    got = {
+        (r["d1"], r["d2"], r["n1"], r["n2"], r["m1"], r["m2"])
+        for r in frameset_containment_pairs(frames, max_hamming=3).collect()
+    }
+    assert got == want
+    frames.unpersist()
