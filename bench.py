@@ -192,6 +192,21 @@ HEADLINE = [
     #   cost is dominated by the per-epoch drain machinery, by design
     #   (the state math is constant-size).
     "streaming_distinct_kmv",
+    # r10 debuts, tracked from their first round:
+    # - multi-frame video near-dup: encode originals + trimmed
+    #   2x-upscaled variants, per-frame dHash over every frame, band
+    #   equi-join frame matches + integer containment vote. ~6x the
+    #   frame count of the image entry, so expect ~2-4x its time.
+    "multimodal_video_neardup",
+    # - IVF retrain audit: layout build on the biased half + one
+    #   append + the drift-targeted refit are amortized per corpus
+    #   version (first iteration builds; min-of-3 measures the
+    #   post-retrain probe + the exact brute-force truth side).
+    "similarity_ivf_retrain",
+    # - incremental z-order: base layout + append + dirty-bucket
+    #   compaction amortized per corpus version; min-of-3 measures the
+    #   pruned 2-D box scan against the compacted layout.
+    "layout_zorder_compacted_scan",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -226,6 +241,22 @@ HEADLINE = [
 # build now also writes a per-list stats sidecar (one extra broadcast
 # join + nlists-row agg at BUILD time, amortized by ivf_layout_cached,
 # so warm serving numbers should not move).
+# r10 engine-side deltas to expect:
+# - similarity_ivf_append: the append is now a crash-safe idempotent
+#   batch commit (stage -> manifest -> prefixed file move -> atomic
+#   generation-committed sidecar). The assignment job runs ONCE (it
+#   used to run twice: once for the report agg, once for the write);
+#   the report/stats jobs are O(batch) re-reads of the staged files —
+#   net shape is comparable, small constant extra for the stage+move.
+# - layout_zorder_pruned_scan: the quantization grid is derived from
+#   parquet footer stats (metadata-only; driver-side, not timed work
+#   moved into Spark) — the covering-bucket count for the same query
+#   box may differ from r9's hard-coded grid, so the bucket-prune
+#   fraction (and the scan time with it) can move either way a little.
+# - bench EMISSION (r9 verdict #1): the final printed line is now the
+#   compact driver contract only; the full payload (mins, medians,
+#   phases) goes to the committed BENCH_DETAIL_r{N}.json. No timing
+#   semantics changed.
 
 
 def _canary(spark, sf_dir):
@@ -354,7 +385,7 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         breakdown = phases
 
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -365,7 +396,44 @@ def main() -> None:
         "sf": float(sf),
     }
     if breakdown:
-        out["streaming_neardup_phases"] = breakdown
+        detail["streaming_neardup_phases"] = breakdown
+
+    # r10 emission fix (BENCH_r09 "parsed": null): the single final
+    # JSON line had grown past the driver's ~2 KB tail-capture window
+    # (52 mins + 52 medians + canary + phases), so the driver could
+    # not parse it and the r9 per-query mins were lost from the
+    # artifact. The full payload now goes to a COMMITTED detail file
+    # (BENCH_DETAIL_r{N}.json, round inferred from the BENCH_r*.json
+    # artifacts already on disk) and the final printed line carries
+    # only the compact driver contract — well under any tail window.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import glob
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        detail_name = f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json" if rounds else "BENCH_DETAIL.json"
+    except Exception:
+        detail_name = "BENCH_DETAIL.json"
+    detail_path = os.path.join(repo_dir, detail_name)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "canary_sec": detail["canary_sec"],
+        "canary_median_sec": detail["canary_median_sec"],
+        "n_queries": len(headline),
+        "detail_file": detail_name,
+    }
     print(json.dumps(out))
 
 

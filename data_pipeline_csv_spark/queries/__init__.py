@@ -38,96 +38,97 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-9 rotation, three parts:
+# Round-10 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the three DEBUTS multimodal_phash_neardup (perceptual
-#     dHash near-dup with 4x16-bit pigeonhole banding, full HUGEINT
-#     splitmix64 replay oracle + brute-force pair verification),
-#     similarity_ivf_append (incremental IVF maintenance: append into
-#     the existing partitioned layout + per-list stats sidecar + drift
-#     report, bounds oracle) and streaming_distinct_kmv (the KMV
-#     sketch folded through the generation-committed state — union is
-#     KMV's merge rule, so batch == streaming bit-identically; full
-#     value oracle); plus the CHANGED graph_label_propagation (the
-#     per-round argmax window is now a fused max_by aggregate —
-#     identical output, new code path) and similarity_ann_ivf_ondisk /
-#     similarity_ann_pq_rerank (write_ivf_layout now also writes the
-#     _list_stats sidecar at build time — serving unchanged, but the
+#     round — the three DEBUTS multimodal_video_neardup (per-frame
+#     dHash + pigeonhole band frame matches + integer frame-set
+#     containment vote; full multi-frame splitmix64 replay oracle),
+#     similarity_ivf_retrain (drift-signal-driven cell refit:
+#     warm-started Lloyd over ONLY the drifted lists, per-list dir
+#     swap, untouched lists byte-identical; bounds oracle) and
+#     layout_zorder_compacted_scan (zorder_append of unclustered rows
+#     + dirty-bucket-only compaction; FULL value oracle); plus the
+#     CHANGED similarity_ivf_append (r10 rewrite: crash-safe
+#     idempotent batch commit — staging manifest + b<batch>- file
+#     prefix sweep + atomic generation-committed sidecar carrying the
+#     applied-batch record; carry/partition-col plumbing with
+#     fail-fast schema checks), layout_zorder_pruned_scan (the
+#     quantization grid is now DERIVED FROM COLUMN STATS via the
+#     parquet footers, with both quantizers clamped — r9 ADVICE), and
+#     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
+#     similarity_ann_filtered (write_ivf_layout's stats sidecar is now
+#     generation-committed with an n_drift column — serving unchanged,
 #     build path they amortize is new code).
-# (b) the 13 entries whose latest driver row was r04 — the carryover
-#     the r8 rotation scheduled for this window (q1/q3/q5/q9,
-#     profile_lineitem, corpus_split_report, cdc_scd2_history,
-#     events_daily_pivot, window_events_suite/lag_lead/moving_avg,
-#     sketch_distinct_customers/price_quantiles). After this round no
-#     entry's latest driver row is older than r06.
-# (c) union RECENCY: 24 of the 41 entries whose latest driver row is
-#     r06, oldest-first priority. The 17 left for the r10 window are
-#     the lowest-risk untouched single-concept relational queries
+# (b) the 17 entries whose latest driver row is r06 — exactly the
+#     carryover the r9 rotation scheduled for this window
 #     (filter_project, distinct_order_attrs, left_join_order_counts,
-#     semi_join_active_customers, anti_join_never_urgent,
-#     semi_anti_customers, full_outer_nation_activity, rollup_returns,
-#     cube_order_status, scalar_functions, q22_sales_opportunity,
-#     q18_large_volume_customers, q8_market_share, date_functions,
+#     semi/anti/semi_anti, full_outer_nation_activity, rollup_returns,
+#     cube_order_status, scalar/date_functions, q8/q18/q22,
 #     promo_revenue_share, count_distinct_parts,
-#     topk_expensive_orders) —
-#     every one a thin wrapper
-#     over one or two Spark relational operators whose siblings stay
-#     green every round.
+#     topk_expensive_orders). After this round no entry's latest
+#     driver row is older than r07.
+# (c) union RECENCY: 25 of the 43 entries whose latest driver row is
+#     r07, in registry order. The 18 left for the r11 window are the
+#     TPC-H single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/
+#     q16/q17/q19/q20/q21 plus window_orders_suite /
+#     window_running_revenue / window_distribution / window_first_last
+#     — every one a thin wrapper over relational operators whose
+#     siblings stay green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (13) ---
-    "multimodal_phash_neardup",
-    "multimodal_phash_incremental",
-    "multimodal_audio_fingerprint",
-    "text_hybrid_retrieval_rrf",
-    "events_pit_join",
-    "similarity_ann_filtered",
-    "layout_zorder_pruned_scan",
-    "events_session_pmi",
+    # --- new or changed implementations this round (8) ---
+    "multimodal_video_neardup",
+    "similarity_ivf_retrain",
+    "layout_zorder_compacted_scan",
     "similarity_ivf_append",
-    "streaming_distinct_kmv",
-    "graph_label_propagation",
+    "layout_zorder_pruned_scan",
     "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
-    # --- last driver-verified in r04 (13) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "profile_lineitem",
-    "corpus_split_report",
-    "cdc_scd2_history",
-    "events_daily_pivot",
-    "window_events_suite",
-    "window_lag_lead",
-    "window_moving_avg",
-    "sketch_distinct_customers",
-    "sketch_price_quantiles",
-    # --- last driver-verified in r06 (31 of 41) ---
-    "percentiles_order_value",
-    "skew_salted_join_priority",
-    "udf_scalar_normalize_name",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cc_clusters",
-    "dedup_dup_spans",
-    "dedup_span_coverage",
-    "graph_pagerank_suppliers",
-    "multimodal_decode_roundtrip",
-    "multimodal_image_features",
-    "multimodal_frame_stats",
-    "text_profile",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "corpus_dedup_keep_best",
-    "corpus_quality_funnel",
-    "corpus_decontaminate",
-    "range_join_price_bands",
-    "json_extract_props",
-    "similarity_embedding_neardup",
-    "similarity_ann_recall_audit",
-    "similarity_neardup_pruned",
-    "embedding_quantize_int8",
+    "similarity_ann_filtered",
+    # --- last driver-verified in r06 (all 17) ---
+    "filter_project",
+    "distinct_order_attrs",
+    "left_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_never_urgent",
+    "semi_anti_customers",
+    "full_outer_nation_activity",
+    "rollup_returns",
+    "cube_order_status",
+    "scalar_functions",
+    "date_functions",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "q22_sales_opportunity",
+    "promo_revenue_share",
+    "count_distinct_parts",
+    "topk_expensive_orders",
+    # --- last driver-verified in r07 (25 of 43) ---
+    "grouping_sets_orders",
+    "sample_systematic_revenue",
+    "explode_embedding_positions",
+    "unpivot_part_attrs",
+    "skew_key_diagnosis",
+    "dedup_semantic_semdedup",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "dedup_incremental_compacted",
+    "dedup_remove_spans",
+    "text_token_stats",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_bpe_merges",
+    "sample_stratified_docs",
+    "corpus_decontaminate_bloom",
+    "corpus_pack_global",
+    "corpus_dsir_select",
+    "text_chunk_windows",
+    "corpus_pack_sequences",
+    "sample_mixture_weights",
+    "setops_customer_keys",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

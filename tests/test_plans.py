@@ -596,3 +596,26 @@ def test_zorder_scan_prunes_buckets(spark, sf_dir):
     n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
     assert 0 < n_in < 64, pf  # 9 covering buckets of 256 for this box
     assert "PushedFilters" in plan
+
+
+def test_zorder_compacted_scan_prunes_buckets(spark, sf_dir):
+    """The appended-then-compacted layout keeps the pruning contract:
+    same PartitionFilters IN-set shape as the build-once layout."""
+    import re
+
+    df = REGISTRY["layout_zorder_compacted_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
+    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
+    assert 0 < n_in < 64, pf
+    assert "PushedFilters" in plan
+
+
+def test_video_neardup_no_nested_loop(spark, sf_dir):
+    """Frame matching must come from band equi-joins, never an
+    all-frame-pairs product."""
+    df = REGISTRY["multimodal_video_neardup"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
