@@ -198,6 +198,10 @@ HEADLINE = [
     #   equi-join frame matches + integer containment vote. ~6x the
     #   frame count of the image entry, so expect ~2-4x its time.
     "multimodal_video_neardup",
+    # - and its incremental twin: corpus frame-band index + broadcast
+    #   batch probe + within-batch voting (the continuous-ingestion
+    #   path for video dedup).
+    "multimodal_video_incremental",
     # - IVF retrain audit: layout build on the biased half + one
     #   append + the drift-targeted refit are amortized per corpus
     #   version (first iteration builds; min-of-3 measures the

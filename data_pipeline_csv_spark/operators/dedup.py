@@ -897,6 +897,43 @@ def hamming_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _frame_band_entries(
+    frames: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str,
+    frame_col: str,
+    hash_col: str,
+) -> DataFrame:
+    """(_vid, _f, _h, band_id, band_val) pigeonhole band entries of a
+    per-frame fingerprint frame — the index/probe unit shared by
+    :func:`frameset_containment_pairs` (full corpus) and
+    :func:`frameset_containment_probe` (incremental batch-vs-index)."""
+    bands = max_hamming + 1
+    width = bits // bands
+    mask = (
+        F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    )
+    return frames.select(
+        F.col(id_col).alias("_vid"),
+        F.col(frame_col).alias("_f"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        (
+                            F.shiftrightunsigned(F.col(hash_col), j * width)
+                        ).bitwiseAND(mask).alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_vid", "_f", "_h", "b.band_id", "b.band_val")
+
+
 def frameset_containment_pairs(
     frames: DataFrame,
     max_hamming: int = 3,
@@ -933,29 +970,9 @@ def frameset_containment_pairs(
     matched-frame counts per side — integers only, fully
     value-hashable.
     """
-    bands = max_hamming + 1
-    width = bits // bands
-    mask = (
-        F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    banded = _frame_band_entries(
+        frames, max_hamming, bits, id_col, frame_col, hash_col
     )
-    banded = frames.select(
-        F.col(id_col).alias("_vid"),
-        F.col(frame_col).alias("_f"),
-        F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        (
-                            F.shiftrightunsigned(F.col(hash_col), j * width)
-                        ).bitwiseAND(mask).alias("band_val"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("_vid", "_f", "_h", "b.band_id", "b.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     matches = (
         a.join(
@@ -980,6 +997,16 @@ def frameset_containment_pairs(
     nf = frames.groupBy(F.col(id_col).alias("_vid")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_nf")
     )
+    return _frameset_vote(matches, nf, tau_num, tau_den)
+
+
+def _frameset_vote(
+    matches: DataFrame, nf: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Per-video-pair containment vote over verified frame matches
+    (d1, d2, f1, f2): count DISTINCT matched frames per side, join the
+    per-video frame counts, keep pairs where matched/|frames| >= tau
+    on EITHER side — integer cross-multiplied, exactly replayable."""
     per_pair = matches.groupBy("d1", "d2").agg(
         F.countDistinct("f1").cast("bigint").alias("m1"),
         F.countDistinct("f2").cast("bigint").alias("m2"),
@@ -995,6 +1022,78 @@ def frameset_containment_pairs(
         )
         .select("d1", "d2", "n1", "n2", "m1", "m2")
     )
+
+
+def frameset_containment_probe(
+    corpus_frames: DataFrame,
+    new_frames: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    id_col: str = "asset_id",
+    frame_col: str = "frame_no",
+    hash_col: str = "fhash",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """INCREMENTAL multi-frame video near-dup: vote an arriving video
+    batch against the existing corpus AND within itself, without
+    re-pairing the corpus — the video member of the
+    :func:`hamming_probe_pairs` / ``incremental_neardup_pairs`` family.
+
+    Cross frame matches come from ONE band equi-join of the corpus's
+    per-frame band entries (in production, the materialized index)
+    against the batch's — broadcast when the batch is small, so the
+    corpus side never shuffles; the containment vote then needs only
+    the per-video FRAME COUNTS, which in production live beside the
+    index (one bigint per video, written at index build) and are
+    recomputed here with a single count agg (no frame content moves).
+    Within-batch pairs reuse :func:`frameset_containment_pairs` on the
+    O(batch) side only. Pigeonhole banding is lossless, so incremental
+    union within-batch equals the one-shot voting restricted to pairs
+    touching the batch (pinned by tests/test_multimodal.py::
+    test_video_incremental_equals_oneshot). ``corpus_frames`` and
+    ``new_frames`` must have disjoint video ids. Emits
+    (d1, d2, n1, n2, m1, m2), d1 < d2.
+    """
+    idx = _frame_band_entries(
+        corpus_frames, max_hamming, bits, id_col, frame_col, hash_col
+    )
+    probe = _frame_band_entries(
+        new_frames, max_hamming, bits, id_col, frame_col, hash_col
+    )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
+    swap = F.col("a._vid") > F.col("b._vid")
+    cross = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.least("a._vid", "b._vid").alias("d1"),
+            F.greatest("a._vid", "b._vid").alias("d2"),
+            F.when(swap, F.col("b._f")).otherwise(F.col("a._f")).alias("f1"),
+            F.when(swap, F.col("a._f")).otherwise(F.col("b._f")).alias("f2"),
+            F.col("a._h").alias("h1"),
+            F.col("b._h").alias("h2"),
+        )
+        .distinct()
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming)
+    )
+    nf = (
+        corpus_frames.select(F.col(id_col).alias("_vid"))
+        .unionByName(new_frames.select(F.col(id_col).alias("_vid")))
+        .groupBy("_vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nf"))
+    )
+    cross_votes = _frameset_vote(cross, nf, tau_num, tau_den)
+    within = frameset_containment_pairs(
+        new_frames, max_hamming, bits, tau_num, tau_den, id_col, frame_col, hash_col
+    )
+    return cross_votes.unionByName(within)
 
 
 # 60-bit shingle hash from the top 15 hex nibbles of md5. md5 is

@@ -216,7 +216,7 @@ def read_zorder_spec(path: str) -> dict:
         return json.load(f)
 
 
-def zorder_append(df_new: DataFrame, path: str) -> list[int]:
+def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> list[int]:
     """Append rows into an existing z-order layout: quantize with the
     LAYOUT'S spec, route into the covering bucket partitions (only
     those dirs gain files — the IVF-append isolation property), and
@@ -225,37 +225,74 @@ def zorder_append(df_new: DataFrame, path: str) -> list[int]:
     bucket: bucket membership (the pruning contract) is exact
     immediately; only row-group min/max tightness degrades until
     :func:`zorder_compact` folds the dirty buckets. Returns the dirty
-    bucket ids."""
+    bucket ids.
+
+    CRASH SAFETY / IDEMPOTENCY (the ivf_append protocol): callers pass
+    a stable ``batch_id``; the batch stages under
+    ``_staging/append-<id>/`` with a partition manifest, data files
+    move in under an ``a<id>-`` filename prefix, and a ``_batches/<id>``
+    commit record lands LAST (atomic rename). A committed replay
+    short-circuits; a crashed attempt's partial move is swept by
+    prefix before the retry, so rows cannot be appended twice."""
+    import json
     import os
     import shutil
     import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    batches_dir = os.path.join(path, "_batches")
+    record = os.path.join(batches_dir, tag)
+    staging = os.path.join(path, "_staging", f"append-{tag}")
+    if os.path.exists(record):  # committed replay: short-circuit
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(record) as f:
+            return json.load(f)["buckets"]
+
+    manifest = os.path.join(staging, "_manifest.json")
+    if os.path.exists(manifest):  # crashed attempt: sweep its partial move
+        with open(manifest) as f:
+            for b in json.load(f)["buckets"]:
+                live = os.path.join(path, f"zb={b}")
+                if os.path.isdir(live):
+                    for fn in os.listdir(live):
+                        if fn.startswith(f"a{tag}-"):
+                            os.remove(os.path.join(live, fn))
 
     spec = read_zorder_spec(path)
     xq, yq = zquant_cols(spec)
     z = zvalue(xq, yq, spec["bits"])
     zb = F.shiftrightunsigned(z, 2 * spec["bits"] - spec["prefix_bits"]).cast("int")
-    staging = os.path.join(path, "_staging", f"append-{uuid.uuid4().hex[:8]}")
+    data_dir = os.path.join(staging, "data")
     (
         df_new.withColumn("zb", zb)
         .write.mode("overwrite")
         .partitionBy("zb")
-        .parquet(staging)
+        .parquet(data_dir)
     )
     touched = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(staging)
+        for d in os.listdir(data_dir)
         if d.startswith("zb=")
     )
+    with open(manifest, "w") as f:
+        json.dump({"buckets": touched}, f)
     os.makedirs(_dirty_dir(path), exist_ok=True)
     for b in touched:  # mark dirty BEFORE the files land
         open(os.path.join(_dirty_dir(path), str(b)), "w").close()
     for b in touched:
-        src = os.path.join(staging, f"zb={b}")
+        src = os.path.join(data_dir, f"zb={b}")
         dst = os.path.join(path, f"zb={b}")
         os.makedirs(dst, exist_ok=True)
         for fn in os.listdir(src):
             if fn.endswith(".parquet"):
-                os.rename(os.path.join(src, fn), os.path.join(dst, fn))
+                os.rename(os.path.join(src, fn), os.path.join(dst, f"a{tag}-{fn}"))
+    os.makedirs(batches_dir, exist_ok=True)
+    tmp = f"{record}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"buckets": touched}, f)
+    os.replace(tmp, record)  # commit: the batch is now applied
     shutil.rmtree(staging, ignore_errors=True)
     return touched
 

@@ -67,17 +67,18 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     promo_revenue_share, count_distinct_parts,
 #     topk_expensive_orders). After this round no entry's latest
 #     driver row is older than r07.
-# (c) union RECENCY: 25 of the 43 entries whose latest driver row is
-#     r07, in registry order. The 18 left for the r11 window are the
+# (c) union RECENCY: 24 of the 43 entries whose latest driver row is
+#     r07, in registry order. The 19 left for the r11 window are the
 #     TPC-H single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/
 #     q16/q17/q19/q20/q21 plus window_orders_suite /
 #     window_running_revenue / window_distribution / window_first_last
-#     — every one a thin wrapper over relational operators whose
-#     siblings stay green every round.
+#     / setops_customer_keys — every one a thin wrapper over
+#     relational operators whose siblings stay green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (8) ---
+    # --- new or changed implementations this round (9) ---
     "multimodal_video_neardup",
+    "multimodal_video_incremental",
     "similarity_ivf_retrain",
     "layout_zorder_compacted_scan",
     "similarity_ivf_append",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "text_chunk_windows",
     "corpus_pack_sequences",
     "sample_mixture_weights",
-    "setops_customer_keys",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -588,3 +588,45 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthetic_videos_with_variants(spark, sf_dir)
     frames = dhash_frames(assets)
     return frameset_containment_pairs(frames, max_hamming=_VIDEO_MAXHAM, bits=64)
+
+
+@query(
+    "multimodal_video_incremental",
+    # Same FULL multi-frame splitmix64 replay oracle as
+    # multimodal_video_neardup, restricted to pairs TOUCHING the new
+    # batch (variants carry ids >= 10M and d1 < d2, so "d2 >= 10M"
+    # selects exactly cross + within-batch): the incremental probe
+    # must reproduce the one-shot vote for the arriving batch without
+    # re-pairing the existing corpus.
+    oracle=f"""
+    WITH {_VIDEO_CTE}
+    SELECT v.d1, v.d2, n1.nf AS n1, n2.nf AS n2, v.m1, v.m2
+    FROM vvotes v
+    JOIN vnf n1 ON v.d1 = n1.aid
+    JOIN vnf n2 ON v.d2 = n2.aid
+    WHERE (2 * v.m1 >= n1.nf OR 2 * v.m2 >= n2.nf)
+      AND v.d2 >= 10000000
+    """,
+    doc="INCREMENTAL video near-dup — the continuous-ingestion shape "
+    "of multimodal_video_neardup: the corpus's per-frame dHash band "
+    "entries act as the index, the arriving batch (the trimmed "
+    "re-encodes) is hashed, BROADCAST, and probed with one band "
+    "equi-join — the corpus side never shuffles and is never "
+    "re-paired against itself — then the containment vote runs over "
+    "matched pairs only (per-video frame counts are index metadata "
+    "in production; one count agg here), plus within-batch voting "
+    "over the O(batch) side (operators/dedup.py "
+    "frameset_containment_probe). Incremental-equals-one-shot pinned "
+    "in tests/test_multimodal.py::test_video_incremental_equals_"
+    "oneshot and value-checked here by the brute-force oracle "
+    "restricted to batch-touching pairs.",
+    tags=("multimodal", "video", "dedup", "incremental", "scale"),
+)
+def multimodal_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import dhash_frames, synthetic_videos_with_variants
+    from ..operators.dedup import frameset_containment_probe
+
+    frames = dhash_frames(synthetic_videos_with_variants(spark, sf_dir))
+    old = frames.filter(F.col("asset_id") < 10_000_000)
+    new = frames.filter(F.col("asset_id") >= 10_000_000)
+    return frameset_containment_probe(old, new, max_hamming=_VIDEO_MAXHAM, bits=64)

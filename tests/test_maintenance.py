@@ -239,3 +239,59 @@ def test_zorder_append_compact_roundtrip(spark, sf_dir, tmp_path):
     assert got == want
     # idempotent: nothing dirty -> no-op
     assert zorder_compact(spark, path) == []
+
+
+def test_zorder_append_replay_and_crash_retry(spark, sf_dir, tmp_path, monkeypatch):
+    """Idempotency + crash-safety of zorder_append (the ivf_append
+    protocol): a committed batch replays as a no-op; a crash after the
+    partial move is swept by prefix on retry — row counts exact in
+    both cases."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        write_zorder_table,
+        zorder_append,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    spec = derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = str(tmp_path / "z")
+    write_zorder_table(base, spec, path)
+    n_total = orders.count()
+
+    # replay: same batch twice lands once
+    t1 = zorder_append(incoming, path, batch_id="day-1")
+    assert zorder_append(incoming, path, batch_id="day-1") == t1
+    assert spark.read.parquet(path).count() == n_total
+
+    # crash between move and commit record: monkeypatch the commit
+    # (os.replace) to fail once for the record path only
+    incoming2 = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    real_replace = os.replace
+
+    def failing_replace(src, dst):
+        if "_batches" in str(dst):
+            raise RuntimeError("simulated crash before commit record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with _pytest.raises(RuntimeError):
+        zorder_append(incoming2, path, batch_id="day-2")
+    monkeypatch.setattr(os, "replace", real_replace)
+    t2 = zorder_append(incoming2, path, batch_id="day-2")
+    assert t2
+    got = spark.read.parquet(path).count()
+    assert got == n_total + incoming2.count()

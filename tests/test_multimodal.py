@@ -342,3 +342,36 @@ def test_frameset_vote_equals_bruteforce(spark, sf_dir):
     }
     assert got == want
     frames.unpersist()
+
+
+def test_video_incremental_equals_oneshot(spark, sf_dir):
+    """Incremental probe (corpus frame index vs arriving batch +
+    within-batch) must equal the one-shot frame-set voting restricted
+    to pairs that touch the batch — for any old/new split."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.multimodal import (
+        dhash_frames,
+        synthetic_videos_with_variants,
+    )
+    from data_pipeline_csv_spark.operators.dedup import (
+        frameset_containment_pairs,
+        frameset_containment_probe,
+    )
+
+    frames = dhash_frames(synthetic_videos_with_variants(spark, sf_dir)).persist()
+    for split in (F.col("asset_id") >= 10_000_000, F.col("asset_id") % 3 == 0):
+        new = frames.filter(split)
+        old = frames.filter(~split)
+        new_ids = {r["asset_id"] for r in new.select("asset_id").distinct().collect()}
+        got = {
+            tuple(r[c] for c in ("d1", "d2", "n1", "n2", "m1", "m2"))
+            for r in frameset_containment_probe(old, new, max_hamming=3).collect()
+        }
+        want = {
+            tuple(r[c] for c in ("d1", "d2", "n1", "n2", "m1", "m2"))
+            for r in frameset_containment_pairs(frames, max_hamming=3).collect()
+            if r["d1"] in new_ids or r["d2"] in new_ids
+        }
+        assert got == want
+    frames.unpersist()
