@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def assign_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Events with a gap-based ``session_seq`` column appended — the
+    lag -> flag -> prefix-sum composition shared by the session rollup
+    (:func:`sessionize`), the co-occurrence PMI query and the funnel
+    (:func:`funnel_counts`). Both windows and any downstream
+    session-keyed aggregate reuse one user_id exchange."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    prev_us = F.unix_micros(F.lag(ts_col).over(w))
+    cur_us = F.unix_micros(F.col(ts_col))
+    new_session = F.when(
+        prev_us.isNull() | ((cur_us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(w_run)
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -28,20 +52,87 @@ def sessionize(
     order_tiebreak: str = "event_id",
 ) -> DataFrame:
     """Assign gap-based sessions and roll up one row per session."""
-    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
-    prev_us = F.unix_micros(F.lag(ts_col).over(w))
-    cur_us = F.unix_micros(F.col(ts_col))
-    new_session = F.when(
-        prev_us.isNull() | ((cur_us - prev_us) > gap_seconds * 1_000_000), 1
-    ).otherwise(0)
-    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        events.withColumn("new_session", new_session)
-        .withColumn("session_seq", F.sum("new_session").over(w_run))
+        assign_sessions(events, gap_seconds, user_col, ts_col, order_tiebreak)
         .groupBy(user_col, "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def funnel_counts(
+    sessions: DataFrame,
+    steps: tuple,
+    key_cols: tuple = ("user_id", "session_seq"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """ORDERED funnel over session-assigned events — the
+    MATCH_RECOGNIZE-shaped product-analytics staple ("how many
+    sessions viewed, then clicked, then purchased, in that order"):
+    step k is reached iff an event of its type occurs STRICTLY AFTER
+    the earliest completion of step k-1 within the same session (and,
+    when ``within_seconds`` is set, no more than that long after it —
+    the ATTRIBUTION-WINDOW funnel: "clicked within 24 h of the first
+    view"). With ``key_cols=("user_id",)`` the funnel runs user-level
+    over all time instead of per session.
+
+    Spark-first shape: no UDF, no per-session collect_list — step k's
+    frontier is ``min(ts) of type_k after the step-(k-1) frontier``,
+    computed as one session-keyed join + aggregate per step. All k
+    joins and aggregates share the session-key partitioning (one
+    exchange lineage), and each step's frontier frame shrinks
+    monotonically, so the funnel costs k passes over an
+    ever-smaller keyed frame — never a per-session sort or state
+    machine. Earliest-completion semantics is the standard greedy
+    funnel: matching the EARLIEST step-(k-1) frontier maximizes the
+    set of sessions that can reach step k (any later match only
+    shrinks what can follow), so greedy == existential here.
+
+    Returns ONE row: (n_sessions, n_step_1 .. n_step_k) — bigint
+    session counts, exactly replayable in SQL.
+    """
+    keys = list(key_cols)
+    total = (
+        sessions.select(*keys)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    out = total
+    frontier = (
+        sessions.filter(F.col(type_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        out = out.crossJoin(
+            F.broadcast(
+                frontier.agg(
+                    F.count(F.lit(1)).cast("bigint").alias(f"n_step_{i - 1}")
+                )
+            )
+        )
+        cond = F.col(ts_col) > F.col("_t")
+        if within_seconds is not None:
+            cond = cond & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_t"))
+                <= within_seconds * 1_000_000
+            )
+        frontier = (
+            sessions.filter(F.col(type_col) == step)
+            .join(frontier, keys)
+            .filter(cond)
+            .groupBy(*keys)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+    return out.crossJoin(
+        F.broadcast(
+            frontier.agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_step_{len(steps)}")
+            )
         )
     )

@@ -545,3 +545,60 @@ def events_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pmi_fp"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    # FULL value oracle: each step's frontier replayed as a correlated
+    # min-after join with the same 24 h attribution window — identical
+    # greedy-earliest semantics, single-row integer output. Counts
+    # form a real gradient at every SF (sf0.01: 150 users -> 150 view
+    # -> 60 click-within-24h -> 25 purchase-within-24h).
+    oracle="""
+    WITH sess AS (SELECT user_id, ts, event_type FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t
+      FROM sess WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM sess e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t) <= CAST(86400 AS BIGINT) * 1000000
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM sess e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND epoch_us(e.ts) - epoch_us(s2.t) <= CAST(86400 AS BIGINT) * 1000000
+      GROUP BY 1
+    )
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM sess) AS n_sessions,
+      (SELECT COUNT(*) FROM s1) AS n_step_1,
+      (SELECT COUNT(*) FROM s2) AS n_step_2,
+      (SELECT COUNT(*) FROM s3) AS n_step_3
+    """,
+    doc="ORDERED attribution-window funnel (view -> click -> purchase, "
+    "each step within 24 h of the previous) — the MATCH_RECOGNIZE-"
+    "shaped product-analytics staple: step k counts only if its event "
+    "occurs STRICTLY AFTER the earliest completion of step k-1 and "
+    "inside the attribution window (greedy-earliest == existential: "
+    "the earliest frontier maximizes what can follow it). Spark-first: "
+    "no UDF, no per-user state machine — step k's frontier is "
+    "min(ts)-after-frontier via one user-keyed join + agg per step, "
+    "all sharing one exchange lineage, each frontier frame shrinking "
+    "monotonically (operators/sessionize.py funnel_counts; the same "
+    "operator runs per-session funnels with "
+    "key_cols=('user_id','session_seq')).",
+    tags=("events", "funnel", "window"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import funnel_counts
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    return funnel_counts(
+        ev,
+        steps=("view", "click", "purchase"),
+        key_cols=("user_id",),
+        within_seconds=86400,
+    )

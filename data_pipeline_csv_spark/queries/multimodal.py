@@ -630,3 +630,41 @@ def multimodal_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = frames.filter(F.col("asset_id") < 10_000_000)
     new = frames.filter(F.col("asset_id") >= 10_000_000)
     return frameset_containment_probe(old, new, max_hamming=_VIDEO_MAXHAM, bits=64)
+
+
+@query(
+    "multimodal_audio_incremental",
+    # Same FULL PCM replay oracle as multimodal_audio_fingerprint,
+    # restricted to pairs TOUCHING the new batch (variants carry ids
+    # >= 10M and d1 < d2, so "d2 >= 10M" selects exactly cross +
+    # within-batch).
+    oracle=f"""
+    WITH {_AFP_CTE}
+    SELECT a.aid AS d1, b.aid AS d2,
+           CAST(bit_count(xor(a.hsh, b.hsh)) AS INT) AS hamming
+    FROM ahashes a JOIN ahashes b ON a.aid < b.aid
+    WHERE bit_count(xor(a.hsh, b.hsh)) <= {_AFP_MAXHAM}
+      AND b.aid >= 10000000
+    """,
+    doc="INCREMENTAL audio dedup — the continuous-ingestion shape of "
+    "multimodal_audio_fingerprint, completing the incremental matrix "
+    "(text batches, image phash, video frame-sets, now audio): the "
+    "corpus's fingerprint band entries act as the index, the arriving "
+    "batch (the sample-dropout re-uploads) is fingerprinted, "
+    "BROADCAST, and probed with one band equi-join — the corpus side "
+    "never shuffles or re-pairs — plus within-batch pairs over the "
+    "O(batch) side (operators/dedup.py hamming_probe_pairs, the same "
+    "generic prober as the image path). Value-checked by the "
+    "brute-force PCM replay oracle restricted to batch-touching pairs.",
+    tags=("multimodal", "audio", "dedup", "incremental", "scale"),
+)
+def multimodal_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import audio_fingerprint, synthetic_audio_with_variants
+    from ..operators.dedup import hamming_probe_pairs
+
+    fp = audio_fingerprint(synthetic_audio_with_variants(spark, sf_dir))
+    old = fp.filter(F.col("asset_id") < 10_000_000)
+    new = fp.filter(F.col("asset_id") >= 10_000_000)
+    return hamming_probe_pairs(
+        old, new, max_hamming=_AFP_MAXHAM, bits=64, hash_col="afp"
+    )
