@@ -669,3 +669,112 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_span_coverage
 
     return dup_span_coverage(balanced(spark, load_table(spark, sf_dir, "documents")))
+
+
+_LEAKAGE_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _leakage_split_oracle() -> str:
+    from ..operators.sampling import split_assign_sql_case
+
+    case = split_assign_sql_case(_LEAKAGE_SPLIT_WEIGHTS, "canonical_id")
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 AS u, d2 AS v FROM nd UNION SELECT d2, d1 FROM nd),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    labels AS (SELECT node AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY node),
+    canon AS (
+      SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    assigned AS (SELECT doc_id, canonical_id, {case} AS split FROM canon),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs
+      FROM nd
+      JOIN assigned a1 ON nd.d1 = a1.doc_id
+      JOIN assigned a2 ON nd.d2 = a2.doc_id
+      WHERE a1.split <> a2.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+           leak_pairs
+    FROM assigned, leak
+    GROUP BY split, leak_pairs
+    """
+
+
+@query(
+    "corpus_split_leakage_safe",
+    # FULL value oracle: near-dup clusters replayed by the recursive-
+    # CTE reachability of dedup_cc_clusters (singletons = their own
+    # cluster), the split CASE applied to the CLUSTER id with the same
+    # 32-bit mixer, the per-split report recomputed, and the leak
+    # count (near-dup pairs straddling splits) emitted — 0 by
+    # construction, and the oracle would catch any regression that
+    # broke the invariant.
+    oracle=_leakage_split_oracle(),
+    doc="LEAKAGE-SAFE train/val/test split — the eval-hygiene step "
+    "plain per-doc hashing misses: a near-duplicate of a training "
+    "document landing in test inflates eval scores, so the split "
+    "must assign whole NEAR-DUP CLUSTERS, not documents. Jaccard>=0.8 "
+    "pairs -> connected components (the dedup_cc_clusters machinery; "
+    "docs with no near-dup are their own cluster) -> the deterministic "
+    "hash split applied to the CANONICAL id, so every member of a "
+    "cluster lands in the same split by construction. Reports per "
+    "split (n_docs, n_clusters) plus the cross-split near-dup pair "
+    "count, which is structurally ZERO — the property the operator "
+    "exists for, value-checked by the oracle.",
+    tags=("dedup", "split", "training-data", "graph", "pipeline"),
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.sampling import split_assign
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    cc = connected_components(pairs, src="d1", dst="d2")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    assigned = split_assign(labeled, _LEAKAGE_SPLIT_WEIGHTS, id_col="canonical_id")
+    leak = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
+            "d1",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
+            "d2",
+        )
+        .filter(F.col("s1") != F.col("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("canonical_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

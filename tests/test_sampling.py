@@ -193,3 +193,38 @@ def test_pack_chunks_global_equals_global_window(spark):
     plan = buf.getvalue()
     assert "hashpartitioning(_b" in plan  # bucket-local windows
     assert plan.count("Exchange SinglePartition") <= 1  # offsets only
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """Every near-dup cluster lands entirely inside ONE split, and the
+    assignment depends only on cluster ids (stable across re-runs)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.components import connected_components
+    from data_pipeline_csv_spark.operators.dedup import ngram_jaccard_pairs
+    from data_pipeline_csv_spark.operators.sampling import split_assign
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    cc = connected_components(pairs, src="d1", dst="d2")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a1 = split_assign(labeled, weights, id_col="canonical_id")
+    per_cluster = a1.groupBy("canonical_id").agg(
+        F.countDistinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n")
+    )
+    rows = per_cluster.collect()
+    assert all(r["n_splits"] == 1 for r in rows)
+    assert any(r["n"] > 1 for r in rows)  # real multi-doc clusters exist
+    # determinism: re-running yields identical assignments
+    a2 = {r["doc_id"]: r["split"] for r in split_assign(labeled, weights, id_col="canonical_id").collect()}
+    for r in a1.collect():
+        assert a2[r["doc_id"]] == r["split"]
