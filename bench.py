@@ -202,6 +202,15 @@ HEADLINE = [
     #   batch probe + within-batch voting (the continuous-ingestion
     #   path for video dedup).
     "multimodal_video_incremental",
+    # - audio incremental probe: the same generic hamming prober as
+    #   the image path over acoustic fingerprints.
+    "multimodal_audio_incremental",
+    # - attribution-window funnel: k user-keyed join+agg passes over
+    #   monotonically shrinking frontier frames.
+    "events_funnel_conversion",
+    # - leakage-safe split: jaccard pairs + connected components +
+    #   cluster-keyed hash split + the zero-leak audit join.
+    "corpus_split_leakage_safe",
     # - IVF retrain audit: layout build on the biased half + one
     #   append + the drift-targeted refit are amortized per corpus
     #   version (first iteration builds; min-of-3 measures the

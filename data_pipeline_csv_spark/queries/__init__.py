@@ -40,21 +40,29 @@ from . import (  # noqa: F401, E402  (registration side effect)
 
 # Round-10 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the three DEBUTS multimodal_video_neardup (per-frame
+#     round — the seven DEBUTS multimodal_video_neardup (per-frame
 #     dHash + pigeonhole band frame matches + integer frame-set
 #     containment vote; full multi-frame splitmix64 replay oracle),
-#     similarity_ivf_retrain (drift-signal-driven cell refit:
-#     warm-started Lloyd over ONLY the drifted lists, per-list dir
-#     swap, untouched lists byte-identical; bounds oracle) and
-#     layout_zorder_compacted_scan (zorder_append of unclustered rows
-#     + dirty-bucket-only compaction; FULL value oracle); plus the
-#     CHANGED similarity_ivf_append (r10 rewrite: crash-safe
-#     idempotent batch commit — staging manifest + b<batch>- file
-#     prefix sweep + atomic generation-committed sidecar carrying the
-#     applied-batch record; carry/partition-col plumbing with
-#     fail-fast schema checks), layout_zorder_pruned_scan (the
-#     quantization grid is now DERIVED FROM COLUMN STATS via the
-#     parquet footers, with both quantizers clamped — r9 ADVICE), and
+#     multimodal_video_incremental (corpus frame-band index +
+#     broadcast batch probe; oracle restricted to batch-touching
+#     pairs), multimodal_audio_incremental (the same probe shape over
+#     acoustic fingerprints), events_funnel_conversion (ordered
+#     attribution-window funnel, greedy-earliest frontier; full value
+#     oracle), corpus_split_leakage_safe (split assigned per near-dup
+#     CLUSTER so no near-dup pair straddles train/test; full value
+#     oracle incl. the zero-leak count), similarity_ivf_retrain
+#     (drift-signal-driven cell refit: warm-started Lloyd over ONLY
+#     the drifted lists, per-list dir swap, untouched lists
+#     byte-identical; bounds oracle) and layout_zorder_compacted_scan
+#     (zorder_append of unclustered rows + dirty-bucket-only
+#     compaction; FULL value oracle); plus the CHANGED
+#     similarity_ivf_append (r10 rewrite: crash-safe idempotent batch
+#     commit — staging manifest + b<batch>- file prefix sweep +
+#     atomic generation-committed sidecar carrying the applied-batch
+#     record; carry/partition-col plumbing with fail-fast schema
+#     checks), layout_zorder_pruned_scan (the quantization grid is
+#     now DERIVED FROM COLUMN STATS via the parquet footers, with
+#     both quantizers clamped — r9 ADVICE), and
 #     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
 #     similarity_ann_filtered (write_ivf_layout's stats sidecar is now
 #     generation-committed with an n_drift column — serving unchanged,
@@ -67,18 +75,22 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     promo_revenue_share, count_distinct_parts,
 #     topk_expensive_orders). After this round no entry's latest
 #     driver row is older than r07.
-# (c) union RECENCY: 24 of the 43 entries whose latest driver row is
-#     r07, in registry order. The 19 left for the r11 window are the
+# (c) union RECENCY: 21 of the 43 entries whose latest driver row is
+#     r07, in registry order. The 22 left for the r11 window are the
 #     TPC-H single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/
 #     q16/q17/q19/q20/q21 plus window_orders_suite /
 #     window_running_revenue / window_distribution / window_first_last
-#     / setops_customer_keys — every one a thin wrapper over
+#     / setops_customer_keys / corpus_pack_sequences /
+#     sample_mixture_weights / text_chunk_windows — every one a thin wrapper over
 #     relational operators whose siblings stay green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (9) ---
+    # --- new or changed implementations this round (12) ---
     "multimodal_video_neardup",
     "multimodal_video_incremental",
+    "multimodal_audio_incremental",
+    "events_funnel_conversion",
+    "corpus_split_leakage_safe",
     "similarity_ivf_retrain",
     "layout_zorder_compacted_scan",
     "similarity_ivf_append",
@@ -104,7 +116,7 @@ _PRIORITY = [
     "promo_revenue_share",
     "count_distinct_parts",
     "topk_expensive_orders",
-    # --- last driver-verified in r07 (25 of 43) ---
+    # --- last driver-verified in r07 (21 of 43) ---
     "grouping_sets_orders",
     "sample_systematic_revenue",
     "explode_embedding_positions",
@@ -126,9 +138,6 @@ _PRIORITY = [
     "corpus_decontaminate_bloom",
     "corpus_pack_global",
     "corpus_dsir_select",
-    "text_chunk_windows",
-    "corpus_pack_sequences",
-    "sample_mixture_weights",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -44,13 +44,18 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(ROOT, ".scale_sf1")
 REPLICAS = 10
 
+# Per-round focus: the round's NEW operators (is the fresh machinery
+# sublinear?) plus one cross-round anchor (embedding_pca_project — the
+# flattest r9 scaler; if IT moves, the host moved). The r9 set
+# (streaming_dedup_neardup, streaming_heavy_hitters,
+# graph_label_propagation, graph_pagerank_suppliers,
+# streaming_cdc_upsert) is recorded in SCALE_SPOTCHECK_r09.json.
 QUERIES = [
-    "streaming_dedup_neardup",
-    "streaming_heavy_hitters",
-    "graph_label_propagation",
-    "graph_pagerank_suppliers",
+    "multimodal_video_neardup",
+    "multimodal_video_incremental",
+    "similarity_ivf_retrain",
+    "layout_zorder_compacted_scan",
     "embedding_pca_project",
-    "streaming_cdc_upsert",
 ]
 
 
@@ -132,7 +137,16 @@ def main() -> None:
         out[name] = row
         print(name, row, flush=True)
     rec = {"metric": "scale_spotcheck", "replicas": REPLICAS, "queries": out}
-    with open(os.path.join(ROOT, "SCALE_SPOTCHECK_r09.json"), "w") as f:
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = max(rounds) + 1 if rounds else 0
+    with open(os.path.join(ROOT, f"SCALE_SPOTCHECK_r{n:02d}.json"), "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec))
 
