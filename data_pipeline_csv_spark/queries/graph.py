@@ -245,3 +245,76 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
     return label_propagation(_edges(spark, sf_dir), iterations=_LPA_ITERS)
+
+
+@query(
+    "graph_triangle_count",
+    # FULL value oracle: the exact fixed-point cosine pair join
+    # rebuilds the similarity edges, a 3-way self-join counts every
+    # triangle, wedges come from the degree aggregate, and the
+    # clustering coefficient is the same floor-1e6 fixed point.
+    oracle="""
+    WITH ce AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e14) AS BIGINT)) AS nrm
+      FROM ce GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             SUM(CAST(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e14) AS BIGINT)) AS dxy
+      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT d1 AS u, d2 AS v FROM dots
+      JOIN norms n1 ON d1 = n1.vec_id
+      JOIN norms n2 ON d2 = n2.vec_id
+      WHERE CAST(dxy AS DOUBLE) / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.25
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM e e1 JOIN e e2 ON e1.v = e2.u
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(FLOOR(3000000.0 * n_triangles / n_wedges) AS BIGINT)
+                ELSE 0 END AS clustering_fp
+    FROM agg
+    """,
+    doc="TRIANGLE COUNT + global clustering coefficient over the "
+    "semantic-similarity graph (edges = exact fixed-point cosine >= "
+    "0.25 pairs — a local-density diagnostic for embedding corpora: "
+    "high clustering marks redundant content families, near-zero "
+    "marks background). Degree-oriented node-iterator counting "
+    "(Schank-Wagner 2005 / Suri-Vassilvitskii WWW 2011): every edge "
+    "directed from its lower-(degree, id) endpoint, so each triangle "
+    "is generated by exactly ONE wedge at its lowest-ranked vertex "
+    "and per-node wedge work is bounded O(sqrt(m)) — the celebrity-"
+    "hub mitigation that makes the self-join survive skewed degree "
+    "distributions at 100 TB (operators/graph.py triangle_stats; "
+    "orientation equivalence pinned by tests/test_graph.py).",
+    tags=("graph", "similarity", "triangles", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+    from ..operators.similarity import embedding_cosine_neardup
+    from ..sources.tables import balanced
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    edges = embedding_cosine_neardup(corpus, threshold=0.25).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    )
+    return triangle_stats(edges)

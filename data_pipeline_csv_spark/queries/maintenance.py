@@ -383,3 +383,99 @@ def layout_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_pruned_scan(
         spark, path, 200000, 250000, date(1997, 1, 1), date(1997, 12, 31)
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+_DPP_CACHE: dict = {}
+
+
+def _dpp_layout_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once lineitem layout partitioned by ship MONTH — the
+    date-partitioned fact table every warehouse keeps; 83 month
+    partitions at this data's 1995-2001 span."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _DPP_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_smonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    path = tempfile.mkdtemp(prefix="sg_dpp_")
+    li.write.mode("overwrite").partitionBy("l_smonth").parquet(path)
+    _DPP_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_dpp_scan",
+    # FULL value oracle: the calendar dim and the quarter filter are
+    # replayed verbatim, the join becomes a month IN-set, revenue is
+    # the canonical fixed-point sum.
+    oracle="""
+    WITH cal AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+    ),
+    dim AS (
+      SELECT month FROM cal
+      WHERE substr(month, 1, 4) || 'Q' ||
+            CAST(CAST(ceil(CAST(substr(month, 6, 2) AS INT) / 3.0) AS INT) AS VARCHAR)
+            = '1997Q2'
+    )
+    SELECT d.month,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN dim d ON strftime(l.l_shipdate, '%Y-%m') = d.month
+    GROUP BY d.month
+    """,
+    doc="DYNAMIC PARTITION PRUNING — the warehouse star-join staple "
+    "Catalyst optimizes at RUNTIME (static pruning can't help: which "
+    "months survive the dim filter is data-dependent): lineitem "
+    "materialized partitioned by ship month (the date-partitioned "
+    "fact layout), joined on the partition column to a calendar dim "
+    "filtered to one quarter. Catalyst broadcasts the dim AND reuses "
+    "the broadcast as a dynamicpruningexpression partition filter on "
+    "the fact scan, so only the quarter's 3 of ~83 month directories "
+    "are ever opened — at 100 TB this is the difference between "
+    "scanning one quarter and the whole fact table (plan pinned "
+    "by tests/test_plans.py::test_dpp_scan_prunes_at_runtime).",
+    tags=("layout", "dpp", "join", "pruning", "scale"),
+)
+def layout_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout = _dpp_layout_cached(spark, sf_dir)
+    fact = spark.read.parquet(layout)
+    cal = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("month", 1, 4),
+                F.lit("Q"),
+                F.ceil(F.substring("month", 6, 2).cast("int") / 3.0)
+                .cast("int")
+                .cast("string"),
+            ),
+        )
+    )
+    dim = cal.filter(F.col("quarter") == "1997Q2").select("month")
+    return (
+        fact.join(dim, fact["l_smonth"] == dim["month"])
+        .groupBy("month")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

@@ -150,3 +150,36 @@ def test_label_propagation_deterministic_under_repartition(spark):
     r1 = sorted(map(tuple, label_propagation(df.repartition(5), 2).collect()))
     r2 = sorted(map(tuple, label_propagation(df.repartition(2), 2).collect()))
     assert r1 == r2
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Degree-oriented counting == brute force on seeded random graphs
+    (incl. a star hub, the orientation's worst case)."""
+    import itertools
+    import random
+
+    from data_pipeline_csv_spark.operators.graph import triangle_stats
+
+    rng = random.Random(42)
+    cases = []
+    n = 40
+    cases.append([(u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < 0.15])
+    cases.append([(0, v) for v in range(1, 30)] + [(1, 2), (2, 3), (5, 6)])  # star hub
+    cases.append([(u, v) for u in range(8) for v in range(u + 1, 8)])  # clique
+    for edges in cases:
+        eset = set(edges)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted({x for e in edges for x in e}), 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = triangle_stats(df).collect()[0]
+        assert got["n_edges"] == len(eset)
+        assert got["n_wedges"] == wedges
+        assert got["n_triangles"] == tri

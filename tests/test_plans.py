@@ -619,3 +619,12 @@ def test_video_neardup_no_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_scan_prunes_at_runtime(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression partition
+    filter (runtime month IN-set from the filtered dim broadcast)."""
+    df = REGISTRY["layout_dpp_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruningexpression" in pf[0], pf
