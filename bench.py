@@ -211,6 +211,19 @@ HEADLINE = [
     # - leakage-safe split: jaccard pairs + connected components +
     #   cluster-keyed hash split + the zero-leak audit join.
     "corpus_split_leakage_safe",
+    # - triangle count over the similarity graph: its number is
+    #   dominated by the exact blocked-GEMM edge build (the same
+    #   all-pairs side similarity_embedding_neardup tracks); the
+    #   counting itself is three keyed joins over 3k edges.
+    "graph_triangle_count",
+    # - dynamic-partition-pruning star join: month-partitioned fact
+    #   layout amortized per corpus version; min-of-3 measures the
+    #   broadcast dim + runtime-pruned 3-of-83-partition scan.
+    "layout_dpp_scan",
+    # - incremental cluster maintenance: base labeling + LSH-probed
+    #   batch pairs + the contracted-graph solve; its number carries
+    #   the base build too (not amortized — the fold is the product).
+    "dedup_cc_incremental",
     # - IVF retrain audit: layout build on the biased half + one
     #   append + the drift-targeted refit are amortized per corpus
     #   version (first iteration builds; min-of-3 measures the

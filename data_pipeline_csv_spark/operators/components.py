@@ -102,3 +102,88 @@ def connected_components(
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.least(F.min("v"), F.first("u")).alias("component")
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component labeling
+    WITHOUT re-solving the full graph — the maintenance loop of a
+    continuously-growing dedup cluster index (every arriving batch
+    produces new near-dup pairs; recomputing components over all
+    historical pairs is O(corpus) per batch and the thing this
+    operator avoids).
+
+    The standard contraction argument: components of (old graph ∪ new
+    edges) equal components of the CONTRACTED graph where every old
+    component collapses to its representative — because old components
+    stay internally connected, only the new edges can merge them. So:
+
+    1. map each new edge endpoint through the old labeling (absent
+       nodes, i.e. first-seen documents, label themselves) — O(batch)
+       join work against the (node, component) table;
+    2. run large-star/small-star on the CONTRACTED edge set — a graph
+       with one node per TOUCHED old component, not per document
+       (O(batch) edges, O(log) rounds);
+    3. propagate: every old label maps through the contracted
+       solution with one final join; min-id labels compose (the
+       contracted solution's representative of a merged group is the
+       min over its member components' min ids, which is the min over
+       their union's nodes — the same label the one-shot solve picks,
+       so incremental ≡ one-shot exactly, pinned by
+       tests/test_incremental.py::test_incremental_components_equals_oneshot).
+
+    ``labels``: (node, component) from :func:`connected_components`
+    (or a previous call of this). ``new_edges``: the batch. Returns
+    the updated (node, component) covering every previously-labeled
+    node and every node of the new edges.
+    """
+    e_new = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab_u = labels.select(F.col("node").alias("u"), F.col("component").alias("_cu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("component").alias("_cv"))
+    contracted = (
+        e_new.join(lab_u, "u", "left")
+        .join(lab_v, "v", "left")
+        .select(
+            F.coalesce(F.col("_cu"), F.col("u")).alias("u"),
+            F.coalesce(F.col("_cv"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    merged = connected_components(contracted, max_iter=max_iter)
+    # old labels re-route through the contracted solution; untouched
+    # components (absent from it) keep their label. New nodes appear
+    # either in the contracted solution directly (their edge merged
+    # nothing) or via their labeled endpoint.
+    remap = merged.select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    updated_old = (
+        labels.join(remap, labels["component"] == F.col("_old"), "left")
+        .select(
+            "node", F.coalesce(F.col("_new"), F.col("component")).alias("component")
+        )
+    )
+    known = labels.select("node")
+    new_nodes = (
+        e_new.select(F.col("u").alias("node"))
+        .unionByName(e_new.select(F.col("v").alias("node")))
+        .distinct()
+        .join(known, "node", "left_anti")
+    )
+    resolved_new = (
+        new_nodes.join(remap, new_nodes["node"] == F.col("_old"), "left")
+        .select(
+            "node", F.coalesce(F.col("_new"), F.col("node")).alias("component")
+        )
+    )
+    return updated_old.unionByName(resolved_new)

@@ -40,7 +40,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 
 # Round-10 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the seven DEBUTS multimodal_video_neardup (per-frame
+#     round — the ten DEBUTS multimodal_video_neardup (per-frame
 #     dHash + pigeonhole band frame matches + integer frame-set
 #     containment vote; full multi-frame splitmix64 replay oracle),
 #     multimodal_video_incremental (corpus frame-band index +
@@ -50,7 +50,16 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     attribution-window funnel, greedy-earliest frontier; full value
 #     oracle), corpus_split_leakage_safe (split assigned per near-dup
 #     CLUSTER so no near-dup pair straddles train/test; full value
-#     oracle incl. the zero-leak count), similarity_ivf_retrain
+#     oracle incl. the zero-leak count), graph_triangle_count
+#     (degree-oriented triangle counting + clustering coefficient over
+#     the similarity graph; full value oracle via 3-way join replay),
+#     layout_dpp_scan (month-partitioned fact joined to a filtered
+#     calendar dim — Catalyst's DYNAMIC partition pruning, plan
+#     pinned; full value oracle), dedup_cc_incremental (batch pairs
+#     folded into the existing component labeling via contraction —
+#     value-checked against the ONE-SHOT recursive-CTE oracle, so the
+#     hash match IS the incremental ≡ one-shot proof),
+#     similarity_ivf_retrain
 #     (drift-signal-driven cell refit: warm-started Lloyd over ONLY
 #     the drifted lists, per-list dir swap, untouched lists
 #     byte-identical; bounds oracle) and layout_zorder_compacted_scan
@@ -75,22 +84,28 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     promo_revenue_share, count_distinct_parts,
 #     topk_expensive_orders). After this round no entry's latest
 #     driver row is older than r07.
-# (c) union RECENCY: 21 of the 43 entries whose latest driver row is
-#     r07, in registry order. The 22 left for the r11 window are the
+# (c) union RECENCY: 18 of the 43 entries whose latest driver row is
+#     r07, in registry order. The 25 left for the r11 window are the
 #     TPC-H single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/
 #     q16/q17/q19/q20/q21 plus window_orders_suite /
 #     window_running_revenue / window_distribution / window_first_last
 #     / setops_customer_keys / corpus_pack_sequences /
-#     sample_mixture_weights / text_chunk_windows — every one a thin wrapper over
-#     relational operators whose siblings stay green every round.
+#     sample_mixture_weights / text_chunk_windows / corpus_pack_global
+#     / corpus_dsir_select / corpus_decontaminate_bloom — every one a
+#     thin wrapper over relational
+#     operators (or an already-multiply-verified pipeline composition)
+#     whose siblings stay green every round.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (12) ---
+    # --- new or changed implementations this round (15) ---
     "multimodal_video_neardup",
     "multimodal_video_incremental",
     "multimodal_audio_incremental",
     "events_funnel_conversion",
     "corpus_split_leakage_safe",
+    "graph_triangle_count",
+    "layout_dpp_scan",
+    "dedup_cc_incremental",
     "similarity_ivf_retrain",
     "layout_zorder_compacted_scan",
     "similarity_ivf_append",
@@ -116,7 +131,7 @@ _PRIORITY = [
     "promo_revenue_share",
     "count_distinct_parts",
     "topk_expensive_orders",
-    # --- last driver-verified in r07 (21 of 43) ---
+    # --- last driver-verified in r07 (18 of 43) ---
     "grouping_sets_orders",
     "sample_systematic_revenue",
     "explode_embedding_positions",
@@ -135,9 +150,6 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_bpe_merges",
     "sample_stratified_docs",
-    "corpus_decontaminate_bloom",
-    "corpus_pack_global",
-    "corpus_dsir_select",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -778,3 +778,74 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+@query(
+    "dedup_cc_incremental",
+    # FULL value oracle — and deliberately the SAME recursive-CTE
+    # reachability as dedup_cc_clusters over the WHOLE corpus's exact
+    # pairs: the one-shot answer. The Spark side computes it
+    # INCREMENTALLY (base labels + batch-touching pairs through the
+    # contraction), so the hash match IS the incremental ≡ one-shot
+    # proof on real data, not a self-comparison.
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 AS u, d2 AS v FROM nd UNION SELECT d2, d1 FROM nd),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    labels AS (SELECT node AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY node)
+    SELECT doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM labels
+    """,
+    doc="INCREMENTAL near-dup cluster maintenance — the missing loop "
+    "between incremental PAIRING (dedup_incremental_batch) and the "
+    "cluster index a dedup pipeline actually serves: an arriving "
+    "batch's pairs (LSH-probed cross side + exact within-batch) fold "
+    "into the EXISTING component labeling via contraction — old "
+    "components collapse to their representatives, large-star/small-"
+    "star runs on the contracted graph (one node per TOUCHED "
+    "component, O(batch) edges), and one join re-routes affected "
+    "labels. Per-batch cost is O(batch + touched components), never "
+    "O(all historical pairs); min-id labels compose exactly, so "
+    "incremental ≡ one-shot (operators/components.py "
+    "incremental_components; equality pinned by tests/"
+    "test_incremental.py::test_incremental_components_equals_oneshot "
+    "and value-checked here by the ONE-SHOT oracle).",
+    tags=("dedup", "graph", "components", "incremental", "scale"),
+)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.components import connected_components, incremental_components
+    from ..operators.dedup import minhash_lsh_incremental
+
+    docs = balanced(spark, load_table(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base_labels = connected_components(
+        ngram_jaccard_pairs(old, threshold=0.8), src="d1", dst="d2"
+    )
+    batch_pairs = (
+        minhash_lsh_incremental(old, new, threshold=0.8)
+        .select("d1", "d2")
+        .unionByName(ngram_jaccard_pairs(new, threshold=0.8).select("d1", "d2"))
+    )
+    updated = incremental_components(base_labels, batch_pairs, src="d1", dst="d2")
+    return updated.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(W.partitionBy("canonical_id")))

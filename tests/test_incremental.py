@@ -95,3 +95,45 @@ def test_streaming_state_merge_epoch_replay_is_idempotent(spark, tmp_path):
     out = finalize_state(state, sums={"sum_x": SCALE})
     got = {(r["k"], r["n_rows"], r["sum_x"]) for r in out.collect()}
     assert got == {("a", 2, 1.5), ("b", 1, 2.0)}
+
+
+def test_incremental_components_equals_oneshot(spark, sf_dir):
+    """Contraction-based incremental CC == one-shot CC over the union
+    graph, for several batch splits — labels (min ids) compose."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from data_pipeline_csv_spark.operators.dedup import ngram_jaccard_pairs
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2").persist()
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(all_pairs, src="d1", dst="d2").collect()
+    }
+    for mod in (5, 3):
+        # batch pairs = everything touching batch docs; base = the rest
+        touches_batch = (F.col("d1") % mod == 0) | (F.col("d2") % mod == 0)
+        new_pairs = all_pairs.filter(touches_batch)
+        base_pairs = all_pairs.filter(~touches_batch)
+        labels = connected_components(base_pairs, src="d1", dst="d2")
+        got = {
+            (r["node"], r["component"])
+            for r in incremental_components(
+                labels, new_pairs, src="d1", dst="d2"
+            ).collect()
+        }
+        assert got == want
+    # empty batch: labeling unchanged
+    empty = all_pairs.filter(F.lit(False))
+    labels = connected_components(all_pairs, src="d1", dst="d2")
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_components(labels, empty, src="d1", dst="d2").collect()
+    }
+    assert got == want
+    all_pairs.unpersist()
