@@ -266,8 +266,16 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     )
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # per-node wedge count in PURE bigint arithmetic (ADVICE r10: `/`
+    # yields doubles, so the sum loses integer exactness above 2^53
+    # total wedges — plausible at 100 TB; deg*(deg-1) is always even,
+    # so DIV 2 is exact, and the sum stays bigint end to end)
     n_wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+        F.sum(
+            F.expr("(CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1)) DIV 2")
+        )
+        .cast("bigint")
+        .alias("n_wedges")
     )
     # rank = (deg, id): total order, so the orientation is acyclic
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
@@ -301,9 +309,13 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # bigint operands end to end (ADVICE r10): DIV truncates,
+            # which equals floor for these non-negative counts; exact
+            # while 3e6 * n_triangles < 2^63 (n_triangles <= 3.07e12 —
+            # the old double product already lost exactness at ~3e9)
             F.when(
                 F.col("n_wedges") > 0,
-                F.floor(3_000_000.0 * F.col("n_triangles") / F.col("n_wedges")),
+                F.expr("(CAST(3000000 AS BIGINT) * n_triangles) DIV n_wedges"),
             )
             .otherwise(F.lit(0))
             .cast("bigint")

@@ -283,14 +283,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT
         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-        (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
         (SELECT CAST(COUNT(*) AS BIGINT)
          FROM e e1 JOIN e e2 ON e1.v = e2.u
                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
     )
     SELECT n_edges, n_wedges, n_triangles,
            CASE WHEN n_wedges > 0
-                THEN CAST(FLOOR(3000000.0 * n_triangles / n_wedges) AS BIGINT)
+                THEN CAST((3000000 * n_triangles) // n_wedges AS BIGINT)
                 ELSE 0 END AS clustering_fp
     FROM agg
     """,
