@@ -216,6 +216,84 @@ def read_zorder_spec(path: str) -> dict:
         return json.load(f)
 
 
+def _restore_retired_dirs(path: str, prefix: str) -> list[str]:
+    """Heal the compaction swap's crash window (r10 VERDICT/ADVICE):
+    the per-partition swap is rename(live -> live.retired) then
+    rename(staged -> live), so a crash BETWEEN the two renames leaves
+    the partition's rows only in the ``.retired`` dir — invisible to
+    readers, and a ``zb=5.retired`` leaf confuses partition discovery.
+    On entry every maintenance op restores any ``<prefix>*.retired``
+    whose live dir is MISSING (the crashed swap: old rows come back,
+    the dirty marker is still set, so the retry recompacts) and drops
+    any whose live dir EXISTS (the swap completed; only the cleanup
+    crashed). Returns the restored dir names. Single maintenance
+    writer per layout assumed (the append protocol's idempotency
+    tokens already require it)."""
+    import os
+    import shutil
+
+    restored = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix) or not entry.endswith(".retired"):
+            continue
+        retired = os.path.join(path, entry)
+        if not os.path.isdir(retired):
+            continue
+        live = retired[: -len(".retired")]
+        if os.path.isdir(live):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, live)
+            restored.append(os.path.basename(live))
+    return restored
+
+
+def _rollback_uncommitted_appends(path: str) -> list[str]:
+    """Roll back every UNCOMMITTED append batch before a compaction
+    (r10 ADVICE, medium): a crashed :func:`zorder_append` leaves its
+    partially-moved files identifiable only by their ``a<tag>-``
+    filename prefix, and compaction would merge them into unprefixed
+    sorted files — after which the append RETRY's sweep finds nothing
+    and re-appends the whole batch, duplicating the partially-moved
+    rows. So compaction first removes the prefixed files named by each
+    uncommitted staging manifest (returning the layout to its
+    pre-batch state; the retry re-appends the batch in full) and
+    clears the dead staging dir. Committed batches (their
+    ``_batches/<tag>`` record exists) only lose their leftover staging
+    dir. Returns the rolled-back tags."""
+    import json
+    import os
+    import shutil
+
+    staging_root = os.path.join(path, "_staging")
+    if not os.path.isdir(staging_root):
+        return []
+    rolled = []
+    for d in sorted(os.listdir(staging_root)):
+        if d.startswith("compact-"):  # uniquely named per run: any
+            # surviving one is a dead crashed-compaction staging
+            shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+            continue
+        if not d.startswith("append-"):
+            continue
+        tag = d[len("append-") :]
+        sdir = os.path.join(staging_root, d)
+        manifest = os.path.join(sdir, "_manifest.json")
+        committed = os.path.exists(os.path.join(path, "_batches", tag))
+        if not committed and os.path.exists(manifest):
+            with open(manifest) as f:
+                buckets = json.load(f)["buckets"]
+            for b in buckets:
+                live = os.path.join(path, f"zb={b}")
+                if os.path.isdir(live):
+                    for fn in os.listdir(live):
+                        if fn.startswith(f"a{tag}-"):
+                            os.remove(os.path.join(live, fn))
+            rolled.append(tag)
+        shutil.rmtree(sdir, ignore_errors=True)
+    return rolled
+
+
 def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> list[int]:
     """Append rows into an existing z-order layout: quantize with the
     LAYOUT'S spec, route into the covering bucket partitions (only
@@ -241,6 +319,10 @@ def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> 
 
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
+    # heal a crashed compaction swap FIRST: appending into a freshly
+    # recreated live dir while the old rows sit in zb=N.retired would
+    # turn the later retired-cleanup into data loss
+    _restore_retired_dirs(path, "zb=")
     tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
     batches_dir = os.path.join(path, "_batches")
     record = os.path.join(batches_dir, tag)
@@ -302,14 +384,27 @@ def zorder_compact(spark, path: str) -> list[int]:
     partition-pruned job re-sorts exactly the dirty buckets' rows by
     z-value and rewrites those partitions; every clean bucket's files
     stay byte-untouched (the tiered-compaction shape of the streaming
-    near-dup state, applied to layout maintenance). Per-bucket dir
-    swap is atomic — a crash leaves each bucket either fully old
-    (still dirty, recompacted on retry) or fully new. Returns the
-    compacted bucket ids."""
+    near-dup state, applied to layout maintenance).
+
+    CRASH SAFETY: the per-bucket swap is TWO renames (live -> retired,
+    staged -> live); a crash between them strands the bucket's rows in
+    ``zb=N.retired``. Every maintenance entry (here and
+    :func:`zorder_append`) therefore runs the
+    :func:`_restore_retired_dirs` sweep — the stranded bucket is
+    restored, its dirty marker is still set (markers clear only after
+    a completed swap), and the retry recompacts it, so each bucket is
+    ALWAYS either fully old+dirty or fully new (pinned by
+    tests/test_maintenance.py::test_zorder_compact_crash_between_renames_recovers).
+    Compaction also first ROLLS BACK uncommitted append batches
+    (:func:`_rollback_uncommitted_appends`): compacting would erase
+    their ``a<tag>-`` file prefixes and make the append retry
+    double-apply the batch. Returns the compacted bucket ids."""
     import os
     import shutil
     import uuid
 
+    _restore_retired_dirs(path, "zb=")
+    _rollback_uncommitted_appends(path)
     ddir = _dirty_dir(path)
     dirty = (
         sorted(int(b) for b in os.listdir(ddir)) if os.path.isdir(ddir) else []
@@ -372,6 +467,218 @@ def zorder_pruned_scan(
             & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-dimensional Z-order (r10 VERDICT #6): lakehouse OPTIMIZE ZORDER BY
+# takes n columns; the Morton interleave and the covering-rectangle
+# arithmetic generalize directly — z bit (d*i + (d-1-j)) is bit i of
+# column j (column 0 leads at the MSB; the 2-D functions above are the
+# d=2 special case, kept verbatim for the existing layouts). The spec
+# is a dict {"bits", "prefix_bits", "cols": [per-column quantizer]}
+# with kind "num" (min + scale) or "date" (epoch + day quantum), each
+# derived from parquet footer stats and clamped to the grid.
+# ---------------------------------------------------------------------------
+
+
+def zvalue_nd(qs: list, bits: int) -> Column:
+    """Morton interleave of d ``bits``-bit quantized keys (pure JVM
+    bit ops, one expression): z occupies d*bits bits."""
+    d = len(qs)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(q.cast("long"), i).bitwiseAND(
+                        F.lit(1).cast("long")
+                    ),
+                    d * i + (d - 1 - j),
+                )
+            )
+    return z
+
+
+def derive_zorder_spec_nd(
+    table_path: str,
+    cols: list,
+    bits: int = 7,
+    prefix_bits: int = 9,
+) -> dict:
+    """n-column quantization spec from parquet FOOTER stats (metadata
+    only — the same walk as :func:`derive_zorder_spec`). ``cols`` is a
+    list of (name, kind) with kind "num" (scaled onto [0, 2^bits)) or
+    "date" (day-bucketed from the observed min). The spec carries the
+    exact constants so the row-side (:func:`zquant_nd_cols`) and
+    driver-side (:func:`zquant_nd`) quantizers evaluate identical
+    IEEE-double arithmetic, both clamped to [0, 2^bits - 1]."""
+    import datetime
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(table_path):
+        for root, _dirs, fns in os.walk(table_path):
+            files += [
+                os.path.join(root, f)
+                for f in fns
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+    else:
+        files = [table_path]
+    lo = {name: None for name, _ in cols}
+    hi = {name: None for name, _ in cols}
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            for name, _kind in cols:
+                s = md.row_group(rg).column(idx[name]).statistics
+                if s is None:
+                    continue
+                lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+    n = 1 << bits
+    out_cols = []
+    for name, kind in cols:
+        if kind == "date":
+            mn, mx = lo[name], hi[name]
+            if isinstance(mn, datetime.datetime):
+                mn, mx = mn.date(), mx.date()
+            days = (mx - mn).days + 1
+            out_cols.append(
+                {
+                    "name": name,
+                    "kind": "date",
+                    "epoch": mn.isoformat(),
+                    "q": max(1, math.ceil(days / n)),
+                }
+            )
+        else:
+            span = float(hi[name]) - float(lo[name])
+            out_cols.append(
+                {
+                    "name": name,
+                    "kind": "num",
+                    "min": float(lo[name]),
+                    "scale": (float(n) / span) if span > 0 else 1.0,
+                }
+            )
+    return {"bits": bits, "prefix_bits": prefix_bits, "cols": out_cols}
+
+
+def zquant_nd(spec: dict, j: int, v) -> int:
+    """Driver-side quantizer for dimension ``j`` — the exact arithmetic
+    of :func:`zquant_nd_cols`. ``v`` is a number or a datetime.date."""
+    import math
+    from datetime import date
+
+    n = (1 << spec["bits"]) - 1
+    c = spec["cols"][j]
+    if c["kind"] == "date":
+        days = (v - date.fromisoformat(c["epoch"])).days
+        return min(n, max(0, days // c["q"]))
+    return min(n, max(0, math.floor((float(v) - c["min"]) * c["scale"])))
+
+
+def zquant_nd_cols(spec: dict) -> list:
+    """Row-side quantizers — same constants, same multiply + floor +
+    clamp as :func:`zquant_nd`."""
+    n = F.lit((1 << spec["bits"]) - 1)
+    out = []
+    for c in spec["cols"]:
+        if c["kind"] == "date":
+            raw = F.floor(
+                F.datediff(F.col(c["name"]), F.lit(c["epoch"])) / F.lit(c["q"])
+            )
+        else:
+            raw = F.floor((F.col(c["name"]) - F.lit(c["min"])) * F.lit(c["scale"]))
+        out.append(
+            F.least(n, F.greatest(F.lit(0).cast("long"), raw)).cast("int")
+        )
+    return out
+
+
+def write_zorder_table_nd(df: DataFrame, spec: dict, path: str) -> None:
+    """Materialize ``df`` partitioned by its n-D z-order bucket (top
+    ``prefix_bits`` of the interleaved value), rows z-sorted within
+    each bucket, the spec persisted as the layout's sidecar."""
+    import json
+    import os
+
+    d = len(spec["cols"])
+    z = zvalue_nd(zquant_nd_cols(spec), spec["bits"])
+    zb = F.shiftrightunsigned(z, d * spec["bits"] - spec["prefix_bits"]).cast("int")
+    (
+        df.withColumn("_z", z)
+        .withColumn("zb", zb)
+        .repartition("zb")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(path)
+    )
+    tmp = _spec_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, _spec_path(path))
+
+
+def zorder_covering_buckets_nd(spec: dict, lo_q: list, hi_q: list) -> list[int]:
+    """All bucket ids whose n-D cell intersects the quantized query
+    box — driver-side arithmetic over the fixed 2^prefix_bits grid, no
+    data touched. Complete by monotone quantization, exactly as in the
+    2-D case: dimension j owns the prefix bit positions t with
+    t % d == j (MSB-first), i.e. the n_j highest bits of its
+    quantized key, so each bucket is an axis-aligned box of cell
+    widths 2^(bits - n_j)."""
+    d = len(spec["cols"])
+    bits, pb = spec["bits"], spec["prefix_bits"]
+    n_dim = [sum(1 for t in range(pb) if t % d == j) for j in range(d)]
+    cell = [1 << (bits - n_dim[j]) for j in range(d)]
+    out = []
+    for b in range(1 << pb):
+        coords = [0] * d
+        for t in range(pb):
+            coords[t % d] = (coords[t % d] << 1) | ((b >> (pb - 1 - t)) & 1)
+        ok = True
+        for j in range(d):
+            x0 = coords[j] * cell[j]
+            x1 = x0 + cell[j] - 1
+            if x1 < lo_q[j] or x0 > hi_q[j]:
+                ok = False
+                break
+        if ok:
+            out.append(b)
+    return out
+
+
+def zorder_pruned_scan_nd(spark, path: str, box: list) -> DataFrame:
+    """n-D range query against a spec-carrying n-D z-order layout:
+    ``box`` is one (lo, hi) pair per spec column (dates as
+    datetime.date). The box is quantized with the layout's own spec,
+    the covering buckets enumerated driver-side and inlined as
+    literals (static partition pruning), and the exact residual
+    predicates applied on the pruned scan."""
+    spec = read_zorder_spec(path)
+    lo_q = [zquant_nd(spec, j, lo) for j, (lo, _hi) in enumerate(box)]
+    hi_q = [zquant_nd(spec, j, hi) for j, (_lo, hi) in enumerate(box)]
+    buckets = zorder_covering_buckets_nd(spec, lo_q, hi_q)
+    df = spark.read.parquet(path).where(F.col("zb").isin(buckets))
+    for c, (lo, hi) in zip(spec["cols"], box):
+        if c["kind"] == "date":
+            df = df.where(
+                (F.col(c["name"]) >= F.lit(lo.isoformat()).cast("timestamp"))
+                & (F.col(c["name"]) <= F.lit(hi.isoformat()).cast("timestamp"))
+            )
+        else:
+            df = df.where(
+                (F.col(c["name"]) >= F.lit(lo)) & (F.col(c["name"]) <= F.lit(hi))
+            )
+    return df
 
 
 def _deinterleave_bucket(b: int, prefix_bits: int) -> tuple[int, int]:

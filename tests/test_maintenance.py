@@ -295,3 +295,184 @@ def test_zorder_append_replay_and_crash_retry(spark, sf_dir, tmp_path, monkeypat
     assert t2
     got = spark.read.parquet(path).count()
     assert got == n_total + incoming2.count()
+
+
+def _zorder_mini(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        write_zorder_table,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    spec = derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = str(tmp_path / "z")
+    write_zorder_table(base, spec, path)
+    return orders, incoming, path
+
+
+def test_zorder_compact_crash_between_renames_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 VERDICT #2: the per-bucket swap is TWO renames; a crash
+    between them strands the bucket's rows in zb=N.retired, invisible
+    to readers. The maintenance-entry sweep must restore the bucket
+    (its dirty marker is still set) so the retry recompacts with no
+    row lost and the pruning contract intact."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.layout import (
+        zorder_append,
+        zorder_compact,
+    )
+
+    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
+    n_total = orders.count()
+    dirty = zorder_append(incoming, path)
+    assert dirty
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if str(dst).endswith(".retired"):
+            real_rename(src, dst)  # the retire rename LANDS...
+            raise RuntimeError("simulated crash between the swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with _pytest.raises(RuntimeError):
+        zorder_compact(spark, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the stranded state the VERDICT described: live dir gone, rows
+    # only in .retired
+    stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
+    assert len(stranded) == 1
+    assert not os.path.isdir(os.path.join(path, stranded[0][: -len(".retired")]))
+
+    # retry: entry sweep restores the bucket, compaction completes
+    compacted = zorder_compact(spark, path)
+    assert sorted(compacted) == sorted(dirty)
+    assert not [d for d in os.listdir(path) if d.endswith(".retired")]
+    assert not os.listdir(os.path.join(path, "_dirty"))
+    keys = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
+    assert len(keys) == len(set(keys)) == n_total
+
+
+def test_zorder_compact_rolls_back_uncommitted_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 ADVICE (medium): compaction between a crashed append and
+    its retry would erase the a<tag>- retry prefixes and make the
+    retry double-apply the batch — so compaction must first roll the
+    uncommitted batch back (the retry then re-appends it in full)."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.layout import (
+        zorder_append,
+        zorder_compact,
+    )
+
+    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
+    n_total = orders.count()
+
+    real_replace = os.replace
+
+    def failing_replace(src, dst):
+        if "_batches" in str(dst):
+            raise RuntimeError("simulated crash before commit record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with _pytest.raises(RuntimeError):
+        zorder_append(incoming, path, batch_id="day-1")
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # maintenance runs BETWEEN the crash and the retry: it must roll
+    # the partial move back, not bake it into unprefixed files
+    zorder_compact(spark, path)
+    assert spark.read.parquet(path).count() == n_total - incoming.count()
+
+    dirty = zorder_append(incoming, path, batch_id="day-1")
+    assert dirty
+    keys = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
+    assert len(keys) == len(set(keys)) == n_total
+
+
+def test_zorder_nd_covering_completeness(spark, sf_dir):
+    """Brute-force pin of the n-D covering enumeration: every row
+    inside the raw box quantizes (driver-side, same arithmetic) into a
+    bucket the enumeration selected, and the pruned scan equals the
+    plain 3-predicate filter row-for-row."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        read_zorder_spec,
+        zorder_covering_buckets_nd,
+        zorder_pruned_scan_nd,
+        zquant_nd,
+    )
+    from data_pipeline_csv_spark.queries.maintenance import _zorder3_layout_cached
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    layout = _zorder3_layout_cached(spark, sf_dir)
+    spec = read_zorder_spec(layout)
+    d = len(spec["cols"])
+    assert d == 3
+    box = [(20000, 45000), (date(1996, 1, 1), date(1996, 12, 31)), (10, 30)]
+    lo_q = [zquant_nd(spec, j, lo) for j, (lo, _) in enumerate(box)]
+    hi_q = [zquant_nd(spec, j, hi) for j, (_, hi) in enumerate(box)]
+    buckets = set(zorder_covering_buckets_nd(spec, lo_q, hi_q))
+    assert 0 < len(buckets) < (1 << spec["prefix_bits"])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = li.filter(
+        (F.col("l_extendedprice") >= 20000)
+        & (F.col("l_extendedprice") <= 45000)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate")
+
+    # 1. every in-box row's bucket is covered (replays zvalue_nd's
+    #    interleave driver-side)
+    def _bucket(price, ship, qty):
+        qs = [
+            zquant_nd(spec, 0, price),
+            zquant_nd(spec, 1, ship.date()),
+            zquant_nd(spec, 2, qty),
+        ]
+        z = 0
+        for i in range(spec["bits"]):
+            for j in range(d):
+                z |= ((qs[j] >> i) & 1) << (d * i + (d - 1 - j))
+        return z >> (d * spec["bits"] - spec["prefix_bits"])
+
+    rows = want.collect()
+    assert rows
+    for r in rows:
+        assert (
+            _bucket(r["l_extendedprice"], r["l_shipdate"], r["l_quantity"]) in buckets
+        )
+
+    # 2. pruned scan == plain filter, row for row
+    got = zorder_pruned_scan_nd(spark, layout, box)
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, rows))

@@ -628,3 +628,18 @@ def test_dpp_scan_prunes_at_runtime(spark, sf_dir):
     plan = _plan(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "dynamicpruningexpression" in pf[0], pf
+
+
+def test_zorder3_scan_prunes_buckets(spark, sf_dir):
+    """The 3-D box scan must read only the covering boxes: the layout
+    scan's PartitionFilters carries a zb IN-set far below the
+    512-bucket grid, and the raw predicates push into the scan."""
+    import re
+
+    df = REGISTRY["layout_zorder3_pruned_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
+    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
+    assert 0 < n_in < 64, pf  # 24 covering boxes of 512 for this box
+    assert "PushedFilters" in plan
