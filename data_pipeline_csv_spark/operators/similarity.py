@@ -345,7 +345,24 @@ def _read_ivf_stats(spark, layout_path: str):
         applied = {}
     if "n_drift" not in stats.columns:
         stats = stats.withColumn("n_drift", F.lit(0).cast("bigint"))
-    return stats.select("list_id", "n_vec", "min_sim", "n_drift"), applied
+    if "build_min_sim" not in stats.columns:  # pre-r11 sidecar
+        stats = stats.withColumn("build_min_sim", F.col("min_sim"))
+    return (
+        stats.select(
+            "list_id",
+            "n_vec",
+            "min_sim",
+            # the FROZEN drift edge (r10 VERDICT: measuring drift
+            # against the merged all-time min ratchets the goalpost
+            # down and mutes sustained drift); null rows (lists first
+            # seen by an append) fall back to the observed min
+            F.coalesce(F.col("build_min_sim"), F.col("min_sim")).alias(
+                "build_min_sim"
+            ),
+            "n_drift",
+        ),
+        applied,
+    )
 
 
 def _commit_ivf_stats(stats: DataFrame, layout_path: str, applied: dict) -> None:
@@ -381,10 +398,13 @@ def _commit_ivf_stats(stats: DataFrame, layout_path: str, applied: dict) -> None
 
 
 def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -> None:
-    """Per-list build stats sidecar: (list_id, n_vec, min_sim, n_drift)
-    — each cell's population, its observed 'edge' (the weakest member's
-    cosine to the cell centroid), and the count of appended members
-    that landed below that edge (0 at build). nlists rows total;
+    """Per-list build stats sidecar: (list_id, n_vec, min_sim,
+    build_min_sim, n_drift) — each cell's population, its observed
+    all-time min cosine to the cell centroid, the FROZEN build-time
+    edge drift is measured against (set only at build/retrain, never
+    merged with batch mins — r10 VERDICT: a min-merged edge ratchets
+    down and stops registering sustained drift), and the count of
+    appended members below that frozen edge (0 at build). nlists rows;
     computed from the already-partitioned files with one broadcast join
     + agg, and the artifact every later :func:`ivf_append` reads so
     drift accounting NEVER re-scans the base corpus."""
@@ -397,10 +417,98 @@ def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -
         .agg(
             F.count(F.lit(1)).alias("n_vec"),
             F.min("_s").alias("min_sim"),
+            F.min("_s").alias("build_min_sim"),
             F.lit(0).cast("bigint").alias("n_drift"),
         )
     )
     _commit_ivf_stats(stats, path, {})
+
+
+def _recover_ivf_layout(layout_path: str, committed_tags: set) -> None:
+    """Heal every known crash window of the IVF maintenance protocol —
+    run on entry by :func:`ivf_append` and :func:`ivf_retrain` (single
+    maintenance writer per layout, which the append idempotency tokens
+    already require). Three sweeps (r10 VERDICT + ADVICE):
+
+    1. CRASHED RETRAIN SWAP (journaled): the retrain swap moves rows
+       ACROSS lists, so a mid-swap crash can leave rows duplicated
+       between already-installed and not-yet-retired lists — the only
+       consistent recovery is all-or-nothing. The swap journals itself:
+       ``_swap.json`` (in-flight) is atomically renamed to
+       ``_swap_done.json`` once every staged list is installed, and no
+       ``.retired`` dir is deleted while ``_swap.json`` exists. So a
+       staging dir with ``_swap.json`` ROLLS BACK (every journaled
+       list's pre-retrain rows are intact in live or retired; restore
+       retired over live) and the untouched sidecar (it commits last)
+       replays the same drift signal on retry; one with
+       ``_swap_done.json`` ROLLS FORWARD (drop the listed lists'
+       retired dirs — this also finishes lists the re-assignment
+       emptied, whose "install" is exactly that deletion).
+    2. STALE ``.retired`` DIRS outside any journal: a live sibling
+       means the swap completed and only cleanup crashed — drop them.
+       No live sibling (cannot occur under the journal ordering) is
+       restored, defensively.
+    3. UNCOMMITTED APPEND BATCHES: a crashed :func:`ivf_append` left
+       ``b<tag>-``-prefixed files that a retrain would rewrite into
+       unprefixed files — after which the append retry's sweep finds
+       nothing and re-appends the batch, duplicating rows (r10 ADVICE,
+       medium). Roll the partial move back via the staging manifest
+       and clear the dead staging dir; the retry re-appends in full.
+    """
+    import json
+    import os
+    import shutil
+
+    staging_root = os.path.join(layout_path, "_staging")
+    if os.path.isdir(staging_root):
+        for d in sorted(os.listdir(staging_root)):
+            sdir = os.path.join(staging_root, d)
+            if d.startswith("retrain-"):
+                journal = os.path.join(sdir, "_swap.json")
+                done = os.path.join(sdir, "_swap_done.json")
+                if os.path.exists(journal):  # crashed mid-swap: roll back
+                    with open(journal) as f:
+                        lists = json.load(f)["lists"]
+                    for lid in lists:
+                        live = os.path.join(layout_path, f"list_id={lid}")
+                        retired = f"{live}.retired"
+                        if os.path.isdir(retired):
+                            shutil.rmtree(live, ignore_errors=True)
+                            os.rename(retired, live)
+                elif os.path.exists(done):  # committed: roll forward
+                    with open(done) as f:
+                        lists = json.load(f)["lists"]
+                    for lid in lists:
+                        retired = os.path.join(
+                            layout_path, f"list_id={lid}.retired"
+                        )
+                        shutil.rmtree(retired, ignore_errors=True)
+                # neither journal: the crash predates any rename
+                shutil.rmtree(sdir, ignore_errors=True)
+            elif d.startswith("batch-"):
+                tag = d[len("batch-") :]
+                manifest = os.path.join(sdir, "_manifest.json")
+                if tag not in committed_tags and os.path.exists(manifest):
+                    with open(manifest) as f:
+                        parts = json.load(f)["partitions"]
+                    for rel in parts:
+                        live_dir = os.path.join(layout_path, rel)
+                        if os.path.isdir(live_dir):
+                            for fn in os.listdir(live_dir):
+                                if fn.startswith(f"b{tag}-"):
+                                    os.remove(os.path.join(live_dir, fn))
+                shutil.rmtree(sdir, ignore_errors=True)
+    for entry in sorted(os.listdir(layout_path)):
+        if not entry.startswith("list_id=") or not entry.endswith(".retired"):
+            continue
+        retired = os.path.join(layout_path, entry)
+        if not os.path.isdir(retired):
+            continue
+        live = retired[: -len(".retired")]
+        if os.path.isdir(live):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, live)
 
 
 def _layout_partition_cols(layout_path: str) -> tuple:
@@ -457,13 +565,17 @@ def ivf_append(
 
     Returns a drift report telling the owner WHEN to retrain: an
     appended vector has "drifted" if its cosine to its assigned
-    centroid falls below that cell's build-time edge (the sidecar's
-    per-list min_sim — :func:`_write_ivf_list_stats`), i.e. it lands
-    outside the population the quantizer was trained on. The sidecar
-    is then merged (min of sims, sum of counts and per-list drift
-    counts; nlists rows) so drift accounting stays exact across
-    repeated appends — and per-list ``n_drift`` is what
-    :func:`ivf_retrain` consumes to pick WHICH cells to refit.
+    centroid falls below that cell's FROZEN build-time edge (the
+    sidecar's per-list ``build_min_sim``, set only at build/retrain —
+    :func:`_write_ivf_list_stats`), i.e. it lands outside the
+    population the quantizer was trained on. The sidecar is then
+    merged (counts and per-list drift counts sum; the observed
+    ``min_sim`` takes the min as a reporting stat; ``build_min_sim``
+    stays CONSTANT — r10 VERDICT: merging the edge with batch mins
+    ratcheted the goalpost down, so a second equally-drifted batch
+    registered ~zero drift exactly when the signal mattered) so drift
+    accumulates across repeated appends — and per-list ``n_drift`` is
+    what :func:`ivf_retrain` consumes to pick WHICH cells to refit.
     ``{"n_appended", "n_drifted", "drift_ratio", "lists_touched",
     "batch_id", "replayed"}``.
 
@@ -493,6 +605,13 @@ def ivf_append(
         batch_id = uuid.uuid4().hex[:16]
     tag = _safe_batch_tag(batch_id)
 
+    # --- heal any crashed maintenance op BEFORE reading the layout:
+    # a stranded list_id=N.retired dir would poison partition
+    # inference, and appending into a recreated live dir while old
+    # rows sit in .retired turns the later cleanup into data loss
+    stats, applied = _read_ivf_stats(spark, layout_path)
+    _recover_ivf_layout(layout_path, {_safe_batch_tag(b) for b in applied})
+
     # --- fail fast on layout mismatch (ADVICE r9): the live schema is
     # the contract; an append that would drop a carry/partition column
     # corrupts every later filtered probe.
@@ -510,7 +629,6 @@ def ivf_append(
             f"append schema {sorted(batch_cols)} != layout schema {sorted(live_cols)}"
         )
 
-    stats, applied = _read_ivf_stats(spark, layout_path)
     staging = os.path.join(layout_path, "_staging", f"batch-{tag}")
     if batch_id in applied:  # committed replay: short-circuit
         shutil.rmtree(staging, ignore_errors=True)
@@ -549,7 +667,9 @@ def ivf_append(
     rep_row = (
         sim.join(F.broadcast(stats), "list_id", "left")
         .select(
-            (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).alias("_drift")
+            (
+                F.col("_sim") < F.coalesce(F.col("build_min_sim"), F.lit(1.0))
+            ).alias("_drift")
         )
         .agg(
             F.count(F.lit(1)).alias("n_appended"),
@@ -561,13 +681,19 @@ def ivf_append(
     # plans read are renamed into the live partitions below, so nothing
     # may lazily re-read them afterwards
     batch_rows = (
-        sim.join(F.broadcast(stats.select("list_id", "min_sim")), "list_id", "left")
+        sim.join(
+            F.broadcast(stats.select("list_id", "build_min_sim")),
+            "list_id",
+            "left",
+        )
         .groupBy("list_id")
         .agg(
             F.count(F.lit(1)).alias("n_vec"),
             F.min("_sim").alias("min_sim_b"),
             F.sum(
-                (F.col("_sim") < F.coalesce(F.col("min_sim"), F.lit(1.0))).cast("bigint")
+                (
+                    F.col("_sim") < F.coalesce(F.col("build_min_sim"), F.lit(1.0))
+                ).cast("bigint")
             ).alias("n_drift"),
         )
         .select("list_id", "n_vec", F.col("min_sim_b").alias("min_sim"), "n_drift")
@@ -606,10 +732,17 @@ def ivf_append(
     )
     batch_stats = spark.createDataFrame(
         [
-            (int(r["list_id"]), int(r["n_vec"]), float(r["min_sim"]), int(r["n_drift"]))
+            (
+                int(r["list_id"]),
+                int(r["n_vec"]),
+                float(r["min_sim"]),
+                None,  # the frozen edge never comes from a batch
+                int(r["n_drift"]),
+            )
             for r in batch_rows
         ],
-        "list_id long, n_vec bigint, min_sim double, n_drift bigint",
+        "list_id long, n_vec bigint, min_sim double,"
+        " build_min_sim double, n_drift bigint",
     )
     merged = (
         stats.unionByName(batch_stats)
@@ -617,6 +750,11 @@ def ivf_append(
         .agg(
             F.sum("n_vec").alias("n_vec"),
             F.min("min_sim").alias("min_sim"),
+            # max over {frozen value, null} = the frozen value: the
+            # build-time edge survives every merge unchanged (r10
+            # VERDICT: F.min here was the ratchet that muted the
+            # retrain signal under sustained drift)
+            F.max("build_min_sim").alias("build_min_sim"),
             F.sum("n_drift").alias("n_drift"),
         )
     )
@@ -677,10 +815,16 @@ def ivf_retrain(
        so untouched lists and every downstream probe stay consistent;
     4. re-assigns the sub-corpus among the refitted cells (same cosine
        rule as the layout build) and swaps ONLY those partition dirs
-       (per-list dir rename — each list is atomically all-old or
-       all-new; carry/extra partition columns ride along unchanged);
-    5. commits refreshed sidecar rows (n_drift reset, new edges) via
-       the atomic generation swap, applied-batch record carried over.
+       under a JOURNAL (``_swap.json`` -> renames -> atomic rename to
+       ``_swap_done.json`` -> cleanup): rows move across lists here,
+       so the swap must be all-or-nothing — a crash before the commit
+       rename rolls fully back on the next maintenance entry, after it
+       rolls forward (:func:`_recover_ivf_layout`; pinned by
+       tests/test_scale_ops.py::test_ivf_retrain_crash_mid_swap_recovers);
+       carry/extra partition columns ride along unchanged;
+    5. commits refreshed sidecar rows (n_drift reset, build_min_sim
+       re-frozen at the new edges) via the atomic generation swap,
+       applied-batch record carried over.
 
     Returns ``(new_centroids_df, report)`` where the centroids frame
     keeps the untouched cells' centroids verbatim. The report carries
@@ -697,6 +841,11 @@ def ivf_retrain(
     from .clustering import SCALE, _reduce_partials
 
     stats, applied = _read_ivf_stats(spark, layout_path)
+    # heal any crashed maintenance op first: a mid-swap retrain rolls
+    # back (or forward past its commit point), stranded .retired dirs
+    # are resolved, and uncommitted append batches are rolled back so
+    # this retrain cannot erase their b<tag>- retry prefixes
+    _recover_ivf_layout(layout_path, {_safe_batch_tag(b) for b in applied})
     srows = {int(r["list_id"]): r for r in stats.collect()}
     drifted = sorted(
         lid
@@ -778,17 +927,35 @@ def ivf_retrain(
     finally:
         sub.unpersist()
 
-    # swap only the drifted lists' dirs: each list atomically all-old
-    # or all-new; lists the re-assignment emptied are removed.
+    # swap the drifted lists' dirs under a journal (r10 VERDICT: the
+    # bare two-rename swap stranded rows in .retired on a mid-swap
+    # crash). Phases: journal -> retire all -> install all -> commit
+    # (atomic journal rename) -> cleanup. No .retired dir is deleted
+    # while _swap.json exists, so _recover_ivf_layout can always roll
+    # a crashed swap fully back; after the commit rename it rolls
+    # forward instead. Lists the re-assignment emptied end with no
+    # live dir (their "install" is the post-commit retired cleanup).
+    import json as _json
+
+    journal = os.path.join(staging, "_swap.json")
+    done = os.path.join(staging, "_swap_done.json")
+    with open(journal, "w") as f:
+        _json.dump({"lists": drifted}, f)
+    for lid in drifted:
+        live_dir = os.path.join(layout_path, f"list_id={lid}")
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, f"{live_dir}.retired")
     for lid in drifted:
         live_dir = os.path.join(layout_path, f"list_id={lid}")
         staged_dir = os.path.join(staging, f"list_id={lid}")
-        retired = f"{live_dir}.retired"
-        if os.path.isdir(live_dir):
-            os.rename(live_dir, retired)
         if os.path.isdir(staged_dir):
             os.rename(staged_dir, live_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+    os.rename(journal, done)  # commit: swap is now roll-forward-only
+    for lid in drifted:
+        shutil.rmtree(
+            os.path.join(layout_path, f"list_id={lid}.retired"),
+            ignore_errors=True,
+        )
     shutil.rmtree(staging, ignore_errors=True)
 
     # refreshed sidecar rows for the retrained cells (new edges, drift
@@ -801,6 +968,7 @@ def ivf_retrain(
         .agg(
             F.count(F.lit(1)).alias("n_vec"),
             F.min("_s").alias("min_sim"),
+            F.min("_s").alias("build_min_sim"),  # re-frozen at retrain
             F.lit(0).cast("bigint").alias("n_drift"),
         )
     )

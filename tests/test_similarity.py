@@ -498,3 +498,201 @@ def test_ivf_retrain_refits_only_drifted_lists(spark, sf_dir, tmp_path):
     for cid in old:
         if cid not in rep["retrained_lists"]:
             assert old[cid] == newc[cid]
+
+
+def _drift_layout(spark, sf_dir, tmp_path):
+    """Base = tight clusters (label < 5); appends from label >= 5 land
+    outside the build-time edges -> planted drift."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
+    from data_pipeline_csv_spark.operators.similarity import write_ivf_layout
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    base = corpus.filter(F.col("label") < 5).select("vec_id", "embedding")
+    drift = corpus.filter(F.col("label") >= 5).select("vec_id", "embedding")
+    cents = kmeans_centroids_df(
+        spark, base, k=8, iters=2, cache_key=(sf_dir, "ivf_drift_mini")
+    )
+    layout = str(tmp_path / "layout")
+    write_ivf_layout(base, cents, layout)
+    return base, drift, cents, layout
+
+
+def test_ivf_append_drift_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """r10 VERDICT #3: drift is measured against the FROZEN build-time
+    edge (build_min_sim), so a second equally-drifted batch keeps
+    registering — the old min-merged edge ratcheted down after batch 1
+    and muted exactly the sustained-drift signal ivf_retrain needs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_stats,
+        ivf_append,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    edges_at_build = {
+        int(r["list_id"]): r["build_min_sim"]
+        for r in _read_ivf_stats(spark, layout)[0].collect()
+    }
+    b1 = drift.filter(F.col("vec_id") % 2 == 0)
+    b2 = drift.filter(F.col("vec_id") % 2 == 1)
+    rep1 = ivf_append(b1, cents, layout, batch_id="drift-a")
+    rep2 = ivf_append(b2, cents, layout, batch_id="drift-b")
+    assert rep1["n_drifted"] > 0
+    # the second, equally-drifted batch must register comparably — not
+    # ~zero against a ratcheted edge
+    assert rep2["n_drifted"] > 0
+    assert rep2["n_drifted"] >= 0.3 * rep1["n_drifted"]
+    stats, _ = _read_ivf_stats(spark, layout)
+    rows = stats.collect()
+    assert sum(int(r["n_drift"]) for r in rows) == (
+        rep1["n_drifted"] + rep2["n_drifted"]
+    )
+    # the frozen edge survived both merges bit-identically
+    for r in rows:
+        lid = int(r["list_id"])
+        if lid in edges_at_build:
+            assert r["build_min_sim"] == edges_at_build[lid], lid
+        # while the observed min kept tracking the weakest member
+        assert r["min_sim"] <= r["build_min_sim"]
+
+
+def test_ivf_retrain_crash_mid_swap_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """r10 VERDICT #2: rows move ACROSS lists in the retrain swap, so
+    a mid-swap crash must roll the whole swap back (journal present)
+    — no row lost or duplicated — and the retry must retrain cleanly
+    from the untouched sidecar's drift signal."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, cents, layout, batch_id="drift-1")
+    n_before = spark.read.parquet(layout).count()
+    ids_before = sorted(
+        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    )
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if str(dst).endswith(".retired"):
+            real_rename(src, dst)  # the retire rename LANDS...
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with _pytest.raises(RuntimeError):
+        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # stranded: one list retired, journal still present
+    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
+    st = os.path.join(layout, "_staging")
+    assert any(d.startswith("retrain-") for d in os.listdir(st))
+
+    new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    assert rep["retrained_lists"], "retry must retrain from the same signal"
+    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
+    assert not os.path.isdir(st) or not os.listdir(st)
+    ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    )
+    assert len(ids) == len(set(ids)) == n_before
+    assert ids == ids_before
+
+
+def test_ivf_retrain_crash_before_cleanup_rolls_forward(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash AFTER the journal commit rename (swap complete, cleanup
+    pending): the next maintenance entry rolls FORWARD — retired dirs
+    dropped, no row lost or duplicated."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    b1 = drift.filter(F.col("vec_id") % 2 == 0)
+    b2 = drift.filter(F.col("vec_id") % 2 == 1)
+    ivf_append(b1, cents, layout, batch_id="drift-1")
+    n_before = spark.read.parquet(layout).count()
+
+    real_rmtree = shutil.rmtree
+
+    def failing_rmtree(p, *a, **kw):
+        if str(p).endswith(".retired"):
+            raise RuntimeError("simulated crash before retired cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", failing_rmtree)
+    with _pytest.raises(RuntimeError):
+        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
+
+    # the NEXT maintenance op's entry sweep rolls forward
+    rep = ivf_append(b2, cents, layout, batch_id="drift-2")
+    assert rep["n_appended"] == b2.count()
+    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
+    ids = [r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == n_before + rep["n_appended"]
+
+
+def test_ivf_retrain_rolls_back_uncommitted_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 ADVICE (medium): a retrain between a crashed append and its
+    retry would rewrite the drifted partitions and erase the b<tag>-
+    retry prefixes — the retry would then double-apply the batch. The
+    retrain entry sweep must roll the uncommitted batch back first."""
+    import data_pipeline_csv_spark.operators.similarity as sim
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    b0 = drift.filter(F.col("vec_id") % 3 == 0)
+    b1 = drift.filter(F.col("vec_id") % 3 != 0)
+    ivf_append(b0, cents, layout, batch_id="seed-drift")  # committed drift
+
+    real_commit = sim._commit_ivf_stats
+
+    def crashing_commit(*a, **kw):
+        raise RuntimeError("simulated crash before sidecar commit")
+
+    monkeypatch.setattr(sim, "_commit_ivf_stats", crashing_commit)
+    with _pytest.raises(RuntimeError):
+        ivf_append(b1, cents, layout, batch_id="day-9")
+    monkeypatch.setattr(sim, "_commit_ivf_stats", real_commit)
+
+    # maintenance between crash and retry: must roll b1 back, then
+    # rewrite the drifted lists
+    _, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    assert rep["retrained_lists"]
+    n_mid = spark.read.parquet(layout).count()
+    assert n_mid == base.count() + b0.count()  # b1 fully rolled back
+
+    rep2 = ivf_append(b1, cents, layout, batch_id="day-9")
+    assert rep2["replayed"] is False
+    ids = [r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == n_mid + b1.count()
