@@ -88,10 +88,15 @@ def funnel_counts(
     exchange lineage), and each step's frontier frame shrinks
     monotonically, so the funnel costs k passes over an
     ever-smaller keyed frame — never a per-session sort or state
-    machine. Earliest-completion semantics is the standard greedy
-    funnel: matching the EARLIEST step-(k-1) frontier maximizes the
-    set of sessions that can reach step k (any later match only
-    shrinks what can follow), so greedy == existential here.
+    machine. Earliest-completion semantics is the standard GREEDY
+    funnel. Without an attribution window, greedy equals the
+    existential semantics (the earliest frontier maximizes what can
+    follow); with ``within_seconds`` set it does NOT (r10 ADVICE):
+    with steps A,B,C and window 10, events A@0 B@5 A@50 B@55 C@60
+    complete existentially via A@50->B@55->C@60, but the greedy
+    frontier (A@0->B@5) finds no C within its window. Greedy is what
+    most product-analytics funnels ship; the existential variant is
+    :func:`funnel_counts_existential`.
 
     Returns ONE row: (n_sessions, n_step_1 .. n_step_k) — bigint
     session counts, exactly replayable in SQL.
@@ -134,5 +139,88 @@ def funnel_counts(
             frontier.agg(
                 F.count(F.lit(1)).cast("bigint").alias(f"n_step_{len(steps)}")
             )
+        )
+    )
+
+
+def funnel_counts_existential(
+    sessions: DataFrame,
+    steps: tuple,
+    key_cols: tuple = ("user_id", "session_seq"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """EXISTENTIAL ordered funnel: step k counts iff ANY chain
+    e_1 < e_2 < ... < e_k of the step types exists with every
+    consecutive gap inside the attribution window — the
+    MATCH_RECOGNIZE-equivalent semantics :func:`funnel_counts`'s
+    greedy frontier under-counts when ``within_seconds`` binds (a
+    session whose earliest step-(k-1) completion is stale but a later
+    one is in-window IS counted here; identical without a window).
+
+    Spark-first DP, no UDF and no per-session state machine: the set
+    of FEASIBLE step-k completion times per session is built in one
+    pass per step. An event of type_k at time t is feasible iff some
+    feasible step-(k-1) time lies in (t - w, t) — equivalently iff the
+    LATEST feasible step-(k-1) time strictly before t is >= t - w. That
+    latest-before is a running max over the UNION of the feasible
+    step-(k-1) rows and the step-k events, ordered by time inside each
+    session (``rangeBetween(unboundedPreceding, -1)`` keeps the
+    predecessor strictly earlier, matching the greedy variant's
+    ``ts > frontier``). Every pass is one session-keyed window on the
+    same partitioning; feasible frames only shrink, so cost mirrors
+    the greedy funnel's k join+agg passes.
+
+    Returns ONE row: (n_sessions, n_step_1 .. n_step_k) — bigint
+    counts of sessions with at least one feasible completion per step.
+    """
+    keys = list(key_cols)
+    out = (
+        sessions.select(*keys)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    us = F.unix_micros(F.col(ts_col))
+    feas = (
+        sessions.filter(F.col(type_col) == steps[0])
+        .select(*keys, us.alias("_t"))
+        .distinct()
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        out = out.crossJoin(
+            F.broadcast(
+                feas.select(*keys)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_step_{i - 1}"))
+            )
+        )
+        u = feas.withColumn("_p", F.lit(1)).unionByName(
+            sessions.filter(F.col(type_col) == step)
+            .select(*keys, us.alias("_t"))
+            .distinct()
+            .withColumn("_p", F.lit(0))
+        )
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_t")
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        last_prev = F.max(F.when(F.col("_p") == 1, F.col("_t"))).over(w)
+        cond = F.col("_lp").isNotNull()
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("_lp") >= F.col("_t") - within_seconds * 1_000_000
+            )
+        feas = (
+            u.withColumn("_lp", last_prev)
+            .filter((F.col("_p") == 0) & cond)
+            .select(*keys, "_t")
+        )
+    return out.crossJoin(
+        F.broadcast(
+            feas.select(*keys)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_step_{len(steps)}"))
         )
     )

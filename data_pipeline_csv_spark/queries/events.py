@@ -580,10 +580,12 @@ def events_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ORDERED attribution-window funnel (view -> click -> purchase, "
     "each step within 24 h of the previous) — the MATCH_RECOGNIZE-"
-    "shaped product-analytics staple: step k counts only if its event "
-    "occurs STRICTLY AFTER the earliest completion of step k-1 and "
-    "inside the attribution window (greedy-earliest == existential: "
-    "the earliest frontier maximizes what can follow it). Spark-first: "
+    "shaped product-analytics staple in its standard GREEDY form: "
+    "step k counts only if its event occurs STRICTLY AFTER the "
+    "earliest completion of step k-1 and inside the attribution "
+    "window (greedy equals existential only when no window is set — "
+    "r10 ADVICE; the existential variant is events_funnel_"
+    "existential). Spark-first: "
     "no UDF, no per-user state machine — step k's frontier is "
     "min(ts)-after-frontier via one user-keyed join + agg per step, "
     "all sharing one exchange lineage, each frontier frame shrinking "
@@ -597,6 +599,61 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
     return funnel_counts(
+        ev,
+        steps=("view", "click", "purchase"),
+        key_cols=("user_id",),
+        within_seconds=86400,
+    )
+
+
+@query(
+    "events_funnel_existential",
+    # FULL value oracle, and genuinely EXISTENTIAL on the oracle side
+    # too: each step is an EXISTS over any in-window predecessor
+    # (the DISTINCT join chain), not a frontier replay — so the hash
+    # match checks the DP against an independent formulation of the
+    # same semantics, not against itself.
+    oracle="""
+    WITH s1 AS (
+      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
+    ), f2 AS (
+      SELECT DISTINCT e.user_id, e.ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts
+       AND epoch_us(e.ts) - epoch_us(s1.ts) <= CAST(86400 AS BIGINT) * 1000000
+      WHERE e.event_type = 'click'
+    ), f3 AS (
+      SELECT DISTINCT e.user_id, e.ts
+      FROM events e JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.ts
+       AND epoch_us(e.ts) - epoch_us(f2.ts) <= CAST(86400 AS BIGINT) * 1000000
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM events) AS n_sessions,
+      (SELECT COUNT(DISTINCT user_id) FROM s1) AS n_step_1,
+      (SELECT COUNT(DISTINCT user_id) FROM f2) AS n_step_2,
+      (SELECT COUNT(DISTINCT user_id) FROM f3) AS n_step_3
+    """,
+    doc="EXISTENTIAL attribution-window funnel (view -> click -> "
+    "purchase, each gap within 24 h): step k counts iff ANY ordered "
+    "chain of the step types with in-window gaps exists — the "
+    "MATCH_RECOGNIZE-equivalent semantics the greedy frontier "
+    "(events_funnel_conversion) under-counts when the window binds "
+    "(r10 VERDICT #1). Spark-first DP: per step, feasible completion "
+    "TIMES propagate via a latest-feasible-predecessor running max "
+    "over the union of feasible step-(k-1) rows and step-k events — "
+    "one session-keyed window per step, rangeBetween(...,-1) for the "
+    "strict predecessor, no UDF, no per-session collect "
+    "(operators/sessionize.py funnel_counts_existential; greedy-"
+    "misses-existential-catches pinned by tests/test_funnel.py::"
+    "test_existential_catches_what_greedy_misses, brute-force pinned "
+    "by test_funnel_existential_matches_bruteforce).",
+    tags=("events", "funnel", "window"),
+)
+def events_funnel_existential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import funnel_counts_existential
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    return funnel_counts_existential(
         ev,
         steps=("view", "click", "purchase"),
         key_cols=("user_id",),
