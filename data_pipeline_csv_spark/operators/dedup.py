@@ -715,6 +715,56 @@ def minhash_lsh_incremental(
     return _verify_candidates(all_docs, candidates, threshold, text_col, id_col, n)
 
 
+def ngram_jaccard_cross_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs BETWEEN an old corpus and a new
+    batch — the batch-touching restriction of
+    :func:`ngram_jaccard_pairs`, computed incrementally: only the NEW
+    side's shingles probe the shared-shingle join, so the work is
+    O(|batch shingles| x their bucket occupancy), never the corpus
+    self-join. Returns (d1=old id, d2=new id, jaccard >= threshold).
+
+    This is the DETERMINISTIC sibling of
+    :func:`minhash_lsh_incremental` (r10 ADVICE: LSH's ~1e-11/pair
+    band-miss probability is fine for the serving path, but a
+    downstream consumer that must equal an exact one-shot computation
+    — the incremental connected-components fold, whose incremental ≡
+    one-shot guarantee holds only when the batch pair set is COMPLETE
+    — needs the exact pairing). Any J>0 pair shares a shingle, so no
+    candidate is missed; like ngram_jaccard_pairs the shingle join is
+    quadratic per hot shingle bucket, which banding avoids — prefer
+    the LSH variant when the batch itself is huge."""
+    sh_old = shingle_sets(old_docs, text_col, id_col, n)
+    sh_new = shingle_sets(new_docs, text_col, id_col, n)
+    a, b = sh_old.alias("a"), sh_new.alias("b")
+    pairs = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s2 = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        pairs.join(s1.alias("s1"), pairs.d1 == F.col("s1.doc_id"))
+        .join(s2.alias("s2"), pairs.d2 == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
