@@ -233,6 +233,17 @@ HEADLINE = [
     #   compaction amortized per corpus version; min-of-3 measures the
     #   pruned 2-D box scan against the compacted layout.
     "layout_zorder_compacted_scan",
+    # r11 debuts, tracked from their first round:
+    # - existential attribution-window funnel: k session-keyed
+    #   union+window passes propagating feasible completion times
+    #   (same exchange lineage as the greedy funnel; expect a similar
+    #   number with a small window-vs-join constant).
+    "events_funnel_existential",
+    # - 3-column Morton layout scan: the 512-box lineitem layout is
+    #   amortized per corpus version; min-of-3 measures the 24-of-512
+    #   pruned 3-D box scan (more partition dirs listed than the 2-D
+    #   entry — 512 vs 256 — so expect a slightly larger floor).
+    "layout_zorder3_pruned_scan",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -283,6 +294,23 @@ HEADLINE = [
 #   compact driver contract only; the full payload (mins, medians,
 #   phases) goes to the committed BENCH_DETAIL_r{N}.json. No timing
 #   semantics changed.
+# r11 engine-side deltas to expect:
+# - dedup_cc_incremental: EXPECT A LARGE DROP (r10 15.1 s min). Two
+#   deliberate changes (r10 VERDICT #5 + ADVICE): the base labeling is
+#   now the cached STANDING index (built once per corpus version,
+#   persisted to parquet — the ivf_layout_cached contract), so the
+#   min-of-3 bills the O(batch) fold + batch pairing the operator
+#   exists for, not a per-call one-shot solve; and the batch pairing
+#   is the exact shingle-join restriction instead of MinHash-LSH
+#   probing (deterministic for the oracle equality; at this corpus
+#   the exact cross-join and the LSH probe cost the same order).
+# - similarity_ivf_append / similarity_ivf_retrain /
+#   layout_zorder_compacted_scan: maintenance entries now run a
+#   recovery sweep (listdir + stat over partition dirs, no data read)
+#   and the retrain swap journals itself (two tiny json writes + one
+#   extra rename per retrain) — noise-level on warm serving numbers.
+# - graph_triangle_count: wedge/clustering arithmetic moved from
+#   double to bigint DIV — same plan shape, no measurable delta.
 
 
 def _canary(spark, sf_dir):

@@ -38,118 +38,103 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-10 rotation, three parts:
+# Round-11 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the ten DEBUTS multimodal_video_neardup (per-frame
-#     dHash + pigeonhole band frame matches + integer frame-set
-#     containment vote; full multi-frame splitmix64 replay oracle),
-#     multimodal_video_incremental (corpus frame-band index +
-#     broadcast batch probe; oracle restricted to batch-touching
-#     pairs), multimodal_audio_incremental (the same probe shape over
-#     acoustic fingerprints), events_funnel_conversion (ordered
-#     attribution-window funnel, greedy-earliest frontier; full value
-#     oracle), corpus_split_leakage_safe (split assigned per near-dup
-#     CLUSTER so no near-dup pair straddles train/test; full value
-#     oracle incl. the zero-leak count), graph_triangle_count
-#     (degree-oriented triangle counting + clustering coefficient over
-#     the similarity graph; full value oracle via 3-way join replay),
-#     layout_dpp_scan (month-partitioned fact joined to a filtered
-#     calendar dim — Catalyst's DYNAMIC partition pruning, plan
-#     pinned; full value oracle), dedup_cc_incremental (batch pairs
-#     folded into the existing component labeling via contraction —
-#     value-checked against the ONE-SHOT recursive-CTE oracle, so the
-#     hash match IS the incremental ≡ one-shot proof),
-#     similarity_ivf_retrain
-#     (drift-signal-driven cell refit: warm-started Lloyd over ONLY
-#     the drifted lists, per-list dir swap, untouched lists
-#     byte-identical; bounds oracle) and layout_zorder_compacted_scan
-#     (zorder_append of unclustered rows + dirty-bucket-only
-#     compaction; FULL value oracle); plus the CHANGED
-#     similarity_ivf_append (r10 rewrite: crash-safe idempotent batch
-#     commit — staging manifest + b<batch>- file prefix sweep +
-#     atomic generation-committed sidecar carrying the applied-batch
-#     record; carry/partition-col plumbing with fail-fast schema
-#     checks), layout_zorder_pruned_scan (the quantization grid is
-#     now DERIVED FROM COLUMN STATS via the parquet footers, with
-#     both quantizers clamped — r9 ADVICE), and
-#     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
-#     similarity_ann_filtered (write_ivf_layout's stats sidecar is now
-#     generation-committed with an n_drift column — serving unchanged,
-#     build path they amortize is new code).
-# (b) the 17 entries whose latest driver row is r06 — exactly the
-#     carryover the r9 rotation scheduled for this window
-#     (filter_project, distinct_order_attrs, left_join_order_counts,
-#     semi/anti/semi_anti, full_outer_nation_activity, rollup_returns,
-#     cube_order_status, scalar/date_functions, q8/q18/q22,
-#     promo_revenue_share, count_distinct_parts,
-#     topk_expensive_orders). After this round no entry's latest
-#     driver row is older than r07.
-# (c) union RECENCY: 18 of the 43 entries whose latest driver row is
-#     r07, in registry order. The 25 left for the r11 window are the
-#     TPC-H single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/
-#     q16/q17/q19/q20/q21 plus window_orders_suite /
-#     window_running_revenue / window_distribution / window_first_last
-#     / setops_customer_keys / corpus_pack_sequences /
-#     sample_mixture_weights / text_chunk_windows / corpus_pack_global
-#     / corpus_dsir_select / corpus_decontaminate_bloom — every one a
-#     thin wrapper over relational
-#     operators (or an already-multiply-verified pipeline composition)
-#     whose siblings stay green every round.
+#     round — the two DEBUTS events_funnel_existential (EXISTENTIAL
+#     attribution-window funnel: feasible-completion-time DP via a
+#     latest-feasible-predecessor running max per step; full value
+#     oracle through an independent EXISTS-join formulation) and
+#     layout_zorder3_pruned_scan (n-DIMENSIONAL Morton layout, 3
+#     columns -> 512 box partitions, driver-side covering enumeration;
+#     FULL value oracle = the plain 3-predicate filter); plus the
+#     CHANGED graph_triangle_count (wedge + clustering arithmetic now
+#     pure bigint end to end on BOTH sides — r10 ADVICE: doubles lose
+#     integer exactness past 2^53), dedup_cc_incremental (batch
+#     pairing is now the EXACT shingle-join restriction, not LSH — r10
+#     ADVICE: a band miss would break the one-shot oracle equality —
+#     and the base labeling is the cached STANDING index, so the query
+#     bills the O(batch) fold — r10 VERDICT #5), similarity_ivf_append
+#     (drift measured against the FROZEN build_min_sim edge — r10
+#     VERDICT #3: the min-merged edge ratcheted down and muted
+#     sustained drift; entry recovery sweep), similarity_ivf_retrain
+#     (journaled all-or-nothing swap: _swap.json -> renames -> atomic
+#     commit rename -> cleanup, crash rolls back or forward via
+#     _recover_ivf_layout — r10 VERDICT #2 / ADVICE medium; edges
+#     re-frozen on retrain), layout_zorder_compacted_scan
+#     (zorder_append/zorder_compact entry sweeps: .retired restore +
+#     uncommitted-append rollback — r10 VERDICT #2 / ADVICE medium),
+#     and similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
+#     similarity_ann_filtered (their layout build writes the new
+#     build_min_sim sidecar column — serving unchanged, build path is
+#     new code, the r10 precedent).
+# (b) the 25 entries whose latest driver row is r07 — exactly the
+#     carryover the r10 rotation scheduled for this window (the TPC-H
+#     single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/q16/q17/
+#     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
+#     pipeline compositions). After this round no entry's latest
+#     driver row is older than r08.
+# (c) union RECENCY: 15 of the 48 entries whose latest driver row is
+#     r08, in registry order (asof_purchase_last_click through
+#     events_decay_score). The 33 r08 entries left for the r12 window
+#     are the streaming suite, the remaining events/sketch/text/
+#     similarity serving queries and corpus compositions — every one
+#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
+#     every round since.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (15) ---
-    "multimodal_video_neardup",
-    "multimodal_video_incremental",
-    "multimodal_audio_incremental",
-    "events_funnel_conversion",
-    "corpus_split_leakage_safe",
+    # --- new or changed implementations this round (10) ---
+    "events_funnel_existential",
+    "layout_zorder3_pruned_scan",
     "graph_triangle_count",
-    "layout_dpp_scan",
     "dedup_cc_incremental",
+    "similarity_ivf_append",
     "similarity_ivf_retrain",
     "layout_zorder_compacted_scan",
-    "similarity_ivf_append",
-    "layout_zorder_pruned_scan",
     "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
     "similarity_ann_filtered",
-    # --- last driver-verified in r06 (all 17) ---
-    "filter_project",
-    "distinct_order_attrs",
-    "left_join_order_counts",
-    "semi_join_active_customers",
-    "anti_join_never_urgent",
-    "semi_anti_customers",
-    "full_outer_nation_activity",
-    "rollup_returns",
-    "cube_order_status",
-    "scalar_functions",
-    "date_functions",
-    "q8_market_share",
-    "q18_large_volume_customers",
-    "q22_sales_opportunity",
-    "promo_revenue_share",
-    "count_distinct_parts",
-    "topk_expensive_orders",
-    # --- last driver-verified in r07 (18 of 43) ---
-    "grouping_sets_orders",
-    "sample_systematic_revenue",
-    "explode_embedding_positions",
-    "unpivot_part_attrs",
-    "skew_key_diagnosis",
-    "dedup_semantic_semdedup",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "dedup_incremental_compacted",
-    "dedup_remove_spans",
-    "text_token_stats",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_bpe_merges",
-    "sample_stratified_docs",
+    # --- last driver-verified in r07 (all 25) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "window_orders_suite",
+    "window_running_revenue",
+    "window_distribution",
+    "window_first_last",
+    "setops_customer_keys",
+    "corpus_pack_sequences",
+    "sample_mixture_weights",
+    "text_chunk_windows",
+    "corpus_pack_global",
+    "corpus_dsir_select",
+    "corpus_decontaminate_bloom",
+    # --- last driver-verified in r08 (15 of 48, registry order) ---
+    "asof_purchase_last_click",
+    "udaf_discount_sumsq",
+    "udtf_sentence_split",
+    "cluster_kmeans_embeddings",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "dedup_containment_lsh",
+    "dedup_containment_lsh_ensemble",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_dedup_first",
+    "events_sliding_counts",
+    "events_conversion_funnel",
+    "events_gapfill_resample",
+    "events_decay_score",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

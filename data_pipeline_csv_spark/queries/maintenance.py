@@ -385,6 +385,94 @@ def layout_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
 
 
+_ZORDER3_CACHE: dict = {}
+
+
+def _zorder3_layout_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once 3-COLUMN z-ordered lineitem layout: stats-derived
+    quantized (price, ship-day, quantity) interleaved into a 21-bit
+    Morton value, bucketed by its top 9 bits -> 512 box partitions
+    (3 prefix bits per dimension: 8 cells per axis), z-sorted within
+    each. Same cache contract as the 2-D layout."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import derive_zorder_spec_nd, write_zorder_table_nd
+
+    path = _ZORDER3_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    spec = derive_zorder_spec_nd(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        [("l_extendedprice", "num"), ("l_shipdate", "date"), ("l_quantity", "num")],
+        bits=7,
+        prefix_bits=9,
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    )
+    path = tempfile.mkdtemp(prefix="sg_zorder3_")
+    write_zorder_table_nd(li, spec, path)
+    _ZORDER3_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_zorder3_pruned_scan",
+    # FULL value oracle: the result is a plain 3-D range filter DuckDB
+    # replays directly — a covering-completeness check on the n-D
+    # machinery: one missed intersecting box and the hash diverges.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_extendedprice >= 20000 AND l_extendedprice <= 45000
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <= TIMESTAMP '1996-12-31'
+      AND l_quantity >= 10 AND l_quantity <= 30
+    """,
+    doc="n-DIMENSIONAL Z-ORDER layout + 3-D pruned scan (r10 VERDICT "
+    "#6: lakehouse OPTIMIZE ZORDER BY takes n columns): lineitem "
+    "materialized partitioned by the top 9 bits of the interleaved "
+    "(quantized price, ship-day, quantity) 21-bit Morton value — 512 "
+    "axis-aligned BOXES, 8 cells per axis — and a 3-D range query "
+    "statically prunes to the boxes intersecting it (measured 24 of "
+    "512 for this price x year x quantity box; a single-column sort "
+    "prunes one dimension, the 2-D layout two). Quantizers derived "
+    "from parquet footer stats, clamped, identical IEEE arithmetic on "
+    "the row and driver sides; covering set enumerated driver-side "
+    "over the fixed grid and inlined as literals (operators/layout.py "
+    "zvalue_nd/zorder_covering_buckets_nd; plan pinned by tests/"
+    "test_plans.py::test_zorder3_scan_prunes_buckets, covering "
+    "completeness brute-force pinned by tests/test_maintenance.py::"
+    "test_zorder_nd_covering_completeness).",
+    tags=("layout", "zorder", "pruning", "scale"),
+)
+def layout_zorder3_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from ..operators.layout import zorder_pruned_scan_nd
+
+    layout = _zorder3_layout_cached(spark, sf_dir)
+    return zorder_pruned_scan_nd(
+        spark,
+        layout,
+        [
+            (20000, 45000),
+            (date(1996, 1, 1), date(1996, 12, 31)),
+            (10, 30),
+        ],
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+
+
 _DPP_CACHE: dict = {}
 
 

@@ -46,15 +46,16 @@ REPLICAS = 10
 
 # Per-round focus: the round's NEW operators (is the fresh machinery
 # sublinear?) plus one cross-round anchor (embedding_pca_project — the
-# flattest r9 scaler; if IT moves, the host moved). The r9 set
-# (streaming_dedup_neardup, streaming_heavy_hitters,
-# graph_label_propagation, graph_pagerank_suppliers,
-# streaming_cdc_upsert) is recorded in SCALE_SPOTCHECK_r09.json.
+# flattest r9 scaler; if IT moves, the host moved). Earlier rounds'
+# sets are recorded in SCALE_SPOTCHECK_r09/r10.json. r11: the two
+# debuts, plus the two whose cost shape changed (dedup_cc_incremental
+# now bills the cached-base fold + exact batch pairing;
+# similarity_ivf_append measures drift against the frozen edge).
 QUERIES = [
-    "multimodal_video_neardup",
-    "multimodal_video_incremental",
-    "similarity_ivf_retrain",
-    "layout_zorder_compacted_scan",
+    "events_funnel_existential",
+    "layout_zorder3_pruned_scan",
+    "dedup_cc_incremental",
+    "similarity_ivf_append",
     "embedding_pca_project",
 ]
 
