@@ -178,6 +178,24 @@ def zquant_cols(spec: dict) -> tuple[Column, Column]:
     return xq, yq
 
 
+def _spec_bucket_exprs(spec: dict) -> tuple:
+    """(z, zb) column expressions for either spec form — the legacy
+    2-D (x_col/y_col) spec or the n-D "cols" spec — so the incremental
+    maintenance ops (:func:`zorder_append` / :func:`zorder_compact`)
+    work on any layout the spec sidecar describes."""
+    if "cols" in spec:
+        d = len(spec["cols"])
+        z = zvalue_nd(zquant_nd_cols(spec), spec["bits"])
+        zb = F.shiftrightunsigned(
+            z, d * spec["bits"] - spec["prefix_bits"]
+        ).cast("int")
+        return z, zb
+    xq, yq = zquant_cols(spec)
+    z = zvalue(xq, yq, spec["bits"])
+    zb = F.shiftrightunsigned(z, 2 * spec["bits"] - spec["prefix_bits"]).cast("int")
+    return z, zb
+
+
 def _spec_path(path: str) -> str:
     import os
 
@@ -295,7 +313,8 @@ def _rollback_uncommitted_appends(path: str) -> list[str]:
 
 
 def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> list[int]:
-    """Append rows into an existing z-order layout: quantize with the
+    """Append rows into an existing z-order layout (2-D or n-D — the
+    spec sidecar decides, :func:`_spec_bucket_exprs`): quantize with the
     LAYOUT'S spec, route into the covering bucket partitions (only
     those dirs gain files — the IVF-append isolation property), and
     mark each touched bucket DIRTY (an empty marker file per bucket —
@@ -343,9 +362,7 @@ def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> 
                             os.remove(os.path.join(live, fn))
 
     spec = read_zorder_spec(path)
-    xq, yq = zquant_cols(spec)
-    z = zvalue(xq, yq, spec["bits"])
-    zb = F.shiftrightunsigned(z, 2 * spec["bits"] - spec["prefix_bits"]).cast("int")
+    _z, zb = _spec_bucket_exprs(spec)
     data_dir = os.path.join(staging, "data")
     (
         df_new.withColumn("zb", zb)
@@ -412,12 +429,12 @@ def zorder_compact(spark, path: str) -> list[int]:
     if not dirty:
         return []
     spec = read_zorder_spec(path)
-    xq, yq = zquant_cols(spec)
+    z_expr, _zb = _spec_bucket_exprs(spec)
     staging = os.path.join(path, "_staging", f"compact-{uuid.uuid4().hex[:8]}")
     (
         spark.read.parquet(path)
         .where(F.col("zb").isin(dirty))  # static partition pruning
-        .withColumn("_z", zvalue(xq, yq, spec["bits"]))
+        .withColumn("_z", z_expr)
         .repartition("zb")
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -476,3 +476,65 @@ def test_zorder_nd_covering_completeness(spark, sf_dir):
     got = zorder_pruned_scan_nd(spark, layout, box)
     key = lambda r: (r["l_orderkey"], r["l_linenumber"])
     assert sorted(map(key, got.collect())) == sorted(map(key, rows))
+
+
+def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path):
+    """Incremental maintenance generalizes with the layout: append and
+    dirty-bucket compaction run on an n-D spec through the same batch
+    protocol, with the pruned 3-D scan exact before and after."""
+    import os
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec_nd,
+        write_zorder_table_nd,
+        zorder_append,
+        zorder_compact,
+        zorder_pruned_scan_nd,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    spec = derive_zorder_spec_nd(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        [("l_extendedprice", "num"), ("l_shipdate", "date"), ("l_quantity", "num")],
+        bits=7,
+        prefix_bits=9,
+    )
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    incoming = li.filter(F.col("l_orderkey") % 5 == 0)
+    path = str(tmp_path / "z3")
+    write_zorder_table_nd(base, spec, path)
+    n_total = li.count()
+
+    box = [(20000, 45000), (date(1996, 1, 1), date(1996, 12, 31)), (10, 30)]
+
+    def _box():
+        got = zorder_pruned_scan_nd(spark, path, box)
+        want = li.filter(
+            (F.col("l_extendedprice") >= 20000)
+            & (F.col("l_extendedprice") <= 45000)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+        return sorted(map(key, got.collect())), sorted(map(key, want.collect()))
+
+    dirty = zorder_append(incoming, path, batch_id="nd-day-1")
+    assert dirty
+    got, want = _box()
+    assert got == want  # pruning contract exact while unsorted
+    compacted = zorder_compact(spark, path)
+    assert sorted(compacted) == sorted(dirty)
+    assert spark.read.parquet(path).count() == n_total
+    got, want = _box()
+    assert got == want
+    # replay: the committed batch short-circuits
+    assert zorder_append(incoming, path, batch_id="nd-day-1") == dirty
+    assert spark.read.parquet(path).count() == n_total
