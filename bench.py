@@ -311,6 +311,20 @@ HEADLINE = [
 #   extra rename per retrain) — noise-level on warm serving numbers.
 # - graph_triangle_count: wedge/clustering arithmetic moved from
 #   double to bigint DIV — same plan shape, no measurable delta.
+# r11 observed (BENCH_DETAIL_r11 vs _r10, canary 0.277 -> 0.330 min =
+# 1.19x host drift): median ratio 0.96x across the 62 entries.
+# dedup_cc_incremental landed the predicted drop (15.09 -> 7.09 s min;
+# the remaining cost is the exact batch pairing + fold + the one-shot-
+# sized output join, all O(batch-touching)). The only >15%-over-canary
+# mover is the mapInPandas/Arrow-heavy multimodal cluster
+# (video_incremental 1.67x on mins — but r10's 3.87 min was an outlier
+# below its own 5.26 median; r11's 6.46/6.78 vs the r10 MEDIAN is
+# 1.23x ~= the canary ratio). No engine change touched the multimodal
+# path this round (operators/dedup.py only gained the new exact
+# cross-pairing function); the Python-worker-heavy entries feel host
+# drift hardest, the same cluster-shaped inflation bench.py documents
+# for r8/r9. graph_triangle_count (bigint DIV) came in 0.87x — flat as
+# predicted, host-favored.
 
 
 def _canary(spark, sf_dir):
