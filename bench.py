@@ -220,9 +220,12 @@ HEADLINE = [
     #   layout amortized per corpus version; min-of-3 measures the
     #   broadcast dim + runtime-pruned 3-of-83-partition scan.
     "layout_dpp_scan",
-    # - incremental cluster maintenance: base labeling + LSH-probed
-    #   batch pairs + the contracted-graph solve; its number carries
-    #   the base build too (not amortized — the fold is the product).
+    # - incremental cluster maintenance (r11 reshape): the standing
+    #   index (labels + shingle table + rarest-first prefix entries)
+    #   is amortized per corpus version; min-of-3 measures the honest
+    #   per-batch loop — batch shingling, the one-sided exact prefix
+    #   probe + within-batch prefix pairs, and the contracted-graph
+    #   fold + relabeled output.
     "dedup_cc_incremental",
     # - IVF retrain audit: layout build on the biased half + one
     #   append + the drift-targeted refit are amortized per corpus
@@ -295,15 +298,18 @@ HEADLINE = [
 #   phases) goes to the committed BENCH_DETAIL_r{N}.json. No timing
 #   semantics changed.
 # r11 engine-side deltas to expect:
-# - dedup_cc_incremental: EXPECT A LARGE DROP (r10 15.1 s min). Two
-#   deliberate changes (r10 VERDICT #5 + ADVICE): the base labeling is
-#   now the cached STANDING index (built once per corpus version,
-#   persisted to parquet — the ivf_layout_cached contract), so the
-#   min-of-3 bills the O(batch) fold + batch pairing the operator
-#   exists for, not a per-call one-shot solve; and the batch pairing
-#   is the exact shingle-join restriction instead of MinHash-LSH
-#   probing (deterministic for the oracle equality; at this corpus
-#   the exact cross-join and the LSH probe cost the same order).
+# - dedup_cc_incremental: EXPECT A LARGE DROP (r10 15.1 s min -> ~7 s
+#   measured warm). Two deliberate changes (r10 VERDICT #5 + ADVICE):
+#   the base artifacts are now the cached STANDING index — component
+#   labels, shingle table AND rarest-first prefix entries, built once
+#   per corpus version and persisted (the ivf_layout_cached contract)
+#   — so min-of-3 bills the per-batch loop, not a one-shot solve; and
+#   the batch pairing is EXACT and deterministic (oracle equality)
+#   via one-sided prefix filtering (SSJoin/all-pairs/PPJoin): the raw
+#   exact shared-shingle join measured 13.4x on 10x data (hot-shingle
+#   buckets are quadratic), the prefix probe never lets a hot shingle
+#   generate a candidate. What remains per batch: shingle the batch,
+#   probe + verify, contracted fold — job-overhead-bound at sf0.1.
 # - similarity_ivf_append / similarity_ivf_retrain /
 #   layout_zorder_compacted_scan: maintenance entries now run a
 #   recovery sweep (listdir + stat over partition dirs, no data read)

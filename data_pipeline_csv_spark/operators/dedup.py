@@ -715,6 +715,136 @@ def minhash_lsh_incremental(
     return _verify_candidates(all_docs, candidates, threshold, text_col, id_col, n)
 
 
+def _prefix_entries(sh: DataFrame, freq: DataFrame, threshold: float) -> DataFrame:
+    """Rarest-first PREFIX of each doc's shingle set — the exact
+    set-similarity-join candidate filter (Chaudhuri et al. ICDE'06
+    SSJoin; Bayardo et al. WWW'07 all-pairs; Xiao et al. WWW'08
+    PPJoin; implementation original on the DataFrame API): order all
+    shingles by a GLOBAL (document-frequency asc, shingle asc) total
+    order; any pair with Jaccard >= t and sizes n1, n2 shares its
+    order-smallest common shingle, and that shingle must sit within
+    the first n - ceil(t*n) + 1 shingles of EACH side (were it later
+    on side x, the <= ceil(t*n_x) - 1 shingles after it could not hold
+    the >= ceil(t*n_x) common shingles). So a prefix-prefix equi-join
+    generates a complete candidate set while hot (frequent) shingles
+    — the quadratic buckets of the naive shared-shingle join — fall
+    out of every prefix. ``floor(t*n)`` is used for the subtracted
+    term (floor <= ceil: at worst one extra prefix element, never a
+    missed pair). ``freq`` must be computed over the UNION of all
+    sides being joined, so both sides rank by the same global order.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
+    return (
+        sh.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n_sh") - F.floor(F.lit(threshold) * F.col("_n_sh")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs via prefix filtering — the
+    same result as :func:`ngram_jaccard_pairs` (deterministic, no
+    probabilistic misses) with the quadratic hot-shingle buckets
+    removed: candidates come from a prefix-prefix equi-join (see
+    :func:`_prefix_entries`), then exact Jaccard over the FULL shingle
+    sets decides membership. This is what an exact-similarity self-join
+    runs at corpus scale; equality with the naive shared-shingle join
+    is pinned by tests/test_scale_ops.py::test_prefix_filtered_pairs_equal_naive.
+
+    The shingle table is materialized ONCE (``localCheckpoint``) — the
+    prefix plan references it ~6 times (frequency order, prefix
+    ranking, sizes, both verify sides), and re-running the regex
+    tokenization per reference costs more than the filter saves
+    (measured 6x at sf0.1). A deployed pipeline keeps the shingle
+    table as a real artifact; this is that materialization.
+    """
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, n).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    p = _prefix_entries(sh, freq, threshold)
+    a, b = p.alias("a"), p.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_prefix_index(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> tuple:
+    """(full shingle table, prefix entries) for a STANDING corpus —
+    the build-once artifacts of the one-sided prefix probe
+    (:func:`ngram_jaccard_probe_pairs`). The prefix order is the
+    corpus's own (document-frequency asc, shingle asc); one-sided
+    completeness needs no cross-corpus order agreement (see the probe
+    docstring), so the index never has to be re-ranked as batches
+    arrive."""
+    sh = shingle_sets(docs, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return sh, _prefix_entries(sh, freq, threshold)
+
+
+def ngram_jaccard_probe_pairs(
+    sh_corpus: DataFrame,
+    prefix_corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sh_new: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT cross pairs between a STANDING corpus and an arriving
+    batch via a ONE-SIDED prefix probe: candidates are
+    ``prefix_corpus ⋈ sh_new`` on shingle — the corpus side ships its
+    prebuilt rarest-first prefix (:func:`jaccard_prefix_index`), the
+    batch side probes with its FULL shingle set. Complete for any
+    Jaccard >= t pair by the suffix-counting argument applied to the
+    CORPUS side alone: the order-smallest shared shingle must sit in
+    the corpus doc's prefix, whatever the batch side looks like — so
+    one-sided filtering is exact, needs no window over the batch, and
+    the corpus's hot shingles (the quadratic buckets) never generate a
+    candidate. Per-batch cost: one shingle pass over the batch + the
+    pruned probe join + exact verification of candidates. Returns
+    (d1=corpus id, d2=batch id, jaccard)."""
+    if sh_new is None:
+        sh_new = shingle_sets(new_docs, text_col, id_col, n).localCheckpoint()
+    cand = (
+        prefix_corpus.alias("a")
+        .join(sh_new.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _jaccard_for_pairs(sh_corpus.unionByName(sh_new), cand).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_cross_pairs(
     old_docs: DataFrame,
     new_docs: DataFrame,
@@ -736,33 +866,28 @@ def ngram_jaccard_cross_pairs(
     downstream consumer that must equal an exact one-shot computation
     — the incremental connected-components fold, whose incremental ≡
     one-shot guarantee holds only when the batch pair set is COMPLETE
-    — needs the exact pairing). Any J>0 pair shares a shingle, so no
-    candidate is missed; like ngram_jaccard_pairs the shingle join is
-    quadratic per hot shingle bucket, which banding avoids — prefer
-    the LSH variant when the batch itself is huge."""
-    sh_old = shingle_sets(old_docs, text_col, id_col, n)
-    sh_new = shingle_sets(new_docs, text_col, id_col, n)
-    a, b = sh_old.alias("a"), sh_new.alias("b")
-    pairs = (
+    — needs the exact pairing). Candidates come from a PREFIX-PREFIX
+    equi-join (:func:`_prefix_entries`, the SSJoin/all-pairs/PPJoin
+    filter — exact, and the hot shingles whose buckets would make a
+    raw shared-shingle join quadratic fall out of every prefix; the
+    r11 scale spot-check measured the raw join at 13.4x on 10x data,
+    the prefix-filtered one sublinear), then exact Jaccard over the
+    FULL shingle sets decides membership. The frequency order is
+    computed over old ∪ new so both prefixes rank identically. Both
+    shingle tables are materialized once (``localCheckpoint``) — see
+    :func:`ngram_jaccard_pairs_prefix`."""
+    sh_old = shingle_sets(old_docs, text_col, id_col, n).localCheckpoint()
+    sh_new = shingle_sets(new_docs, text_col, id_col, n).localCheckpoint()
+    sh_all = sh_old.unionByName(sh_new)
+    freq = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    a = _prefix_entries(sh_old, freq, threshold).alias("a")
+    b = _prefix_entries(sh_new, freq, threshold).alias("b")
+    cand = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
     )
-    s1 = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    s2 = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return (
-        pairs.join(s1.alias("s1"), pairs.d1 == F.col("s1.doc_id"))
-        .join(s2.alias("s2"), pairs.d2 == F.col("s2.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            (
-                F.col("shared").cast("double")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_for_pairs(sh_all, cand).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_neardup_pairs(

@@ -783,34 +783,45 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_BASE_CACHE: dict = {}
 
 
-def _cc_base_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once standing component labeling of the base (80%) corpus
-    — the ivf_layout_cached contract (r10 VERDICT #5): a production
-    cluster index is built once and then MAINTAINED; the registered
+def _cc_base_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-once STANDING dedup index of the base (80%) corpus — the
+    ivf_layout_cached contract (r10 VERDICT #5): a production cluster
+    index is built once and then MAINTAINED; the registered
     incremental audit was rebuilding the base labeling on every call
     (15.1 s at sf0.1, the #2 bench entry), billing the one-shot solve
-    to an operator whose whole point is the O(batch) fold. The
-    labeling is persisted to a process-temp parquet per corpus
-    version, so repeated calls read it back instead of re-solving."""
+    to an operator whose whole point is the O(batch) fold. The index
+    is three persisted artifacts per corpus version: the component
+    LABELS, the full SHINGLE table, and the rarest-first PREFIX
+    entries (jaccard_prefix_index) the one-sided exact probe reads —
+    so repeated calls read them back instead of re-solving/re-ranking.
+    Returns (labels, sh_corpus, prefix_corpus) DataFrames."""
     import atexit
     import os
     import shutil
     import tempfile
 
     from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_prefix_index, ngram_jaccard_pairs_prefix
 
     path = _CC_BASE_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
         docs = balanced(spark, load_table(spark, sf_dir, "documents"))
         old = docs.filter(F.col("doc_id") % 5 != 0)
         base = connected_components(
-            ngram_jaccard_pairs(old, threshold=0.8), src="d1", dst="d2"
+            ngram_jaccard_pairs_prefix(old, threshold=0.8), src="d1", dst="d2"
         )
+        sh, prefix = jaccard_prefix_index(old, threshold=0.8)
         path = tempfile.mkdtemp(prefix="sg_ccbase_")
-        base.write.mode("overwrite").parquet(path)
+        base.write.mode("overwrite").parquet(os.path.join(path, "labels"))
+        sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+        prefix.write.mode("overwrite").parquet(os.path.join(path, "prefix"))
         _CC_BASE_CACHE[sf_dir] = path
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return spark.read.parquet(path)
+    return (
+        spark.read.parquet(os.path.join(path, "labels")),
+        spark.read.parquet(os.path.join(path, "shingles")),
+        spark.read.parquet(os.path.join(path, "prefix")),
+    )
 
 
 @query(
@@ -875,16 +886,30 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.components import incremental_components
-    from ..operators.dedup import ngram_jaccard_cross_pairs
+    from ..operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+        ngram_jaccard_probe_pairs,
+        shingle_sets,
+    )
 
     docs = balanced(spark, load_table(spark, sf_dir, "documents"))
-    old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    base_labels = _cc_base_labels_cached(spark, sf_dir)
+    base_labels, sh_corpus, prefix_corpus = _cc_base_index_cached(spark, sf_dir)
+    sh_new = shingle_sets(new).localCheckpoint()  # one shingle pass per batch
     batch_pairs = (
-        ngram_jaccard_cross_pairs(old, new, threshold=0.8)
+        ngram_jaccard_probe_pairs(
+            sh_corpus, prefix_corpus, new, threshold=0.8, sh_new=sh_new
+        )
         .select("d1", "d2")
-        .unionByName(ngram_jaccard_pairs(new, threshold=0.8).select("d1", "d2"))
+        .unionByName(
+            ngram_jaccard_pairs_prefix(new, threshold=0.8, sh=sh_new).select(
+                "d1", "d2"
+            )
+        )
+        # materialized once: the contraction references the batch pair
+        # set twice (edge contraction + new-node resolution), and the
+        # pair batch is a real artifact of the ingest loop anyway
+        .localCheckpoint()
     )
     updated = incremental_components(base_labels, batch_pairs, src="d1", dst="d2")
     return updated.select(

@@ -610,3 +610,76 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() == docs.count()
+
+
+def test_prefix_filtered_pairs_equal_naive(spark, sf_dir):
+    """The prefix filter (SSJoin/all-pairs/PPJoin) is EXACT: the
+    prefix-prefix candidate join plus full-set verification returns
+    the identical pair set as the naive shared-shingle join — on the
+    real corpus and on an adversarial frame where one hot shingle
+    appears in every doc (the quadratic bucket the filter exists to
+    avoid)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.dedup import (
+        ngram_jaccard_cross_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda r: (r["d1"], r["d2"], round(r["jaccard"], 12))
+    naive = sorted(map(key, ngram_jaccard_pairs(docs, threshold=0.8).collect()))
+    pref = sorted(
+        map(key, ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect())
+    )
+    assert naive == pref and naive
+
+    # cross variant == naive pairing restricted to cross pairs
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    cross = sorted(
+        map(key, ngram_jaccard_cross_pairs(old, new, threshold=0.8).collect())
+    )
+    want_cross = sorted(
+        (a, b, j) if b in new_ids else (b, a, j)
+        for a, b, j in naive
+        if (a in new_ids) != (b in new_ids)
+    )
+    # cross emits d1=old, d2=new; naive emits d1<d2 — normalize above
+    assert cross == want_cross
+
+    # one-sided probe (prebuilt corpus index + full batch side) ==
+    # the same cross pair set
+    from data_pipeline_csv_spark.operators.dedup import (
+        jaccard_prefix_index,
+        ngram_jaccard_probe_pairs,
+    )
+
+    sh_old, prefix_old = jaccard_prefix_index(old, threshold=0.8)
+    probe = sorted(
+        map(
+            key,
+            ngram_jaccard_probe_pairs(
+                sh_old, prefix_old, new, threshold=0.8
+            ).collect(),
+        )
+    )
+    assert probe == want_cross
+
+    # adversarial: every doc shares one hot phrase; only planted twins
+    # are real near-dups
+    rows = []
+    for i in range(40):
+        body = f"unique phrase number {i} " * 3
+        rows.append((i, f"the same hot boilerplate header {body}"))
+    rows.append((100, rows[0][1]))  # exact twin of doc 0
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    naive_a = sorted(map(key, ngram_jaccard_pairs(adv, threshold=0.8).collect()))
+    pref_a = sorted(
+        map(key, ngram_jaccard_pairs_prefix(adv, threshold=0.8).collect())
+    )
+    assert naive_a == pref_a
+    assert (0, 100) in {(a, b) for a, b, _ in pref_a}
