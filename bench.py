@@ -317,20 +317,17 @@ HEADLINE = [
 #   extra rename per retrain) — noise-level on warm serving numbers.
 # - graph_triangle_count: wedge/clustering arithmetic moved from
 #   double to bigint DIV — same plan shape, no measurable delta.
-# r11 observed (BENCH_DETAIL_r11 vs _r10, canary 0.277 -> 0.330 min =
-# 1.19x host drift): median ratio 0.96x across the 62 entries.
-# dedup_cc_incremental landed the predicted drop (15.09 -> 7.09 s min;
-# the remaining cost is the exact batch pairing + fold + the one-shot-
-# sized output join, all O(batch-touching)). The only >15%-over-canary
-# mover is the mapInPandas/Arrow-heavy multimodal cluster
-# (video_incremental 1.67x on mins — but r10's 3.87 min was an outlier
-# below its own 5.26 median; r11's 6.46/6.78 vs the r10 MEDIAN is
-# 1.23x ~= the canary ratio). No engine change touched the multimodal
-# path this round (operators/dedup.py only gained the new exact
-# cross-pairing function); the Python-worker-heavy entries feel host
-# drift hardest, the same cluster-shaped inflation bench.py documents
-# for r8/r9. graph_triangle_count (bigint DIV) came in 0.87x — flat as
-# predicted, host-favored.
+# r11 observed (BENCH_DETAIL_r11 vs _r10, canary 0.277 -> 0.282 min =
+# flat host): dedup_cc_incremental landed the predicted drop (15.09 ->
+# 6.76 s min) WITH the prefix-probe pairing included — the per-batch
+# loop is shingle + probe + verify + fold, job-overhead-bound at this
+# SF. An earlier same-day run on a drifted host (canary 0.330, +19%)
+# showed the mapInPandas/Arrow-heavy multimodal cluster inflated
+# 1.2-1.7x on mins with NO engine change (operators/dedup.py only
+# gained the prefix-pairing functions; the multimodal path is
+# untouched) — the same cluster-shaped host sensitivity documented for
+# r8/r9; the committed detail is from the flat-canary run.
+# graph_triangle_count (bigint DIV) came in 0.87x — flat as predicted.
 
 
 def _canary(spark, sf_dir):

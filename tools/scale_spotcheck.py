@@ -60,7 +60,31 @@ QUERIES = [
 ]
 
 
+def _build_sf1_events(spark) -> None:
+    """events: user_id/event_id offset per replica -> 10x the users
+    with the same per-user event shape (the funnel/sessionize cost
+    driver is users x events-per-user; this grows the former
+    honestly). Guarded separately: the r9/r10 SF1 dirs predate it.
+    The nanos-aware loader normalizes ts, so the derived table lands
+    as plain micros."""
+    if os.path.isdir(os.path.join(SF1, "events.parquet")):
+        return
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    ev = load_table(spark, SF01, "events")
+    ev.crossJoin(rep).select(
+        (F.col("event_id") + F.col("rep").cast("bigint") * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(16).write.mode("overwrite").parquet(f"{SF1}/events.parquet")
+
+
 def build_sf1(spark) -> None:
+    _build_sf1_events(spark)
     if os.path.isdir(os.path.join(SF1, "documents.parquet")):
         return
     os.makedirs(SF1, exist_ok=True)
