@@ -66,23 +66,28 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     and similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
 #     similarity_ann_filtered (their layout build writes the new
 #     build_min_sim sidecar column — serving unchanged, build path is
-#     new code, the r10 precedent).
+#     new code, the r10 precedent); plus the five queries whose exact
+#     pairing switched to PREFIX FILTERING (identical result, pinned;
+#     the raw shared-shingle join measured 13.4x on 10x data) —
+#     dedup_ngram_jaccard, dedup_cc_clusters, corpus_split_leakage_safe,
+#     corpus_dedup_keep_best, corpus_e2e_prep.
 # (b) the 25 entries whose latest driver row is r07 — exactly the
 #     carryover the r10 rotation scheduled for this window (the TPC-H
 #     single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/q16/q17/
 #     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
 #     pipeline compositions). After this round no entry's latest
 #     driver row is older than r08.
-# (c) union RECENCY: 15 of the 48 entries whose latest driver row is
+# (c) union RECENCY: 10 of the 48 entries whose latest driver row is
 #     r08, in registry order (asof_purchase_last_click through
-#     events_decay_score). The 33 r08 entries left for the r12 window
-#     are the streaming suite, the remaining events/sketch/text/
-#     similarity serving queries and corpus compositions — every one
-#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
-#     every round since.
+#     events_sessionize). The 38 r08 entries left for the r12 window
+#     (5 more than planned: the five changed-pairing queries above
+#     took their slots) are the streaming suite, the remaining
+#     events/sketch/text/similarity serving queries and corpus
+#     compositions — every one oracle-green in r08 and replayed by
+#     tests/test_oracle_parity.py every round since.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (10) ---
+    # --- new or changed implementations this round (15) ---
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
     "graph_triangle_count",
@@ -93,6 +98,11 @@ _PRIORITY = [
     "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
     "similarity_ann_filtered",
+    "dedup_ngram_jaccard",
+    "dedup_cc_clusters",
+    "corpus_split_leakage_safe",
+    "corpus_dedup_keep_best",
+    "corpus_e2e_prep",
     # --- last driver-verified in r07 (all 25) ---
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -119,7 +129,7 @@ _PRIORITY = [
     "corpus_pack_global",
     "corpus_dsir_select",
     "corpus_decontaminate_bloom",
-    # --- last driver-verified in r08 (15 of 48, registry order) ---
+    # --- last driver-verified in r08 (10 of 48, registry order) ---
     "asof_purchase_last_click",
     "udaf_discount_sumsq",
     "udtf_sentence_split",
@@ -130,11 +140,6 @@ _PRIORITY = [
     "dedup_containment_lsh_ensemble",
     "events_hourly_rollup",
     "events_sessionize",
-    "events_dedup_first",
-    "events_sliding_counts",
-    "events_conversion_funnel",
-    "events_gapfill_resample",
-    "events_decay_score",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -18,7 +18,7 @@ from ..operators.dedup import (
     exact_dedup,
     md5_hash60_duckdb_sql,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash,
 )
 from ..sources.tables import balanced, load_table
@@ -77,11 +77,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=_EXACT_PAIRS_SQL,
-    doc="Exact near-dup pairs: word-3-gram Jaccard >= 0.8 via shingle self-join (exact for J>0).",
+    doc="Exact near-dup pairs: word-3-gram Jaccard >= 0.8 via PREFIX-FILTERED "
+    "candidates (r11: SSJoin/all-pairs/PPJoin — identical result to the naive "
+    "shingle self-join, pinned by test_scale_ops.py::test_prefix_filtered_pairs_"
+    "equal_naive, but hot shingles never generate candidates, which the naive "
+    "join pays for quadratically: measured 13.4x on 10x data).",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8)
+    return ngram_jaccard_pairs_prefix(
+        balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8
+    )
 
 
 @query(
@@ -357,7 +363,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.components import connected_components
 
-    pairs = ngram_jaccard_pairs(balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8)
+    pairs = ngram_jaccard_pairs_prefix(
+        balanced(spark, load_table(spark, sf_dir, "documents")), threshold=0.8
+    )
     cc = connected_components(pairs, src="d1", dst="d2")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
@@ -747,7 +755,7 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import split_assign
 
     docs = balanced(spark, load_table(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.8).select("d1", "d2")
     cc = connected_components(pairs, src="d1", dst="d2")
     labeled = (
         docs.select("doc_id")

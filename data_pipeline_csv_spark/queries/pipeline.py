@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_funcs import STOPWORDS, alpha_ratio, stopword_hits, tokens
 from ..operators.components import connected_components
-from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.dedup import ngram_jaccard_pairs_prefix
 from ..operators.sampling import split_assign_sql_case, uniform_from_id_sql
 from ..sources.tables import balanced, load_table
 from .dedup import _SHINGLE_CTE
@@ -115,7 +115,7 @@ _QUALITY_SQL = f"""
 )
 def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.8)
     cc = connected_components(pairs, src="d1", dst="d2")
     q = _quality_cols(docs)
     together = (
@@ -943,7 +943,7 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = uniq.join(contam, "doc_id", "left_anti")
-    pairs = ngram_jaccard_pairs(clean, threshold=0.8)
+    pairs = ngram_jaccard_pairs_prefix(clean, threshold=0.8)
     cc = connected_components(pairs, src="d1", dst="d2")
     labeled = clean.join(
         cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
