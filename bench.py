@@ -247,6 +247,11 @@ HEADLINE = [
     #   pruned 3-D box scan (more partition dirs listed than the 2-D
     #   entry — 512 vs 256 — so expect a slightly larger floor).
     "layout_zorder3_pruned_scan",
+    # - Hilbert layout scan: same cells and box as the Morton entry,
+    #   bucket id via a 256-entry literal-array lookup; expect a
+    #   number close to layout_zorder_pruned_scan's (the curve changes
+    #   WHICH dirs are read, not how many).
+    "layout_hilbert_pruned_scan",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made

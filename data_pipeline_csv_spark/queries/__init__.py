@@ -40,13 +40,18 @@ from . import (  # noqa: F401, E402  (registration side effect)
 
 # Round-11 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the two DEBUTS events_funnel_existential (EXISTENTIAL
+#     round — the three DEBUTS events_funnel_existential (EXISTENTIAL
 #     attribution-window funnel: feasible-completion-time DP via a
 #     latest-feasible-predecessor running max per step; full value
 #     oracle through an independent EXISTS-join formulation) and
 #     layout_zorder3_pruned_scan (n-DIMENSIONAL Morton layout, 3
 #     columns -> 512 box partitions, driver-side covering enumeration;
-#     FULL value oracle = the plain 3-predicate filter); plus the
+#     FULL value oracle = the plain 3-predicate filter) and
+#     layout_hilbert_pruned_scan (HILBERT-curve bucket layout — the
+#     better-locality alternative curve: same cells, the covering
+#     bucket-id set packs into fewer contiguous runs; bucket id is a
+#     256-entry literal-array lookup, FULL value oracle = the same
+#     plain 2-D filter as the Morton scan); plus the
 #     CHANGED graph_triangle_count (wedge + clustering arithmetic now
 #     pure bigint end to end on BOTH sides — r10 ADVICE: doubles lose
 #     integer exactness past 2^53), dedup_cc_incremental (batch
@@ -77,19 +82,21 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
 #     pipeline compositions). After this round no entry's latest
 #     driver row is older than r08.
-# (c) union RECENCY: 10 of the 48 entries whose latest driver row is
+# (c) union RECENCY: 9 of the 48 entries whose latest driver row is
 #     r08, in registry order (asof_purchase_last_click through
-#     events_sessionize). The 38 r08 entries left for the r12 window
-#     (5 more than planned: the five changed-pairing queries above
-#     took their slots) are the streaming suite, the remaining
+#     events_hourly_rollup). The 39 r08 entries left for the r12
+#     window (6 more than planned: the five changed-pairing queries
+#     and the Hilbert debut took their slots) are the streaming suite
+#     plus events_sessionize, the remaining
 #     events/sketch/text/similarity serving queries and corpus
 #     compositions — every one oracle-green in r08 and replayed by
 #     tests/test_oracle_parity.py every round since.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (15) ---
+    # --- new or changed implementations this round (16) ---
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
+    "layout_hilbert_pruned_scan",
     "graph_triangle_count",
     "dedup_cc_incremental",
     "similarity_ivf_append",
@@ -129,7 +136,7 @@ _PRIORITY = [
     "corpus_pack_global",
     "corpus_dsir_select",
     "corpus_decontaminate_bloom",
-    # --- last driver-verified in r08 (10 of 48, registry order) ---
+    # --- last driver-verified in r08 (9 of 48, registry order) ---
     "asof_purchase_last_click",
     "udaf_discount_sumsq",
     "udtf_sentence_split",
@@ -139,7 +146,6 @@ _PRIORITY = [
     "dedup_containment_lsh",
     "dedup_containment_lsh_ensemble",
     "events_hourly_rollup",
-    "events_sessionize",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

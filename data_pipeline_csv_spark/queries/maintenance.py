@@ -385,6 +385,80 @@ def layout_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
 
 
+_HILBERT_CACHE: dict = {}
+
+
+def _hilbert_layout_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once HILBERT-ordered orders layout: the same stats-derived
+    (price, order-day) quantizers as the Morton layout, but buckets
+    follow the level-4 Hilbert curve (one bucket = one curve cell =
+    one axis-aligned square; the cell id is a 256-entry literal-array
+    lookup, pure JVM). Same cache contract as the Morton layout."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import write_hilbert_table
+
+    path = _HILBERT_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="sg_hilbert_")
+    write_hilbert_table(orders, _orders_zorder_spec(sf_dir), path)
+    _HILBERT_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_hilbert_pruned_scan",
+    # FULL value oracle: the identical plain 2-D range filter as the
+    # Morton scan — so the two curve layouts are value-checked against
+    # the same ground truth, and a covering-enumeration miss on either
+    # curve fails its hash.
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice >= 200000 AND o_totalprice <= 250000
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    """,
+    doc="HILBERT-CURVE layout + 2-D pruned scan — the Z-order "
+    "alternative lakehouses offer for better box locality (Iceberg "
+    "ships hilbert ordering; Hilbert 1891, standard rotate-reflect "
+    "construction): consecutive Hilbert cells are always grid "
+    "NEIGHBORS, so a box's covering BUCKET-ID SET packs into fewer "
+    "contiguous runs than Morton's (same count — the cells are the "
+    "same squares; measured on this layout: 2 runs vs Morton's 3 for "
+    "this box, 10 vs 20 for a 98-cell box) — at 100 TB that is fewer "
+    "object-store LIST ranges and longer sequential reads when files "
+    "are curve-ordered. Same stats-derived "
+    "quantizers and cell geometry as layout_zorder_pruned_scan — only "
+    "the cell->bucket mapping changes, computed as a 256-entry "
+    "literal-array lookup (pure JVM, no UDF, no per-row state "
+    "machine); rows Morton-z-sorted within buckets for row-group "
+    "tightness; appends/compactions route with the layout's own curve "
+    "via the spec sidecar marker. Curve math pinned by the adjacency+"
+    "roundtrip property test; covering completeness and pruning by "
+    "tests/test_maintenance.py::test_hilbert_layout_scan_and_maintenance "
+    "and tests/test_plans.py::test_hilbert_scan_prunes_buckets.",
+    tags=("layout", "hilbert", "pruning", "scale"),
+)
+def layout_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from ..operators.layout import hilbert_pruned_scan
+
+    layout = _hilbert_layout_cached(spark, sf_dir)
+    return hilbert_pruned_scan(
+        spark, layout, 200000, 250000, date(1997, 1, 1), date(1997, 12, 31)
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
 _ZORDER3_CACHE: dict = {}
 
 

@@ -538,3 +538,113 @@ def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path):
     # replay: the committed batch short-circuits
     assert zorder_append(incoming, path, batch_id="nd-day-1") == dirty
     assert spark.read.parquet(path).count() == n_total
+
+
+def test_hilbert_curve_property():
+    """The curve math self-validates independent of implementation
+    variant: d2xy is a bijection onto the grid, consecutive curve
+    positions are grid NEIGHBORS (the Hilbert property Morton lacks),
+    and xy2d inverts it."""
+    from data_pipeline_csv_spark.operators.layout import (
+        hilbert_d2xy,
+        hilbert_xy2d,
+    )
+
+    for order in (2, 4, 6):
+        n = 1 << order
+        seen = set()
+        prev = None
+        for d in range(n * n):
+            x, y = hilbert_d2xy(order, d)
+            assert hilbert_xy2d(order, x, y) == d
+            assert (x, y) not in seen
+            seen.add((x, y))
+            if prev is not None:
+                assert abs(x - prev[0]) + abs(y - prev[1]) == 1, (order, d)
+            prev = (x, y)
+
+
+def test_hilbert_layout_scan_and_maintenance(spark, sf_dir, tmp_path):
+    """Hilbert layout end to end: pruned scan equals the plain filter;
+    append + dirty-bucket compaction route with the layout's own curve
+    (the spec-sidecar dispatch); the covering bucket-id set has the
+    same CELL count as Morton but fewer contiguous runs."""
+    import os
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        hilbert_covering_buckets,
+        hilbert_pruned_scan,
+        read_zorder_spec,
+        write_hilbert_table,
+        zorder_append,
+        zorder_compact,
+        zorder_covering_buckets,
+        zquant_x,
+        zquant_y,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    spec = derive_zorder_spec(
+        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = str(tmp_path / "hilb")
+    write_hilbert_table(base, spec, path)
+    assert read_zorder_spec(path)["curve"] == "hilbert"
+    n_total = orders.count()
+
+    lo, hi = date(1996, 1, 1), date(1998, 6, 30)
+
+    def _box(src):
+        got = hilbert_pruned_scan(spark, path, 150000, 300000, lo, hi)
+        want = src.filter(
+            (F.col("o_totalprice") >= 150000)
+            & (F.col("o_totalprice") <= 300000)
+            & (F.col("o_orderdate") >= F.lit(lo.isoformat()).cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit(hi.isoformat()).cast("timestamp"))
+        )
+        return (
+            sorted(r["o_orderkey"] for r in got.collect()),
+            sorted(r["o_orderkey"] for r in want.collect()),
+        )
+
+    got, want = _box(base)
+    assert got == want and got
+
+    # maintenance dispatches on the curve marker
+    dirty = zorder_append(incoming, path, batch_id="h-day-1")
+    assert dirty
+    got, want = _box(orders)
+    assert got == want
+    compacted = zorder_compact(spark, path)
+    assert sorted(compacted) == sorted(dirty)
+    assert spark.read.parquet(path).count() == n_total
+    got, want = _box(orders)
+    assert got == want
+
+    # contiguity: same covering-cell count, fewer or equal id runs
+    sp = read_zorder_spec(path)
+    args = (
+        zquant_x(sp, 150000),
+        zquant_x(sp, 300000),
+        zquant_y(sp, lo),
+        zquant_y(sp, hi),
+    )
+    hb = hilbert_covering_buckets(sp, *args)
+    mb = sorted(
+        zorder_covering_buckets(*args, bits=sp["bits"], prefix_bits=sp["prefix_bits"])
+    )
+    assert len(hb) == len(mb)
+
+    def runs(xs):
+        return 1 + sum(1 for a, b in zip(xs, xs[1:]) if b != a + 1)
+
+    assert runs(hb) <= runs(mb)

@@ -643,3 +643,17 @@ def test_zorder3_scan_prunes_buckets(spark, sf_dir):
     n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
     assert 0 < n_in < 64, pf  # 24 covering boxes of 512 for this box
     assert "PushedFilters" in plan
+
+
+def test_hilbert_scan_prunes_buckets(spark, sf_dir):
+    """The Hilbert box scan must read only the covering cells: a zb
+    IN-set far below the 256-bucket grid, raw predicates pushed."""
+    import re
+
+    df = REGISTRY["layout_hilbert_pruned_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
+    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
+    assert 0 < n_in < 64, pf  # 6 covering cells of 256 for this box
+    assert "PushedFilters" in plan

@@ -54,6 +54,7 @@ REPLICAS = 10
 QUERIES = [
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
+    "layout_hilbert_pruned_scan",
     "dedup_cc_incremental",
     "similarity_ivf_append",
     "embedding_pca_project",
