@@ -322,17 +322,21 @@ HEADLINE = [
 #   extra rename per retrain) — noise-level on warm serving numbers.
 # - graph_triangle_count: wedge/clustering arithmetic moved from
 #   double to bigint DIV — same plan shape, no measurable delta.
-# r11 observed (BENCH_DETAIL_r11 vs _r10, canary 0.277 -> 0.282 min =
-# flat host): dedup_cc_incremental landed the predicted drop (15.09 ->
-# 6.76 s min) WITH the prefix-probe pairing included — the per-batch
-# loop is shingle + probe + verify + fold, job-overhead-bound at this
-# SF. An earlier same-day run on a drifted host (canary 0.330, +19%)
-# showed the mapInPandas/Arrow-heavy multimodal cluster inflated
-# 1.2-1.7x on mins with NO engine change (operators/dedup.py only
-# gained the prefix-pairing functions; the multimodal path is
-# untouched) — the same cluster-shaped host sensitivity documented for
-# r8/r9; the committed detail is from the flat-canary run.
-# graph_triangle_count (bigint DIV) came in 0.87x — flat as predicted.
+# r11 observed (three same-day full runs while the engine changes
+# landed; canaries 0.330 / 0.282 / 0.345 min — ±22% host swing within
+# ONE day, the committed BENCH_DETAIL_r11 is the last run, which adds
+# the Hilbert debut): dedup_cc_incremental landed the predicted drop
+# (15.09 -> 6.76 s min on the flat-canary run, 7.58 on the committed
+# drifted-host run) WITH the prefix-probe pairing included — the
+# per-batch loop is shingle + probe + verify + fold, job-overhead-
+# bound at this SF. Across the runs the mapInPandas/Arrow-heavy
+# multimodal cluster moved 1.2-1.7x with NO engine change (the
+# multimodal path is untouched this round) — the same cluster-shaped
+# host sensitivity documented for r8/r9; read any r11 per-query delta
+# against the canary ratio first. graph_triangle_count (bigint DIV)
+# came in 0.87x — flat as predicted. layout_hilbert_pruned_scan debuts
+# at ~0.6 s, within noise of the Morton scan's 0.5 s, as expected
+# (same cell count read; the curve changes which dirs, not how many).
 
 
 def _canary(spark, sf_dir):
