@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -732,6 +732,29 @@ def _prefix_entries(sh: DataFrame, freq: DataFrame, threshold: float) -> DataFra
     term (floor <= ceil: at worst one extra prefix element, never a
     missed pair). ``freq`` must be computed over the UNION of all
     sides being joined, so both sides rank by the same global order.
+
+    Each entry carries its set size ``_n_sh`` and its rank ``_rn`` in
+    the global order so the candidate joins can stack PPJoin's two
+    further EXACT filters on top of the prefix filter (Xiao et al.
+    WWW'08 — both are necessary conditions of Jaccard >= t, so
+    pruning by them never drops a true pair; the exact verification
+    step still alone decides membership):
+
+    - LENGTH: J >= t forces |intersection| >= t * max(n1, n2) and
+      |intersection| <= min(n1, n2), so min(n1, n2) >= t * max(n1, n2).
+    - POSITIONAL: at a shared prefix shingle ranked (i, j) on the two
+      sides, only the match itself plus the suffixes after it can
+      intersect, so overlap <= 1 + min(n1 - i, n2 - j); a true pair
+      needs overlap >= t * (n1 + n2) / (1 + t) (from J = o / (n1 +
+      n2 - o) >= t). The pair's ORDER-SMALLEST shared shingle always
+      satisfies the bound for a true pair, so keeping any candidate
+      occurrence that passes (the filter runs per-occurrence, BEFORE
+      the distinct) is complete.
+
+    Both comparisons subtract a 1e-9 slack so double rounding of the
+    t * n products can only make the filter more permissive, never
+    drop a boundary pair (sizes are integers; the true condition holds
+    in real arithmetic).
     """
     from pyspark.sql import Window as W
 
@@ -745,8 +768,24 @@ def _prefix_entries(sh: DataFrame, freq: DataFrame, threshold: float) -> DataFra
             F.col("_rn")
             <= F.col("_n_sh") - F.floor(F.lit(threshold) * F.col("_n_sh")) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "_rn", "_n_sh")
     )
+
+
+def _ppjoin_filters(threshold: float) -> Column:
+    """PPJoin length + positional candidate predicate over an aliased
+    prefix-prefix join (sides ``a``/``b`` from :func:`_prefix_entries`).
+    Exact-conservative: see the derivation in :func:`_prefix_entries`."""
+    n1, n2 = F.col("a._n_sh"), F.col("b._n_sh")
+    length_ok = F.least(n1, n2).cast("double") >= (
+        F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(n1 - F.col("a._rn"), n2 - F.col("b._rn"))
+    positional_ok = ubound.cast("double") >= (
+        F.lit(threshold) * (n1 + n2).cast("double") / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
+    return length_ok & positional_ok
 
 
 def ngram_jaccard_pairs_prefix(
@@ -782,7 +821,8 @@ def ngram_jaccard_pairs_prefix(
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _ppjoin_filters(threshold),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
@@ -829,14 +869,25 @@ def ngram_jaccard_probe_pairs(
     the corpus doc's prefix, whatever the batch side looks like — so
     one-sided filtering is exact, needs no window over the batch, and
     the corpus's hot shingles (the quadratic buckets) never generate a
-    candidate. Per-batch cost: one shingle pass over the batch + the
-    pruned probe join + exact verification of candidates. Returns
-    (d1=corpus id, d2=batch id, jaccard)."""
+    candidate. The PPJoin LENGTH filter stacks on top (sizes are known
+    on both sides: the corpus prefix carries ``_n_sh``, the batch side
+    aggregates its full shingle table) — the positional filter does
+    not apply one-sided, since the batch probes with its FULL set and
+    a match position within it bounds nothing. Per-batch cost: one
+    shingle pass over the batch + the pruned probe join + exact
+    verification of candidates. Returns (d1=corpus id, d2=batch id,
+    jaccard)."""
     if sh_new is None:
         sh_new = shingle_sets(new_docs, text_col, id_col, n).localCheckpoint()
+    new_sizes = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_new"))
+    probe = sh_new.join(new_sizes, "doc_id")
+    n1, n2 = F.col("a._n_sh"), F.col("b._n_new")
+    length_ok = F.least(n1, n2).cast("double") >= (
+        F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
+    )
     cand = (
         prefix_corpus.alias("a")
-        .join(sh_new.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .join(probe.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & length_ok)
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
@@ -883,7 +934,10 @@ def ngram_jaccard_cross_pairs(
     a = _prefix_entries(sh_old, freq, threshold).alias("a")
     b = _prefix_entries(sh_new, freq, threshold).alias("b")
     cand = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & _ppjoin_filters(threshold),
+        )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )

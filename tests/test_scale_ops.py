@@ -683,3 +683,78 @@ def test_prefix_filtered_pairs_equal_naive(spark, sf_dir):
     )
     assert naive_a == pref_a
     assert (0, 100) in {(a, b) for a, b, _ in pref_a}
+
+
+def test_ppjoin_filters_prune_but_keep_boundary(spark):
+    """The PPJoin length/positional candidate filters stacked on the
+    prefix join are (a) conservative at the EXACT J = t boundary — the
+    1e-9 slack means double rounding of t*n can never drop a boundary
+    pair — and (b) not dead code: on a snippet-vs-document corpus the
+    length filter removes every snippet candidate BEFORE verification
+    while the true near-dup pairs all survive."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.dedup import (
+        _ppjoin_filters,
+        _prefix_entries,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    # (a) boundary pairs at exactly J = 0.8:
+    #  - equal sizes: 11 words -> 9 shingles; changing the LAST word
+    #    flips exactly 1 shingle -> shared 8, union 10, J = 0.8
+    #  - skewed sizes at the length-filter edge: a 10-word doc (8
+    #    shingles) fully contained in its 12-word extension (10
+    #    shingles) -> J = 8/10 and min = 8 == 0.8 * max exactly
+    w = [f"tok{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(w[:11])),
+        (2, " ".join(w[:10] + ["changed"])),
+        (3, " ".join(w[:10])),
+        (4, " ".join(w[:12])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    naive = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == naive
+    assert abs(got[(1, 2)] - 0.8) < 1e-12
+    assert abs(got[(3, 4)] - 0.8) < 1e-12
+
+    # (b) pruning: tiny doc i is the leading excerpt of huge doc i
+    # (rare df=2 marker + start of a shared boilerplate body), so the
+    # marker heads BOTH prefixes and the prefix join alone generates
+    # the snippet candidate; sizes differ ~20x, so the length filter
+    # kills it. The 100 huge docs are mutual near-dups (identical
+    # body) and must all survive.
+    body = " ".join(f"boiler plate word{j}" for j in range(100))
+    rows = []
+    for i in range(100):
+        rare = f"qqq{i} zzz{i} kkk{i}"
+        rows.append((i, f"{rare} boiler plate word0 boiler"))
+        rows.append((1000 + i, f"{rare} {body}"))
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(adv).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    p = _prefix_entries(sh, freq, 0.8)
+    a, b = p.alias("a"), p.alias("b")
+    base = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    sel = lambda j: j.select("a.doc_id", "b.doc_id").distinct().count()
+    n_prefix_only = sel(a.join(b, base))
+    n_ppjoin = sel(a.join(b, base & _ppjoin_filters(0.8)))
+    assert n_ppjoin < n_prefix_only  # filters actually prune
+    assert n_ppjoin == 4950  # exactly the C(100,2) true huge-huge pairs
+    # and the final answer is still exact
+    key = lambda r: (r["d1"], r["d2"], round(r["jaccard"], 12))
+    assert sorted(
+        map(key, ngram_jaccard_pairs_prefix(adv, threshold=0.8, sh=sh).collect())
+    ) == sorted(map(key, ngram_jaccard_pairs(adv, threshold=0.8).collect()))
