@@ -313,12 +313,169 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
             # which equals floor for these non-negative counts; exact
             # while 3e6 * n_triangles < 2^63 (n_triangles <= 3.07e12 —
             # the old double product already lost exactness at ~3e9)
-            F.when(
-                F.col("n_wedges") > 0,
-                F.expr("(CAST(3000000 AS BIGINT) * n_triangles) DIV n_wedges"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("clustering_fp"),
+            _clustering_fp_expr(),
         )
+    )
+
+
+def _clustering_fp_expr():
+    """floor(1e6 * 3 * triangles / wedges) in pure bigint (0 when
+    wedgeless) — shared by the one-shot and incremental counters so
+    both emit the identical fixed point."""
+    return (
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(CAST(3000000 AS BIGINT) * n_triangles) DIV n_wedges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("clustering_fp")
+    )
+
+
+def graph_degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected edge list (u < v,
+    distinct) — the degree sidecar of the standing triangle index."""
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+
+
+def incremental_triangle_stats(
+    base_edges: DataFrame,
+    base_degrees: DataFrame,
+    base_counts: DataFrame,
+    cross_edges: DataFrame,
+    new_edges: DataFrame,
+) -> DataFrame:
+    """Fold a batch of ARRIVING VERTICES into a standing triangle
+    index — the vertex-arrival member of the incremental matrix
+    (image/video/audio probes, LSH batch, IVF append, z-order append,
+    connected components): instead of recounting the union graph, the
+    batch's edges update (n_edges, n_wedges, n_triangles,
+    clustering_fp) exactly, with O(batch adjacency) join work and
+    never a pass over the base edge set beyond keyed lookups.
+
+    Inputs (the vertex sets must be disjoint — new vertices have no
+    base edges, which is what vertex arrival means):
+
+    - ``base_edges``   (u, v): canonical u < v, distinct — the
+      standing graph index (at scale: bucketed by u for the semi-join
+      lookups below);
+    - ``base_degrees`` (node, deg): its degree sidecar
+      (:func:`graph_degrees`, maintained with the index);
+    - ``base_counts``  1 row (n_edges, n_wedges, n_triangles) — the
+      standing totals;
+    - ``cross_edges``  (a, x): new edges between an OLD node ``a`` and
+      a NEW node ``x``;
+    - ``new_edges``    (x, y): canonical x < y edges between NEW nodes.
+
+    Every triangle the batch creates contains >= 1 new vertex, and is
+    generated EXACTLY ONCE by categorizing on how many of its vertices
+    are new (the same disjoint-generation discipline as the one-shot
+    counter's degree orientation):
+
+    - 1 new vertex x:  two cross edges (a1, x), (a2, x) close over a
+      BASE edge (a1, a2) — a self-join of cross edges on x, then one
+      semi-join keyed into the standing edge index (never a scan);
+    - 2 new vertices:  a new-new edge (x, y) and two cross edges
+      (a, x), (a, y) — generated from the new-new edge (each such
+      triangle has exactly one), closed by a semi-join against the
+      batch's own cross edges;
+    - 3 new vertices:  the one-shot counter on the (tiny) new-new
+      edge set alone.
+
+    The wedge total updates from degrees alone: only TOUCHED nodes
+    change degree, so n_wedges' = n_wedges + sum over touched nodes of
+    C(d0 + delta, 2) - C(d0, 2), with d0 read from the degree sidecar
+    by a keyed join (0 for new nodes). All arithmetic is the same pure
+    bigint as :func:`triangle_stats`, so incremental == one-shot
+    EXACTLY (pinned by tests/test_graph.py::
+    test_incremental_triangles_equal_oneshot).
+
+    Returns the one-row union stats (n_edges, n_wedges, n_triangles,
+    clustering_fp) — byte-identical to ``triangle_stats`` on the union
+    graph.
+    """
+    cross = cross_edges.select(F.col("a"), F.col("x")).distinct()
+    nn = (
+        new_edges.select(
+            F.least(F.col("x"), F.col("y")).alias("x"),
+            F.greatest(F.col("x"), F.col("y")).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    base = base_edges.select("u", "v")
+
+    # --- triangle delta, disjoint by #new vertices ---
+    c1, c2 = cross.alias("c1"), cross.alias("c2")
+    t1 = (
+        c1.join(
+            c2,
+            (F.col("c1.x") == F.col("c2.x")) & (F.col("c1.a") < F.col("c2.a")),
+        )
+        .select(F.col("c1.a").alias("u"), F.col("c2.a").alias("v"))
+        .join(base, ["u", "v"], "leftsemi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t1"))
+    )
+    t2 = (
+        nn.join(cross.alias("cx"), nn["x"] == F.col("cx.x"))
+        .select(F.col("y").alias("x"), F.col("cx.a").alias("a"))
+        .join(cross.select("a", "x"), ["a", "x"], "leftsemi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+    t3 = (
+        triangle_stats(nn, src="x", dst="y")
+        .select(F.col("n_triangles").alias("t3"))
+    )
+
+    # --- degree/wedge delta over touched nodes only ---
+    delta = (
+        cross.select(F.col("a").alias("node"))
+        .unionAll(cross.select(F.col("x").alias("node")))
+        .unionAll(nn.select(F.col("x").alias("node")))
+        .unionAll(nn.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("delta"))
+    )
+    wedge_delta = (
+        delta.join(base_degrees, "node", "left")
+        .select(
+            (F.coalesce(F.col("deg"), F.lit(0).cast("bigint"))).alias("d0"),
+            "delta",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "((d0 + delta) * (d0 + delta - 1)) DIV 2 - (d0 * (d0 - 1)) DIV 2"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("w_delta")
+        )
+    )
+    edge_delta = cross.agg(F.count(F.lit(1)).cast("bigint").alias("e_cross")).crossJoin(
+        F.broadcast(nn.agg(F.count(F.lit(1)).cast("bigint").alias("e_nn")))
+    )
+
+    return (
+        base_counts.select("n_edges", "n_wedges", "n_triangles")
+        .crossJoin(F.broadcast(edge_delta))
+        .crossJoin(F.broadcast(wedge_delta))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t3))
+        .select(
+            (F.col("n_edges") + F.col("e_cross") + F.col("e_nn")).alias("n_edges"),
+            (F.col("n_wedges") + F.col("w_delta")).alias("n_wedges"),
+            (F.col("n_triangles") + F.col("t1") + F.col("t2") + F.col("t3")).alias(
+                "n_triangles"
+            ),
+        )
+        .select("n_edges", "n_wedges", "n_triangles", _clustering_fp_expr())
     )

@@ -1185,6 +1185,68 @@ def embedding_cosine_neardup(
     return _exact_rescore(corpus2, cand.select("d1", "d2"), threshold)
 
 
+def embedding_cosine_cross_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """EXACT embedding-cosine pairs BETWEEN a standing corpus and an
+    arriving batch (d1=old vec_id, d2=new vec_id, cosine >= t) — the
+    cross restriction of :func:`embedding_cosine_neardup`, computed
+    without the corpus self-join: the OLD side keeps its single block
+    ``vec_id % B`` (no replication), only the (small) batch replicates
+    to all B blocks — the broadcast-side role of a map-side cross
+    join, expressed as block groups so each block-pair GEMM fits
+    executor memory at any corpus size. One Arrow-batched
+    ``applyInPandas`` per block computes the old-block x batch cosine
+    matrix with a numpy matmul; each old vector lives in exactly one
+    block, so every cross pair is produced exactly once. Survivors are
+    re-scored with the exact fixed-point cosine (bit-identical to the
+    DuckDB oracle), which alone decides membership — same contract as
+    the self-join mode. The vec_id spaces must be disjoint."""
+    import numpy as np
+    import pandas as pd
+
+    old2 = old.select("vec_id", "embedding").withColumn(
+        "_side", F.lit(0)
+    ).withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    new2 = (
+        new.select("vec_id", "embedding")
+        .withColumn("_side", F.lit(1))
+        .withColumn(
+            "blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+    )
+    both = old2.unionByName(new2)
+    cut = threshold - margin
+
+    def _score(key, pdf):
+        left = pdf["_side"].to_numpy() == 0
+        if left.all() or (~left).all():
+            return pd.DataFrame({"d1": [], "d2": []}).astype(
+                {"d1": "int64", "d2": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        S = M[left] @ M[~left].T
+        i, j = np.nonzero(S >= cut)
+        return pd.DataFrame(
+            {
+                "d1": ids[left][i].astype("int64"),
+                "d2": ids[~left][j].astype("int64"),
+            }
+        )
+
+    cand = both.groupBy("blk").applyInPandas(_score, "d1 long, d2 long")
+    corpus2 = old.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    return _exact_rescore(corpus2, cand, threshold)
+
+
 def embedding_cosine_neardup_clustered(
     corpus: DataFrame,
     centroids,

@@ -247,13 +247,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_edges(spark, sf_dir), iterations=_LPA_ITERS)
 
 
-@query(
-    "graph_triangle_count",
-    # FULL value oracle: the exact fixed-point cosine pair join
-    # rebuilds the similarity edges, a 3-way self-join counts every
-    # triangle, wedges come from the degree aggregate, and the
-    # clustering coefficient is the same floor-1e6 fixed point.
-    oracle="""
+# FULL value oracle shared by the one-shot AND incremental triangle
+# queries: the exact fixed-point cosine pair join rebuilds the
+# similarity edges over the WHOLE corpus, a 3-way self-join counts
+# every triangle, wedges come from the degree aggregate, and the
+# clustering coefficient is the same floor-1e6 fixed point. For the
+# incremental query this is deliberately the ONE-SHOT answer — the
+# hash match is the incremental == one-shot proof on real data (the
+# dedup_cc_incremental precedent).
+_TRI_ORACLE = """
     WITH ce AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
       FROM embeddings
@@ -293,7 +295,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST((3000000 * n_triangles) // n_wedges AS BIGINT)
                 ELSE 0 END AS clustering_fp
     FROM agg
-    """,
+    """
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRI_ORACLE,
     doc="TRIANGLE COUNT + global clustering coefficient over the "
     "semantic-similarity graph (edges = exact fixed-point cosine >= "
     "0.25 pairs — a local-density diagnostic for embedding corpora: "
@@ -318,3 +325,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("u"), F.col("d2").alias("v")
     )
     return triangle_stats(edges)
+
+
+_TRI_BASE_CACHE: dict = {}
+
+
+def _tri_base_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-once STANDING triangle index of the base (80%) similarity
+    graph — the _cc_base_index_cached / ivf_layout_cached contract: a
+    production graph index is built once and then MAINTAINED, so the
+    registered incremental audit bills the per-batch fold, not the
+    one-shot solve. Three persisted artifacts per corpus version: the
+    canonical base EDGE set (the semi-join target — at scale, bucketed
+    by its key), its DEGREE sidecar, and the standing one-row COUNTS.
+    Returns (edges, degrees, counts) DataFrames read back from
+    parquet."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.graph import graph_degrees, triangle_stats
+    from ..operators.similarity import embedding_cosine_neardup
+    from ..sources.tables import balanced
+
+    path = _TRI_BASE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+        old = corpus.filter(F.col("vec_id") % 5 != 0)
+        edges = embedding_cosine_neardup(old, threshold=0.25).select(
+            F.col("d1").alias("u"), F.col("d2").alias("v")
+        )
+        path = tempfile.mkdtemp(prefix="sg_tribase_")
+        edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        edges_rb = spark.read.parquet(os.path.join(path, "edges"))
+        graph_degrees(edges_rb).write.mode("overwrite").parquet(
+            os.path.join(path, "degrees")
+        )
+        triangle_stats(edges_rb).write.mode("overwrite").parquet(
+            os.path.join(path, "counts")
+        )
+        _TRI_BASE_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(path, "edges")),
+        spark.read.parquet(os.path.join(path, "degrees")),
+        spark.read.parquet(os.path.join(path, "counts")),
+    )
+
+
+@query(
+    "graph_triangle_incremental",
+    oracle=_TRI_ORACLE,
+    doc="INCREMENTAL triangle maintenance — the vertex-arrival member "
+    "of the incremental matrix (image/video/audio probes, LSH batch, "
+    "IVF append, z-order append, connected components): a batch of "
+    "arriving vectors (20% of the corpus) folds into the standing "
+    "triangle index of the base similarity graph. The batch's edges "
+    "(exact blocked-GEMM cross pairs old x new + within-batch pairs, "
+    "both fixed-point-rescored) update the counts via disjoint "
+    "generation by number-of-new-vertices — cross-edge wedges closed "
+    "by a semi-join INTO the standing edge index, new-new edges "
+    "closed by the batch's own cross edges, all-new triangles counted "
+    "one-shot on the tiny batch graph — and the wedge total updates "
+    "from the degree sidecar alone (touched nodes only, keyed join). "
+    "O(batch adjacency) work, never a recount; incremental == "
+    "one-shot EXACTLY in the same pure-bigint arithmetic, and the "
+    "oracle IS the one-shot recount over the whole corpus, so the "
+    "hash match is the equality proof on real data "
+    "(operators/graph.py incremental_triangle_stats; equality pinned "
+    "by tests/test_graph.py::test_incremental_triangles_equal_oneshot).",
+    tags=("graph", "triangles", "incremental", "scale"),
+)
+def graph_triangle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import incremental_triangle_stats
+    from ..operators.similarity import (
+        embedding_cosine_cross_pairs,
+        embedding_cosine_neardup,
+    )
+    from ..sources.tables import balanced
+
+    corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+    base_edges, base_degrees, base_counts = _tri_base_index_cached(spark, sf_dir)
+    cross = embedding_cosine_cross_pairs(old, new, threshold=0.25).select(
+        F.col("d1").alias("a"), F.col("d2").alias("x")
+    )
+    nn = embedding_cosine_neardup(new, threshold=0.25).select(
+        F.col("d1").alias("x"), F.col("d2").alias("y")
+    )
+    return incremental_triangle_stats(base_edges, base_degrees, base_counts, cross, nn)

@@ -183,3 +183,66 @@ def test_triangle_stats_matches_bruteforce(spark):
         assert got["n_edges"] == len(eset)
         assert got["n_wedges"] == wedges
         assert got["n_triangles"] == tri
+
+
+def test_incremental_triangles_equal_oneshot(spark):
+    """incremental_triangle_stats folds a vertex-arrival batch into
+    the standing index and must equal triangle_stats on the union
+    graph EXACTLY — on a random graph, on a hub graph (one old node
+    adjacent to everything), and with an empty batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.graph import (
+        graph_degrees,
+        incremental_triangle_stats,
+        triangle_stats,
+    )
+
+    rng = random.Random(7)
+
+    def run(all_edges, new_nodes):
+        new = set(new_nodes)
+        canon = {(min(a, b), max(a, b)) for a, b in all_edges if a != b}
+        base = [(u, v) for u, v in canon if u not in new and v not in new]
+        cross = [
+            (a, x)
+            for u, v in canon
+            if (u in new) != (v in new)
+            for a, x in [((u, v) if v in new else (v, u))]
+        ]
+        nn = [(u, v) for u, v in canon if u in new and v in new]
+        base_df = spark.createDataFrame(base or [(0, 0)], "u long, v long")
+        if not base:
+            base_df = base_df.filter(F.lit(False))
+        cross_df = spark.createDataFrame(cross or [(0, 0)], "a long, x long")
+        if not cross:
+            cross_df = cross_df.filter(F.lit(False))
+        nn_df = spark.createDataFrame(nn or [(0, 0)], "x long, y long")
+        if not nn:
+            nn_df = nn_df.filter(F.lit(False))
+        union_df = spark.createDataFrame(sorted(canon), "u long, v long")
+        got = incremental_triangle_stats(
+            base_df,
+            graph_degrees(base_df),
+            triangle_stats(base_df),
+            cross_df,
+            nn_df,
+        ).collect()[0]
+        want = triangle_stats(union_df).collect()[0]
+        assert got.asDict() == want.asDict(), (got, want)
+        assert want["n_triangles"] > 0 or not canon
+
+    # random graph, 30 nodes, new = ids % 4 == 0
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    run(edges, [n for n in range(30) if n % 4 == 0])
+
+    # hub: old node 0 adjacent to all; batch brings a clique of 4
+    hub = [(0, i) for i in range(1, 20)] + [(i, i + 1) for i in range(1, 19)]
+    hub += [(a, b) for a in (100, 101, 102, 103) for b in (0, 1, 2)]
+    hub += [(100, 101), (100, 102), (100, 103), (101, 102), (101, 103), (102, 103)]
+    run(hub, [100, 101, 102, 103])
+
+    # empty batch: counts must pass through unchanged
+    run([(1, 2), (2, 3), (3, 1)], [])
