@@ -901,3 +901,119 @@ def zorder_covering_buckets(
         if x1 >= xq_lo and x0 <= xq_hi and y1 >= yq_lo and y0 <= yq_hi:
             out.append(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max stats skipping (Delta/Iceberg-style data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _skip_data_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "data")
+
+
+def _skip_manifest_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_skip_manifest")
+
+
+def write_stats_layout(
+    df: DataFrame, path: str, skip_cols: list, n_files: int = 48
+) -> None:
+    """Flat (non-partitioned) parquet layout with a FILE-LEVEL min/max
+    stats MANIFEST — the lakehouse data-skipping primitive (Delta
+    Lake's per-add-file stats, Armbrust et al. VLDB 2020; Iceberg
+    manifest files; implementation original on the DataFrame API).
+    This is the third pruning layer next to directory partition
+    pruning (z-order / Hilbert / DPP layouts) and parquet's own
+    row-group min/max: it skips whole FILES from the driver's plan
+    without opening a single footer, which is what matters on an
+    object store where every footer read is a round trip.
+
+    Rows are range-partitioned on ``skip_cols[0]`` (then sorted within
+    tasks by all skip columns), so each written file covers a tight
+    range of the leading column and the manifest intervals barely
+    overlap. One distributed pass over the written files then
+    aggregates per-file min/max for every skip column into
+    ``path/_skip_manifest`` — one parquet row per data file (a 100 TB
+    table at 256 MB files is ~400k manifest rows: broadcast-sized, and
+    the pass that builds it is the same full scan the write itself
+    already paid, not an extra footer crawl per file).
+
+    NULL semantics: ``min``/``max`` ignore nulls, so an all-null file
+    gets null stats and every range predicate skips it — correct,
+    because a range predicate never matches NULL (pinned by
+    tests/test_maintenance.py::test_stats_skipping_nulls_and_equality).
+    """
+    spark = df.sparkSession
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in skip_cols])
+        .sortWithinPartitions(*skip_cols)
+        .write.mode("overwrite")
+        .parquet(_skip_data_dir(path))
+    )
+    rb = spark.read.parquet(_skip_data_dir(path))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in skip_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    (
+        rb.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_skip_manifest_dir(path))
+    )
+
+
+def stats_pruned_scan(
+    spark, path: str, ranges: dict, return_files: bool = False
+):
+    """Scan a :func:`write_stats_layout` table under conjunctive range
+    predicates ``{col: (lo, hi)}`` (either bound may be None), reading
+    ONLY the files whose manifest interval intersects every predicate:
+
+    1. read the manifest (one row per file) and keep files with
+       ``max_col >= lo AND min_col <= hi`` per predicate — a file
+       whose stats are null in a predicate column is all-null there
+       and is skipped (NULL comparisons are false);
+    2. collect the SURVIVING file list — O(matching files) driver
+       work, the same file-planning step Delta's Spark connector runs
+       on its add-file log — and scan exactly those paths;
+    3. re-apply the predicates as a residual filter (file granularity
+       is coarser than row granularity), which parquet additionally
+       pushes down to row groups inside the surviving files.
+
+    Exactness does not depend on the manifest being tight — only on
+    min/max being true bounds — so appends that widen a file's range
+    merely skip less. Returns the filtered DataFrame, or
+    ``(df, files)`` with ``return_files=True`` (how the plan test pins
+    the file count).
+    """
+    manifest = spark.read.parquet(_skip_manifest_dir(path))
+    mcols = set(manifest.columns)
+    keep = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if f"min_{c}" not in mcols:
+            raise ValueError(
+                f"stats_pruned_scan: column {c!r} has no manifest stats; "
+                f"manifest carries {sorted(n[4:] for n in mcols if n.startswith('min_'))}"
+            )
+        if lo is not None:
+            keep = keep & (F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
+    files = sorted(r["file"] for r in manifest.filter(keep).select("file").collect())
+    if files:
+        out = spark.read.parquet(*files)
+    else:
+        out = spark.read.parquet(_skip_data_dir(path)).filter(F.lit(False))
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(c) <= F.lit(hi))
+    return (out, files) if return_files else out

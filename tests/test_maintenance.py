@@ -648,3 +648,54 @@ def test_hilbert_layout_scan_and_maintenance(spark, sf_dir, tmp_path):
         return 1 + sum(1 for a, b in zip(xs, xs[1:]) if b != a + 1)
 
     assert runs(hb) <= runs(mb)
+
+
+def test_stats_skipping_nulls_and_equality(spark, tmp_path):
+    """write_stats_layout + stats_pruned_scan on a constructed frame:
+    (a) results equal the plain filter exactly, including when some
+    files mix nulls with values; (b) a file whose skip column is
+    ALL-null gets null manifest stats and is skipped — correct, since
+    a range predicate never matches NULL; (c) a predicate on a column
+    without manifest stats fails fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    rows = [(i, None if i < 40 else i * 10, f"p{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long, payload string")
+    path = str(tmp_path / "skiptab")
+    write_stats_layout(df, path, ["v"], n_files=8)
+
+    got, files = stats_pruned_scan(
+        spark, path, {"v": (500, 900)}, return_files=True
+    )
+    want = df.filter((F.col("v") >= 500) & (F.col("v") <= 900))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    # nulls range-partition first, so at least one of the 8 files is
+    # all-null in v and must never be planned; the 40-null frame spans
+    # >1 file of 200/8=25 rows
+    manifest = spark.read.parquet(f"{path}/_skip_manifest")
+    n_allnull = manifest.filter(F.col("min_v").isNull()).count()
+    assert n_allnull >= 1
+    assert len(files) < manifest.count()
+
+    # open-ended bounds
+    got_lo = stats_pruned_scan(spark, path, {"v": (1900, None)})
+    assert sorted(r["id"] for r in got_lo.collect()) == sorted(
+        r["id"] for r in df.filter(F.col("v") >= 1900).collect()
+    )
+
+    # empty intersection -> empty result, no files read
+    got_none, files_none = stats_pruned_scan(
+        spark, path, {"v": (10**9, None)}, return_files=True
+    )
+    assert files_none == [] and got_none.count() == 0
+
+    with pytest.raises(ValueError, match="no manifest stats"):
+        stats_pruned_scan(spark, path, {"payload": ("a", "b")})

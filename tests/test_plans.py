@@ -657,3 +657,42 @@ def test_hilbert_scan_prunes_buckets(spark, sf_dir):
     n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
     assert 0 < n_in < 64, pf  # 6 covering cells of 256 for this box
     assert "PushedFilters" in plan
+
+
+def test_stats_skipping_scan_prunes_files(spark, sf_dir):
+    """File planning must come from the manifest: the 3-month scan
+    keeps a small fraction of the 48 files, the executed scan opens
+    EXACTLY the planned files, and the residual predicates still push
+    into the surviving files' row groups."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import stats_pruned_scan
+    from data_pipeline_csv_spark.queries.maintenance import _skip_layout_cached
+
+    layout = _skip_layout_cached(spark, sf_dir)
+    df, files = stats_pruned_scan(
+        spark,
+        layout,
+        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
+        return_files=True,
+    )
+    assert 0 < len(files) < 12  # 3 of 48 at sf0.01; well under a quarter
+    opened = {
+        r[0]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert opened <= set(files), (sorted(opened), files)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # equality with the plain unskipped filter
+    want = (
+        spark.read.parquet(f"{layout}/data")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 3, 1)))
+            & (F.col("l_shipdate") <= F.lit(datetime(1996, 5, 31)))
+        )
+        .count()
+    )
+    assert df.count() == want
