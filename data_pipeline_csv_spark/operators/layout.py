@@ -1017,3 +1017,111 @@ def stats_pruned_scan(
         if hi is not None:
             out = out.filter(F.col(c) <= F.lit(hi))
     return (out, files) if return_files else out
+
+
+def stats_append(
+    df_new: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+    n_files: int = 4,
+) -> list[str]:
+    """Append a batch into a :func:`write_stats_layout` table with
+    O(batch) manifest maintenance — the incremental twin of the
+    stats-skipping layer (LSH batch / IVF append / z-order append
+    discipline): batch rows land as NEW data files (range-partitioned
+    on the leading skip column so their manifest intervals stay
+    tight), and ONE manifest part covering exactly those files is
+    added alongside the existing manifest parts. The standing manifest
+    is never rewritten — per batch the work is the batch scan plus one
+    small parquet write, independent of table size.
+
+    VISIBILITY / CRASH SAFETY (the zorder_append protocol, with a
+    stricter reader guarantee): readers plan files from the manifest,
+    so batch rows become visible only when the batch's manifest part
+    lands — a crash mid-append leaves readers on the exact pre-batch
+    table, never a partial batch. Callers pass a stable ``batch_id``;
+    data files and the manifest part carry an ``a<tag>-`` filename
+    prefix, a ``_batches/<tag>`` commit record lands LAST (atomic
+    rename), committed replays short-circuit, and a crashed attempt's
+    prefixed files (data AND manifest) are swept before the retry —
+    rows can neither be appended twice nor half-seen. Returns the
+    added data-file names. Schema must match the layout; the skip
+    columns are read from the standing manifest (fail-fast when
+    missing). Single maintenance writer per layout assumed, as with
+    every append protocol here.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    spark = df_new.sparkSession
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    data_dir = _skip_data_dir(path)
+    man_dir = _skip_manifest_dir(path)
+    batches_dir = os.path.join(path, "_batches")
+    record = os.path.join(batches_dir, tag)
+    staging = os.path.join(path, "_staging", f"append-{tag}")
+    if os.path.exists(record):  # committed replay: short-circuit
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(record) as f:
+            return json.load(f)["files"]
+
+    # crashed-attempt sweep: this batch's prefixed files, data AND
+    # manifest, come out before the redo
+    for d in (data_dir, man_dir):
+        for fn in os.listdir(d):
+            if fn.startswith(f"a{tag}-"):
+                os.remove(os.path.join(d, fn))
+
+    # skip columns from the standing manifest's own schema
+    man = spark.read.parquet(man_dir)
+    skip_cols = [c[4:] for c in man.columns if c.startswith("min_")]
+    missing = [c for c in skip_cols if c not in df_new.columns]
+    if missing:
+        raise ValueError(f"stats_append: batch lacks skip column(s) {missing}")
+
+    sdata = os.path.join(staging, "data")
+    (
+        df_new.repartitionByRange(n_files, *[F.col(c) for c in skip_cols])
+        .sortWithinPartitions(*skip_cols)
+        .write.mode("overwrite")
+        .parquet(sdata)
+    )
+    moved = []
+    for fn in sorted(os.listdir(sdata)):
+        if fn.endswith(".parquet"):
+            dst = f"a{tag}-{fn}"
+            os.rename(os.path.join(sdata, fn), os.path.join(data_dir, dst))
+            moved.append(dst)
+
+    # one manifest part for exactly the moved files (O(batch) pass)
+    rb = spark.read.parquet(*[os.path.join(data_dir, fn) for fn in moved])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in skip_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    sman = os.path.join(staging, "manifest")
+    (
+        rb.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .select(*man.columns)  # column order identical to the standing parts
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(sman)
+    )
+    part = [fn for fn in os.listdir(sman) if fn.endswith(".parquet")]
+    assert len(part) == 1
+    os.rename(
+        os.path.join(sman, part[0]), os.path.join(man_dir, f"a{tag}-{part[0]}")
+    )
+
+    os.makedirs(batches_dir, exist_ok=True)
+    tmp = f"{record}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"files": moved}, f)
+    os.replace(tmp, record)  # commit: the batch is now applied
+    shutil.rmtree(staging, ignore_errors=True)
+    return moved

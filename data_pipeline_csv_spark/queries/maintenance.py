@@ -716,3 +716,85 @@ def layout_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
     )
+
+
+_SKIP_APPEND_CACHE: dict = {}
+
+
+def _skip_appended_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_stats_appended_scan: the
+    stats-skipping layout over the BASE 80% of lineitem (l_orderkey %
+    5 != 0), then TWO :func:`~..operators.layout.stats_append` batches
+    folding in the remaining 20% (odd then even line numbers), each
+    adding its own data files plus ONE O(batch) manifest part — the
+    standing manifest parts are never rewritten. The first batch is
+    replayed once with its stable batch_id to exercise the committed
+    short-circuit on the real corpus (no duplicate rows can enter)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import stats_append, write_stats_layout
+
+    path = _SKIP_APPEND_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    b1 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1))
+    b2 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 0))
+    path = tempfile.mkdtemp(prefix="sg_skipapp_")
+    write_stats_layout(base, path, ["l_shipdate", "l_extendedprice"], n_files=48)
+    stats_append(b1, path, batch_id="batch-odd")
+    stats_append(b1, path, batch_id="batch-odd")  # committed replay: no-op
+    stats_append(b2, path, batch_id="batch-even")
+    _SKIP_APPEND_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_stats_appended_scan",
+    # FULL value oracle — the same plain range filter over the WHOLE
+    # table: a hash match proves the appended batches are visible
+    # exactly once (a dropped manifest part returns fewer rows, a
+    # replayed batch returns duplicates — either diverges the hash).
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <= TIMESTAMP '1996-05-31'
+    """,
+    doc="INCREMENTAL stats-skipping maintenance — the append twin of "
+    "layout_stats_skipping_scan (the z-order-append discipline "
+    "applied to the manifest layer): two batches (20% of lineitem) "
+    "fold into the standing layout as new range-partitioned data "
+    "files plus ONE O(batch) manifest part each; the standing "
+    "manifest is never rewritten, and readers plan from the manifest, "
+    "so batch rows become visible only when their manifest part lands "
+    "— a crash mid-append leaves readers on the exact pre-batch "
+    "table. The registered build replays a committed batch_id on the "
+    "real corpus (short-circuit: no duplicate rows), and the scan's "
+    "oracle is the plain filter over the WHOLE table, so the hash "
+    "match is the exactly-once visibility proof "
+    "(operators/layout.py stats_append; crash retry + replay pinned "
+    "by tests/test_maintenance.py::test_stats_append_replay_and_"
+    "crash_retry).",
+    tags=("layout", "skipping", "incremental", "scale"),
+)
+def layout_stats_appended_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.layout import stats_pruned_scan
+
+    layout = _skip_appended_cached(spark, sf_dir)
+    return stats_pruned_scan(
+        spark,
+        layout,
+        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
+    ).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )

@@ -699,3 +699,87 @@ def test_stats_skipping_nulls_and_equality(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no manifest stats"):
         stats_pruned_scan(spark, path, {"payload": ("a", "b")})
+
+
+def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
+    """stats_append's exactly-once protocol: (a) a committed replay
+    short-circuits (no new files, no duplicate rows); (b) a crash
+    BEFORE the batch's manifest part lands leaves readers on the exact
+    pre-batch table (manifest-gated visibility), and the retry sweeps
+    the prefixed files and completes without duplicates; (c) a crash
+    before the commit record is likewise retried cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_append,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    batch = spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "skipapp")
+    write_stats_layout(base, path, ["v"], n_files=8)
+    all_rows = lambda: sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    want_base = sorted(r["id"] for r in base.collect())
+    want_all = sorted(r["id"] for r in base.unionByName(batch).collect())
+
+    # (b) crash while moving the batch's MANIFEST part in
+    real_rename = os.rename
+
+    def crash_on_manifest(src, dst):
+        if "_skip_manifest" in dst and os.path.basename(dst).startswith("ab1-"):
+            raise RuntimeError("simulated crash before manifest part")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_on_manifest)
+    try:
+        stats_append(batch, path, batch_id="b1")
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    # data files moved, manifest part missing: readers must still see
+    # the exact pre-batch table
+    assert all_rows() == want_base
+    # retry completes; batch visible exactly once
+    stats_append(batch, path, batch_id="b1")
+    assert all_rows() == want_all
+
+    # (a) committed replay: same return, no growth
+    n_files_before = len(os.listdir(f"{path}/data"))
+    again = stats_append(batch, path, batch_id="b1")
+    assert len(os.listdir(f"{path}/data")) == n_files_before
+    assert all_rows() == want_all and again
+
+    # (c) crash before the commit record on a second batch
+    batch2 = spark.range(2000, 2050).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    real_replace = os.replace
+
+    def crash_on_commit(src, dst):
+        if "_batches" in dst:
+            raise RuntimeError("simulated crash before commit record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_commit)
+    try:
+        stats_append(batch2, path, batch_id="b2")
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    stats_append(batch2, path, batch_id="b2")
+    want_all2 = sorted(
+        r["id"] for r in base.unionByName(batch).unionByName(batch2).collect()
+    )
+    assert all_rows() == want_all2
