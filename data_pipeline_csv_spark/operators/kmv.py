@@ -126,3 +126,89 @@ def kmv_setops(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         "est_union",
         "est_intersect",
     )
+
+
+def correlated_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    p_bits: int = 6,
+) -> DataFrame:
+    """JOIN-SIZE ESTIMATION by correlated sampling (Vengerov et al.
+    VLDB 2015; Cohen & Kaplan's bottom-k sampling family) — the
+    pre-flight cardinality check a 100 TB warehouse runs BEFORE
+    committing to a fact-fact join the optimizer might misprice:
+    |A join B| = sum over keys of f_A(k) * f_B(k), estimated from the
+    keys whose shared 60-bit hash falls below tau = 2^60 / 2^p_bits.
+    Because BOTH sides sample by the SAME hash (the correlation), a
+    sampled key contributes its exact f_A * f_B product — heavy keys
+    are either fully in or fully out, which is what makes this
+    estimator work under the skew that breaks independent-sample
+    estimators. E[estimate] = true size; the estimate is the exact
+    integer sum over sampled keys times 2^p_bits.
+
+    Plan shape: each side hashes its key map-side and filters BEFORE
+    the aggregate, so the shuffle moves only the ~1/2^p_bits sampled
+    key space's partial counts; the count-table join is tiny. Fully
+    deterministic (the KMV md5-60-bit hash both engines agree on), so
+    the registered audit carries a FULL value oracle.
+
+    Returns ONE row: (p_denom, n_sampled_keys, est_join_size,
+    exact_join_size, rel_err_fp) — the exact side (the full per-key
+    count join the estimate avoids) is computed alongside as the
+    audit, and rel_err_fp = floor(1e6 * |est - exact| / exact), all
+    in exact bigint arithmetic. With ``p_bits=0`` every key is
+    sampled and est == exact (pinned by
+    tests/test_sketches.py::test_correlated_join_size_exact_at_full_rate).
+    """
+    tau = TWO60 >> p_bits
+
+    def counts(df: DataFrame, key: str, sampled: bool) -> DataFrame:
+        out = df.select(F.col(key).alias("_k"))
+        if sampled:
+            out = out.withColumn("_h", _hash60(F.col("_k"))).filter(
+                F.col("_h") < F.lit(tau)
+            )
+        return out.groupBy("_k").agg(F.count(F.lit(1)).cast("bigint").alias("_f"))
+
+    sa = counts(a, key_a, True).withColumnRenamed("_f", "_fa")
+    sb = counts(b, key_b, True).withColumnRenamed("_f", "_fb")
+    est = sa.join(sb, "_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_keys"),
+        F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0))
+        .cast("bigint")
+        .alias("_s"),
+    )
+    ea = counts(a, key_a, False).withColumnRenamed("_f", "_fa")
+    eb = counts(b, key_b, False).withColumnRenamed("_f", "_fb")
+    exact = ea.join(eb, "_k").agg(
+        F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(1 << p_bits).cast("int").alias("p_denom"),
+            "n_sampled_keys",
+            F.expr(f"_s * CAST({1 << p_bits} AS BIGINT)").alias("est_join_size"),
+            "exact_join_size",
+        )
+        .select(
+            "p_denom",
+            "n_sampled_keys",
+            "est_join_size",
+            "exact_join_size",
+            F.when(
+                F.col("exact_join_size") > 0,
+                F.expr(
+                    "(CAST(1000000 AS BIGINT) * abs(est_join_size - exact_join_size))"
+                    " DIV exact_join_size"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rel_err_fp"),
+        )
+    )

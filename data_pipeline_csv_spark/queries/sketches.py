@@ -278,3 +278,63 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = docs.select(F.explode(tokens("text")).alias("t"))
     return cms_topk_audit(tok, "t", k=20, d=4, w=1024)
+
+
+_CJS_TAU = 1 << 54  # 2^60 / 2^6: sample rate 1/64
+_CJS_HASH = "CAST(CONCAT('0x', SUBSTR(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "sketch_join_size_estimate",
+    # FULL value oracle: correlated sampling is DETERMINISTIC by
+    # construction (the shared md5-60-bit hash), so DuckDB replays the
+    # sampled per-key counts, the estimate, the exact join size and
+    # the fixed-point relative error bit-for-bit.
+    oracle=f"""
+    WITH fa AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem
+      WHERE {_CJS_HASH} < {_CJS_TAU}
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_keys,
+             CAST(COALESCE(SUM(a.f * b.f), 0) AS BIGINT) AS s
+      FROM fa a JOIN fa b ON a.k = b.k
+    ),
+    ex AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS exact_join_size
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT CAST(64 AS INT) AS p_denom,
+           n_sampled_keys,
+           s * 64 AS est_join_size,
+           exact_join_size,
+           CASE WHEN exact_join_size > 0
+                THEN CAST((1000000 * ABS(s * 64 - exact_join_size)) // exact_join_size AS BIGINT)
+                ELSE 0 END AS rel_err_fp
+    FROM s CROSS JOIN ex
+    """,
+    doc="JOIN-SIZE ESTIMATION by correlated sampling (Vengerov et al. "
+    "VLDB 2015; bottom-k sampling, Cohen & Kaplan) — the pre-flight "
+    "cardinality check for the optimizer's hardest estimate, a "
+    "skewed SELF-join: |lineitem join lineitem ON l_partkey| = "
+    "sum_k f(k)^2, the second frequency moment. Both sides sample "
+    "keys by the SAME md5-60-bit hash below 2^54 (rate 1/64), so a "
+    "sampled key contributes its EXACT squared frequency — heavy "
+    "keys are fully in or fully out, which survives the skew that "
+    "breaks independent-sample estimators; the shuffle moves only "
+    "the sampled key space's partial counts. The exact side (the "
+    "full per-key count join the estimate avoids) is computed "
+    "alongside as the audit, with rel_err_fp = floor(1e6*|est-exact|"
+    "/exact) in pure bigint; at p_bits=0 the estimator degenerates "
+    "to the exact answer (pinned by tests/test_sketches.py::"
+    "test_correlated_join_size_exact_at_full_rate) "
+    "(operators/kmv.py correlated_join_size).",
+    tags=("sketch", "join", "estimate", "scale"),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import correlated_join_size
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlated_join_size(li, li, "l_partkey", "l_partkey", p_bits=6)

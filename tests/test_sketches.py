@@ -93,3 +93,35 @@ def test_cms_one_sided_error_and_exact_when_wide(spark):
     for r in wide:
         assert r.overcount == 0, r  # no collisions at this width
     assert {r.token: r.exact_cnt for r in wide}["rare"] == 1
+
+
+def test_correlated_join_size_exact_at_full_rate(spark, sf_dir):
+    """At p_bits=0 (tau = 2^60, every key sampled) the correlated-
+    sampling estimator degenerates to the exact join size — est ==
+    exact, rel_err 0. At the registered 1/64 rate the estimate is
+    deterministic and unbiased-by-construction; pin only that it is
+    integer-consistent (est = 64 * sampled sum) and the audit columns
+    agree with a direct computation."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.kmv import correlated_join_size
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    full = correlated_join_size(li, li, "l_partkey", "l_partkey", p_bits=0).collect()[0]
+    assert full["est_join_size"] == full["exact_join_size"]
+    assert full["rel_err_fp"] == 0 and full["p_denom"] == 1
+
+    est = correlated_join_size(li, li, "l_partkey", "l_partkey", p_bits=6).collect()[0]
+    assert est["p_denom"] == 64
+    assert est["est_join_size"] % 64 == 0
+    assert est["exact_join_size"] == full["exact_join_size"]
+    want_err = (
+        1_000_000 * abs(est["est_join_size"] - est["exact_join_size"])
+    ) // est["exact_join_size"]
+    assert est["rel_err_fp"] == want_err
+    # two-table form agrees with the self-join form on identical inputs
+    other = correlated_join_size(
+        li.limit(0).unionByName(li), li, "l_partkey", "l_partkey", p_bits=6
+    ).collect()[0]
+    assert other == est
