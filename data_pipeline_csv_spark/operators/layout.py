@@ -1058,6 +1058,11 @@ def stats_append(
     spark = df_new.sparkSession
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
+    # heal a crashed compaction FIRST (the zorder_append precedent):
+    # a manifest-dir swap stranded between renames would fail the
+    # manifest read below, and a committed-but-unGC'd compaction must
+    # finish before this batch's part lands alongside
+    _heal_stats_layout(spark, path)
     tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
     data_dir = _skip_data_dir(path)
     man_dir = _skip_manifest_dir(path)
@@ -1125,3 +1130,183 @@ def stats_append(
     os.replace(tmp, record)  # commit: the batch is now applied
     shutil.rmtree(staging, ignore_errors=True)
     return moved
+
+
+def _heal_stats_layout(spark, path: str) -> None:
+    """Entry sweep shared by the stats-layout maintenance ops — the
+    zorder/ivf recovery discipline applied to the manifest-gated
+    layout. Heals, in order:
+
+    1. a manifest-dir swap stranded between its two renames
+       (``_skip_manifest.retired`` restored when the live dir is
+       missing, dropped when the swap completed);
+    2. every compaction journal in ``_compactions/``: if the live
+       manifest references the journal's new files, the swap
+       COMMITTED — finish its pending GC (delete the replaced small
+       files, then the journal); otherwise the compaction CRASHED
+       before its swap took effect — delete its orphaned ``c<tag>-``
+       files and the journal (readers never saw them; the old
+       manifest still governs, so no rows are lost);
+    3. dead ``compact-*`` staging dirs.
+
+    Crashed APPENDS need no healing here: their files are absent from
+    the manifest (invisible to readers) and their own retry sweeps
+    them by prefix — and compaction only ever touches manifest-listed
+    files, so it can never merge or GC a half-appended batch
+    (the r10 ADVICE-medium interaction, closed by construction).
+    """
+    import json
+    import os
+    import shutil
+
+    _restore_retired_dirs(path, "_skip_manifest")
+    comp_dir = os.path.join(path, "_compactions")
+    if os.path.isdir(comp_dir):
+        man_dir = _skip_manifest_dir(path)
+        live_files = None
+        for j in sorted(os.listdir(comp_dir)):
+            jp = os.path.join(comp_dir, j)
+            with open(jp) as f:
+                rec = json.load(f)
+            if live_files is None:
+                live_files = {
+                    r["file"]
+                    for r in spark.read.parquet(man_dir).select("file").collect()
+                }
+            committed = all(fn in live_files for fn in rec["new_files"])
+            doomed = rec["replaced"] if committed else rec["new_files"]
+            for fn in doomed:
+                p = fn[len("file:"):] if fn.startswith("file:") else fn
+                if os.path.exists(p):
+                    os.remove(p)
+            os.remove(jp)
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            if d.startswith("compact-"):
+                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+
+
+def stats_compact(
+    spark, path: str, target_rows: int = 100_000, min_files: int = 2
+) -> list[str]:
+    """Bin-pack the small files of a :func:`write_stats_layout` table
+    (the OPTIMIZE step completing the write/append/compact lifecycle,
+    as zorder_compact does for the bucketed layouts): files whose
+    manifest row count is below ``target_rows`` are re-read, range-
+    repartitioned on the leading skip column into ~``target_rows``
+    files, and swapped in with a journaled, manifest-gated protocol —
+    readers plan from the manifest, so at EVERY crash point they see
+    either the exact old file set or the exact new one, never a
+    mixture (stricter than the bucket-dir swaps, which expose a
+    partition-level window the entry sweep must heal):
+
+    1. entry: run :func:`_heal_stats_layout` (finish or roll back any
+       earlier crashed maintenance);
+    2. consolidated files are written to staging and moved into the
+       data dir under a ``c<tag>-`` prefix — unreferenced by the live
+       manifest, so invisible;
+    3. the full replacement manifest (untouched rows + one part for
+       the new files) is staged, a journal recording {new_files,
+       replaced} lands in ``_compactions/`` (atomic rename), and the
+       manifest DIR is swapped (rename live -> .retired, staged ->
+       live, drop retired);
+    4. the replaced small files are GC'd, journal removed.
+
+    A crash between the swap's renames restores the OLD manifest on
+    the next entry (old files still present — GC runs strictly after
+    the swap), after which the journal rolls the orphaned new files
+    back; a crash after the swap completes the GC forward from the
+    journal. Single maintenance writer per layout assumed. Returns
+    the consolidated file names (empty when fewer than ``min_files``
+    small files exist).
+    """
+    import json
+    import math
+    import os
+    import shutil
+    import uuid
+
+    _heal_stats_layout(spark, path)
+    man_dir = _skip_manifest_dir(path)
+    data_dir = _skip_data_dir(path)
+    man = spark.read.parquet(man_dir)
+    mcols = list(man.columns)
+    skip_cols = [c[4:] for c in mcols if c.startswith("min_")]
+    rows = man.collect()  # one row per file: driver-side planning, as in scans
+    small = [r for r in rows if r["n_rows"] < target_rows]
+    if len(small) < min_files:
+        return []
+    keep = [r for r in rows if r["n_rows"] >= target_rows]
+    total = sum(r["n_rows"] for r in small)
+    n_out = max(1, math.ceil(total / target_rows))
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, "_staging", f"compact-{tag}")
+
+    sdata = os.path.join(staging, "data")
+    (
+        spark.read.parquet(*[r["file"] for r in small])
+        .repartitionByRange(n_out, *[F.col(c) for c in skip_cols])
+        .sortWithinPartitions(*skip_cols)
+        .write.mode("overwrite")
+        .parquet(sdata)
+    )
+    new_files = []
+    for fn in sorted(os.listdir(sdata)):
+        if fn.endswith(".parquet"):
+            dst = f"c{tag}-{fn}"
+            os.rename(os.path.join(sdata, fn), os.path.join(data_dir, dst))
+            new_files.append(dst)
+
+    # replacement manifest: untouched rows pass through byte-identical
+    # (one small parquet rewrite of driver-held rows), new files get
+    # their stats from one O(compacted-rows) pass
+    smanifest = os.path.join(staging, "manifest")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in skip_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    new_rows = (
+        spark.read.parquet(*[os.path.join(data_dir, fn) for fn in new_files])
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .select(*mcols)
+    )
+    kept_df = spark.createDataFrame(keep, man.schema) if keep else man.limit(0)
+    (
+        kept_df.unionByName(new_rows)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(smanifest)
+    )
+
+    new_full = [
+        r["file"]
+        for r in spark.read.parquet(smanifest)
+        .select("file")
+        .collect()
+        if os.path.basename(r["file"].removeprefix("file:")).startswith(f"c{tag}-")
+    ]
+    comp_dir = os.path.join(path, "_compactions")
+    os.makedirs(comp_dir, exist_ok=True)
+    journal = os.path.join(comp_dir, f"{tag}.json")
+    tmp = f"{journal}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"new_files": new_full, "replaced": [r["file"] for r in small]}, f
+        )
+    os.replace(tmp, journal)
+
+    retired = f"{man_dir}.retired"
+    os.rename(man_dir, retired)
+    os.rename(smanifest, man_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+
+    for r in small:  # GC strictly after the swap
+        p = r["file"]
+        p = p[len("file:"):] if p.startswith("file:") else p
+        if os.path.exists(p):
+            os.remove(p)
+    os.remove(journal)
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_files

@@ -798,3 +798,88 @@ def layout_stats_appended_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
     )
+
+
+_SKIP_COMPACT_CACHE: dict = {}
+
+
+def _skip_compacted_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_stats_compacted_scan: the
+    appended layout's lifecycle completed — base 80% written as 16
+    INTENTIONALLY small files, the remaining 20% appended in two
+    batches (each adding small files + one manifest part), then ONE
+    :func:`~..operators.layout.stats_compact` bin-packing every
+    small file back to the row target (journaled manifest-gated swap;
+    readers see exact-old or exact-new at every crash point)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import stats_append, stats_compact, write_stats_layout
+
+    path = _SKIP_COMPACT_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    n = li.count()
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    b1 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1))
+    b2 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 0))
+    path = tempfile.mkdtemp(prefix="sg_skipcomp_")
+    write_stats_layout(base, path, ["l_shipdate", "l_extendedprice"], n_files=16)
+    stats_append(b1, path, batch_id="batch-odd")
+    stats_append(b2, path, batch_id="batch-even")
+    # target ~ n/12 rows/file: the 16 base + 8 batch files all qualify
+    # as small, so compaction exercises a real multi-file bin-pack
+    stats_compact(spark, path, target_rows=max(1, n // 12))
+    _SKIP_COMPACT_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_stats_compacted_scan",
+    # FULL value oracle — the same whole-table range filter as the
+    # appended scan: the hash match proves compaction lost no row,
+    # duplicated no row, and kept every manifest interval a true bound.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <= TIMESTAMP '1996-05-31'
+    """,
+    doc="STATS-LAYOUT COMPACTION — the OPTIMIZE step completing the "
+    "write/append/compact lifecycle for the manifest layer (what "
+    "zorder_compact is to the bucketed layouts, Delta OPTIMIZE's "
+    "bin-packing shape): small files accumulated by appends are "
+    "re-read, range-repartitioned to the row target, and swapped in "
+    "via a journaled manifest-gated protocol — new files land "
+    "invisible (unreferenced), a journal records {new, replaced}, "
+    "the manifest DIR swaps, GC runs strictly after — so readers see "
+    "the exact old or exact new file set at EVERY crash point, and "
+    "the next maintenance entry heals forward (committed: finish GC) "
+    "or back (crashed: roll orphans back) from the journal. The "
+    "registered build appends 20% of lineitem in two batches onto an "
+    "intentionally small-filed base, compacts, and serves the same "
+    "3-month scan (operators/layout.py stats_compact / "
+    "_heal_stats_layout; all three crash windows pinned by tests/"
+    "test_maintenance.py::test_stats_compact_crash_windows_and_"
+    "equality).",
+    tags=("layout", "skipping", "compaction", "incremental", "scale"),
+)
+def layout_stats_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.layout import stats_pruned_scan
+
+    layout = _skip_compacted_cached(spark, sf_dir)
+    return stats_pruned_scan(
+        spark,
+        layout,
+        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
+    ).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )

@@ -783,3 +783,109 @@ def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
         r["id"] for r in base.unionByName(batch).unionByName(batch2).collect()
     )
     assert all_rows() == want_all2
+
+
+def test_stats_compact_crash_windows_and_equality(spark, tmp_path, monkeypatch):
+    """stats_compact's journaled manifest-gated swap: at EVERY crash
+    point readers see either the exact old file set or the exact new
+    one. Simulated crashes: (a) after the new consolidated files move
+    in but BEFORE the manifest swap -> readers on the old layout; the
+    next maintenance entry rolls the orphans back via the journal;
+    (b) BETWEEN the swap's two renames -> entry heal restores the old
+    manifest, then rolls back; (c) after the swap, before GC -> entry
+    heal completes the GC forward. Equality with the plain table holds
+    throughout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _heal_stats_layout,
+        stats_append,
+        stats_compact,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    b1 = spark.range(5000, 5200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "sc")
+    write_stats_layout(base, path, ["v"], n_files=8)
+    stats_append(b1, path, batch_id="x1")
+    want = sorted(r["id"] for r in base.unionByName(b1).collect())
+    rows = lambda: sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    n_data = lambda: len(
+        [f for f in os.listdir(f"{path}/data") if f.endswith(".parquet")]
+    )
+
+    # (a) crash after journal lands, before the manifest swap starts
+    real_rename = os.rename
+    state = {"arm": "before_swap"}
+
+    def crashing_rename(src, dst):
+        if state["arm"] == "before_swap" and dst.endswith("_skip_manifest.retired"):
+            raise RuntimeError("simulated crash before manifest swap")
+        if state["arm"] == "mid_swap" and src.endswith("manifest") and dst.endswith(
+            "_skip_manifest"
+        ):
+            raise RuntimeError("simulated crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        stats_compact(spark, path, target_rows=400)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert rows() == want  # old manifest governs; orphans invisible
+    files_with_orphans = n_data()
+    _heal_stats_layout(spark, path)
+    assert n_data() < files_with_orphans  # orphaned c-files rolled back
+    assert rows() == want
+    assert not os.path.isdir(f"{path}/_compactions") or not os.listdir(
+        f"{path}/_compactions"
+    )
+
+    # (b) crash BETWEEN the two manifest renames
+    state["arm"] = "mid_swap"
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        stats_compact(spark, path, target_rows=400)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert os.path.isdir(f"{path}/_skip_manifest.retired")
+    _heal_stats_layout(spark, path)  # restores old manifest, rolls back
+    assert rows() == want
+
+    # (c) crash after the swap, before GC: the journal completes it
+    real_remove = os.remove
+    state["arm"] = "done"
+
+    def crash_on_gc(p):
+        if os.path.basename(os.path.dirname(p)) == "data":
+            raise RuntimeError("simulated crash before GC")
+        return real_remove(p)
+
+    monkeypatch.setattr(os, "remove", crash_on_gc)
+    try:
+        stats_compact(spark, path, target_rows=400)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "remove", real_remove)
+    assert rows() == want  # NEW manifest governs; stale files invisible
+    before_gc = n_data()
+    _heal_stats_layout(spark, path)  # completes GC forward
+    assert n_data() < before_gc
+    assert rows() == want
+    # layout is fully healed: appends and compactions still work
+    b2 = spark.range(7000, 7100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    stats_append(b2, path, batch_id="x2")
+    assert sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    ) == sorted(want + list(range(7000, 7100)))
