@@ -252,6 +252,37 @@ HEADLINE = [
     #   number close to layout_zorder_pruned_scan's (the curve changes
     #   WHICH dirs are read, not how many).
     "layout_hilbert_pruned_scan",
+    # r11 session-2 debuts, tracked from their first round:
+    # - incremental triangle maintenance: the standing base index
+    #   (edges + degrees + counts, incl. its blocked-GEMM edge build)
+    #   is amortized per corpus version; min-of-3 measures the honest
+    #   per-batch fold — the one-sided cross GEMM + within-batch
+    #   pairs + three keyed delta joins. Expect a number well under
+    #   graph_triangle_count's (the fold replaces the full-corpus
+    #   GEMM with the old x new slice).
+    "graph_triangle_incremental",
+    # - stats-skipping scan: the 48-file range layout + manifest are
+    #   amortized per corpus version; min-of-3 measures manifest file
+    #   planning (a ~48-row parquet read + collect) + the 3-file
+    #   residual-filtered scan — expect one of the smallest numbers
+    #   in the table (that is the point of skipping).
+    "layout_stats_skipping_scan",
+    # - and its append twin: base layout + two batch appends (+ one
+    #   committed replay) amortized per corpus version; min-of-3
+    #   measures the same pruned scan against the appended layout
+    #   (more, smaller files in the planned set).
+    "layout_stats_appended_scan",
+    # - correlated-sampling join-size estimate: its number is
+    #   dominated by the EXACT audit side (the full per-key count
+    #   join); the estimate path alone touches ~1/64 of the key
+    #   space — the audit exists to value-check the estimator, the
+    #   production call runs only the cheap half.
+    "sketch_join_size_estimate",
+    # - stats-layout compaction: base + appends + the journaled
+    #   bin-pack amortized per corpus version; min-of-3 measures the
+    #   pruned scan against the compacted layout (fewer, larger files
+    #   than the appended entry plans).
+    "layout_stats_compacted_scan",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -322,6 +353,13 @@ HEADLINE = [
 #   extra rename per retrain) — noise-level on warm serving numbers.
 # - graph_triangle_count: wedge/clustering arithmetic moved from
 #   double to bigint DIV — same plan shape, no measurable delta.
+# - (session 2) every exact-Jaccard pairing query additionally applies
+#   PPJoin's length + positional filters inside the prefix-prefix
+#   candidate join (a per-row predicate on columns the join already
+#   carries — no new shuffle, no new pass): candidate counts can only
+#   shrink, so expect flat-to-slightly-better numbers on the
+#   dedup/corpus pairing cluster; the filters pay off on size-skewed
+#   corpora (snippet-vs-document), which the synthetic corpus is not.
 # r11 observed (three same-day full runs while the engine changes
 # landed; canaries 0.330 / 0.282 / 0.345 min — ±22% host swing within
 # ONE day, the committed BENCH_DETAIL_r11 is the last run, which adds

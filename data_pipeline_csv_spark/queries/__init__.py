@@ -40,7 +40,25 @@ from . import (  # noqa: F401, E402  (registration side effect)
 
 # Round-11 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — the three DEBUTS events_funnel_existential (EXISTENTIAL
+#     round — eight DEBUTS: the session-2 five graph_triangle_incremental
+#     (vertex-arrival fold into the standing triangle index —
+#     incremental == one-shot exactly, and the oracle IS the one-shot
+#     recount), layout_stats_skipping_scan (file-level min/max
+#     manifest pruning, 3 of 48 files planned without footer reads)
+#     and layout_stats_appended_scan (O(batch) manifest-part appends,
+#     manifest-gated visibility, committed-replay exercised on the
+#     real corpus; oracle = whole-table filter, the exactly-once
+#     proof), layout_stats_compacted_scan (journaled manifest-gated
+#     small-file bin-packing — exact-old-or-exact-new at every crash
+#     point, all three windows crash-tested) and
+#     sketch_join_size_estimate (correlated-sampling join
+#     cardinality with the exact audit side, deterministic md5-60-bit
+#     sampling -> FULL value oracle); note the five exact-pairing
+#     queries in this block were
+#     changed TWICE this round (prefix filtering, then the stacked
+#     PPJoin length/positional filters) and the one-sided probe change
+#     also re-touches dedup_cc_incremental's batch pairing; plus the
+#     session-1 trio events_funnel_existential (EXISTENTIAL
 #     attribution-window funnel: feasible-completion-time DP via a
 #     latest-feasible-predecessor running max per step; full value
 #     oracle through an independent EXISTS-join formulation) and
@@ -82,18 +100,23 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
 #     pipeline compositions). After this round no entry's latest
 #     driver row is older than r08.
-# (c) union RECENCY: 9 of the 48 entries whose latest driver row is
+# (c) union RECENCY: 4 of the 48 entries whose latest driver row is
 #     r08, in registry order (asof_purchase_last_click through
-#     events_hourly_rollup). The 39 r08 entries left for the r12
-#     window (6 more than planned: the five changed-pairing queries
-#     and the Hilbert debut took their slots) are the streaming suite
-#     plus events_sessionize, the remaining
+#     cluster_kmeans_embeddings). The 44 r08 entries left for the r12
+#     window (11 more than planned: the five changed-pairing queries
+#     and the five session-2 debuts took their slots) are the
+#     streaming suite plus events_sessionize, the remaining
 #     events/sketch/text/similarity serving queries and corpus
 #     compositions — every one oracle-green in r08 and replayed by
 #     tests/test_oracle_parity.py every round since.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (16) ---
+    # --- new or changed implementations this round (21) ---
+    "graph_triangle_incremental",
+    "layout_stats_skipping_scan",
+    "layout_stats_appended_scan",
+    "layout_stats_compacted_scan",
+    "sketch_join_size_estimate",
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
     "layout_hilbert_pruned_scan",
@@ -136,16 +159,11 @@ _PRIORITY = [
     "corpus_pack_global",
     "corpus_dsir_select",
     "corpus_decontaminate_bloom",
-    # --- last driver-verified in r08 (9 of 48, registry order) ---
+    # --- last driver-verified in r08 (4 of 48, registry order) ---
     "asof_purchase_last_click",
     "udaf_discount_sumsq",
     "udtf_sentence_split",
     "cluster_kmeans_embeddings",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "dedup_containment_lsh",
-    "dedup_containment_lsh_ensemble",
-    "events_hourly_rollup",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -51,6 +51,15 @@ REPLICAS = 10
 # debuts, plus the two whose cost shape changed (dedup_cc_incremental
 # now bills the cached-base fold + exact batch pairing;
 # similarity_ivf_append measures drift against the frozen edge).
+# r11 session 2 appends its layout debuts: the stats-skipping scan and
+# its append twin (expect near-flat — the scan reads the files the box
+# covers, not the table). graph_triangle_incremental is deliberately
+# NOT probed through the registry here: its input graph (exact cosine
+# >= 0.25 pairs, measured ~2% dense — 44,380 edges on 2,000 vectors at
+# sf0.1) genuinely densifies ~n^2 with corpus size, so a 10x-corpus
+# probe measures graph densification, not the fold machinery; the fold
+# itself is probed at CONSTANT average degree by
+# tools/triangle_fold_probe.py (recorded in SCALE.md).
 QUERIES = [
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
@@ -58,6 +67,10 @@ QUERIES = [
     "dedup_cc_incremental",
     "similarity_ivf_append",
     "embedding_pca_project",
+    "layout_stats_skipping_scan",
+    "layout_stats_appended_scan",
+    "layout_stats_compacted_scan",
+    "sketch_join_size_estimate",
 ]
 
 
