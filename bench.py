@@ -257,9 +257,16 @@ HEADLINE = [
     #   (edges + degrees + counts, incl. its blocked-GEMM edge build)
     #   is amortized per corpus version; min-of-3 measures the honest
     #   per-batch fold — the one-sided cross GEMM + within-batch
-    #   pairs + three keyed delta joins. Expect a number well under
-    #   graph_triangle_count's (the fold replaces the full-corpus
-    #   GEMM with the old x new slice).
+    #   pairs + three keyed delta joins. MEASURED ABOVE the one-shot
+    #   entry at sf0.1 (3.9 vs 2.6 s): the fold is ~15 small jobs
+    #   (three delta generations + six 1-row broadcast aggregates)
+    #   vs the one-shot's ~5, and at 2,000 vectors job-launch
+    #   overhead dominates the GEMM it avoids — the crossover is
+    #   where the corpus GEMM (quadratic in corpus size) outgrows
+    #   fixed job overhead, i.e. exactly the regime the operator
+    #   exists for (the constant-degree fold probe,
+    #   tools/triangle_fold_probe.py, shows the fold itself scaling
+    #   sublinearly in batch adjacency).
     "graph_triangle_incremental",
     # - stats-skipping scan: the 48-file range layout + manifest are
     #   amortized per corpus version; min-of-3 measures manifest file
@@ -375,6 +382,22 @@ HEADLINE = [
 # came in 0.87x — flat as predicted. layout_hilbert_pruned_scan debuts
 # at ~0.6 s, within noise of the Morton scan's 0.5 s, as expected
 # (same cell count read; the curve changes which dirs, not how many).
+# r11 session-2 run (the committed BENCH_DETAIL_r11; canary 0.275 min,
+# 0.80x the session-1 artifact — host FASTER): the five debuts land at
+# graph_triangle_incremental 3.9 s (see its entry note: job-overhead-
+# bound above the one-shot at this SF), stats skipping/appended/
+# compacted 0.26-0.29 s (manifest planning + 3-file scans, the
+# smallest real entries in the table), join-size estimate 1.2 s
+# (audit-side dominated). dedup_cc_incremental 4.2 s = 0.56x the
+# session-1 artifact (the amortization + exact-probe reshape settling
+# on a faster host). The PPJoin filter rollout came in flat-to-better
+# on the pairing cluster as predicted (corpus_split_leakage_safe
+# 0.81x, corpus_e2e_prep ~1.0x). Against the 0.80x canary the
+# UNTOUCHED text/string cluster reads 1.1-1.2x raw (net ~1.4x:
+# text_quality_classifier 1.18x, corpus_source_overlap 1.17x,
+# text_ccnet_buckets 1.11x — no engine change in any of them this
+# session) — the same one-sided string/shuffle-cluster host signature
+# on record since r8.
 
 
 def _canary(spark, sf_dir):
