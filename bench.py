@@ -290,6 +290,12 @@ HEADLINE = [
     #   pruned scan against the compacted layout (fewer, larger files
     #   than the appended entry plans).
     "layout_stats_compacted_scan",
+    # - streaming stats ingest: deliberately NOT amortized (each call
+    #   builds the base layout, stages the feed, and drains 3
+    #   foreachBatch epochs — the epoch machinery IS the product);
+    #   expect a number dominated by per-epoch job overhead, the
+    #   streaming-entry norm.
+    "streaming_stats_ingest",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made

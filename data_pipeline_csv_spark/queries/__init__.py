@@ -40,7 +40,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 
 # Round-11 rotation, three parts:
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — eight DEBUTS: the session-2 five graph_triangle_incremental
+#     round — nine DEBUTS: the session-2 six graph_triangle_incremental
 #     (vertex-arrival fold into the standing triangle index —
 #     incremental == one-shot exactly, and the oracle IS the one-shot
 #     recount), layout_stats_skipping_scan (file-level min/max
@@ -50,7 +50,10 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     real corpus; oracle = whole-table filter, the exactly-once
 #     proof), layout_stats_compacted_scan (journaled manifest-gated
 #     small-file bin-packing — exact-old-or-exact-new at every crash
-#     point, all three windows crash-tested) and
+#     point, all three windows crash-tested),
+#     streaming_stats_ingest (the layout's streaming twin: foreachBatch
+#     epochs keyed into stats_append's commit log, at-least-once ->
+#     exactly-once with no extra state machinery) and
 #     sketch_join_size_estimate (correlated-sampling join
 #     cardinality with the exact audit side, deterministic md5-60-bit
 #     sampling -> FULL value oracle); note the five exact-pairing
@@ -100,22 +103,23 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
 #     pipeline compositions). After this round no entry's latest
 #     driver row is older than r08.
-# (c) union RECENCY: 4 of the 48 entries whose latest driver row is
+# (c) union RECENCY: 3 of the 48 entries whose latest driver row is
 #     r08, in registry order (asof_purchase_last_click through
-#     cluster_kmeans_embeddings). The 44 r08 entries left for the r12
-#     window (11 more than planned: the five changed-pairing queries
-#     and the five session-2 debuts took their slots) are the
+#     udtf_sentence_split). The 45 r08 entries left for the r12
+#     window (12 more than planned: the five changed-pairing queries
+#     and the six session-2 debuts took their slots) are the
 #     streaming suite plus events_sessionize, the remaining
 #     events/sketch/text/similarity serving queries and corpus
 #     compositions — every one oracle-green in r08 and replayed by
 #     tests/test_oracle_parity.py every round since.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (21) ---
+    # --- new or changed implementations this round (22) ---
     "graph_triangle_incremental",
     "layout_stats_skipping_scan",
     "layout_stats_appended_scan",
     "layout_stats_compacted_scan",
+    "streaming_stats_ingest",
     "sketch_join_size_estimate",
     "events_funnel_existential",
     "layout_zorder3_pruned_scan",
@@ -159,11 +163,10 @@ _PRIORITY = [
     "corpus_pack_global",
     "corpus_dsir_select",
     "corpus_decontaminate_bloom",
-    # --- last driver-verified in r08 (4 of 48, registry order) ---
+    # --- last driver-verified in r08 (3 of 48, registry order) ---
     "asof_purchase_last_click",
     "udaf_discount_sumsq",
     "udtf_sentence_split",
-    "cluster_kmeans_embeddings",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -521,3 +521,72 @@ def streaming_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+@query(
+    "streaming_stats_ingest",
+    # Same FULL value oracle as the batch stats-layout scans: the
+    # drained layout's 3-month scan must equal the plain whole-table
+    # filter — a dropped epoch returns fewer rows, a double-applied
+    # replay returns duplicates, either diverges the hash.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <= TIMESTAMP '1996-05-31'
+    """,
+    doc="STREAMING stats-layout ingest — the streaming twin of "
+    "layout_stats_appended_scan, completing the pairing the KMV/CMS/"
+    "CDC/near-dup state writers established: a 3-file feed of the "
+    "remaining 20% of lineitem drains through foreachBatch, each "
+    "epoch folding into the standing manifest layout via stats_append "
+    "keyed by the EPOCH ID — foreachBatch's at-least-once retry hits "
+    "the append's committed-replay short-circuit, so ingestion is "
+    "exactly-once WITHOUT any extra state machinery (the layout's "
+    "batch protocol is already a commit log), and an epoch becomes "
+    "visible atomically when its manifest part lands (readers plan "
+    "from the manifest; a crash mid-epoch leaves the exact pre-epoch "
+    "table). The drained layout serves the same 3-month pruned scan "
+    "as the batch entries; the oracle is the whole-table filter — the "
+    "exactly-once proof (streaming/sinks.py stats_ingest_writer; "
+    "replay idempotency pinned by tests/test_streaming.py::"
+    "test_streaming_stats_ingest_epoch_replay_is_noop).",
+    tags=("streaming", "layout", "skipping", "incremental", "scale"),
+)
+def streaming_stats_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.layout import stats_pruned_scan, write_stats_layout
+    from ..sources.tables import load_table
+    from ..streaming import run_streaming_stats_ingest
+
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    layout = tempfile.mkdtemp(prefix="sg_skipstream_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+        )
+        base = li.filter(F.col("l_orderkey") % 5 != 0)
+        feed = li.filter(F.col("l_orderkey") % 5 == 0)
+        write_stats_layout(base, layout, ["l_shipdate", "l_extendedprice"], n_files=16)
+        (
+            feed.repartitionByRange(3, F.col("l_orderkey"))
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        stream = read_events_stream(spark, staged)  # generic staged reader
+        run_streaming_stats_ingest(
+            stream, spark, layout_path=layout, checkpoint=f"{staged}/_chk"
+        )
+        out = stats_pruned_scan(
+            spark,
+            layout,
+            {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
+        ).select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+        )
+        out.persist().count()
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(layout, ignore_errors=True)

@@ -31,6 +31,8 @@ from .pipelines import (
 from .sinks import (
     cdc_upsert_writer,
     run_streaming_cdc_merge,
+    run_streaming_stats_ingest,
+    stats_ingest_writer,
     compact_neardup_state,
     foreach_batch_parquet,
     kmv_state_writer,
@@ -63,6 +65,8 @@ __all__ = [
     "stage_changes_dir",
     "run_streaming_cdc_merge",
     "cdc_upsert_writer",
+    "run_streaming_stats_ingest",
+    "stats_ingest_writer",
     "read_docs_stream",
     "run_streaming_kmv",
     "kmv_state_writer",

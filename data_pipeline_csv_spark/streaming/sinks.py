@@ -901,3 +901,50 @@ def run_streaming_neardup(
     return spark.read.parquet(os.path.join(state_root, "pairs")).select(
         "d1", "d2", "jaccard"
     )
+
+
+def stats_ingest_writer(layout_path: str):
+    """foreachBatch writer folding each micro-batch into a
+    :func:`~..operators.layout.write_stats_layout` table via
+    :func:`~..operators.layout.stats_append`, with the EPOCH ID as the
+    append's batch token — the manifest-gated streaming ingest:
+
+    - foreachBatch is at-least-once per epoch; the append protocol's
+      committed-replay short-circuit on the stable ``epoch-<id>``
+      token turns that into EXACTLY-ONCE (a replayed epoch finds its
+      ``_batches/epoch-<id>`` record and returns without touching the
+      layout — no generation/symlink machinery needed, the layout's
+      own protocol is already a commit log);
+    - readers plan files from the manifest, so an epoch becomes
+      visible ATOMICALLY when its manifest part lands — a crash
+      mid-epoch leaves readers on the exact pre-epoch table and the
+      retried epoch sweeps its prefixed partials first.
+    """
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.layout import stats_append
+
+        stats_append(batch_df, layout_path, batch_id=f"epoch-{int(epoch_id)}")
+
+    return write_epoch
+
+
+def run_streaming_stats_ingest(
+    stream_df: DataFrame,
+    spark,
+    layout_path: str,
+    checkpoint: str,
+) -> None:
+    """Drain a bounded stream through :func:`stats_ingest_writer`
+    (the layout at ``layout_path`` must already exist — the base
+    corpus a continuous feed appends to)."""
+    q = (
+        stream_df.writeStream.foreachBatch(stats_ingest_writer(layout_path))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

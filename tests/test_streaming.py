@@ -447,3 +447,40 @@ def test_streaming_kmv_epoch_replay_short_circuits(spark, sf_dir, tmp_path):
         r["h"] for r in spark.read.parquet(str(tmp_path / "st/current")).collect()
     )
     assert before == after
+
+
+def test_streaming_stats_ingest_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once per epoch; the stats-layout
+    ingest writer keys stats_append by the epoch id, so a replayed
+    epoch must short-circuit on its commit record: same file set, no
+    duplicate rows, and the scan stays equal to base + feed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+    from data_pipeline_csv_spark.streaming import stats_ingest_writer
+
+    base = spark.range(0, 500).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    e0 = spark.range(1000, 1100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    e1 = spark.range(2000, 2080).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "ingest")
+    write_stats_layout(base, path, ["v"], n_files=4)
+    writer = stats_ingest_writer(path)
+    writer(e0, 0)
+    writer(e1, 1)
+    n_files = len(os.listdir(f"{path}/data"))
+    # replay BOTH epochs out of order — the at-least-once worst case
+    writer(e1, 1)
+    writer(e0, 0)
+    assert len(os.listdir(f"{path}/data")) == n_files
+    got = sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    want = sorted(
+        r["id"] for r in base.unionByName(e0).unionByName(e1).collect()
+    )
+    assert got == want
