@@ -772,20 +772,27 @@ def _prefix_entries(sh: DataFrame, freq: DataFrame, threshold: float) -> DataFra
     )
 
 
+def _length_filter(n1: Column, n2: Column, threshold: float) -> Column:
+    """PPJoin length filter min(n1, n2) >= t * max(n1, n2), with the
+    1e-9 exact-conservative slack — the single definition shared by
+    the two-sided prefix join and the one-sided probe (derivation in
+    :func:`_prefix_entries`)."""
+    return F.least(n1, n2).cast("double") >= (
+        F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
+    )
+
+
 def _ppjoin_filters(threshold: float) -> Column:
     """PPJoin length + positional candidate predicate over an aliased
     prefix-prefix join (sides ``a``/``b`` from :func:`_prefix_entries`).
     Exact-conservative: see the derivation in :func:`_prefix_entries`."""
     n1, n2 = F.col("a._n_sh"), F.col("b._n_sh")
-    length_ok = F.least(n1, n2).cast("double") >= (
-        F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
-    )
     ubound = F.lit(1) + F.least(n1 - F.col("a._rn"), n2 - F.col("b._rn"))
     positional_ok = ubound.cast("double") >= (
         F.lit(threshold) * (n1 + n2).cast("double") / F.lit(1.0 + threshold)
         - F.lit(1e-9)
     )
-    return length_ok & positional_ok
+    return _length_filter(n1, n2, threshold) & positional_ok
 
 
 def ngram_jaccard_pairs_prefix(
@@ -881,10 +888,7 @@ def ngram_jaccard_probe_pairs(
         sh_new = shingle_sets(new_docs, text_col, id_col, n).localCheckpoint()
     new_sizes = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_new"))
     probe = sh_new.join(new_sizes, "doc_id")
-    n1, n2 = F.col("a._n_sh"), F.col("b._n_new")
-    length_ok = F.least(n1, n2).cast("double") >= (
-        F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
-    )
+    length_ok = _length_filter(F.col("a._n_sh"), F.col("b._n_new"), threshold)
     cand = (
         prefix_corpus.alias("a")
         .join(probe.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & length_ok)

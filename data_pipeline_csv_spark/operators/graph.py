@@ -270,9 +270,18 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     # yields doubles, so the sum loses integer exactness above 2^53
     # total wedges — plausible at 100 TB; deg*(deg-1) is always even,
     # so DIV 2 is exact, and the sum stays bigint end to end)
+    # coalesce: SUM over an EMPTY degree table is NULL, and an empty
+    # graph must report 0 wedges — without this, an incremental fold
+    # over an empty standing base (the very first batch into a new
+    # index) would propagate NULL n_wedges and break the
+    # incremental == one-shot equality (caught by review; pinned by
+    # the empty-base case of test_incremental_triangles_equal_oneshot)
     n_wedges = deg.agg(
-        F.sum(
-            F.expr("(CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1)) DIV 2")
+        F.coalesce(
+            F.sum(
+                F.expr("(CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1)) DIV 2")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_wedges")

@@ -920,6 +920,18 @@ def _skip_manifest_dir(path: str) -> str:
     return os.path.join(path, "_skip_manifest")
 
 
+def _manifest_rows(files_df: DataFrame, skip_cols: list) -> DataFrame:
+    """One manifest row per scanned file: (file, n_rows, min_<c>,
+    max_<c> per skip column) — the single definition of the manifest
+    schema, shared by the initial build, the per-batch append part,
+    and compaction so the three can never drift."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in skip_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return files_df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
 def write_stats_layout(
     df: DataFrame, path: str, skip_cols: list, n_files: int = 48
 ) -> None:
@@ -955,14 +967,8 @@ def write_stats_layout(
         .write.mode("overwrite")
         .parquet(_skip_data_dir(path))
     )
-    rb = spark.read.parquet(_skip_data_dir(path))
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in skip_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
     (
-        rb.groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
+        _manifest_rows(spark.read.parquet(_skip_data_dir(path)), skip_cols)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(_skip_manifest_dir(path))
@@ -1103,15 +1109,12 @@ def stats_append(
             moved.append(dst)
 
     # one manifest part for exactly the moved files (O(batch) pass)
-    rb = spark.read.parquet(*[os.path.join(data_dir, fn) for fn in moved])
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in skip_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
     sman = os.path.join(staging, "manifest")
     (
-        rb.groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
+        _manifest_rows(
+            spark.read.parquet(*[os.path.join(data_dir, fn) for fn in moved]),
+            skip_cols,
+        )
         .select(*man.columns)  # column order identical to the standing parts
         .coalesce(1)
         .write.mode("overwrite")
@@ -1140,47 +1143,78 @@ def _heal_stats_layout(spark, path: str) -> None:
     1. a manifest-dir swap stranded between its two renames
        (``_skip_manifest.retired`` restored when the live dir is
        missing, dropped when the swap completed);
-    2. every compaction journal in ``_compactions/``: if the live
+    2. appends that crashed AFTER their manifest part landed but
+       BEFORE their commit record: the manifest part's rename IS the
+       semantic commit (readers already see the batch), so the record
+       is rolled FORWARD from the staging dir's tag + the data dir's
+       prefixed files — without this, a later compaction could merge
+       the visible batch and its at-least-once retry (no record ->
+       full redo) would then duplicate every merged row;
+    3. every compaction journal in ``_compactions/``: if the live
        manifest references the journal's new files, the swap
        COMMITTED — finish its pending GC (delete the replaced small
        files, then the journal); otherwise the compaction CRASHED
-       before its swap took effect — delete its orphaned ``c<tag>-``
-       files and the journal (readers never saw them; the old
-       manifest still governs, so no rows are lost);
-    3. dead ``compact-*`` staging dirs.
+       before its swap took effect — delete whichever of its
+       ``c<tag>-`` files already landed and the journal (the journal
+       is written BEFORE any c-file moves precisely so no crash point
+       leaves unjournaled orphans; readers never saw them, the old
+       manifest still governs, no rows are lost);
+    4. dead ``compact-*`` staging dirs.
 
-    Crashed APPENDS need no healing here: their files are absent from
-    the manifest (invisible to readers) and their own retry sweeps
-    them by prefix — and compaction only ever touches manifest-listed
-    files, so it can never merge or GC a half-appended batch
-    (the r10 ADVICE-medium interaction, closed by construction).
+    Appends that crashed BEFORE their manifest part need no healing
+    here: their files are absent from the manifest (invisible to
+    readers), their own retry sweeps them by prefix, and compaction
+    only ever touches manifest-listed files.
     """
     import json
     import os
     import shutil
 
     _restore_retired_dirs(path, "_skip_manifest")
+    man_dir = _skip_manifest_dir(path)
+    data_dir = _skip_data_dir(path)
+    staging_root = os.path.join(path, "_staging")
+    batches_dir = os.path.join(path, "_batches")
+    if os.path.isdir(staging_root) and os.path.isdir(man_dir):
+        man_names = set(os.listdir(man_dir))
+        for d in sorted(os.listdir(staging_root)):
+            if not d.startswith("append-"):
+                continue
+            tag = d[len("append-") :]
+            if os.path.exists(os.path.join(batches_dir, tag)):
+                continue  # committed; the retry's own short-circuit cleans up
+            if not any(n.startswith(f"a{tag}-") for n in man_names):
+                continue  # invisible; the retry's own sweep redoes it
+            # visible-but-unrecorded: roll the commit record forward
+            moved = sorted(
+                fn for fn in os.listdir(data_dir) if fn.startswith(f"a{tag}-")
+            )
+            os.makedirs(batches_dir, exist_ok=True)
+            record = os.path.join(batches_dir, tag)
+            tmp = f"{record}.tmp-heal"
+            with open(tmp, "w") as f:
+                json.dump({"files": moved}, f)
+            os.replace(tmp, record)
+            shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
     comp_dir = os.path.join(path, "_compactions")
     if os.path.isdir(comp_dir):
-        man_dir = _skip_manifest_dir(path)
-        live_files = None
+        live_names = None
         for j in sorted(os.listdir(comp_dir)):
             jp = os.path.join(comp_dir, j)
             with open(jp) as f:
                 rec = json.load(f)
-            if live_files is None:
-                live_files = {
-                    r["file"]
-                    for r in spark.read.parquet(man_dir).select("file").collect()
-                }
-            committed = all(fn in live_files for fn in rec["new_files"])
+            if live_names is None:
+                live_names = set(os.listdir(man_dir))
+            parts = rec.get("new_manifest_parts")
+            # parts is None until the staged manifest exists: that
+            # journal state is by definition pre-swap -> roll back
+            committed = bool(parts) and all(fn in live_names for fn in parts)
             doomed = rec["replaced"] if committed else rec["new_files"]
             for fn in doomed:
-                p = fn[len("file:"):] if fn.startswith("file:") else fn
+                p = os.path.join(data_dir, fn)
                 if os.path.exists(p):
                     os.remove(p)
             os.remove(jp)
-    staging_root = os.path.join(path, "_staging")
     if os.path.isdir(staging_root):
         for d in os.listdir(staging_root):
             if d.startswith("compact-"):
@@ -1203,23 +1237,26 @@ def stats_compact(
 
     1. entry: run :func:`_heal_stats_layout` (finish or roll back any
        earlier crashed maintenance);
-    2. consolidated files are written to staging and moved into the
-       data dir under a ``c<tag>-`` prefix — unreferenced by the live
-       manifest, so invisible;
+    2. consolidated files are written to staging; a journal recording
+       {new_files, replaced, new_manifest_parts: None} lands in
+       ``_compactions/`` (atomic rename) BEFORE any file moves, so no
+       crash point can orphan unjournaled files; the new files then
+       move into the data dir under their ``c<tag>-`` prefix —
+       unreferenced by the live manifest, so invisible;
     3. the full replacement manifest (untouched rows + one part for
-       the new files) is staged, a journal recording {new_files,
-       replaced} lands in ``_compactions/`` (atomic rename), and the
-       manifest DIR is swapped (rename live -> .retired, staged ->
-       live, drop retired);
+       the new files) is staged, the journal is updated with the
+       staged part names, and the manifest DIR is swapped (rename
+       live -> .retired, staged -> live, drop retired);
     4. the replaced small files are GC'd, journal removed.
 
     A crash between the swap's renames restores the OLD manifest on
     the next entry (old files still present — GC runs strictly after
     the swap), after which the journal rolls the orphaned new files
-    back; a crash after the swap completes the GC forward from the
-    journal. Single maintenance writer per layout assumed. Returns
-    the consolidated file names (empty when fewer than ``min_files``
-    small files exist).
+    back; a journal whose part list is still None is by definition
+    pre-swap and rolls back the same way; a crash after the swap
+    completes the GC forward from the journal. Single maintenance
+    writer per layout assumed. Returns the consolidated file names
+    (empty when fewer than ``min_files`` small files exist).
     """
     import json
     import math
@@ -1251,27 +1288,50 @@ def stats_compact(
         .write.mode("overwrite")
         .parquet(sdata)
     )
-    new_files = []
-    for fn in sorted(os.listdir(sdata)):
-        if fn.endswith(".parquet"):
-            dst = f"c{tag}-{fn}"
-            os.rename(os.path.join(sdata, fn), os.path.join(data_dir, dst))
-            new_files.append(dst)
+    staged_parts = sorted(
+        fn for fn in os.listdir(sdata) if fn.endswith(".parquet")
+    )
+    new_files = [f"c{tag}-{fn}" for fn in staged_parts]
+    replaced = [
+        os.path.basename(r["file"].removeprefix("file:")) for r in small
+    ]
+
+    # journal BEFORE any c-file lands (review fix: a crash between
+    # moves and a later-written journal would orphan unjournaled
+    # files forever); new_manifest_parts stays None until the staged
+    # manifest exists — the heal reads None as "crashed pre-swap,
+    # roll the data files back"
+    comp_dir = os.path.join(path, "_compactions")
+    os.makedirs(comp_dir, exist_ok=True)
+    journal = os.path.join(comp_dir, f"{tag}.json")
+
+    def _write_journal(parts) -> None:
+        tmp = f"{journal}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "new_files": new_files,
+                    "replaced": replaced,
+                    "new_manifest_parts": parts,
+                },
+                f,
+            )
+        os.replace(tmp, journal)
+
+    _write_journal(None)
+    for fn in staged_parts:
+        os.rename(
+            os.path.join(sdata, fn), os.path.join(data_dir, f"c{tag}-{fn}")
+        )
 
     # replacement manifest: untouched rows pass through byte-identical
     # (one small parquet rewrite of driver-held rows), new files get
     # their stats from one O(compacted-rows) pass
     smanifest = os.path.join(staging, "manifest")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in skip_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    new_rows = (
-        spark.read.parquet(*[os.path.join(data_dir, fn) for fn in new_files])
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
-        .select(*mcols)
-    )
+    new_rows = _manifest_rows(
+        spark.read.parquet(*[os.path.join(data_dir, fn) for fn in new_files]),
+        skip_cols,
+    ).select(*mcols)
     kept_df = spark.createDataFrame(keep, man.schema) if keep else man.limit(0)
     (
         kept_df.unionByName(new_rows)
@@ -1279,32 +1339,17 @@ def stats_compact(
         .write.mode("overwrite")
         .parquet(smanifest)
     )
-
-    new_full = [
-        r["file"]
-        for r in spark.read.parquet(smanifest)
-        .select("file")
-        .collect()
-        if os.path.basename(r["file"].removeprefix("file:")).startswith(f"c{tag}-")
-    ]
-    comp_dir = os.path.join(path, "_compactions")
-    os.makedirs(comp_dir, exist_ok=True)
-    journal = os.path.join(comp_dir, f"{tag}.json")
-    tmp = f"{journal}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"new_files": new_full, "replaced": [r["file"] for r in small]}, f
-        )
-    os.replace(tmp, journal)
+    _write_journal(
+        sorted(fn for fn in os.listdir(smanifest) if fn.endswith(".parquet"))
+    )
 
     retired = f"{man_dir}.retired"
     os.rename(man_dir, retired)
     os.rename(smanifest, man_dir)
     shutil.rmtree(retired, ignore_errors=True)
 
-    for r in small:  # GC strictly after the swap
-        p = r["file"]
-        p = p[len("file:"):] if p.startswith("file:") else p
+    for fn in replaced:  # GC strictly after the swap
+        p = os.path.join(data_dir, fn)
         if os.path.exists(p):
             os.remove(p)
     os.remove(journal)

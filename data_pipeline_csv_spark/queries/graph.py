@@ -285,7 +285,7 @@ _TRI_ORACLE = """
     agg AS (
       SELECT
         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-        (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
         (SELECT CAST(COUNT(*) AS BIGINT)
          FROM e e1 JOIN e e2 ON e1.v = e2.u
                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles

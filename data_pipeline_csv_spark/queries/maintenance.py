@@ -644,32 +644,87 @@ def layout_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SKIP_CACHE: dict = {}
+_SKIP_COLS = ["l_shipdate", "l_extendedprice"]
 
 
-def _skip_layout_cached(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once stats-skipping lineitem layout (the
-    ivf_layout_cached contract): lineitem range-partitioned into 48
-    files on l_shipdate (sorted within files by (l_shipdate,
-    l_extendedprice)), with the per-file min/max manifest written
-    alongside (operators/layout.py write_stats_layout)."""
+def _skip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+
+
+def _build_skip_scaffold(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    prefix: str,
+    n_files: int,
+    with_appends: bool = False,
+    replay: bool = False,
+    compact_div: int | None = None,
+) -> str:
+    """Build-once stats-layout scaffold (the ivf_layout_cached
+    contract) — ONE builder for the whole lifecycle family so the
+    scan / appended / compacted entries can never drift onto
+    different data: the plain 48-file layout, the 80%-base +
+    two-batch appended variant (odd then even line numbers, optional
+    committed-replay of the first batch on the real corpus), and the
+    appended-then-compacted variant."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from ..operators.layout import write_stats_layout
+    from ..operators.layout import stats_append, stats_compact, write_stats_layout
 
-    path = _SKIP_CACHE.get(sf_dir)
+    path = cache.get(sf_dir)
     if path is not None and os.path.isdir(path):
         return path
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
-    )
-    path = tempfile.mkdtemp(prefix="sg_skip_")
-    write_stats_layout(li, path, ["l_shipdate", "l_extendedprice"], n_files=48)
-    _SKIP_CACHE[sf_dir] = path
+    li = _skip_lineitem(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not with_appends:
+        write_stats_layout(li, path, _SKIP_COLS, n_files=n_files)
+    else:
+        base = li.filter(F.col("l_orderkey") % 5 != 0)
+        b1 = li.filter(
+            (F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1)
+        )
+        b2 = li.filter(
+            (F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 0)
+        )
+        write_stats_layout(base, path, _SKIP_COLS, n_files=n_files)
+        stats_append(b1, path, batch_id="batch-odd")
+        if replay:
+            stats_append(b1, path, batch_id="batch-odd")  # committed: no-op
+        stats_append(b2, path, batch_id="batch-even")
+        if compact_div is not None:
+            stats_compact(spark, path, target_rows=max(1, li.count() // compact_div))
+    cache[sf_dir] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+def _skip_scan_3months(spark: SparkSession, layout: str) -> DataFrame:
+    """The shared 3-month ship-date scan every stats-layout entry
+    serves (so their oracles stay the identical whole-table filter)."""
+    from datetime import datetime
+
+    from ..operators.layout import stats_pruned_scan
+
+    return stats_pruned_scan(
+        spark,
+        layout,
+        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
+    ).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+
+
+def _skip_layout_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once stats-skipping lineitem layout: 48 range-partitioned
+    files on l_shipdate with the per-file min/max manifest alongside
+    (operators/layout.py write_stats_layout)."""
+    return _build_skip_scaffold(spark, sf_dir, _SKIP_CACHE, "sg_skip_", 48)
 
 
 @query(
@@ -704,18 +759,7 @@ def _skip_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     tags=("layout", "skipping", "pruning", "scale"),
 )
 def layout_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datetime import datetime
-
-    from ..operators.layout import stats_pruned_scan
-
-    layout = _skip_layout_cached(spark, sf_dir)
-    return stats_pruned_scan(
-        spark,
-        layout,
-        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
-    ).select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
-    )
+    return _skip_scan_3months(spark, _skip_layout_cached(spark, sf_dir))
 
 
 _SKIP_APPEND_CACHE: dict = {}
@@ -730,30 +774,10 @@ def _skip_appended_cached(spark: SparkSession, sf_dir: str) -> str:
     standing manifest parts are never rewritten. The first batch is
     replayed once with its stable batch_id to exercise the committed
     short-circuit on the real corpus (no duplicate rows can enter)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    from ..operators.layout import stats_append, write_stats_layout
-
-    path = _SKIP_APPEND_CACHE.get(sf_dir)
-    if path is not None and os.path.isdir(path):
-        return path
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    return _build_skip_scaffold(
+        spark, sf_dir, _SKIP_APPEND_CACHE, "sg_skipapp_", 48,
+        with_appends=True, replay=True,
     )
-    base = li.filter(F.col("l_orderkey") % 5 != 0)
-    b1 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1))
-    b2 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 0))
-    path = tempfile.mkdtemp(prefix="sg_skipapp_")
-    write_stats_layout(base, path, ["l_shipdate", "l_extendedprice"], n_files=48)
-    stats_append(b1, path, batch_id="batch-odd")
-    stats_append(b1, path, batch_id="batch-odd")  # committed replay: no-op
-    stats_append(b2, path, batch_id="batch-even")
-    _SKIP_APPEND_CACHE[sf_dir] = path
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
 
 
 @query(
@@ -786,18 +810,7 @@ def _skip_appended_cached(spark: SparkSession, sf_dir: str) -> str:
     tags=("layout", "skipping", "incremental", "scale"),
 )
 def layout_stats_appended_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datetime import datetime
-
-    from ..operators.layout import stats_pruned_scan
-
-    layout = _skip_appended_cached(spark, sf_dir)
-    return stats_pruned_scan(
-        spark,
-        layout,
-        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
-    ).select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
-    )
+    return _skip_scan_3months(spark, _skip_appended_cached(spark, sf_dir))
 
 
 _SKIP_COMPACT_CACHE: dict = {}
@@ -810,34 +823,13 @@ def _skip_compacted_cached(spark: SparkSession, sf_dir: str) -> str:
     batches (each adding small files + one manifest part), then ONE
     :func:`~..operators.layout.stats_compact` bin-packing every
     small file back to the row target (journaled manifest-gated swap;
-    readers see exact-old or exact-new at every crash point)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    from ..operators.layout import stats_append, stats_compact, write_stats_layout
-
-    path = _SKIP_COMPACT_CACHE.get(sf_dir)
-    if path is not None and os.path.isdir(path):
-        return path
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    readers see exact-old or exact-new at every crash point). Target
+    ~ n/12 rows/file, so the 16 base + batch files all qualify as
+    small and compaction exercises a real multi-file bin-pack."""
+    return _build_skip_scaffold(
+        spark, sf_dir, _SKIP_COMPACT_CACHE, "sg_skipcomp_", 16,
+        with_appends=True, compact_div=12,
     )
-    n = li.count()
-    base = li.filter(F.col("l_orderkey") % 5 != 0)
-    b1 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1))
-    b2 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 0))
-    path = tempfile.mkdtemp(prefix="sg_skipcomp_")
-    write_stats_layout(base, path, ["l_shipdate", "l_extendedprice"], n_files=16)
-    stats_append(b1, path, batch_id="batch-odd")
-    stats_append(b2, path, batch_id="batch-even")
-    # target ~ n/12 rows/file: the 16 base + 8 batch files all qualify
-    # as small, so compaction exercises a real multi-file bin-pack
-    stats_compact(spark, path, target_rows=max(1, n // 12))
-    _SKIP_COMPACT_CACHE[sf_dir] = path
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
 
 
 @query(
@@ -871,15 +863,4 @@ def _skip_compacted_cached(spark: SparkSession, sf_dir: str) -> str:
     tags=("layout", "skipping", "compaction", "incremental", "scale"),
 )
 def layout_stats_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datetime import datetime
-
-    from ..operators.layout import stats_pruned_scan
-
-    layout = _skip_compacted_cached(spark, sf_dir)
-    return stats_pruned_scan(
-        spark,
-        layout,
-        {"l_shipdate": (datetime(1996, 3, 1), datetime(1996, 5, 31))},
-    ).select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
-    )
+    return _skip_scan_3months(spark, _skip_compacted_cached(spark, sf_dir))

@@ -246,3 +246,8 @@ def test_incremental_triangles_equal_oneshot(spark):
 
     # empty batch: counts must pass through unchanged
     run([(1, 2), (2, 3), (3, 1)], [])
+
+    # empty BASE: the very first batch into a brand-new index — the
+    # standing counts are all zero (triangle_stats must coalesce its
+    # wedge sum, not propagate SUM-over-empty NULL)
+    run([(100, 101), (101, 102), (100, 102)], [100, 101, 102])

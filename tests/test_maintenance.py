@@ -889,3 +889,61 @@ def test_stats_compact_crash_windows_and_equality(spark, tmp_path, monkeypatch):
     assert sorted(
         r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
     ) == sorted(want + list(range(7000, 7100)))
+
+
+def test_stats_append_visible_uncommitted_rolls_forward(spark, tmp_path, monkeypatch):
+    """The nastiest append window (caught by review): a crash AFTER
+    the batch's manifest part lands (batch VISIBLE) but BEFORE the
+    commit record. The old sweep-on-retry would re-append rows a
+    compaction had meanwhile merged. The heal must treat the manifest
+    part as the semantic commit and roll the RECORD forward, so a
+    following compaction merges safely and the batch's at-least-once
+    retry short-circuits instead of redoing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_append,
+        stats_compact,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 600).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    batch = spark.range(5000, 5100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "vis")
+    write_stats_layout(base, path, ["v"], n_files=6)
+    want = sorted(r["id"] for r in base.unionByName(batch).collect())
+    rows = lambda: sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+
+    real_replace = os.replace
+
+    def crash_on_record(src, dst):
+        if os.path.basename(os.path.dirname(dst)) == "_batches":
+            raise RuntimeError("simulated crash before commit record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_record)
+    try:
+        stats_append(batch, path, batch_id="vb")
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    # the batch is VISIBLE (its manifest part landed) with no record
+    assert rows() == want
+    assert not os.path.exists(f"{path}/_batches/vb")
+
+    # maintenance (compaction) heals first: the record is rolled
+    # forward, so the merge is safe
+    merged = stats_compact(spark, path, target_rows=2000)
+    assert merged  # everything was small -> one real bin-pack
+    assert os.path.exists(f"{path}/_batches/vb")
+    assert rows() == want
+
+    # the at-least-once retry now short-circuits: same rows, no redo
+    stats_append(batch, path, batch_id="vb")
+    assert rows() == want
