@@ -1182,7 +1182,12 @@ def _heal_stats_layout(spark, path: str) -> None:
                 continue
             tag = d[len("append-") :]
             if os.path.exists(os.path.join(batches_dir, tag)):
-                continue  # committed; the retry's own short-circuit cleans up
+                # committed: a retry would also clean this up, but on a
+                # streaming layout (unique epoch tags) the retry never
+                # comes — remove the dead staging here so heal's own
+                # listing cannot grow unboundedly (review fix)
+                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+                continue
             if not any(n.startswith(f"a{tag}-") for n in man_names):
                 continue  # invisible; the retry's own sweep redoes it
             # visible-but-unrecorded: roll the commit record forward
@@ -1196,11 +1201,25 @@ def _heal_stats_layout(spark, path: str) -> None:
                 json.dump({"files": moved}, f)
             os.replace(tmp, record)
             shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+    if os.path.isdir(batches_dir):
+        # a crash inside an atomic record write can strand a torn
+        # <tag>.tmp-<suffix>; the record itself either exists (replace
+        # ran) or not (retry/heal redoes), so tmps are always dead
+        for fn in os.listdir(batches_dir):
+            if ".tmp-" in fn:
+                os.remove(os.path.join(batches_dir, fn))
     comp_dir = os.path.join(path, "_compactions")
     if os.path.isdir(comp_dir):
         live_names = None
         for j in sorted(os.listdir(comp_dir)):
             jp = os.path.join(comp_dir, j)
+            if not j.endswith(".json"):
+                # a torn .json.tmp from a crash inside _write_journal:
+                # never a live journal (os.replace is the publish), and
+                # json.load on a truncated file would wedge every
+                # future heal — delete it (review fix)
+                os.remove(jp)
+                continue
             with open(jp) as f:
                 rec = json.load(f)
             if live_names is None:

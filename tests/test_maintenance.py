@@ -947,3 +947,48 @@ def test_stats_append_visible_uncommitted_rolls_forward(spark, tmp_path, monkeyp
     # the at-least-once retry now short-circuits: same rows, no redo
     stats_append(batch, path, batch_id="vb")
     assert rows() == want
+
+
+def test_stats_heal_survives_torn_tmp_and_sweeps_stale_staging(spark, tmp_path):
+    """Two long-lived-layout hazards (caught by review): (a) a torn
+    journal tmp (crash inside the atomic write, truncated JSON) must
+    not wedge the heal — it is never a live journal, so it is deleted,
+    not parsed; (b) a committed append whose crash skipped only the
+    staging cleanup (and whose unique streaming batch_id means no
+    retry ever comes) must have its staging dir and record tmps swept
+    by the heal, not accumulate forever."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _heal_stats_layout,
+        stats_append,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    batch = spark.range(900, 950).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "heal")
+    write_stats_layout(base, path, ["v"], n_files=4)
+    stats_append(batch, path, batch_id="e7")
+
+    # (a) torn journal tmp + torn record tmp
+    os.makedirs(f"{path}/_compactions", exist_ok=True)
+    open(f"{path}/_compactions/deadbeef.json.tmp", "w").write('{"new_fil')
+    open(f"{path}/_batches/e9.tmp-abc", "w").write("{")
+    # (b) committed append with a leftover staging dir (cleanup crashed)
+    os.makedirs(f"{path}/_staging/append-e7/data", exist_ok=True)
+
+    _heal_stats_layout(spark, path)  # must not raise
+    assert not os.path.exists(f"{path}/_compactions/deadbeef.json.tmp")
+    assert not os.path.exists(f"{path}/_batches/e9.tmp-abc")
+    assert not os.path.exists(f"{path}/_staging/append-e7")
+    # the committed record and the data are untouched
+    assert json.load(open(f"{path}/_batches/e7"))["files"]
+    got = sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    assert got == sorted(r["id"] for r in base.unionByName(batch).collect())
