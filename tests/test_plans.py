@@ -729,9 +729,17 @@ def test_join_size_estimate_samples_before_aggregating(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "18014398509481984" in plan  # tau = 2^54 literal in the filter
-    # the estimate-side aggregates are fed by the tau filter, i.e. the
-    # filter appears in the plan as a Filter node, not a post-agg HAVING
+    # the estimate-side aggregates are fed by the tau filter on the RAW
+    # per-row hash (r11 ADVICE: the old `or` fallback made this
+    # assertion a tautology): require a Filter node whose CONDITION
+    # contains both the tau literal and the md5 hash input — a post-agg
+    # HAVING filter would compare an aggregate output, never the md5
+    # expression, so this shape is only satisfiable map-side
+    blocks = plan.split("\n\n")
     assert any(
-        "Filter" in ln and "18014398509481984" in ln
-        for ln in plan.splitlines()
-    ) or "18014398509481984" in plan
+        "Filter" in b.splitlines()[0]
+        and "18014398509481984" in b
+        and "md5" in b
+        for b in blocks
+        if b.strip()
+    ), plan
