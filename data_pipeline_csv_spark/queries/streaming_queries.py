@@ -588,5 +588,12 @@ def streaming_stats_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.persist().count()
         return out
     finally:
+        import atexit
+
         shutil.rmtree(staged, ignore_errors=True)
-        shutil.rmtree(layout, ignore_errors=True)
+        # the returned DataFrame plans over the layout's parquet files:
+        # with the layout deleted here, a persisted block evicted before
+        # the harness collects would recompute against a dead path (r11
+        # ADVICE) — defer the layout cleanup to interpreter exit, the
+        # cached-scaffold builders' discipline
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)

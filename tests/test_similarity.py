@@ -696,3 +696,72 @@ def test_ivf_retrain_rolls_back_uncommitted_append(
     assert rep2["replayed"] is False
     ids = [r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()]
     assert len(ids) == len(set(ids)) == n_mid + b1.count()
+
+
+def test_ivf_serving_read_heals_crashed_retrain_swap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Heal on read for the IVF layout (r11 VERDICT wrong #3): a
+    retrain killed mid-swap leaves a list stranded in
+    ``list_id=N.retired`` plus the rollback journal. The SERVING read
+    (read_ivf_lists — the primitive under every probe) must resolve
+    the journal at entry and return the exact pre-retrain corpus, no
+    maintenance op in between; a journal-less retrain staging dir
+    (possibly a LIVE writer) must be left untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+        read_ivf_lists,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, cents, layout, batch_id="drift-1")
+    ids_before = sorted(
+        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    )
+    lists_all = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(layout)
+        if d.startswith("list_id=") and not d.endswith(".retired")
+    )
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if str(dst).endswith(".retired"):
+            real_rename(src, dst)  # the retire rename LANDS...
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with _pytest.raises(RuntimeError):
+        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
+
+    # a journal-less staging dir alongside: the reader must not touch it
+    live_staging = os.path.join(layout, "_staging", "retrain-liveprobe")
+    os.makedirs(live_staging, exist_ok=True)
+
+    # immediate serving read: journal rolls the swap back, probe serves
+    got = sorted(
+        r["vec_id"]
+        for r in read_ivf_lists(spark, layout, lists_all).select("vec_id").collect()
+    )
+    assert got == ids_before
+    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
+    assert os.path.isdir(live_staging)  # reader left the live writer alone
+    os.rmdir(live_staging)
+
+    # maintenance still works after the read-side heal: the retry
+    # retrains cleanly from the untouched sidecar
+    _cents2, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
+    assert rep["retrained_lists"]
+    ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    )
+    assert ids == ids_before
