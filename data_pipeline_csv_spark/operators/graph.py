@@ -488,3 +488,174 @@ def incremental_triangle_stats(
         )
         .select("n_edges", "n_wedges", "n_triangles", _clustering_fp_expr())
     )
+
+
+def edge_incremental_triangle_stats(
+    base_edges: DataFrame,
+    base_degrees: DataFrame,
+    base_counts: DataFrame,
+    batch_edges: DataFrame,
+) -> DataFrame:
+    """Fold a batch of ARRIVING EDGES into a standing triangle index —
+    the edge-arrival member of the incremental matrix, and the common
+    production case :func:`incremental_triangle_stats` (vertex
+    arrival) cannot express: NEW similarity pairs landing between
+    EXISTING documents (r11 VERDICT missing #1). Instead of recounting
+    the union graph, the batch updates (n_edges, n_wedges,
+    n_triangles, clustering_fp) exactly, with O(batch adjacency) join
+    work — per batch edge, at most min(deg(u), deg(v)) standing-
+    neighbor candidates — and never a pass over the base edge set
+    beyond keyed lookups.
+
+    Inputs: the standing index triple (canonical u < v distinct
+    ``base_edges``, its :func:`graph_degrees` sidecar, the one-row
+    ``base_counts``) and ``batch_edges`` (u, v) — any mix of old/new
+    endpoints is accepted (a vertex-arrival batch is the special case
+    where no batch edge has two old endpoints); duplicates and edges
+    already present in the base are dropped on entry (idempotent
+    arrival), so re-delivering an edge can never double-count.
+
+    Every triangle the batch creates contains 1, 2, or 3 BATCH edges,
+    and is generated EXACTLY ONCE by categorizing on that count (the
+    disjoint-generation discipline of the one-shot counter's degree
+    orientation; batch-vs-base membership is unambiguous because the
+    batch is anti-joined against the base first):
+
+    - 1 batch edge (u, v): the other two edges are standing — count
+      the common BASE neighbors of u and v. Each batch edge expands
+      the adjacency of its LOWER-degree endpoint (degree read from
+      the sidecar — the edge-iterator bound, so a batch edge touching
+      a celebrity hub pays min-degree, not hub-degree) and closes
+      with one semi-join keyed into the standing edge index;
+    - 2 batch edges: they share exactly one vertex (the wedge
+      center) — a self-join of the batch's own adjacency generates
+      each such wedge once, closed by a semi-join against the BASE
+      edge set (the third edge cannot be a batch edge, so the count
+      is disjoint from case 3 by construction);
+    - 3 batch edges: the one-shot counter on the (tiny) batch graph
+      alone.
+
+    The wedge total updates from degrees alone — only endpoints of
+    batch edges change degree: n_wedges' = n_wedges + sum over touched
+    nodes of C(d0 + delta, 2) - C(d0, 2), d0 from the sidecar by a
+    keyed join (0 for unseen nodes). Same pure-bigint arithmetic as
+    :func:`triangle_stats`, so incremental == one-shot EXACTLY (pinned
+    by tests/test_graph.py::test_edge_incremental_triangles_equal_
+    oneshot across random/hub/new-vertex/overlap/empty cases). Returns
+    the one-row union stats, byte-identical to ``triangle_stats`` on
+    the union graph.
+    """
+    base = base_edges.select("u", "v")
+    b = (
+        batch_edges.select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .join(base, ["u", "v"], "left_anti")
+    )
+
+    # orient each batch edge to expand its LOWER-(degree, id) endpoint
+    # (ties by id — any total order works; degrees are BASE degrees,
+    # unseen nodes read 0 and are always expanded, correctly finding
+    # no standing neighbors)
+    du = base_degrees.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = base_degrees.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    bd = (
+        b.join(du, "u", "left")
+        .join(dv, "v", "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("_du"), F.lit(0).cast("bigint")).alias("_du"),
+            F.coalesce(F.col("_dv"), F.lit(0).cast("bigint")).alias("_dv"),
+        )
+    )
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = bd.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("p"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("q"),
+    )
+
+    # standing adjacency, keyed on node (at scale: the bucketed index)
+    adj = base.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        base.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+
+    # --- 1 batch edge: common standing neighbors of (p, q) ---
+    t1 = (
+        oriented.join(adj, oriented["p"] == adj["node"])
+        .select(
+            F.least(F.col("q"), F.col("nbr")).alias("u"),
+            F.greatest(F.col("q"), F.col("nbr")).alias("v"),
+        )
+        .join(base, ["u", "v"], "leftsemi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t1"))
+    )
+
+    # --- 2 batch edges: batch wedge closed by a standing edge ---
+    badj = b.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        b.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    w1, w2 = badj.alias("w1"), badj.alias("w2")
+    t2 = (
+        w1.join(
+            w2,
+            (F.col("w1.node") == F.col("w2.node"))
+            & (F.col("w1.nbr") < F.col("w2.nbr")),
+        )
+        .select(F.col("w1.nbr").alias("u"), F.col("w2.nbr").alias("v"))
+        .join(base, ["u", "v"], "leftsemi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+
+    # --- 3 batch edges: one-shot on the batch graph alone ---
+    t3 = triangle_stats(b).select(F.col("n_triangles").alias("t3"))
+
+    # --- degree/wedge delta over touched nodes only ---
+    delta = (
+        b.select(F.col("u").alias("node"))
+        .unionAll(b.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("delta"))
+    )
+    wedge_delta = (
+        delta.join(base_degrees, "node", "left")
+        .select(
+            (F.coalesce(F.col("deg"), F.lit(0).cast("bigint"))).alias("d0"),
+            "delta",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "((d0 + delta) * (d0 + delta - 1)) DIV 2 - (d0 * (d0 - 1)) DIV 2"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("w_delta")
+        )
+    )
+    edge_delta = b.agg(F.count(F.lit(1)).cast("bigint").alias("e_new"))
+
+    return (
+        base_counts.select("n_edges", "n_wedges", "n_triangles")
+        .crossJoin(F.broadcast(edge_delta))
+        .crossJoin(F.broadcast(wedge_delta))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t3))
+        .select(
+            (F.col("n_edges") + F.col("e_new")).alias("n_edges"),
+            (F.col("n_wedges") + F.col("w_delta")).alias("n_wedges"),
+            (F.col("n_triangles") + F.col("t1") + F.col("t2") + F.col("t3")).alias(
+                "n_triangles"
+            ),
+        )
+        .select("n_edges", "n_wedges", "n_triangles", _clustering_fp_expr())
+    )

@@ -416,3 +416,98 @@ def graph_triangle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("x"), F.col("d2").alias("y")
     )
     return incremental_triangle_stats(base_edges, base_degrees, base_counts, cross, nn)
+
+
+_TRI_EDGE_CACHE: dict = {}
+
+
+def _tri_edge_batch_pred():
+    """The deterministic edge split both the builder and the query use:
+    ~1/8 of the similarity edges 'arrive' as the batch (pmod over a
+    simple linear mix of the canonical endpoint ids — any stable split
+    works; the oracle is independent of it)."""
+    return F.pmod(F.col("u") * F.lit(31) + F.col("v"), F.lit(8)) == 0
+
+
+def _tri_edge_base_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-once STANDING triangle index for the EDGE-arrival audit
+    (the _tri_base_index_cached contract, split by EDGES instead of
+    vertices): the full similarity edge set is materialized once per
+    corpus version (in production the pairing pipeline emits it), the
+    base 7/8 of edges become the standing index (edges + degree
+    sidecar + one-row counts, all persisted), and the remaining 1/8
+    replays as the arriving batch. Returns (all_edges, base_edges,
+    base_degrees, base_counts) read back from parquet."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.graph import graph_degrees, triangle_stats
+    from ..operators.similarity import embedding_cosine_neardup
+    from ..sources.tables import balanced
+
+    path = _TRI_EDGE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        corpus = balanced(spark, load_table(spark, sf_dir, "embeddings"))
+        edges = embedding_cosine_neardup(corpus, threshold=0.25).select(
+            F.col("d1").alias("u"), F.col("d2").alias("v")
+        )
+        path = tempfile.mkdtemp(prefix="sg_triedge_")
+        edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        all_rb = spark.read.parquet(os.path.join(path, "edges"))
+        all_rb.filter(~_tri_edge_batch_pred()).write.mode("overwrite").parquet(
+            os.path.join(path, "base")
+        )
+        base_rb = spark.read.parquet(os.path.join(path, "base"))
+        graph_degrees(base_rb).write.mode("overwrite").parquet(
+            os.path.join(path, "degrees")
+        )
+        triangle_stats(base_rb).write.mode("overwrite").parquet(
+            os.path.join(path, "counts")
+        )
+        _TRI_EDGE_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(path, "edges")),
+        spark.read.parquet(os.path.join(path, "base")),
+        spark.read.parquet(os.path.join(path, "degrees")),
+        spark.read.parquet(os.path.join(path, "counts")),
+    )
+
+
+@query(
+    "graph_triangle_edge_incremental",
+    oracle=_TRI_ORACLE,
+    doc="EDGE-ARRIVAL incremental triangle maintenance (r12; r11 "
+    "VERDICT missing #1) — the case the vertex-arrival fold cannot "
+    "express and the one a similarity pipeline actually hits: NEW "
+    "similarity pairs landing between EXISTING documents. A batch of "
+    "1/8 of the similarity edges folds into the standing index of "
+    "the other 7/8: triangles are generated exactly once by their "
+    "BATCH-edge count (1: common standing neighbors of the edge, "
+    "expanded from the lower-degree endpoint — the edge-iterator "
+    "bound, min(deg u, deg v) candidates even against a celebrity "
+    "hub — and closed by a semi-join into the standing edge index; "
+    "2: the batch's own wedge self-join closed against the base; 3: "
+    "one-shot on the tiny batch graph), wedges update from the "
+    "degree sidecar alone, duplicate/already-present arrivals are "
+    "dropped on entry so re-delivery cannot double-count. O(batch "
+    "adjacency) work, never a recount; the oracle IS the one-shot "
+    "recount over the whole corpus, so the hash match is the "
+    "incremental == one-shot proof on real data (operators/graph.py "
+    "edge_incremental_triangle_stats; equality across random/hub/"
+    "new-vertex/overlap/empty cases pinned by tests/test_graph.py::"
+    "test_edge_incremental_triangles_equal_oneshot).",
+    tags=("graph", "triangles", "incremental", "scale"),
+)
+def graph_triangle_edge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import edge_incremental_triangle_stats
+
+    all_edges, base_edges, base_degrees, base_counts = _tri_edge_base_index_cached(
+        spark, sf_dir
+    )
+    batch = all_edges.filter(_tri_edge_batch_pred())
+    return edge_incremental_triangle_stats(
+        base_edges, base_degrees, base_counts, batch
+    )

@@ -251,3 +251,67 @@ def test_incremental_triangles_equal_oneshot(spark):
     # standing counts are all zero (triangle_stats must coalesce its
     # wedge sum, not propagate SUM-over-empty NULL)
     run([(100, 101), (101, 102), (100, 102)], [100, 101, 102])
+
+
+def test_edge_incremental_triangles_equal_oneshot(spark):
+    """edge_incremental_triangle_stats folds an edge-arrival batch into
+    the standing index and must equal triangle_stats on the union graph
+    EXACTLY — edges between existing vertices (the case the vertex
+    fold cannot express), a hub graph, batches touching brand-new
+    vertices, batches overlapping the base (idempotent arrival),
+    duplicate/self-loop arrivals, an empty batch, and an empty base."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.graph import (
+        edge_incremental_triangle_stats,
+        graph_degrees,
+        triangle_stats,
+    )
+
+    rng = random.Random(12)
+
+    def df(pairs, cols="u long, v long"):
+        if not pairs:
+            return spark.createDataFrame([(0, 0)], cols).filter(F.lit(False))
+        return spark.createDataFrame(pairs, cols)
+
+    def run(base_edges, batch_edges):
+        canon = lambda es: {(min(a, b), max(a, b)) for a, b in es if a != b}
+        base = sorted(canon(base_edges))
+        union = sorted(canon(base_edges) | canon(batch_edges))
+        base_df = df(base)
+        got = edge_incremental_triangle_stats(
+            base_df,
+            graph_degrees(base_df),
+            triangle_stats(base_df),
+            df(list(batch_edges)),
+        ).collect()[0]
+        want = triangle_stats(df(union)).collect()[0]
+        assert got.asDict() == want.asDict(), (got, want)
+
+    # random graph, ~40% of edges arrive as the batch (old-old edges)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(150)})
+    run(edges[: len(edges) * 3 // 5], edges[len(edges) * 3 // 5 :])
+
+    # hub: node 0 adjacent to everything; batch closes wedges at the hub
+    hub_base = [(0, i) for i in range(1, 20)]
+    hub_batch = [(i, i + 1) for i in range(1, 19)] + [(1, 5), (2, 9)]
+    run(hub_base, hub_batch)
+
+    # batch touches brand-new vertices too (the vertex-arrival special
+    # case expressed through the edge fold)
+    run([(1, 2), (2, 3), (3, 1)], [(3, 100), (100, 101), (101, 1), (2, 100)])
+
+    # overlap + duplicates + self-loops in the arriving batch
+    run(
+        [(1, 2), (2, 3), (3, 1), (3, 4)],
+        [(1, 2), (2, 1), (4, 1), (4, 1), (5, 5), (2, 4)],
+    )
+
+    # empty batch: counts pass through unchanged
+    run([(1, 2), (2, 3), (3, 1)], [])
+
+    # empty base: the fold must equal the one-shot on the batch alone
+    run([], [(1, 2), (2, 3), (3, 1), (1, 4)])

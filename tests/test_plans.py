@@ -743,3 +743,49 @@ def test_join_size_estimate_samples_before_aggregating(spark, sf_dir):
         for b in blocks
         if b.strip()
     ), plan
+
+
+def test_triangle_edge_incremental_plan_shape(spark, sf_dir):
+    """The edge-arrival triangle fold must stay keyed, like the vertex
+    fold: no cartesian product, and every BroadcastNestedLoopJoin is a
+    1-row scalar combine (cross type, no condition)."""
+    df = REGISTRY["graph_triangle_edge_incremental"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    assert any("BroadcastNestedLoopJoin" in ln for ln in lines)
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and ln.rstrip().endswith(
+            "BroadcastNestedLoopJoin"
+        ):
+            detail = "\n".join(lines[i : i + 3])
+            assert "Join type: Cross" in detail, detail
+            assert "Join condition: None" in detail, detail
+
+
+def test_join_strategy_audit_broadcasts_below_threshold(spark, sf_dir):
+    """The chooser's decision must reach the physical plan: below the
+    threshold the executed join IS a broadcast hash join; above it the
+    merge hint pins a sort-merge join (no broadcast of either side)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.kmv import join_with_estimated_strategy
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    below = join_with_estimated_strategy(
+        li, urgent, "l_orderkey", "o_orderkey", broadcast_threshold=10**12
+    )
+    plan = _plan(below)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+    above = join_with_estimated_strategy(
+        li, urgent, "l_orderkey", "o_orderkey", broadcast_threshold=0
+    )
+    plan = _plan(above)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan

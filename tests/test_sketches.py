@@ -125,3 +125,37 @@ def test_correlated_join_size_exact_at_full_rate(spark, sf_dir):
         li.limit(0).unionByName(li), li, "l_partkey", "l_partkey", p_bits=6
     ).collect()[0]
     assert other == est
+
+
+def test_join_strategy_flips_with_threshold(spark, sf_dir):
+    """join_with_estimated_strategy: actual_rows is the exact join
+    count regardless of the chosen plan, and the strategy flips as the
+    threshold crosses the (deterministic) estimate."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.kmv import (
+        estimate_join_size,
+        join_with_estimated_strategy,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    exact = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).count()
+    est = estimate_join_size(li, urgent, "l_orderkey", "o_orderkey").collect()[0]
+
+    hi = join_with_estimated_strategy(
+        li, urgent, "l_orderkey", "o_orderkey", broadcast_threshold=10**12
+    ).collect()[0]
+    assert hi["strategy"] == "broadcast"
+    assert hi["actual_rows"] == exact
+    assert hi["est_join_size"] == est["est_join_size"]
+
+    lo = join_with_estimated_strategy(
+        li, urgent, "l_orderkey", "o_orderkey", broadcast_threshold=0
+    ).collect()[0]
+    assert lo["strategy"] == "shuffle"
+    assert lo["actual_rows"] == exact
+    assert lo["est_join_size"] == est["est_join_size"]

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from data_pipeline_csv_spark.operators.graph import (
+    edge_incremental_triangle_stats,
     graph_degrees,
     incremental_triangle_stats,
     triangle_stats,
@@ -122,6 +123,46 @@ def probe(spark, n_nodes: int, tmp: str) -> dict:
     }
 
 
+def edge_probe(spark, n_nodes: int, tmp: str) -> dict:
+    """Same protocol for the EDGE-arrival fold: the graph splits by
+    EDGES (pmod(31u + v, 8) == 0, the registered query's discipline),
+    the 7/8 base is the persisted standing index, and the 1/8 batch
+    folds in via edge_incremental_triangle_stats."""
+    edges = build_graph(spark, n_nodes)
+    batch_pred = F.pmod(F.col("u") * F.lit(31) + F.col("v"), F.lit(8)) == 0
+    edges.filter(~batch_pred).write.mode("overwrite").parquet(f"{tmp}/base")
+    base_rb = spark.read.parquet(f"{tmp}/base")
+    graph_degrees(base_rb).write.mode("overwrite").parquet(f"{tmp}/deg")
+    triangle_stats(base_rb).write.mode("overwrite").parquet(f"{tmp}/counts")
+    batch = edges.filter(batch_pred).localCheckpoint()
+    args = (
+        base_rb,
+        spark.read.parquet(f"{tmp}/deg"),
+        spark.read.parquet(f"{tmp}/counts"),
+        batch,
+    )
+    edge_incremental_triangle_stats(*args).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        edge_incremental_triangle_stats(*args).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = round(time.perf_counter() - t0, 2)
+        best = el if best is None or el < best else best
+    row = triangle_stats(edges).collect()[0]
+    got = edge_incremental_triangle_stats(*args).collect()[0]
+    assert got.asDict() == row.asDict(), (got, row)  # fold == one-shot
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": row["n_edges"],
+        "n_triangles": row["n_triangles"],
+        "fold_sec": best,
+    }
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -140,6 +181,18 @@ def main() -> None:
         print(label, out[label], flush=True)
     out["ratio_10x"] = round(out["10x"]["fold_sec"] / out["1x"]["fold_sec"], 2)
     print(json.dumps({"metric": "triangle_fold_probe", **out}))
+    eout = {}
+    for label, n in (("1x", 100_000), ("10x", 1_000_000)):
+        tmp = tempfile.mkdtemp(prefix="sg_triedgeprobe_")
+        try:
+            eout[label] = edge_probe(spark, n, tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        print("edge", label, eout[label], flush=True)
+    eout["ratio_10x"] = round(
+        eout["10x"]["fold_sec"] / eout["1x"]["fold_sec"], 2
+    )
+    print(json.dumps({"metric": "triangle_edge_fold_probe", **eout}))
 
 
 if __name__ == "__main__":
