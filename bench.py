@@ -296,6 +296,30 @@ HEADLINE = [
     #   expect a number dominated by per-epoch job overhead, the
     #   streaming-entry norm.
     "streaming_stats_ingest",
+    # r12 debuts, tracked from their first round:
+    # - edge-arrival triangle fold: the standing base index (7/8 of
+    #   the similarity edges + degrees + counts) AND the full edge
+    #   set are amortized per corpus version; min-of-3 measures the
+    #   per-batch fold — the min-degree-oriented standing-neighbor
+    #   expansion + batch wedge self-join + three keyed delta joins.
+    #   Same job-overhead-bound regime as the vertex fold at this SF.
+    "graph_triangle_edge_incremental",
+    # - manifest-gated delete: base + appends + the copy-on-write
+    #   purge (+ its committed replay) amortized per corpus version;
+    #   min-of-3 measures the standard pruned scan against the
+    #   deleted layout — expect a stats-scan-sized number.
+    "layout_stats_deleted_scan",
+    # - Hilbert compacted scan: base + append + dirty-bucket
+    #   compaction along the layout's own curve, amortized per corpus
+    #   version; expect layout_zorder_compacted_scan's number (same
+    #   cells, same maintenance code, different bucket ids).
+    "layout_hilbert_compacted_scan",
+    # - join-strategy audit: the 1-row estimate collect (the ~1/64
+    #   sampled key space) + the CHOSEN broadcast join + count. The
+    #   estimate runs eagerly at build time; unlike the estimate
+    #   AUDIT entry there is no exact per-key audit side, so expect a
+    #   smaller number than sketch_join_size_estimate.
+    "sketch_join_strategy_audit",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -412,6 +436,19 @@ HEADLINE = [
 # it was the host. (r11 VERDICT wrong #2: an interim draft of this
 # paragraph quoted the penultimate run's 105.6 s / 0.296 canary;
 # these are the final committed artifact's numbers.)
+# r12 engine-side deltas to expect:
+# - HEAL ON READ (r11 VERDICT wrong #3): every pruned scan
+#   (stats/zorder/zorder3/hilbert) now runs one listdir at entry and
+#   the IVF serving read runs the reader-mode recovery sweep (two
+#   listdirs) — pure driver-side filesystem metadata on the warm
+#   path, no Spark job, so expect noise-level deltas on all nine
+#   scan/serving entries.
+# - sketch_join_size_estimate: the estimate side now builds through
+#   the shared estimate_join_size helper — identical plan (the plan
+#   test pins the map-side tau filter), expect a flat number.
+# - streaming_stats_ingest: layout cleanup deferred to atexit (r11
+#   ADVICE) — cleanup cost moves out of the timed path; the timed
+#   work (3 epochs + build) is unchanged.
 
 
 def _canary(spark, sf_dir):

@@ -38,135 +38,118 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-11 rotation, three parts:
+# Round-12 rotation, three parts (the r11 schedule: "rotate the r12
+# window to the 44 r08-stale entries plus everything r12 changes;
+# 44 + changed > 50, so split by registry order and schedule the
+# overflow by name for r13" — r11's part-(c) comment said 45 r08
+# entries remained; computed against the artifacts it was 44, the
+# r11 VERDICT's wrong #1, corrected here):
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — nine DEBUTS: the session-2 six graph_triangle_incremental
-#     (vertex-arrival fold into the standing triangle index —
-#     incremental == one-shot exactly, and the oracle IS the one-shot
-#     recount), layout_stats_skipping_scan (file-level min/max
-#     manifest pruning, 3 of 48 files planned without footer reads)
-#     and layout_stats_appended_scan (O(batch) manifest-part appends,
-#     manifest-gated visibility, committed-replay exercised on the
-#     real corpus; oracle = whole-table filter, the exactly-once
-#     proof), layout_stats_compacted_scan (journaled manifest-gated
-#     small-file bin-packing — exact-old-or-exact-new at every crash
-#     point, all three windows crash-tested),
-#     streaming_stats_ingest (the layout's streaming twin: foreachBatch
-#     epochs keyed into stats_append's commit log, at-least-once ->
-#     exactly-once with no extra state machinery) and
-#     sketch_join_size_estimate (correlated-sampling join
-#     cardinality with the exact audit side, deterministic md5-60-bit
-#     sampling -> FULL value oracle); note the five exact-pairing
-#     queries in this block were
-#     changed TWICE this round (prefix filtering, then the stacked
-#     PPJoin length/positional filters) and the one-sided probe change
-#     also re-touches dedup_cc_incremental's batch pairing; plus the
-#     session-1 trio events_funnel_existential (EXISTENTIAL
-#     attribution-window funnel: feasible-completion-time DP via a
-#     latest-feasible-predecessor running max per step; full value
-#     oracle through an independent EXISTS-join formulation) and
-#     layout_zorder3_pruned_scan (n-DIMENSIONAL Morton layout, 3
-#     columns -> 512 box partitions, driver-side covering enumeration;
-#     FULL value oracle = the plain 3-predicate filter) and
-#     layout_hilbert_pruned_scan (HILBERT-curve bucket layout — the
-#     better-locality alternative curve: same cells, the covering
-#     bucket-id set packs into fewer contiguous runs; bucket id is a
-#     256-entry literal-array lookup, FULL value oracle = the same
-#     plain 2-D filter as the Morton scan); plus the
-#     CHANGED graph_triangle_count (wedge + clustering arithmetic now
-#     pure bigint end to end on BOTH sides — r10 ADVICE: doubles lose
-#     integer exactness past 2^53), dedup_cc_incremental (batch
-#     pairing is now the EXACT shingle-join restriction, not LSH — r10
-#     ADVICE: a band miss would break the one-shot oracle equality —
-#     and the base labeling is the cached STANDING index, so the query
-#     bills the O(batch) fold — r10 VERDICT #5), similarity_ivf_append
-#     (drift measured against the FROZEN build_min_sim edge — r10
-#     VERDICT #3: the min-merged edge ratcheted down and muted
-#     sustained drift; entry recovery sweep), similarity_ivf_retrain
-#     (journaled all-or-nothing swap: _swap.json -> renames -> atomic
-#     commit rename -> cleanup, crash rolls back or forward via
-#     _recover_ivf_layout — r10 VERDICT #2 / ADVICE medium; edges
-#     re-frozen on retrain), layout_zorder_compacted_scan
-#     (zorder_append/zorder_compact entry sweeps: .retired restore +
-#     uncommitted-append rollback — r10 VERDICT #2 / ADVICE medium),
-#     and similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
-#     similarity_ann_filtered (their layout build writes the new
-#     build_min_sim sidecar column — serving unchanged, build path is
-#     new code, the r10 precedent); plus the five queries whose exact
-#     pairing switched to PREFIX FILTERING (identical result, pinned;
-#     the raw shared-shingle join measured 13.4x on 10x data) —
-#     dedup_ngram_jaccard, dedup_cc_clusters, corpus_split_leakage_safe,
-#     corpus_dedup_keep_best, corpus_e2e_prep.
-# (b) the 25 entries whose latest driver row is r07 — exactly the
-#     carryover the r10 rotation scheduled for this window (the TPC-H
-#     single-query wrappers q2/q4/q6/q7/q10/q11/q12/q13/q15/q16/q17/
-#     q19/q20/q21, the window suite, setops, and the pack/DSIR/bloom
-#     pipeline compositions). After this round no entry's latest
-#     driver row is older than r08.
-# (c) union RECENCY: 3 of the 48 entries whose latest driver row is
-#     r08, in registry order (asof_purchase_last_click through
-#     udtf_sentence_split). The 45 r08 entries left for the r12
-#     window (12 more than planned: the five changed-pairing queries
-#     and the six session-2 debuts took their slots) are the
-#     streaming suite plus events_sessionize, the remaining
-#     events/sketch/text/similarity serving queries and corpus
-#     compositions — every one oracle-green in r08 and replayed by
-#     tests/test_oracle_parity.py every round since.
+#     round — 18 entries. Four DEBUTS:
+#     graph_triangle_edge_incremental (EDGE-arrival triangle fold —
+#     new similarity pairs between EXISTING documents, the case the
+#     vertex fold cannot express; disjoint generation by batch-edge
+#     count, wedges from the degree sidecar, oracle IS the one-shot
+#     recount — r11 VERDICT #2), layout_stats_deleted_scan
+#     (manifest-gated copy-on-write DELETE planned from the manifest,
+#     swapped via the compaction journal protocol verbatim, committed
+#     replay on the real corpus; oracle = whole-table filter minus the
+#     deleted slice — r11 VERDICT #3), layout_hilbert_compacted_scan
+#     (Hilbert lifecycle parity: append/compact route along the
+#     layout's own curve via the spec-sidecar dispatch, crash tests
+#     parametrized over both curves — r11 VERDICT #6), and
+#     sketch_join_strategy_audit (the correlated estimator DRIVING a
+#     broadcast-vs-shuffle choice by a documented 1M-row threshold,
+#     chosen plan executed, (estimate, strategy, actual) audited —
+#     r11 VERDICT #5). Plus the CHANGED implementations:
+#     sketch_join_size_estimate (the estimate side now builds through
+#     the extracted estimate_join_size/_key_counts helpers the chooser
+#     shares), streaming_stats_ingest (returned DataFrame's layout
+#     cleanup deferred to atexit — r11 ADVICE: an evicted cached block
+#     could recompute against a deleted path — plus the scan-entry
+#     heal), the three batch stats scans layout_stats_skipping_scan /
+#     layout_stats_appended_scan / layout_stats_compacted_scan and the
+#     four bucket-layout scans layout_zorder_pruned_scan /
+#     layout_zorder_compacted_scan / layout_zorder3_pruned_scan /
+#     layout_hilbert_pruned_scan (HEAL ON READ, r11 VERDICT wrong #3 /
+#     #4: scan entry restores a manifest dir or bucket dir stranded by
+#     a compaction crashed between its swap renames — reads recover
+#     immediately instead of failing until the next maintenance op),
+#     and the five IVF serving/maintenance queries
+#     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
+#     similarity_ann_filtered / similarity_ivf_append /
+#     similarity_ivf_retrain (read_ivf_lists now runs the reader-mode
+#     recovery sweep at entry: crashed retrain swaps roll back via
+#     their journal before partition inference; journal-less staging
+#     dirs are left to the writer).
+# (b) RECENCY CARRYOVER: 32 of the 44 entries whose latest driver row
+#     is r08, in registry order (cluster_kmeans_embeddings through
+#     revenue_by_nation). The 12 r08 entries left over — scheduled BY
+#     NAME for the r13 window, per the r11 schedule — are
+#     sketch_kmv_setops, sketch_heavy_hitters_cms, the nine streaming
+#     suite entries (streaming_hourly_rollup, streaming_session_windows,
+#     streaming_dedup_event_ids, streaming_attribution_join,
+#     streaming_enriched_rollup, streaming_incremental_mv,
+#     streaming_cdc_upsert, streaming_heavy_hitters,
+#     streaming_dedup_neardup) and window_rank_orders — every one
+#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
+#     every round since. After this round the recency floor is r08 for
+#     exactly those 12 names and r09 for everything else.
+# (c) no oldest-round fill this round: (a) + (b) = 50 exactly.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (22) ---
-    "graph_triangle_incremental",
+    # --- new or changed implementations this round (18) ---
+    "graph_triangle_edge_incremental",
+    "layout_stats_deleted_scan",
+    "layout_hilbert_compacted_scan",
+    "sketch_join_strategy_audit",
+    "sketch_join_size_estimate",
+    "streaming_stats_ingest",
     "layout_stats_skipping_scan",
     "layout_stats_appended_scan",
     "layout_stats_compacted_scan",
-    "streaming_stats_ingest",
-    "sketch_join_size_estimate",
-    "events_funnel_existential",
+    "layout_zorder_pruned_scan",
+    "layout_zorder_compacted_scan",
     "layout_zorder3_pruned_scan",
     "layout_hilbert_pruned_scan",
-    "graph_triangle_count",
-    "dedup_cc_incremental",
-    "similarity_ivf_append",
-    "similarity_ivf_retrain",
-    "layout_zorder_compacted_scan",
     "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
     "similarity_ann_filtered",
-    "dedup_ngram_jaccard",
-    "dedup_cc_clusters",
-    "corpus_split_leakage_safe",
-    "corpus_dedup_keep_best",
-    "corpus_e2e_prep",
-    # --- last driver-verified in r07 (all 25) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "window_orders_suite",
-    "window_running_revenue",
-    "window_distribution",
-    "window_first_last",
-    "setops_customer_keys",
-    "corpus_pack_sequences",
-    "sample_mixture_weights",
-    "text_chunk_windows",
-    "corpus_pack_global",
-    "corpus_dsir_select",
-    "corpus_decontaminate_bloom",
-    # --- last driver-verified in r08 (3 of 48, registry order) ---
-    "asof_purchase_last_click",
-    "udaf_discount_sumsq",
-    "udtf_sentence_split",
+    "similarity_ivf_append",
+    "similarity_ivf_retrain",
+    # --- last driver-verified in r08 (32 of 44, registry order) ---
+    "cluster_kmeans_embeddings",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "dedup_containment_lsh",
+    "dedup_containment_lsh_ensemble",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_dedup_first",
+    "events_sliding_counts",
+    "events_conversion_funnel",
+    "events_gapfill_resample",
+    "events_decay_score",
+    "graph_pagerank_dangling",
+    "incremental_mv_refresh",
+    "cdc_merge_snapshot",
+    "cdc_read_asof",
+    "text_tfidf_terms",
+    "text_repetition_filter",
+    "text_bpe_encode",
+    "text_bm25_topk",
+    "text_quality_classifier",
+    "text_ccnet_buckets",
+    "similarity_cosine_topk",
+    "similarity_neardup_clustered",
+    "similarity_label_knn",
+    "contrastive_hard_negatives",
+    "embedding_pca_project",
+    "corpus_shuffle_shards",
+    "corpus_write_shards",
+    "sample_weighted_reservoir",
+    "corpus_source_overlap",
+    "revenue_by_nation",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -60,17 +60,24 @@ REPLICAS = 10
 # probe measures graph densification, not the fold machinery; the fold
 # itself is probed at CONSTANT average degree by
 # tools/triangle_fold_probe.py (recorded in SCALE.md).
+# r12 focus: the delete/Hilbert-compact/join-strategy debuts, the two
+# changed paths (the estimate entry now builds through the shared
+# helper; the IVF append serves through the reader-mode heal), one
+# heal-on-read representative (the stats scan: the added listdir is
+# O(1) in table size — the layouts keep a fixed file count per corpus
+# version), and the PCA anchor. graph_triangle_edge_incremental is,
+# like the vertex fold, NOT probed through the registry (the cosine
+# graph genuinely densifies ~n^2 with corpus size); the edge fold is
+# probed at constant average degree by tools/triangle_fold_probe.py's
+# edge mode (recorded in SCALE.md).
 QUERIES = [
-    "events_funnel_existential",
-    "layout_zorder3_pruned_scan",
-    "layout_hilbert_pruned_scan",
-    "dedup_cc_incremental",
-    "similarity_ivf_append",
-    "embedding_pca_project",
-    "layout_stats_skipping_scan",
-    "layout_stats_appended_scan",
-    "layout_stats_compacted_scan",
+    "layout_stats_deleted_scan",
+    "layout_hilbert_compacted_scan",
+    "sketch_join_strategy_audit",
     "sketch_join_size_estimate",
+    "similarity_ivf_append",
+    "layout_stats_skipping_scan",
+    "embedding_pca_project",
 ]
 
 
