@@ -45,7 +45,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 # entries remained; computed against the artifacts it was 44, the
 # r11 VERDICT's wrong #1, corrected here):
 # (a) every query that is NEW or whose implementation CHANGED this
-#     round — 18 entries. Four DEBUTS:
+#     round — 19 entries. Five DEBUTS:
 #     graph_triangle_edge_incremental (EDGE-arrival triangle fold —
 #     new similarity pairs between EXISTING documents, the case the
 #     vertex fold cannot express; disjoint generation by batch-edge
@@ -82,25 +82,27 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     recovery sweep at entry: crashed retrain swaps roll back via
 #     their journal before partition inference; journal-less staging
 #     dirs are left to the writer).
-# (b) RECENCY CARRYOVER: 32 of the 44 entries whose latest driver row
+# (b) RECENCY CARRYOVER: 31 of the 44 entries whose latest driver row
 #     is r08, in registry order (cluster_kmeans_embeddings through
-#     revenue_by_nation). The 12 r08 entries left over — scheduled BY
-#     NAME for the r13 window, per the r11 schedule — are
-#     sketch_kmv_setops, sketch_heavy_hitters_cms, the nine streaming
-#     suite entries (streaming_hourly_rollup, streaming_session_windows,
-#     streaming_dedup_event_ids, streaming_attribution_join,
-#     streaming_enriched_rollup, streaming_incremental_mv,
-#     streaming_cdc_upsert, streaming_heavy_hitters,
-#     streaming_dedup_neardup) and window_rank_orders — every one
-#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
-#     every round since. After this round the recency floor is r08 for
-#     exactly those 12 names and r09 for everything else.
+#     corpus_source_overlap). The 13 r08 entries left over — scheduled
+#     BY NAME for the r13 window, per the r11 schedule — are
+#     revenue_by_nation, sketch_kmv_setops, sketch_heavy_hitters_cms,
+#     the nine streaming suite entries (streaming_hourly_rollup,
+#     streaming_session_windows, streaming_dedup_event_ids,
+#     streaming_attribution_join, streaming_enriched_rollup,
+#     streaming_incremental_mv, streaming_cdc_upsert,
+#     streaming_heavy_hitters, streaming_dedup_neardup) and
+#     window_rank_orders — every one oracle-green in r08 and replayed
+#     by tests/test_oracle_parity.py every round since. After this
+#     round the recency floor is r08 for exactly those 13 names and
+#     r09 for everything else.
 # (c) no oldest-round fill this round: (a) + (b) = 50 exactly.
 # The window is 50/50 oracle-backed, as is the whole registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (18) ---
+    # --- new or changed implementations this round (19) ---
     "graph_triangle_edge_incremental",
     "layout_stats_deleted_scan",
+    "layout_stats_merged_scan",
     "layout_hilbert_compacted_scan",
     "sketch_join_strategy_audit",
     "sketch_join_size_estimate",
@@ -117,7 +119,7 @@ _PRIORITY = [
     "similarity_ann_filtered",
     "similarity_ivf_append",
     "similarity_ivf_retrain",
-    # --- last driver-verified in r08 (32 of 44, registry order) ---
+    # --- last driver-verified in r08 (31 of 44, registry order) ---
     "cluster_kmeans_embeddings",
     "dedup_simhash",
     "dedup_simhash_neardup",
@@ -149,7 +151,6 @@ _PRIORITY = [
     "corpus_write_shards",
     "sample_weighted_reservoir",
     "corpus_source_overlap",
-    "revenue_by_nation",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

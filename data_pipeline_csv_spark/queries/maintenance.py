@@ -1038,3 +1038,98 @@ def layout_hilbert_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     return hilbert_pruned_scan(
         spark, path, 200000, 250000, date(1997, 1, 1), date(1997, 12, 31)
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+_SKIP_MERGE_CACHE: dict = {}
+
+
+def _skip_merged_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_stats_merged_scan: the orders
+    INSERT state (seq 1 of the synthetic CDC feed) written as a stats
+    layout keyed on (o_orderkey, o_totalprice), then ONE
+    :func:`~..operators.layout.stats_merge` applying the collapsed
+    feed — the repriced survivors as upserts (pre-collapsed through
+    :func:`~..operators.cdc.merge_latest_snapshot`, so a key that is
+    both updated and later deleted lands on the delete side, exactly
+    the CDC semantics) and the deleted keys — replayed once with its
+    stable batch_id (committed short-circuit)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import stats_merge, write_stats_layout
+
+    path = _SKIP_MERGE_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    snap = merge_latest_snapshot(_changes(spark, sf_dir), ["o_orderkey"])
+    ups = snap.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dels = (
+        _changes(spark, sf_dir)
+        .filter(F.col("op") == "D")
+        .select("o_orderkey")
+        .distinct()
+    )
+    path = tempfile.mkdtemp(prefix="sg_skipmerge_")
+    write_stats_layout(base, path, ["o_orderkey", "o_totalprice"], n_files=16)
+    stats_merge(spark, path, ups, dels, "o_orderkey", batch_id="cdc-1")
+    stats_merge(spark, path, ups, dels, "o_orderkey", batch_id="cdc-1")  # replay
+    _SKIP_MERGE_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_stats_merged_scan",
+    # FULL value oracle: the CDC merge snapshot (the proven
+    # cdc_merge_snapshot formulation) restricted to the scanned key
+    # range — the hash match proves the keyed MERGE replaced exactly
+    # the updated rows (same IEEE reprice), removed exactly the
+    # deleted keys, kept everything else byte-identical, and that the
+    # rewritten files' manifest intervals stayed true bounds.
+    oracle=f"""
+    WITH {_CHANGES_SQL},
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+      AND o_orderkey >= 1000 AND o_orderkey <= 4000
+    """,
+    doc="KEYED MERGE into the stats layout (r12 — the other half of "
+    "r11 VERDICT missing #2, next to the predicate DELETE: the Delta "
+    "MERGE INTO file-pruning shape, copy-on-write): the synthetic CDC "
+    "feed's collapsed state folds into the orders layout as upserts "
+    "(repriced %5 keys, pre-collapsed through merge_latest_snapshot "
+    "so update-then-delete keys land on the delete side) plus deleted "
+    "keys (%7). The batch's distinct keys join against the BROADCAST "
+    "per-file [min,max] key intervals, so only files that can contain "
+    "a batch key are rewritten (a 100-key merge into a 400k-file "
+    "table rewrites a handful of files — the same planning read "
+    "Delta's MERGE runs on its add-file stats); affected rows "
+    "anti-join the key set, upserts re-insert, and the swap rides the "
+    "journaled protocol shared with delete/compaction, so every crash "
+    "window heals with the existing machinery and a mid-swap crash is "
+    "healed by the very next READ. Served as a key-range pruned scan; "
+    "the oracle is the proven CDC-merge formulation on that range "
+    "(operators/layout.py stats_merge/_journaled_cow_swap; semantics, "
+    "planning bound, crash + replay + pure-insert + fail-fast pinned "
+    "by tests/test_maintenance.py::test_stats_merge_keyed_upsert_"
+    "delete).",
+    tags=("layout", "skipping", "merge", "upsert", "cdc", "incremental", "scale"),
+)
+def layout_stats_merged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_pruned_scan
+
+    layout = _skip_merged_cached(spark, sf_dir)
+    return stats_pruned_scan(
+        spark, layout, {"o_orderkey": (1000, 4000)}
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -1267,3 +1267,85 @@ def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
     # only the null-v row (range predicates never match NULL) survives
     stats_delete(spark, path, {"v": (0, 10**9)}, batch_id="all")
     assert rows() == [9001]
+
+
+def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
+    """stats_merge (r12): keyed copy-on-write MERGE — updates replace,
+    deletes remove, unseen keys insert; only files whose key interval
+    is hit by a batch key are rewritten (manifest interval planning);
+    replays short-circuit; a mid-swap crash heals on the very next
+    read; fail-fast on a non-skip key or missing layout columns."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_merge,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "sm")
+    write_stats_layout(base, path, ["id"], n_files=8)
+    n_files = lambda: len(os.listdir(f"{path}/data"))
+    rows = lambda: {
+        r["id"]: r["v"]
+        for r in stats_pruned_scan(spark, path, {"id": (None, None)}).collect()
+    }
+
+    ups = spark.range(100, 150).select(
+        F.col("id"), (F.col("id") * 1000).alias("v")
+    ).unionByName(
+        spark.range(5000, 5020).select(F.col("id"), (F.col("id") * 1000).alias("v"))
+    )
+    dels = spark.range(200, 250).select(F.col("id"))
+    rep = stats_merge(spark, path, ups, dels, "id", batch_id="m1")
+    # planning: the keys live in a few of the 8 range files — never all
+    assert 0 < len(rep["replaced"]) < 8
+    got = rows()
+    want = {
+        i: (i * 1000 if 100 <= i < 150 else i * 3)
+        for i in range(1000)
+        if not (200 <= i < 250)
+    }
+    want.update({i: i * 1000 for i in range(5000, 5020)})
+    assert got == want
+
+    # committed replay: byte-level no-op
+    before = n_files()
+    assert stats_merge(spark, path, ups, dels, "id", batch_id="m1") == rep
+    assert n_files() == before and rows() == want
+
+    # mid-swap crash -> the immediate READ heals to the pre-merge state
+    ups2 = spark.range(300, 320).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    none = spark.range(0).select(F.col("id"))
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if str(src).endswith("manifest") and str(dst).endswith("_skip_manifest"):
+            raise RuntimeError("simulated crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with _pytest.raises(RuntimeError):
+        stats_merge(spark, path, ups2, none, "id", batch_id="m2")
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert rows() == want  # heal-on-read: exact pre-merge table
+    stats_merge(spark, path, ups2, none, "id", batch_id="m2")
+    want.update({i: i * 7 for i in range(300, 320)})
+    assert rows() == want
+
+    # pure insert: no file interval is hit, nothing replaced
+    ups3 = spark.range(9000, 9010).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    rep3 = stats_merge(spark, path, ups3, none, "id", batch_id="m3")
+    assert rep3["replaced"] == [] and rep3["new_files"]
+    want.update({i: i * 2 for i in range(9000, 9010)})
+    assert rows() == want
+
+    # fail-fast: key must be a skip column; upserts must carry the schema
+    with _pytest.raises(ValueError, match="skip"):
+        stats_merge(spark, path, ups3, none, "v2", batch_id="bad")
+    with _pytest.raises(ValueError, match="layout column"):
+        stats_merge(spark, path, ups3.select("id"), none, "id", batch_id="bad2")
