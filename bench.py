@@ -320,6 +320,11 @@ HEADLINE = [
     #   AUDIT entry there is no exact per-key audit side, so expect a
     #   smaller number than sketch_join_size_estimate.
     "sketch_join_strategy_audit",
+    # - keyed merge: base layout + the collapsed-CDC stats_merge (+
+    #   committed replay) amortized per corpus version; min-of-3
+    #   measures the key-range pruned scan against the merged layout
+    #   — another stats-scan-sized number.
+    "layout_stats_merged_scan",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -449,6 +454,30 @@ HEADLINE = [
 # - streaming_stats_ingest: layout cleanup deferred to atexit (r11
 #   ADVICE) — cleanup cost moves out of the timed path; the timed
 #   work (3 epochs + build) is unchanged.
+# r12 observed (the committed BENCH_DETAIL_r12): 109.0 s / 76 entries,
+# canary 0.2813 min / 0.317 median — the host read 1.22x SLOWER than
+# the r11 artifact's quiet run, and the per-query deltas say host, not
+# engine: median common-entry ratio 1.115x raw across 71 shared
+# entries with the WORST at 1.33x, i.e. everything sits at or under
+# the canary's own drift. Net of the 1.22x canary the three largest
+# raw deltas are flat: graph_triangle_incremental 1.33x raw -> ~1.10x
+# net (untouched machinery; job-overhead-bound per its entry note),
+# similarity_ivf_retrain 1.32x -> ~1.09x (the serving read added two
+# listdirs — predicted noise-level, and the append entry confirms at
+# 1.03 s ~ r11's 1.00), dedup_cc_incremental 1.28x -> ~1.05x (no code
+# change this round). No entry regressed >15% net of canary. The five
+# debuts landed as predicted: layout_stats_deleted_scan 0.19 s and
+# layout_stats_merged_scan 0.20 s (stats-scan-sized — manifest
+# planning + a 3-file scan), layout_hilbert_compacted_scan 0.44 s
+# (within noise of the Morton compacted entry's 0.46 s — same cells,
+# same maintenance code), sketch_join_strategy_audit 1.15 s (vs the
+# estimate AUDIT's 0.86 s: the chooser pays the executed broadcast
+# join + count instead of the exact per-key audit side), and
+# graph_triangle_edge_incremental 1.52 s — 0.42x the vertex fold's
+# 3.58 s on the same standing index, because the edge fold generates
+# its deltas from three keyed joins over the batch rather than the
+# one-sided cross GEMM the vertex fold needs to build its cross
+# edges.
 
 
 def _canary(spark, sf_dir):

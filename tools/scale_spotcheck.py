@@ -72,6 +72,7 @@ REPLICAS = 10
 # edge mode (recorded in SCALE.md).
 QUERIES = [
     "layout_stats_deleted_scan",
+    "layout_stats_merged_scan",
     "layout_hilbert_compacted_scan",
     "sketch_join_strategy_audit",
     "sketch_join_size_estimate",
