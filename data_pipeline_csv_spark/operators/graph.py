@@ -540,8 +540,8 @@ def edge_incremental_triangle_stats(
     nodes of C(d0 + delta, 2) - C(d0, 2), d0 from the sidecar by a
     keyed join (0 for unseen nodes). Same pure-bigint arithmetic as
     :func:`triangle_stats`, so incremental == one-shot EXACTLY (pinned
-    by tests/test_graph.py::test_edge_incremental_triangles_equal_
-    oneshot across random/hub/new-vertex/overlap/empty cases). Returns
+    across random/hub/new-vertex/overlap/empty cases by tests/
+    test_graph.py::test_edge_incremental_triangles_equal_oneshot). Returns
     the one-row union stats, byte-identical to ``triangle_stats`` on
     the union graph.
     """

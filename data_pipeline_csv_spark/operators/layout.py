@@ -1175,16 +1175,20 @@ def _heal_stats_layout(spark, path: str) -> None:
        prefixed files — without this, a later compaction could merge
        the visible batch and its at-least-once retry (no record ->
        full redo) would then duplicate every merged row;
-    3. every compaction journal in ``_compactions/``: if the live
-       manifest references the journal's new files, the swap
-       COMMITTED — finish its pending GC (delete the replaced small
-       files, then the journal); otherwise the compaction CRASHED
-       before its swap took effect — delete whichever of its
-       ``c<tag>-`` files already landed and the journal (the journal
-       is written BEFORE any c-file moves precisely so no crash point
-       leaves unjournaled orphans; readers never saw them, the old
-       manifest still governs, no rows are lost);
-    4. dead ``compact-*`` staging dirs.
+    3. every copy-on-write journal in ``_compactions/`` — compaction,
+       :func:`stats_delete` AND :func:`stats_merge` share the record
+       shape, so one sweep heals all three: if the live manifest
+       references the journal's new files, the swap COMMITTED —
+       finish its pending GC (delete the replaced small files, then
+       the journal); otherwise the op CRASHED before its swap took
+       effect — delete whichever of its prefixed (``c``/``d``/``m``)
+       files already landed and the journal (the journal is written
+       BEFORE any file moves precisely so no crash point leaves
+       unjournaled orphans; readers never saw them, the old manifest
+       still governs, no rows are lost);
+    4. dead ``compact-*`` staging dirs (delete/merge stage under the
+       same prefix) and torn ``.tmp-`` record files in ``_batches/``,
+       ``_deletes/`` and ``_merges/``.
 
     Appends that crashed BEFORE their manifest part need no healing
     here: their files are absent from the manifest (invisible to
@@ -1226,13 +1230,21 @@ def _heal_stats_layout(spark, path: str) -> None:
                 json.dump({"files": moved}, f)
             os.replace(tmp, record)
             shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
-    if os.path.isdir(batches_dir):
+    for rec_dir in (
+        batches_dir,
+        os.path.join(path, "_deletes"),
+        os.path.join(path, "_merges"),
+    ):
+        if not os.path.isdir(rec_dir):
+            continue
         # a crash inside an atomic record write can strand a torn
         # <tag>.tmp-<suffix>; the record itself either exists (replace
-        # ran) or not (retry/heal redoes), so tmps are always dead
-        for fn in os.listdir(batches_dir):
+        # ran) or not (retry/heal redoes), so tmps are always dead —
+        # the same sweep for all three record families (append /
+        # delete / merge)
+        for fn in os.listdir(rec_dir):
             if ".tmp-" in fn:
-                os.remove(os.path.join(batches_dir, fn))
+                os.remove(os.path.join(rec_dir, fn))
     comp_dir = os.path.join(path, "_compactions")
     if os.path.isdir(comp_dir):
         live_names = None
@@ -1637,7 +1649,11 @@ def stats_merge(
     - ``upserts``: full layout-schema rows, ONE ROW PER KEY (collapse
       a change feed first — :func:`~..operators.cdc.
       merge_latest_snapshot` is the collapser); non-null keys.
-    - ``delete_keys``: one column ``key_col`` of keys to remove.
+    - ``delete_keys``: one column ``key_col`` of keys to remove. A key
+      appearing in BOTH inputs is removed then re-inserted (the upsert
+      wins) — for CDC delete-wins semantics, collapse the feed first
+      so deleted keys never reach the upsert side (what the registered
+      scaffold does).
 
     PLAN FROM THE MANIFEST: ``key_col`` must be a skip column
     (fail-fast otherwise); the batch's distinct keys join against the
@@ -1656,8 +1672,11 @@ def stats_merge(
     record commits LAST; replays short-circuit byte-level, and a
     crashed attempt's retry is idempotent in effect (re-applying the
     same keyed batch to the post-merge table reproduces it). Single
-    maintenance writer per layout assumed. Returns {"replaced",
-    "new_files", "n_upserts", "n_deletes"}.
+    maintenance writer per layout assumed. Pure-insert rows (keys no
+    file can contain) land as ONE new file — merge batches are
+    keyed-change-sized by nature; BULK loads belong to
+    :func:`stats_append`, which range-partitions the batch. Returns
+    {"replaced", "new_files", "n_upserts", "n_deletes"}.
     """
     import json
     import os
@@ -1713,6 +1732,20 @@ def stats_merge(
         .collect()
     )
     rows = [r for r in man.collect() if r["file"] in hit]
+    n_ups = upserts.count()
+    n_dels = delete_keys.count()
+    if not rows and n_ups == 0:
+        # nothing to rewrite and nothing to insert (e.g. deletes of
+        # keys no file can contain): skip the swap entirely — a
+        # full-manifest rewrite for a no-op batch is pure churn
+        payload = {"replaced": [], "new_files": [],
+                   "n_upserts": 0, "n_deletes": n_dels}
+        os.makedirs(merges_dir, exist_ok=True)
+        tmp = f"{record}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, record)
+        return payload
 
     if rows:
         survivors = (
@@ -1732,8 +1765,8 @@ def stats_merge(
     payload = {
         "replaced": replaced,
         "new_files": new_files,
-        "n_upserts": upserts.count(),
-        "n_deletes": delete_keys.count(),
+        "n_upserts": n_ups,
+        "n_deletes": n_dels,
     }
     os.makedirs(merges_dir, exist_ok=True)
     tmp = f"{record}.tmp-{uuid.uuid4().hex[:8]}"

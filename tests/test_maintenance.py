@@ -1344,6 +1344,22 @@ def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
     want.update({i: i * 2 for i in range(9000, 9010)})
     assert rows() == want
 
+    # no-op batch (deletes of keys no file can contain): no swap, no
+    # manifest churn, record still commits
+    none2 = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    far = spark.range(10**7, 10**7 + 5).select(F.col("id"))
+    before = n_files()
+    rep4 = stats_merge(spark, path, none2, far, "id", batch_id="m4")
+    assert rep4["replaced"] == [] and rep4["new_files"] == []
+    assert n_files() == before and rows() == want
+    # a torn record tmp from a crashed record write is swept by heal
+    os.makedirs(f"{path}/_merges", exist_ok=True)
+    open(f"{path}/_merges/mX.tmp-dead", "w").write("{")
+    from data_pipeline_csv_spark.operators.layout import _heal_stats_layout
+
+    _heal_stats_layout(spark, path)
+    assert not os.path.exists(f"{path}/_merges/mX.tmp-dead")
+
     # fail-fast: key must be a skip column; upserts must carry the schema
     with _pytest.raises(ValueError, match="skip"):
         stats_merge(spark, path, ups3, none, "v2", batch_id="bad")
