@@ -239,6 +239,21 @@ def read_zorder_spec(path: str) -> dict:
         return json.load(f)
 
 
+def _safe_tag(batch_id: str) -> str:
+    """Collision-safe filesystem tag for an idempotency token — the
+    :func:`~.similarity._safe_batch_tag` rule: a short clean id passes
+    through verbatim; anything else (unsafe chars, overlong) becomes a
+    sha256 prefix. The old truncate-and-substitute sanitizer mapped
+    DISTINCT ids like "purge:x" and "purge.x" to the same tag, so the
+    second operation silently short-circuited as a committed replay of
+    the first (r12 review) — hashing keeps distinct ids distinct."""
+    import hashlib
+
+    if all(c.isalnum() or c in "_-" for c in batch_id) and 0 < len(batch_id) <= 48:
+        return batch_id
+    return hashlib.sha256(batch_id.encode()).hexdigest()[:16]
+
+
 def _restore_retired_dirs(path: str, prefix: str) -> list[str]:
     """Heal the compaction swap's crash window (r10 VERDICT/ADVICE):
     the per-partition swap is rename(live -> live.retired) then
@@ -266,7 +281,14 @@ def _restore_retired_dirs(path: str, prefix: str) -> list[str]:
         if os.path.isdir(live):
             shutil.rmtree(retired, ignore_errors=True)
         else:
-            os.rename(retired, live)
+            try:
+                os.rename(retired, live)
+            except FileNotFoundError:
+                continue  # a concurrent reader's heal-on-read won the
+                # restore between our listdir and the rename — the live
+                # dir exists now, nothing left to do (r12 review: two
+                # readers racing the same crashed swap must both
+                # recover, not crash)
             restored.append(os.path.basename(live))
     return restored
 
@@ -347,7 +369,7 @@ def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> 
     # recreated live dir while the old rows sit in zb=N.retired would
     # turn the later retired-cleanup into data loss
     _restore_retired_dirs(path, "zb=")
-    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    tag = _safe_tag(batch_id)
     batches_dir = os.path.join(path, "_batches")
     record = os.path.join(batches_dir, tag)
     staging = os.path.join(path, "_staging", f"append-{tag}")
@@ -1094,7 +1116,7 @@ def stats_append(
     # manifest read below, and a committed-but-unGC'd compaction must
     # finish before this batch's part lands alongside
     _heal_stats_layout(spark, path)
-    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    tag = _safe_tag(batch_id)
     data_dir = _skip_data_dir(path)
     man_dir = _skip_manifest_dir(path)
     batches_dir = os.path.join(path, "_batches")
@@ -1452,21 +1474,29 @@ def _journaled_cow_swap(
     affected_full = [r["file"] for r in affected_rows]
     staging = os.path.join(path, "_staging", f"compact-{tag}-{uuid.uuid4().hex[:8]}")
     sdata = os.path.join(staging, "data")
-    total_kept = rewrite_df.count()
-    new_files: list[str] = []
-    staged_parts: list[str] = []
-    if total_kept:
-        n_out = max(1, len(affected_rows))
-        (
-            rewrite_df.repartitionByRange(n_out, *[F.col(c) for c in skip_cols])
-            .sortWithinPartitions(*skip_cols)
-            .write.mode("overwrite")
-            .parquet(sdata)
-        )
-        staged_parts = sorted(
-            fn for fn in os.listdir(sdata) if fn.endswith(".parquet")
-        )
-        new_files = [f"{file_prefix}{tag}-{fn}" for fn in staged_parts]
+    # persist: the emptiness probe below and the staging write would
+    # otherwise each execute the full affected-file scan + filter/
+    # anti-join — 2x the dominant cost of the op (r12 review); the
+    # cached partitions are bounded by the affected files by design
+    rewrite_df = rewrite_df.persist()
+    try:
+        total_kept = rewrite_df.count()
+        new_files: list[str] = []
+        staged_parts: list[str] = []
+        if total_kept:
+            n_out = max(1, len(affected_rows))
+            (
+                rewrite_df.repartitionByRange(n_out, *[F.col(c) for c in skip_cols])
+                .sortWithinPartitions(*skip_cols)
+                .write.mode("overwrite")
+                .parquet(sdata)
+            )
+            staged_parts = sorted(
+                fn for fn in os.listdir(sdata) if fn.endswith(".parquet")
+            )
+            new_files = [f"{file_prefix}{tag}-{fn}" for fn in staged_parts]
+    finally:
+        rewrite_df.unpersist()
 
     comp_dir = os.path.join(path, "_compactions")
     os.makedirs(comp_dir, exist_ok=True)
@@ -1578,7 +1608,7 @@ def stats_delete(
     _heal_stats_layout(spark, path)
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
-    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    tag = _safe_tag(batch_id)
     deletes_dir = os.path.join(path, "_deletes")
     record = os.path.join(deletes_dir, tag)
     if os.path.exists(record):  # committed replay: short-circuit
@@ -1595,6 +1625,12 @@ def stats_delete(
             f"skip columns {skip_cols}"
         )
 
+    if not ranges:
+        raise ValueError(
+            "stats_delete: empty predicate would delete every row — "
+            "spell a whole-table truncate out explicitly with an "
+            "unbounded range on a skip column"
+        )
     keep = F.lit(True)
     match_pred = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -1604,6 +1640,14 @@ def stats_delete(
         if hi is not None:
             keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
             match_pred = match_pred & (F.col(c) <= F.lit(hi))
+        if lo is None and hi is None:
+            # an unbounded range is still a predicate ON c: it matches
+            # every non-null value and never NULL (the scan contract —
+            # r12 review: the bare lit(True) deleted the null rows the
+            # docstring promises to keep, and widened `keep` to every
+            # file instead of the non-null-stats ones)
+            keep = keep & F.col(f"max_{c}").isNotNull()
+            match_pred = match_pred & F.col(c).isNotNull()
     rows = man.filter(keep).collect()  # driver-side planning, as in scans
     if not rows:
         os.makedirs(deletes_dir, exist_ok=True)
@@ -1685,7 +1729,7 @@ def stats_merge(
     _heal_stats_layout(spark, path)
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
-    tag = "".join(c if (c.isalnum() or c in "_-") else "_" for c in batch_id)[:48]
+    tag = _safe_tag(batch_id)
     merges_dir = os.path.join(path, "_merges")
     record = os.path.join(merges_dir, tag)
     if os.path.exists(record):  # committed replay: short-circuit
@@ -1731,7 +1775,10 @@ def stats_merge(
         .distinct()
         .collect()
     )
-    rows = [r for r in man.collect() if r["file"] in hit]
+    # O(hit files) driver transfer, not O(all files): on the 400k-file
+    # table the docstring prices, collecting the whole manifest to
+    # filter driver-side would defeat the planning bound (r12 review)
+    rows = man.filter(F.col("file").isin(sorted(hit))).collect() if hit else []
     n_ups = upserts.count()
     n_dels = delete_keys.count()
     if not rows and n_ups == 0:

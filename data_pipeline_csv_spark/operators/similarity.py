@@ -424,6 +424,33 @@ def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -
     _commit_ivf_stats(stats, path, {})
 
 
+def _try_heal_lock(layout_path: str, stale_after: float = 600.0):
+    """Advisory mutual exclusion for :func:`_recover_ivf_layout` via
+    atomic mkdir. The heal's retrain rollback is rmtree(live) THEN
+    rename(retired, live) — two concurrent healers interleaving those
+    steps can delete BOTH copies of a list (r12 review), so only one
+    healer may mutate at a time. A lock dir older than ``stale_after``
+    seconds is a crashed healer's leftover — taken over. Returns the lock
+    path when acquired, else None."""
+    import os
+    import shutil
+    import time
+
+    lock = os.path.join(layout_path, "_heal.lock")
+    try:
+        os.mkdir(lock)
+        return lock
+    except FileExistsError:
+        try:
+            if time.time() - os.path.getmtime(lock) > stale_after:
+                shutil.rmtree(lock, ignore_errors=True)
+                os.mkdir(lock)
+                return lock
+        except (FileNotFoundError, FileExistsError):
+            pass
+        return None
+
+
 def _recover_ivf_layout(layout_path: str, committed_tags: set | None) -> None:
     """Heal every known crash window of the IVF maintenance protocol —
     run on entry by :func:`ivf_append` and :func:`ivf_retrain`, and in
@@ -435,7 +462,12 @@ def _recover_ivf_layout(layout_path: str, committed_tags: set | None) -> None:
     which a crash mid-retrain-swap leaves probes reading half-swapped
     lists until the next maintenance op (r11 VERDICT wrong #3: heal on
     read) — and leaves append staging dirs (sweep 3) untouched, since
-    judging a batch committed requires the sidecar's applied set.
+    judging a batch committed requires the sidecar's applied set. All
+    sweeps run under the ``_heal.lock`` advisory mutex
+    (:func:`_try_heal_lock` — r12 review: two readers interleaving the
+    rollback's rmtree+rename could delete both copies of a list);
+    readers finding the lock held wait briefly for the healer and then
+    serve, maintenance entries take over stale locks or fail loud.
     Three sweeps (r10 VERDICT + ADVICE):
 
     1. CRASHED RETRAIN SWAP (journaled): the retrain swap moves rows
@@ -463,6 +495,45 @@ def _recover_ivf_layout(layout_path: str, committed_tags: set | None) -> None:
        medium). Roll the partial move back via the staging manifest
        and clear the dead staging dir; the retry re-appends in full.
     """
+    import json
+    import os
+    import shutil
+    import time
+
+    lock = _try_heal_lock(layout_path)
+    if lock is None:
+        # another healer holds the lock. A reader waits briefly for it
+        # to finish (the sweeps are listdirs + renames) and then reads
+        # the healed layout; a maintenance entry insists — it may not
+        # proceed over an unhealed layout — and takes over a stale
+        # lock or fails loud.
+        deadline = time.time() + (5.0 if committed_tags is None else 30.0)
+        while time.time() < deadline:
+            if not os.path.isdir(os.path.join(layout_path, "_heal.lock")):
+                break
+            time.sleep(0.1)
+        if committed_tags is None:
+            return  # healed by the other reader (or its residual
+            # in-flight window — the documented quiesce caveat)
+        lock = _try_heal_lock(layout_path)
+        if lock is None:
+            raise RuntimeError(
+                f"IVF heal lock still held after 30s at {layout_path}: "
+                f"is a second maintenance writer running? (single "
+                f"maintenance writer per layout assumed)"
+            )
+    try:
+        _recover_ivf_layout_locked(layout_path, committed_tags)
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
+
+
+def _recover_ivf_layout_locked(layout_path: str, committed_tags: set | None) -> None:
+    """The sweeps of :func:`_recover_ivf_layout`, to be called only
+    under its heal lock."""
     import json
     import os
     import shutil

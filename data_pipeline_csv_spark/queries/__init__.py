@@ -57,11 +57,20 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     deleted slice — r11 VERDICT #3), layout_hilbert_compacted_scan
 #     (Hilbert lifecycle parity: append/compact route along the
 #     layout's own curve via the spec-sidecar dispatch, crash tests
-#     parametrized over both curves — r11 VERDICT #6), and
+#     parametrized over both curves — r11 VERDICT #6),
 #     sketch_join_strategy_audit (the correlated estimator DRIVING a
 #     broadcast-vs-shuffle choice by a documented 1M-row threshold,
 #     chosen plan executed, (estimate, strategy, actual) audited —
-#     r11 VERDICT #5). Plus the CHANGED implementations:
+#     r11 VERDICT #5), and layout_stats_merged_scan (keyed
+#     copy-on-write MERGE — the other half of missing #2: upserts
+#     replace, deletes remove, unseen keys insert; affected files
+#     planned by joining the batch's distinct keys against the
+#     broadcast per-file key intervals — the Delta MERGE file-pruning
+#     shape — and swapped via _journaled_cow_swap, the
+#     rewrite-and-swap body SHARED with stats_delete so the two
+#     row-level ops cannot drift off the compaction crash protocol;
+#     oracle = the proven CDC-merge formulation on the scanned key
+#     range). Plus the CHANGED implementations:
 #     sketch_join_size_estimate (the estimate side now builds through
 #     the extracted estimate_join_size/_key_counts helpers the chooser
 #     shares), streaming_stats_ingest (returned DataFrame's layout

@@ -1365,3 +1365,43 @@ def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
         stats_merge(spark, path, ups3, none, "v2", batch_id="bad")
     with _pytest.raises(ValueError, match="layout column"):
         stats_merge(spark, path, ups3.select("id"), none, "id", batch_id="bad2")
+
+
+def test_stats_delete_unbounded_range_and_tag_safety(spark, tmp_path):
+    """r12 review fixes: (a) an unbounded (None, None) range is still a
+    predicate ON the column — it deletes every non-null value and never
+    a NULL (the scan contract), instead of silently wiping null rows;
+    (b) an empty predicate dict fails fast; (c) DISTINCT batch_ids that
+    the old sanitizer collapsed (e.g. 'purge:x' vs 'purge.x') no longer
+    collide — the second op executes instead of short-circuiting as a
+    replay of the first."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_delete,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    nulls = spark.sql("SELECT CAST(901 AS BIGINT) AS id, CAST(NULL AS BIGINT) AS v")
+    path = str(tmp_path / "sdu")
+    write_stats_layout(base.unionByName(nulls), path, ["v"], n_files=4)
+    rows = lambda: sorted(
+        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+
+    with _pytest.raises(ValueError, match="empty predicate"):
+        stats_delete(spark, path, {}, batch_id="nope")
+
+    # two distinct ids the old truncate-sanitizer mapped to one tag:
+    # both must EXECUTE (delete different slices), not replay
+    stats_delete(spark, path, {"v": (0, 27)}, batch_id="purge:x")  # ids 0..9
+    assert rows() == sorted(list(range(10, 200)) + [901])
+    stats_delete(spark, path, {"v": (30, 57)}, batch_id="purge.x")  # ids 10..19
+    assert rows() == sorted(list(range(20, 200)) + [901])
+
+    # unbounded range: all non-null v gone, the null row stays
+    stats_delete(spark, path, {"v": (None, None)}, batch_id="wipe")
+    assert rows() == [901]

@@ -765,3 +765,50 @@ def test_ivf_serving_read_heals_crashed_retrain_swap(
         r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
     )
     assert ids == ids_before
+
+
+def test_ivf_heal_lock_excludes_and_recovers(spark, sf_dir, tmp_path):
+    """r12 review: the heal's retrain rollback is rmtree(live) then
+    rename(retired, live) — two concurrent healers interleaving could
+    delete both copies of a list, so all sweeps run under _heal.lock.
+    (a) a reader finding a FRESH lock (a live healer) must NOT mutate;
+    (b) a STALE lock (crashed healer) is taken over and healing runs;
+    (c) the lock is released afterwards so maintenance proceeds."""
+    import os
+    import time
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        _recover_ivf_layout,
+        read_ivf_lists,
+    )
+
+    base, _new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
+    # strand a list manually: live renamed away, as a crashed swap does
+    lists = sorted(
+        d for d in os.listdir(layout) if d.startswith("list_id=")
+    )
+    victim = os.path.join(layout, lists[0])
+    os.rename(victim, f"{victim}.retired")
+
+    # (a) fresh lock held by "another healer": reader mode waits its
+    # grace period and returns WITHOUT touching the stranded dir
+    lock = os.path.join(layout, "_heal.lock")
+    os.mkdir(lock)
+    t0 = time.time()
+    _recover_ivf_layout(layout, None)
+    assert time.time() - t0 < 20  # bounded wait, no deadlock
+    assert os.path.isdir(f"{victim}.retired")  # untouched under the lock
+    assert os.path.isdir(lock)  # and the foreign lock was not stolen
+
+    # (b) stale lock: age it past the takeover threshold; healing runs
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    _recover_ivf_layout(layout, None)
+    assert os.path.isdir(victim)  # restored
+    assert not os.path.isdir(f"{victim}.retired")
+    # (c) lock released: a serving read heals/serves normally
+    assert not os.path.isdir(lock)
+    ids = read_ivf_lists(
+        spark, layout, [int(d.split("=")[1]) for d in lists]
+    ).count()
+    assert ids == base.count()
