@@ -454,30 +454,33 @@ HEADLINE = [
 # - streaming_stats_ingest: layout cleanup deferred to atexit (r11
 #   ADVICE) — cleanup cost moves out of the timed path; the timed
 #   work (3 epochs + build) is unchanged.
-# r12 observed (the committed BENCH_DETAIL_r12): 109.0 s / 76 entries,
-# canary 0.2813 min / 0.317 median — the host read 1.22x SLOWER than
-# the r11 artifact's quiet run, and the per-query deltas say host, not
-# engine: median common-entry ratio 1.115x raw across 71 shared
-# entries with the WORST at 1.33x, i.e. everything sits at or under
-# the canary's own drift. Net of the 1.22x canary the three largest
-# raw deltas are flat: graph_triangle_incremental 1.33x raw -> ~1.10x
-# net (untouched machinery; job-overhead-bound per its entry note),
-# similarity_ivf_retrain 1.32x -> ~1.09x (the serving read added two
-# listdirs — predicted noise-level, and the append entry confirms at
-# 1.03 s ~ r11's 1.00), dedup_cc_incremental 1.28x -> ~1.05x (no code
-# change this round). No entry regressed >15% net of canary. The five
-# debuts landed as predicted: layout_stats_deleted_scan 0.19 s and
-# layout_stats_merged_scan 0.20 s (stats-scan-sized — manifest
-# planning + a 3-file scan), layout_hilbert_compacted_scan 0.44 s
-# (within noise of the Morton compacted entry's 0.46 s — same cells,
-# same maintenance code), sketch_join_strategy_audit 1.15 s (vs the
-# estimate AUDIT's 0.86 s: the chooser pays the executed broadcast
-# join + count instead of the exact per-key audit side), and
-# graph_triangle_edge_incremental 1.52 s — 0.42x the vertex fold's
-# 3.58 s on the same standing index, because the edge fold generates
-# its deltas from three keyed joins over the batch rather than the
-# one-sided cross GEMM the vertex fold needs to build its cross
-# edges.
+# r12 observed — two same-day full runs while the host drifted
+# steadily slower; the COMMITTED BENCH_DETAIL_r12 is the FINAL-TREE
+# run (after the self-review hardening landed): 124.5 s / 76 entries,
+# canary 0.3034 min / 0.3798 median = 1.31x the r11 artifact's quiet
+# canary. The earlier run (pre-hardening tree, same engine paths on
+# the timed scans) read 109.0 s at canary 0.2813; between the two
+# runs every cluster moved ~1.1-1.2x WITH the canary (1.08x min,
+# 1.20x median) and no code on any timed path changed timing
+# semantics (the persist removes a double scan from the AMORTIZED
+# scaffold build; the heal lock is mkdir+rmdir on a serial run) — the
+# difference is the host, the same drift class on record since r8.
+# Against r11, per-query deltas track the canary: the largest raw
+# ratios (graph_triangle_incremental, similarity_ivf_retrain,
+# dedup_cc_incremental at 1.3-1.6x raw) are untouched-or-listdir-only
+# machinery and read ~1.0-1.2x net of the 1.31x canary; no entry
+# regressed >15% net. The five debuts landed as predicted:
+# layout_stats_deleted_scan 0.24 s and layout_stats_merged_scan
+# 0.23 s (stats-scan-sized — manifest planning + a 3-file scan),
+# layout_hilbert_compacted_scan 0.52 s (within noise of the Morton
+# compacted entry — same cells, same maintenance code),
+# sketch_join_strategy_audit 1.36 s (vs the estimate AUDIT's ~1.0 s:
+# the chooser pays the executed broadcast join + count instead of the
+# exact per-key audit side), and graph_triangle_edge_incremental
+# 1.73 s — ~0.4x the vertex fold on the same standing index, because
+# the edge fold generates its deltas from three keyed joins over the
+# batch rather than the one-sided cross GEMM the vertex fold needs to
+# build its cross edges.
 
 
 def _canary(spark, sf_dir):
