@@ -1457,6 +1457,11 @@ def _journaled_cow_swap(
        the staged files; the manifest-DIR rename pair is the commit
        point; GC of the replaced files runs strictly after.
 
+    The exact-old-or-exact-new reader guarantee is swept EXHAUSTIVELY,
+    not at hand-picked windows: tests/test_maintenance.py::
+    test_stats_lifecycle_crash_at_every_fs_op injects a crash at every
+    python-side filesystem mutation of append/delete/merge/compact in
+    turn and asserts the immediate read and the retry at each point.
     Returns (replaced_basenames, new_file_names)."""
     import json
     import os

@@ -1405,3 +1405,119 @@ def test_stats_delete_unbounded_range_and_tag_safety(spark, tmp_path):
     # unbounded range: all non-null v gone, the null row stays
     stats_delete(spark, path, {"v": (None, None)}, batch_id="wipe")
     assert rows() == [901]
+
+
+def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
+    """EXHAUSTIVE crash-point sweep over the stats layout's whole
+    maintenance lifecycle (r12): the docstrings claim readers see the
+    exact old or exact new table at EVERY crash point of append /
+    delete / merge / compact — this test proves it by injecting a
+    crash at EACH python-side filesystem mutation (os.rename /
+    os.replace / os.remove touching the layout) in turn, then (a)
+    READING immediately (heal-on-read) and asserting the row set is
+    exactly pre-op or exactly post-op, never a mixture, and (b)
+    retrying the op and asserting the exact post state."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_append,
+        stats_compact,
+        stats_delete,
+        stats_merge,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    root = str(tmp_path / "torture")
+    write_stats_layout(base, root, ["id", "v"], n_files=4)
+
+    def rows(p):
+        return sorted(
+            (r["id"], r["v"])
+            for r in stats_pruned_scan(spark, p, {"id": (None, None)}).collect()
+        )
+
+    batch = spark.range(1000, 1060).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    ups = spark.range(50, 70).select(F.col("id"), (F.col("id") * 100).alias("v"))
+    dels = spark.range(250, 260).select(F.col("id"))
+    none_df = spark.range(0).select(F.col("id"))
+    ops = [
+        ("append", lambda p: stats_append(batch, p, batch_id="t-a")),
+        ("delete", lambda p: stats_delete(spark, p, {"v": (300, 450)}, batch_id="t-d")),
+        ("merge", lambda p: stats_merge(spark, p, ups, dels, "id", batch_id="t-m")),
+        ("compact", lambda p: stats_compact(spark, p, target_rows=200)),
+    ]
+
+    real = {"rename": os.rename, "replace": os.replace, "remove": os.remove}
+
+    def instrument(counter, crash_at, layout):
+        """Patch the three mutation calls: count (and optionally crash
+        at) calls whose path lies under the layout root."""
+
+        def wrap(name):
+            orig = real[name]
+
+            def patched(*a, **kw):
+                if any(str(layout) in str(x) for x in a):
+                    counter[0] += 1
+                    if crash_at is not None and counter[0] == crash_at:
+                        raise RuntimeError(f"injected crash at fs-op {crash_at} ({name})")
+                return orig(*a, **kw)
+
+            return patched
+
+        os.rename, os.replace, os.remove = wrap("rename"), wrap("replace"), wrap("remove")
+
+    def restore():
+        os.rename, os.replace, os.remove = real["rename"], real["replace"], real["remove"]
+
+    state = root  # advances through the lifecycle
+    total_points = 0
+    for op_name, op in ops:
+        pre = rows(state)
+        # dry run on a clone: the post state + the fs-op count
+        probe = f"{state}-probe-{op_name}"
+        shutil.copytree(state, probe)
+        counter = [0]
+        instrument(counter, None, probe)
+        try:
+            op(probe)
+        finally:
+            restore()
+        n_ops, post = counter[0], rows(probe)
+        shutil.rmtree(probe, ignore_errors=True)
+        assert n_ops > 0
+        if op_name == "compact":
+            assert post == pre  # row-preserving by definition
+        else:
+            assert post != pre
+
+        for k in range(1, n_ops + 1):
+            clone = f"{state}-k{k}-{op_name}"
+            shutil.copytree(state, clone)
+            counter = [0]
+            instrument(counter, k, clone)
+            crashed = False
+            try:
+                op(clone)
+            except RuntimeError:
+                crashed = True
+            finally:
+                restore()
+            got = rows(clone)  # heal-on-read runs inside the scan
+            assert got in (pre, post), (
+                f"{op_name} crash@{k}/{n_ops}: reader saw a mixed state"
+            )
+            if crashed:  # retry completes to the exact post state
+                op(clone)
+                assert rows(clone) == post, f"{op_name} retry after crash@{k}"
+            shutil.rmtree(clone, ignore_errors=True)
+        total_points += n_ops
+
+        op(state)  # advance the real lifecycle
+        assert rows(state) == post
+    assert total_points >= 20  # the sweep actually covered real windows
