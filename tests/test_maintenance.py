@@ -1521,3 +1521,120 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
         op(state)  # advance the real lifecycle
         assert rows(state) == post
     assert total_points >= 20  # the sweep actually covered real windows
+
+
+def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
+    """The bucket-layout twin of the stats-lifecycle crash sweep: a
+    crash injected at EVERY python-side filesystem mutation of
+    zorder_append and zorder_compact in turn. The bucket contract is
+    weaker than the manifest-gated one — a mid-append crash MAY expose
+    a partial batch (documented) — so the swept invariants are: (a)
+    the immediate pruned scan (heal-on-read) always succeeds, returns
+    no duplicate keys, nothing outside pre∪batch, and never loses a
+    pre-existing row; (b) the retry lands the exact post state.
+
+    The BATCH is confined to a narrow price/date box so it lands in a
+    handful of buckets: the sweep costs one clone + op + scan per
+    filesystem mutation, and the per-bucket protocol is identical for
+    every bucket — sweeping a few buckets' points exhaustively proves
+    the same invariant a full-spread batch would, in minutes instead
+    of the full-spread sweep's half hour."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        zorder_append,
+        zorder_compact,
+        zorder_pruned_scan,
+    )
+
+    orders, incoming, root = _zorder_mini(spark, sf_dir, tmp_path)
+    incoming = incoming.filter(
+        (F.col("o_totalprice") >= 150000)
+        & (F.col("o_totalprice") <= 180000)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-06-30").cast("timestamp"))
+    )
+    assert incoming.count() > 0
+
+    from datetime import datetime
+
+    x_lo, x_hi, y_lo, y_hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_orderdate"), F.max("o_orderdate"),
+    ).collect()[0]
+    if isinstance(y_lo, datetime):
+        y_lo, y_hi = y_lo.date(), y_hi.date()
+
+    def rows(p):
+        return sorted(
+            r["o_orderkey"]
+            for r in zorder_pruned_scan(spark, p, x_lo, x_hi, y_lo, y_hi).collect()
+        )
+
+    ops = [
+        ("append", lambda p: zorder_append(incoming, p, batch_id="t-za")),
+        ("compact", lambda p: zorder_compact(spark, p)),
+    ]
+    real = {"rename": os.rename, "replace": os.replace, "remove": os.remove}
+
+    def instrument(counter, crash_at, layout):
+        def wrap(name):
+            orig = real[name]
+
+            def patched(*a, **kw):
+                if any(str(layout) in str(x) for x in a):
+                    counter[0] += 1
+                    if crash_at is not None and counter[0] == crash_at:
+                        raise RuntimeError(f"injected crash at fs-op {crash_at} ({name})")
+                return orig(*a, **kw)
+
+            return patched
+
+        os.rename, os.replace, os.remove = wrap("rename"), wrap("replace"), wrap("remove")
+
+    def restore():
+        os.rename, os.replace, os.remove = real["rename"], real["replace"], real["remove"]
+
+    state = root
+    for op_name, op in ops:
+        pre = set(rows(state))
+        probe = f"{state}-probe-{op_name}"
+        shutil.copytree(state, probe)
+        counter = [0]
+        instrument(counter, None, probe)
+        try:
+            op(probe)
+        finally:
+            restore()
+        n_ops, post = counter[0], rows(probe)
+        shutil.rmtree(probe, ignore_errors=True)
+        assert n_ops > 0
+        allowed = pre | set(post)
+
+        for k in range(1, n_ops + 1):
+            clone = f"{state}-k{k}-{op_name}"
+            shutil.copytree(state, clone)
+            counter = [0]
+            instrument(counter, k, clone)
+            crashed = False
+            try:
+                op(clone)
+            except RuntimeError:
+                crashed = True
+            finally:
+                restore()
+            got = rows(clone)  # heal-on-read restores stranded buckets
+            assert len(got) == len(set(got)), f"{op_name} crash@{k}: duplicates"
+            got_set = set(got)
+            assert got_set <= allowed, f"{op_name} crash@{k}: foreign rows"
+            assert pre <= got_set, f"{op_name} crash@{k}: pre-existing row lost"
+            if crashed:
+                op(clone)  # retry: idempotency token / journal heals
+                assert rows(clone) == post, f"{op_name} retry after crash@{k}"
+            shutil.rmtree(clone, ignore_errors=True)
+
+        op(state)
+        assert rows(state) == post
