@@ -430,11 +430,22 @@ def _try_heal_lock(layout_path: str, stale_after: float = 600.0):
     rename(retired, live) — two concurrent healers interleaving those
     steps can delete BOTH copies of a list (r12 review), so only one
     healer may mutate at a time. A lock dir older than ``stale_after``
-    seconds is a crashed healer's leftover — taken over. Returns the lock
-    path when acquired, else None."""
+    seconds is a crashed healer's leftover — TAKEN OVER BY RENAME
+    FIRST (r12 ADVICE #1): the old rmtree-then-mkdir takeover let two
+    entrants interleave so one deleted the lock the other had just
+    recreated; os.rename of the stale dir to a unique grave name is
+    atomic and succeeds for exactly ONE renamer, so exactly one
+    entrant proceeds to mkdir the fresh lock and the loser backs off.
+    A legitimate healer that somehow outlives ``stale_after`` (the
+    sweeps are listdirs + renames, orders of magnitude faster) can
+    still lose its lock — the residual risk the generous default
+    prices in; healers touch the lock's mtime at entry
+    (:func:`_recover_ivf_layout`) so the clock measures inactivity,
+    not queue time. Returns the lock path when acquired, else None."""
     import os
     import shutil
     import time
+    import uuid
 
     lock = os.path.join(layout_path, "_heal.lock")
     try:
@@ -443,11 +454,13 @@ def _try_heal_lock(layout_path: str, stale_after: float = 600.0):
     except FileExistsError:
         try:
             if time.time() - os.path.getmtime(lock) > stale_after:
-                shutil.rmtree(lock, ignore_errors=True)
+                grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                os.rename(lock, grave)  # exactly one renamer wins
+                shutil.rmtree(grave, ignore_errors=True)
                 os.mkdir(lock)
                 return lock
         except (FileNotFoundError, FileExistsError):
-            pass
+            pass  # lost the takeover race (or the holder finished)
         return None
 
 
@@ -523,6 +536,8 @@ def _recover_ivf_layout(layout_path: str, committed_tags: set | None) -> None:
                 f"maintenance writer per layout assumed)"
             )
     try:
+        os.utime(lock)  # the staleness clock measures inactivity from
+        # heal START, not from whenever the dir was first created
         _recover_ivf_layout_locked(layout_path, committed_tags)
     finally:
         try:

@@ -597,3 +597,82 @@ def streaming_stats_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ADVICE) — defer the layout cleanup to interpreter exit, the
         # cached-scaffold builders' discipline
         atexit.register(shutil.rmtree, layout, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_stats_merge",
+    # The CDC merge oracle projected to the layout schema: the drained
+    # layout must equal the one-shot batch merge of the full change
+    # log — a dropped epoch loses changes, a double-applied replay
+    # duplicates inserts, an unordered fold resurrects deletes; any of
+    # them diverges the hash.
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 2 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 3 AS seq, 'D' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="STREAMING CDC feed merged row-level into the stats layout "
+    "(r12 VERDICT next #4) — the missing quadrant next to "
+    "streaming_stats_ingest (append-only streaming) and "
+    "streaming_cdc_upsert (CDC into dedicated snapshot state): the "
+    "seq-ordered I/U/D change feed drains through foreachBatch; each "
+    "epoch collapses to one winner per key and folds into the layout "
+    "via stats_merge KEYED BY THE EPOCH ID, so at-least-once epoch "
+    "retries hit the merge's committed-record / commit-log "
+    "short-circuit — exactly-once through the layout's own CAS "
+    "protocol, an epoch visible atomically at its commit. The layout "
+    "starts EMPTY, so the stream exercises pure-insert, update-"
+    "rewrite and delete epochs in turn; the final full scan must "
+    "equal the one-shot batch merge (streaming/sinks.py "
+    "cdc_stats_merge_writer; replay idempotency pinned by tests/"
+    "test_streaming.py::test_streaming_cdc_stats_merge_replay).",
+    tags=("streaming", "cdc", "merge", "layout", "foreachBatch", "scale"),
+)
+def streaming_cdc_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_pruned_scan, write_stats_layout
+    from ..sources.tables import load_table
+    from ..streaming import (
+        read_events_stream,
+        run_streaming_cdc_stats_merge,
+        stage_changes_dir,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    staged = tempfile.mkdtemp(prefix="sg_stream_")
+    layout = tempfile.mkdtemp(prefix="sg_cdcmerge_")
+    try:
+        base = load_table(spark, sf_dir, "orders").select(*cols).limit(0)
+        write_stats_layout(base, layout, ["o_orderkey"], n_files=1)
+        stage_changes_dir(spark, sf_dir, staged, n_files=3)
+        stream = read_events_stream(spark, staged)  # generic staged reader
+        run_streaming_cdc_stats_merge(
+            stream, spark, layout_path=layout, checkpoint=f"{staged}/_chk",
+            key_col="o_orderkey", layout_cols=cols,
+        )
+        out = stats_pruned_scan(
+            spark, layout, {"o_orderkey": (None, None)}
+        ).select(*cols)
+        out.persist().count()
+        return out
+    finally:
+        import atexit
+
+        shutil.rmtree(staged, ignore_errors=True)
+        # the returned DataFrame plans over the layout's files: defer
+        # cleanup to interpreter exit (the streaming_stats_ingest /
+        # cached-scaffold discipline, r11 ADVICE)
+        atexit.register(shutil.rmtree, layout, ignore_errors=True)

@@ -29,7 +29,9 @@ from .pipelines import (
     user_running_totals_stream,
 )
 from .sinks import (
+    cdc_stats_merge_writer,
     cdc_upsert_writer,
+    run_streaming_cdc_stats_merge,
     run_streaming_cdc_merge,
     run_streaming_stats_ingest,
     stats_ingest_writer,
@@ -67,6 +69,8 @@ __all__ = [
     "cdc_upsert_writer",
     "run_streaming_stats_ingest",
     "stats_ingest_writer",
+    "run_streaming_cdc_stats_merge",
+    "cdc_stats_merge_writer",
     "read_docs_stream",
     "run_streaming_kmv",
     "kmv_state_writer",

@@ -948,3 +948,90 @@ def run_streaming_stats_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def cdc_stats_merge_writer(
+    spark: SparkSession,
+    layout_path: str,
+    key_col: str,
+    layout_cols: list,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """foreachBatch writer folding a CDC change feed into a
+    :func:`~..operators.layout.write_stats_layout` table via row-level
+    :func:`~..operators.layout.stats_merge` — streaming MERGE INTO on
+    the manifest-gated layout (r12 VERDICT next #4):
+
+    - each epoch's micro-batch is COLLAPSED to one winner per key
+      (highest ``seq_col``, ties to ``op_col`` desc — the
+      merge_latest_snapshot window, inlined here because the sink
+      needs the delete winners the snapshot collapser drops): winners
+      that are deletes become the merge's ``delete_keys``, the rest
+      its ``upserts``;
+    - the EPOCH ID is the merge's batch token, so foreachBatch's
+      at-least-once epoch retry hits stats_merge's committed-record
+      (and commit-log tag) short-circuit — exactly-once through the
+      layout's own protocol, no extra state machinery (the
+      stats_ingest_writer precedent);
+    - an epoch becomes visible ATOMICALLY at the merge's commit-log
+      CAS; a crash mid-epoch leaves readers on the exact pre-epoch
+      version.
+
+    ORDERING CONTRACT: the feed must be per-key seq-ordered across
+    epochs (a key's later change never arrives in an earlier epoch) —
+    the standard CDC-connector delivery guarantee (key-partitioned
+    log topics), and what stage_changes_dir's seq-ranged staging
+    provides. The layout keeps no tombstone memory, so an out-of-order
+    late update would resurrect a deleted key; feeds without the
+    guarantee should drain through cdc_upsert_writer's tombstone state
+    instead and bulk-merge its snapshot.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import stats_merge
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = W.partitionBy(key_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        ups = winners.filter(F.col(op_col) != delete_op).select(*layout_cols)
+        dels = winners.filter(F.col(op_col) == delete_op).select(key_col)
+        stats_merge(
+            spark, layout_path, ups, dels, key_col,
+            batch_id=f"epoch-{int(epoch_id)}",
+        )
+
+    return write_epoch
+
+
+def run_streaming_cdc_stats_merge(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    layout_path: str,
+    checkpoint: str,
+    key_col: str,
+    layout_cols: list,
+) -> None:
+    """Drain a bounded CDC stream through
+    :func:`cdc_stats_merge_writer` (the layout at ``layout_path`` must
+    already exist — the base snapshot a continuous change feed merges
+    into)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            cdc_stats_merge_writer(spark, layout_path, key_col, layout_cols)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -491,10 +491,14 @@ def test_zorder_nd_covering_completeness(spark, sf_dir):
     assert sorted(map(key, got.collect())) == sorted(map(key, rows))
 
 
-def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path):
-    """Incremental maintenance generalizes with the layout: append and
-    dirty-bucket compaction run on an n-D spec through the same batch
-    protocol, with the pruned 3-D scan exact before and after."""
+@pytest.mark.parametrize("curve", ["morton", "hilbert"])
+def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path, curve):
+    """Incremental maintenance generalizes with the layout AND the
+    curve (r13: n-D Hilbert parity): append and dirty-bucket
+    compaction run on an n-D spec through the same batch protocol —
+    the spec sidecar's curve marker routes the batch along the
+    layout's own curve, no curve-specific maintenance code — with the
+    pruned 3-D scan exact before and after."""
     import os
     from datetime import date
 
@@ -502,6 +506,7 @@ def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path):
 
     from data_pipeline_csv_spark.operators.layout import (
         derive_zorder_spec_nd,
+        write_hilbert_table_nd,
         write_zorder_table_nd,
         zorder_append,
         zorder_compact,
@@ -521,7 +526,8 @@ def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path):
     base = li.filter(F.col("l_orderkey") % 5 != 0)
     incoming = li.filter(F.col("l_orderkey") % 5 == 0)
     path = str(tmp_path / "z3")
-    write_zorder_table_nd(base, spec, path)
+    writer = write_zorder_table_nd if curve == "morton" else write_hilbert_table_nd
+    writer(base, spec, path)
     n_total = li.count()
 
     box = [(20000, 45000), (date(1996, 1, 1), date(1996, 12, 31)), (10, 30)]
@@ -693,7 +699,7 @@ def test_stats_skipping_nulls_and_equality(spark, tmp_path):
     # nulls range-partition first, so at least one of the 8 files is
     # all-null in v and must never be planned; the 40-null frame spans
     # >1 file of 200/8=25 rows
-    manifest = spark.read.parquet(f"{path}/_skip_manifest")
+    manifest = spark.read.parquet(f"{path}/_manifests")
     n_allnull = manifest.filter(F.col("min_v").isNull()).count()
     assert n_allnull >= 1
     assert len(files) < manifest.count()
@@ -715,12 +721,15 @@ def test_stats_skipping_nulls_and_equality(spark, tmp_path):
 
 
 def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
-    """stats_append's exactly-once protocol: (a) a committed replay
-    short-circuits (no new files, no duplicate rows); (b) a crash
-    BEFORE the batch's manifest part lands leaves readers on the exact
-    pre-batch table (manifest-gated visibility), and the retry sweeps
-    the prefixed files and completes without duplicates; (c) a crash
-    before the commit record is likewise retried cleanly."""
+    """stats_append's exactly-once protocol on the commit log (r13):
+    (a) a committed replay short-circuits (no new files, no duplicate
+    rows); (b) a crash BEFORE the CAS leaves readers on the exact
+    pre-batch table (nothing references the staged files), and the
+    retry sweeps its own prefixed leftovers and completes without
+    duplicates; (c) a crash AFTER the CAS but before the idempotency
+    record is recovered from the commit log's (op, tag) match — the
+    retry rolls the record forward and never re-appends (r12 ADVICE
+    #3's return-value fix, applied to every op)."""
     import os
 
     from pyspark.sql import functions as F
@@ -745,11 +754,12 @@ def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
     want_base = sorted(r["id"] for r in base.collect())
     want_all = sorted(r["id"] for r in base.unionByName(batch).collect())
 
-    # (b) crash while moving the batch's MANIFEST part in
+    # (b) crash while moving the batch's MANIFEST part into the pool:
+    # pre-CAS, so the batch is invisible
     real_rename = os.rename
 
     def crash_on_manifest(src, dst):
-        if "_skip_manifest" in dst and os.path.basename(dst).startswith("ab1-"):
+        if "_manifests" in dst and os.path.basename(dst).startswith("ab1-"):
             raise RuntimeError("simulated crash before manifest part")
         return real_rename(src, dst)
 
@@ -760,8 +770,8 @@ def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
     except RuntimeError:
         pass
     monkeypatch.setattr(os, "rename", real_rename)
-    # data files moved, manifest part missing: readers must still see
-    # the exact pre-batch table
+    # data files moved, no commit: readers must still see the exact
+    # pre-batch table
     assert all_rows() == want_base
     # retry completes; batch visible exactly once
     stats_append(batch, path, batch_id="b1")
@@ -773,50 +783,59 @@ def test_stats_append_replay_and_crash_retry(spark, tmp_path, monkeypatch):
     assert len(os.listdir(f"{path}/data")) == n_files_before
     assert all_rows() == want_all and again
 
-    # (c) crash before the commit record on a second batch
+    # (c) crash AFTER the CAS, before the _batches record: the batch
+    # is committed (visible); the retry must find its own commit in
+    # the log and roll the record forward instead of re-appending
     batch2 = spark.range(2000, 2050).select(
         F.col("id"), (F.col("id") * 3).alias("v")
     )
     real_replace = os.replace
 
-    def crash_on_commit(src, dst):
+    def crash_on_record(src, dst):
         if "_batches" in dst:
-            raise RuntimeError("simulated crash before commit record")
+            raise RuntimeError("simulated crash before idempotency record")
         return real_replace(src, dst)
 
-    monkeypatch.setattr(os, "replace", crash_on_commit)
+    monkeypatch.setattr(os, "replace", crash_on_record)
     try:
         stats_append(batch2, path, batch_id="b2")
         assert False, "expected simulated crash"
     except RuntimeError:
         pass
     monkeypatch.setattr(os, "replace", real_replace)
-    stats_append(batch2, path, batch_id="b2")
     want_all2 = sorted(
         r["id"] for r in base.unionByName(batch).unionByName(batch2).collect()
     )
+    assert all_rows() == want_all2  # committed: already visible
+    assert not os.path.exists(f"{path}/_batches/b2")
+    n_files_before = len(os.listdir(f"{path}/data"))
+    got = stats_append(batch2, path, batch_id="b2")
+    assert got  # the TRUE file list, recovered from the commit payload
+    assert len(os.listdir(f"{path}/data")) == n_files_before  # no redo
+    assert os.path.exists(f"{path}/_batches/b2")
     assert all_rows() == want_all2
 
 
-def test_stats_compact_crash_windows_and_equality(spark, tmp_path, monkeypatch):
-    """stats_compact's journaled manifest-gated swap: at EVERY crash
-    point readers see either the exact old file set or the exact new
-    one. Simulated crashes: (a) after the new consolidated files move
-    in but BEFORE the manifest swap -> readers on the old layout; the
-    next maintenance entry rolls the orphans back via the journal;
-    (b) BETWEEN the swap's two renames -> entry heal restores the old
-    manifest, then rolls back; (c) after the swap, before GC -> entry
-    heal completes the GC forward. Equality with the plain table holds
-    throughout."""
+def test_stats_compact_crash_windows_and_versions(spark, tmp_path, monkeypatch):
+    """stats_compact on the commit log: readers see either the exact
+    old version or the exact new one at every crash point, with NO
+    healing anywhere — visibility is the CAS. Windows: (a) crash
+    before the CAS (moving the consolidated manifest part) -> old
+    version governs, orphans invisible, vacuum collects them, retry
+    compacts; (b) crash AT the CAS (os.link) -> same; (c) after the
+    CAS the new version governs immediately, and the replaced small
+    files are NOT deleted — they stay readable via time travel until
+    retention expires them."""
     import os
 
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
-        _heal_stats_layout,
+        _list_commits,
         stats_append,
         stats_compact,
         stats_pruned_scan,
+        stats_vacuum,
         write_stats_layout,
     )
 
@@ -833,17 +852,12 @@ def test_stats_compact_crash_windows_and_equality(spark, tmp_path, monkeypatch):
         [f for f in os.listdir(f"{path}/data") if f.endswith(".parquet")]
     )
 
-    # (a) crash after journal lands, before the manifest swap starts
+    # (a) crash before the CAS: moving the rewrite's manifest part
     real_rename = os.rename
-    state = {"arm": "before_swap"}
 
     def crashing_rename(src, dst):
-        if state["arm"] == "before_swap" and dst.endswith("_skip_manifest.retired"):
-            raise RuntimeError("simulated crash before manifest swap")
-        if state["arm"] == "mid_swap" and src.endswith("manifest") and dst.endswith(
-            "_skip_manifest"
-        ):
-            raise RuntimeError("simulated crash between swap renames")
+        if "_manifests" in dst and os.path.basename(dst).startswith("c"):
+            raise RuntimeError("simulated crash before manifest part")
         return real_rename(src, dst)
 
     monkeypatch.setattr(os, "rename", crashing_rename)
@@ -853,169 +867,214 @@ def test_stats_compact_crash_windows_and_equality(spark, tmp_path, monkeypatch):
     except RuntimeError:
         pass
     monkeypatch.setattr(os, "rename", real_rename)
-    assert rows() == want  # old manifest governs; orphans invisible
-    files_with_orphans = n_data()
-    _heal_stats_layout(spark, path)
-    assert n_data() < files_with_orphans  # orphaned c-files rolled back
+    assert rows() == want  # old version governs; orphans invisible
+    assert _list_commits(path) == [1, 2]
+    with_orphans = n_data()
+    assert stats_vacuum(spark, path, grace_seconds=0)["data_files"] > 0
+    assert n_data() < with_orphans
     assert rows() == want
-    assert not os.path.isdir(f"{path}/_compactions") or not os.listdir(
-        f"{path}/_compactions"
-    )
 
-    # (b) crash BETWEEN the two manifest renames
-    state["arm"] = "mid_swap"
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    # (b) crash AT the CAS itself
+    real_link = os.link
+
+    def crash_on_link(src, dst):
+        raise RuntimeError("simulated crash at commit CAS")
+
+    monkeypatch.setattr(os, "link", crash_on_link)
     try:
         stats_compact(spark, path, target_rows=400)
         assert False, "expected simulated crash"
     except RuntimeError:
         pass
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert os.path.isdir(f"{path}/_skip_manifest.retired")
-    _heal_stats_layout(spark, path)  # restores old manifest, rolls back
-    assert rows() == want
+    monkeypatch.setattr(os, "link", real_link)
+    assert rows() == want and _list_commits(path) == [1, 2]
 
-    # (c) crash after the swap, before GC: the journal completes it
-    real_remove = os.remove
-    state["arm"] = "done"
-
-    def crash_on_gc(p):
-        if os.path.basename(os.path.dirname(p)) == "data":
-            raise RuntimeError("simulated crash before GC")
-        return real_remove(p)
-
-    monkeypatch.setattr(os, "remove", crash_on_gc)
-    try:
-        stats_compact(spark, path, target_rows=400)
-        assert False, "expected simulated crash"
-    except RuntimeError:
-        pass
-    monkeypatch.setattr(os, "remove", real_remove)
-    assert rows() == want  # NEW manifest governs; stale files invisible
-    before_gc = n_data()
-    _heal_stats_layout(spark, path)  # completes GC forward
-    assert n_data() < before_gc
-    assert rows() == want
-    # layout is fully healed: appends and compactions still work
-    b2 = spark.range(7000, 7100).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    stats_append(b2, path, batch_id="x2")
-    assert sorted(
-        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
-    ) == sorted(want + list(range(7000, 7100)))
+    # (c) a clean compact commits a new version; the replaced files
+    # survive for time travel until retention expires them
+    before = n_data()
+    new_files = stats_compact(spark, path, target_rows=400)
+    assert new_files and rows() == want
+    assert _list_commits(path) == [1, 2, 3]
+    assert n_data() >= before  # old files retained, not GC'd in-op
+    pre_compact = sorted(
+        r["id"]
+        for r in stats_pruned_scan(
+            spark, path, {"v": (None, None)}, version=2
+        ).collect()
+    )
+    assert pre_compact == want
 
 
-def test_stats_append_visible_uncommitted_rolls_forward(spark, tmp_path, monkeypatch):
-    """The nastiest append window (caught by review): a crash AFTER
-    the batch's manifest part lands (batch VISIBLE) but BEFORE the
-    commit record. The old sweep-on-retry would re-append rows a
-    compaction had meanwhile merged. The heal must treat the manifest
-    part as the semantic commit and roll the RECORD forward, so a
-    following compaction merges safely and the batch's at-least-once
-    retry short-circuits instead of redoing."""
-    import os
+def test_stats_concurrent_appends(spark, tmp_path):
+    """MULTI-WRITER (r13 VERDICT #2): two appenders racing the same
+    layout both land — the hard-link CAS serializes them, the loser
+    re-points its part list at the winner's commit and retries, and
+    no update is lost. The final table is the exact union; the commit
+    log advanced by exactly two versions."""
+    import threading
 
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
-        stats_append,
-        stats_compact,
-        stats_pruned_scan,
-        write_stats_layout,
-    )
-
-    base = spark.range(0, 600).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    batch = spark.range(5000, 5100).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    path = str(tmp_path / "vis")
-    write_stats_layout(base, path, ["v"], n_files=6)
-    want = sorted(r["id"] for r in base.unionByName(batch).collect())
-    rows = lambda: sorted(
-        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
-    )
-
-    real_replace = os.replace
-
-    def crash_on_record(src, dst):
-        if os.path.basename(os.path.dirname(dst)) == "_batches":
-            raise RuntimeError("simulated crash before commit record")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(os, "replace", crash_on_record)
-    try:
-        stats_append(batch, path, batch_id="vb")
-        assert False, "expected simulated crash"
-    except RuntimeError:
-        pass
-    monkeypatch.setattr(os, "replace", real_replace)
-    # the batch is VISIBLE (its manifest part landed) with no record
-    assert rows() == want
-    assert not os.path.exists(f"{path}/_batches/vb")
-
-    # maintenance (compaction) heals first: the record is rolled
-    # forward, so the merge is safe
-    merged = stats_compact(spark, path, target_rows=2000)
-    assert merged  # everything was small -> one real bin-pack
-    assert os.path.exists(f"{path}/_batches/vb")
-    assert rows() == want
-
-    # the at-least-once retry now short-circuits: same rows, no redo
-    stats_append(batch, path, batch_id="vb")
-    assert rows() == want
-
-
-def test_stats_heal_survives_torn_tmp_and_sweeps_stale_staging(spark, tmp_path):
-    """Two long-lived-layout hazards (caught by review): (a) a torn
-    journal tmp (crash inside the atomic write, truncated JSON) must
-    not wedge the heal — it is never a live journal, so it is deleted,
-    not parsed; (b) a committed append whose crash skipped only the
-    staging cleanup (and whose unique streaming batch_id means no
-    retry ever comes) must have its staging dir and record tmps swept
-    by the heal, not accumulate forever."""
-    import json
-    import os
-
-    from pyspark.sql import functions as F
-
-    from data_pipeline_csv_spark.operators.layout import (
-        _heal_stats_layout,
+        _list_commits,
         stats_append,
         stats_pruned_scan,
         write_stats_layout,
     )
 
     base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    batch = spark.range(900, 950).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    path = str(tmp_path / "heal")
-    write_stats_layout(base, path, ["v"], n_files=4)
-    stats_append(batch, path, batch_id="e7")
+    path = str(tmp_path / "conc")
+    write_stats_layout(base, path, ["id"], n_files=4)
+    b1 = spark.range(1000, 1080).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    b2 = spark.range(2000, 2060).select(F.col("id"), (F.col("id") * 3).alias("v"))
 
-    # (a) torn journal tmp + torn record tmp
-    os.makedirs(f"{path}/_compactions", exist_ok=True)
-    open(f"{path}/_compactions/deadbeef.json.tmp", "w").write('{"new_fil')
-    open(f"{path}/_batches/e9.tmp-abc", "w").write("{")
-    # (b) committed append with a leftover staging dir (cleanup crashed)
-    os.makedirs(f"{path}/_staging/append-e7/data", exist_ok=True)
+    errs = []
 
-    _heal_stats_layout(spark, path)  # must not raise
-    assert not os.path.exists(f"{path}/_compactions/deadbeef.json.tmp")
-    assert not os.path.exists(f"{path}/_batches/e9.tmp-abc")
-    assert not os.path.exists(f"{path}/_staging/append-e7")
-    # the committed record and the data are untouched
-    assert json.load(open(f"{path}/_batches/e7"))["files"]
+    def run(df, bid):
+        try:
+            stats_append(df, path, batch_id=bid)
+        except Exception as e:  # pragma: no cover - the assertion below reports
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(b1, "w1")),
+        threading.Thread(target=run, args=(b2, "w2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
     got = sorted(
-        r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+        r["id"] for r in stats_pruned_scan(spark, path, {"id": (None, None)}).collect()
     )
-    assert got == sorted(r["id"] for r in base.unionByName(batch).collect())
+    want = sorted(
+        r["id"] for r in base.unionByName(b1).unionByName(b2).collect()
+    )
+    assert got == want  # both batches landed, nothing lost
+    assert _list_commits(path)[-1] == 3  # init + two appends
 
 
-def test_stats_scan_heals_stranded_manifest_swap(spark, tmp_path, monkeypatch):
-    """r11 VERDICT wrong #3 (heal on read): a compaction killed BETWEEN
-    the manifest swap's two renames used to leave EVERY read failing
-    (manifest dir absent) until the next maintenance op. The scan's
-    entry sweep must restore the retired manifest and return the exact
-    pre-compaction answer IMMEDIATELY — no maintenance op in between."""
+def test_stats_rewrite_replans_after_lost_cas(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency serializability: a DELETE that loses its
+    CAS race to a concurrent append must RE-PLAN against the winner's
+    table — its staged manifest part snapshots a stale file set. The
+    conflict is injected deterministically: the moment the delete
+    first attempts its CAS, a competing append commits first. The
+    delete's predicate covers the sneaked-in rows, so only a true
+    re-plan produces the right answer (stale-plan execution would
+    leave them alive)."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    sneak = spark.range(1000, 1020).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "race")
+    L.write_stats_layout(base, path, ["v"], n_files=4)
+
+    real_cas = L._cas_commit
+    state = {"fired": False}
+
+    def contended(p, v, payload):
+        if payload["op"] == "delete" and not state["fired"]:
+            state["fired"] = True
+            L.stats_append(sneak, p, batch_id="sneak")  # takes version v
+        return real_cas(p, v, payload)
+
+    monkeypatch.setattr(L, "_cas_commit", contended)
+    # v >= 600 covers base ids 200..299 (so the first plan has work
+    # and reaches the CAS) AND the whole sneaked batch (v 3000..3057)
+    replaced = L.stats_delete(spark, path, {"v": (600, None)}, batch_id="rp")
+    monkeypatch.setattr(L, "_cas_commit", real_cas)
+    assert state["fired"] and replaced  # the conflict actually happened
+    # the re-plan saw the sneaked files: at least one replaced file is
+    # the sneak append's
+    assert any("asneak-" in f for f in replaced)
+    got = sorted(
+        r["id"]
+        for r in L.stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    assert got == list(range(200))  # base tail AND sneak rows deleted
+    assert L._list_commits(path)[-1] == 3  # init, sneak append, delete
+
+
+def test_stats_timetravel_and_retention(spark, tmp_path):
+    """VERSION AS OF (r13 VERDICT #3): every retained version is
+    readable by number and equals the table as of that commit; a
+    version beyond retention fails with an explicit 'expired' error, a
+    future version with 'does not exist'; retention GC actually
+    deletes the expired versions' exclusive files."""
     import os
 
     import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _list_commits,
+        stats_append,
+        stats_delete,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    batch = spark.range(1000, 1050).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "tt")
+    write_stats_layout(base, path, ["id"], n_files=4)
+    stats_append(batch, path, batch_id="tb")
+    stats_delete(spark, path, {"id": (0, 49)}, batch_id="td")
+
+    def ids(version=None):
+        return sorted(
+            r["id"]
+            for r in stats_pruned_scan(
+                spark, path, {"id": (None, None)}, version=version
+            ).collect()
+        )
+
+    want_v1 = list(range(200))
+    want_v2 = sorted(want_v1 + list(range(1000, 1050)))
+    want_v3 = sorted(i for i in want_v2 if i >= 50)
+    assert ids(version=1) == want_v1
+    assert ids(version=2) == want_v2
+    assert ids(version=3) == want_v3 and ids() == want_v3
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        ids(version=99)
+
+    # drive the log past retention with tight keep_versions: the old
+    # versions expire and their exclusive files are really deleted
+    n_before = len(os.listdir(f"{path}/data"))
+    for i in range(4):
+        stats_append(
+            spark.range(5000 + 10 * i, 5005 + 10 * i).select(
+                F.col("id"), (F.col("id") * 3).alias("v")
+            ),
+            path,
+            batch_id=f"k{i}",
+            keep_versions=2,
+        )
+    vs = _list_commits(path)
+    assert vs[-1] == 7 and vs[0] >= 6  # only the retention window remains
+    with _pytest.raises(ValueError, match="expired"):
+        ids(version=2)
+    # the delete's replaced files expired with their versions: each
+    # append adds at most 4 files, so anything below the no-GC ceiling
+    # proves real deletion
+    assert len(os.listdir(f"{path}/data")) < n_before + 16
+    assert ids() == sorted(want_v3 + [i for b in range(4) for i in range(5000 + 10 * b, 5005 + 10 * b)])
+
+
+def test_stats_snapshot_isolation_reader_vs_compaction(spark, tmp_path):
+    """The r11 reader-vs-live-compaction window, closed by construction
+    (r13): a scan plans its file list from one commit record; a
+    compaction then rewrites the table and commits — and the pinned
+    plan still collects the exact rows it planned, because nothing a
+    retained version references is deleted until retention expires it.
+    No healing, no retries, no .retired dirs anywhere."""
+    import os
+
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
@@ -1026,40 +1085,164 @@ def test_stats_scan_heals_stranded_manifest_swap(spark, tmp_path, monkeypatch):
     )
 
     base = spark.range(0, 600).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    b1 = spark.range(3000, 3150).select(F.col("id"), (F.col("id") * 3).alias("v"))
-    path = str(tmp_path / "healread")
+    path = str(tmp_path / "si")
     write_stats_layout(base, path, ["v"], n_files=6)
-    stats_append(b1, path, batch_id="hb1")
-    want = sorted(r["id"] for r in base.unionByName(b1).collect())
+    stats_append(
+        spark.range(3000, 3150).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="hb1",
+    )
+    want = sorted(list(range(600)) + list(range(3000, 3150)))
 
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        if str(src).endswith("manifest") and str(dst).endswith("_skip_manifest"):
-            raise RuntimeError("simulated crash between swap renames")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
-    with _pytest.raises(RuntimeError):
-        stats_compact(spark, path, target_rows=400)
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert os.path.isdir(f"{path}/_skip_manifest.retired")
-    assert not os.path.isdir(f"{path}/_skip_manifest")
-
-    # immediate READ, no maintenance op: scan entry restores the
-    # manifest and serves the exact pre-compaction table
+    # pin a plan, then compact underneath it (plus an append, so GC runs)
+    pinned = stats_pruned_scan(spark, path, {"v": (None, None)})
+    assert stats_compact(spark, path, target_rows=400)
+    stats_append(
+        spark.range(7000, 7010).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="hb2",
+    )
+    assert sorted(r["id"] for r in pinned.collect()) == want  # pre-compaction plan intact
     got = sorted(
         r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
     )
-    assert got == want
-    assert os.path.isdir(f"{path}/_skip_manifest")
-    assert not os.path.isdir(f"{path}/_skip_manifest.retired")
-    # the crashed compaction's journal is still pending; the next
-    # maintenance entry rolls its orphans back and the layout works on
-    stats_compact(spark, path, target_rows=400)
-    assert got == sorted(
+    assert got == sorted(want + list(range(7000, 7010)))
+    assert not [d for d in os.listdir(path) if d.endswith(".retired")]
+
+
+def test_stats_vacuum_orphans_and_grace(spark, tmp_path):
+    """stats_vacuum is the multi-writer orphan catch-all (r13): it
+    removes data files and manifest parts referenced by NO retained
+    commit, dead staging dirs and torn CAS/record tmps — but ONLY past
+    the grace age, so a live concurrent writer's staged-but-uncommitted
+    artifacts are never stolen. Live table state is never touched."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_append,
+        stats_pruned_scan,
+        stats_vacuum,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "vac")
+    write_stats_layout(base, path, ["v"], n_files=4)
+    stats_append(
+        spark.range(900, 950).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="e7",
+    )
+    want = sorted(list(range(300)) + list(range(900, 950)))
+    rows = lambda: sorted(
         r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
     )
+
+    # plant orphans: an abandoned attempt's data file + pool part,
+    # a dead staging dir, a torn CAS tmp and a torn record tmp
+    orphan_data = f"{path}/data/aXdead-part-0.parquet"
+    orphan_part = f"{path}/_manifests/aXdead-cafe.parquet"
+    open(orphan_data, "w").write("x")
+    open(orphan_part, "w").write("x")
+    os.makedirs(f"{path}/_staging/append-dead/data", exist_ok=True)
+    open(f"{path}/_commits/.tmp-dead", "w").write('{"op": "appe')
+    open(f"{path}/_batches/e9.tmp-abc", "w").write("{")
+
+    # young orphans survive a graced vacuum (a live writer looks
+    # exactly like this)
+    removed = stats_vacuum(spark, path, grace_seconds=3600)
+    assert os.path.exists(orphan_data) and os.path.exists(orphan_part)
+    assert removed["data_files"] == 0 and removed["manifest_parts"] == 0
+
+    # age them past the grace and vacuum again: all collected
+    old = time.time() - 7200
+    for p in (
+        orphan_data,
+        orphan_part,
+        f"{path}/_staging/append-dead",
+        f"{path}/_commits/.tmp-dead",
+        f"{path}/_batches/e9.tmp-abc",
+    ):
+        os.utime(p, (old, old))
+    removed = stats_vacuum(spark, path, grace_seconds=3600)
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_part)
+    assert not os.path.exists(f"{path}/_staging/append-dead")
+    assert not os.path.exists(f"{path}/_commits/.tmp-dead")
+    assert not os.path.exists(f"{path}/_batches/e9.tmp-abc")
+    assert removed["data_files"] == 1 and removed["manifest_parts"] == 1
+    # live state untouched, committed record intact
+    assert rows() == want
+    assert os.path.exists(f"{path}/_batches/e7")
+
+
+def test_stats_schema_evolution(spark, tmp_path):
+    """Schema evolution on the stats layout (r13 VERDICT #5): an
+    appended batch may carry a NEW column — the committed data schema
+    widens, old files backfill NULL under the explicit-schema read,
+    and ``new_skip_cols`` gives the new column manifest stats from
+    this part on (older parts read NULL stats = never prunable, which
+    is exact: files that predate the column hold only NULLs there and
+    a range predicate never matches NULL). Later batches from OLD
+    producers may symmetrically omit evolved skip columns. Type
+    conflicts fail fast."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        stats_append,
+        stats_delete,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "evo")
+    write_stats_layout(base, path, ["id"], n_files=4)
+
+    evolved = spark.range(1000, 1060).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 7).alias("w")
+    )
+    stats_append(evolved, path, batch_id="ev1", new_skip_cols=["w"])
+
+    full = stats_pruned_scan(spark, path, {"id": (None, None)})
+    assert "w" in full.columns
+    assert full.count() == 260
+    assert full.filter((F.col("id") < 1000) & F.col("w").isNotNull()).count() == 0
+
+    # predicate on the evolved column: old files are skipped via NULL
+    # stats, and only matching rows return
+    got, files = stats_pruned_scan(spark, path, {"w": (3, 3)}, return_files=True)
+    want_w = sorted(i for i in range(1000, 1060) if i % 7 == 3)
+    assert sorted(r["id"] for r in got.collect()) == want_w
+    assert all("aev1-" in f for f in files)  # only the evolved batch's files
+
+    # an OLD producer's batch (no w) still appends; its files carry no
+    # w stats and never match a w predicate
+    legacy = spark.range(2000, 2020).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    stats_append(legacy, path, batch_id="old1")
+    got2 = stats_pruned_scan(spark, path, {"w": (3, 3)})
+    assert sorted(r["id"] for r in got2.collect()) == want_w
+    assert stats_pruned_scan(spark, path, {"id": (None, None)}).count() == 280
+
+    # row-level ops work across the evolution boundary: delete on the
+    # evolved column touches only evolved files, keeps NULL-w rows
+    stats_delete(spark, path, {"w": (0, 2)}, batch_id="dw")
+    left = stats_pruned_scan(spark, path, {"id": (None, None)})
+    assert left.filter(F.col("id") < 1000).count() == 200
+    assert left.filter((F.col("id") >= 1000) & (F.col("id") < 1060)).count() == sum(
+        1 for i in range(1000, 1060) if i % 7 > 2
+    )
+
+    # type conflict fails fast
+    clash = spark.range(0, 5).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), F.lit("oops").alias("w")
+    )
+    with _pytest.raises(ValueError, match="string"):
+        stats_append(clash, path, batch_id="clash")
 
 
 def test_zorder_scan_heals_stranded_bucket(spark, sf_dir, tmp_path, monkeypatch):
@@ -1097,6 +1280,7 @@ def test_zorder_scan_heals_stranded_bucket(spark, sf_dir, tmp_path, monkeypatch)
     stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
     assert len(stranded) == 1
 
+    import time
     from datetime import datetime
 
     from pyspark.sql import functions as F
@@ -1107,6 +1291,14 @@ def test_zorder_scan_heals_stranded_bucket(spark, sf_dir, tmp_path, monkeypatch)
     ).collect()[0]
     if isinstance(y_lo, datetime):  # date quantizer takes datetime.date
         y_lo, y_hi = y_lo.date(), y_hi.date()
+    # r12 ADVICE #2: the stranded dir is seconds old — it could be a
+    # LIVE compaction mid-swap, so the read fails LOUD instead of
+    # restoring under the writer (never silently-missing rows)
+    with _pytest.raises(RuntimeError, match="mid-swap"):
+        zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
+    # past the grace it is a crashed compaction: the read heals it
+    aged = time.time() - 3600
+    os.utime(os.path.join(path, stranded[0]), (aged, aged))
     got = zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
     keys = [r["o_orderkey"] for r in got.collect()]
     assert len(keys) == len(set(keys)) == n_total
@@ -1139,6 +1331,12 @@ def test_hilbert_scan_heals_stranded_bucket(spark, sf_dir, tmp_path):
     n_total = orders.count()
     bucket = sorted(d for d in os.listdir(path) if d.startswith("zb="))[0]
     os.rename(os.path.join(path, bucket), os.path.join(path, f"{bucket}.retired"))
+    # age the stranded dir past the read grace (r12 ADVICE #2): a
+    # crashed compaction, not a live one — the read may heal it
+    import time
+
+    aged = time.time() - 3600
+    os.utime(os.path.join(path, f"{bucket}.retired"), (aged, aged))
 
     from datetime import datetime
 
@@ -1155,23 +1353,24 @@ def test_hilbert_scan_heals_stranded_bucket(spark, sf_dir, tmp_path):
 
 
 def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
-    """stats_delete (r12): manifest-planned copy-on-write delete with
-    the compaction journal protocol — at EVERY crash point readers see
-    the exact pre-delete or exact post-delete table. Windows: (a) crash
-    after the journal + d-files land, before the manifest swap ->
-    readers on the old table, heal rolls the orphans back, retry
-    completes; (b) crash BETWEEN the swap renames -> the very next READ
-    heals and serves the pre-delete table; (c) crash before GC -> the
-    new manifest governs, heal completes the GC. Plus: committed-replay
-    short-circuit, NULL predicate columns kept, no-match fast path, and
-    a fully-matching file dropped without an empty rewrite."""
+    """stats_delete on the commit log (r13): manifest-planned
+    copy-on-write delete — at EVERY crash point readers see the exact
+    pre-delete or exact post-delete table, with no healing. Windows:
+    (a) crash after the d-files move in, before the CAS -> readers on
+    the old table (nothing references the orphans), retry sweeps its
+    own tag and completes; (b) crash AT the CAS -> same; (c) crash
+    AFTER the CAS, before the _deletes record -> the new version
+    governs immediately, and the retry recovers the TRUE replaced list
+    from the commit log instead of committing an empty one (r12 ADVICE
+    #3, fixed structurally). Plus: committed-replay short-circuit,
+    NULL predicate columns kept, no-match fast path, and a fully-
+    matching file dropped without an empty rewrite."""
     import os
 
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
-        _heal_stats_layout,
         stats_delete,
         stats_pruned_scan,
         write_stats_layout,
@@ -1184,35 +1383,26 @@ def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
     rows = lambda: sorted(
         r["id"] for r in stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
     )
-    all_ids = sorted(range(1000))  # null-v row invisible to (None, None)? no:
-    # (None, None) builds no predicate, so every row including null-v passes
+    # (None, None) builds no predicate, so every row incl. null-v passes
     all_ids = sorted(list(range(1000)) + [9001])
     assert rows() == all_ids
 
     # delete ids 100..199 (v in [300, 597]); null-v row must survive
     want = sorted(i for i in all_ids if not (100 <= i <= 199))
 
-    # (a) crash before the swap starts
+    # (a) crash while the rewrite's manifest part moves in (pre-CAS)
     real_rename = os.rename
-    state = {"arm": "before_swap"}
 
     def crashing_rename(src, dst):
-        if state["arm"] == "before_swap" and dst.endswith("_skip_manifest.retired"):
-            raise RuntimeError("simulated crash before manifest swap")
-        if state["arm"] == "mid_swap" and src.endswith("manifest") and dst.endswith(
-            "_skip_manifest"
-        ):
-            raise RuntimeError("simulated crash between swap renames")
+        if "_manifests" in dst and os.path.basename(dst).startswith("d"):
+            raise RuntimeError("simulated crash before manifest part")
         return real_rename(src, dst)
 
     monkeypatch.setattr(os, "rename", crashing_rename)
     with _pytest.raises(RuntimeError):
         stats_delete(spark, path, {"v": (300, 597)}, batch_id="purge-1")
     monkeypatch.setattr(os, "rename", real_rename)
-    assert rows() == all_ids  # old manifest governs; d-files invisible
-    _heal_stats_layout(spark, path)
-    assert rows() == all_ids
-    assert not os.listdir(f"{path}/_compactions")
+    assert rows() == all_ids  # no commit: d-files invisible
     replaced = stats_delete(spark, path, {"v": (300, 597)}, batch_id="purge-1")
     assert replaced and rows() == want
     n_files_after = len(os.listdir(f"{path}/data"))
@@ -1222,40 +1412,37 @@ def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
     assert len(os.listdir(f"{path}/data")) == n_files_after
     assert rows() == want
 
-    # (b) crash between the renames; the IMMEDIATE read heals (no
-    # maintenance op) and serves the pre-delete table exactly
-    state["arm"] = "mid_swap"
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    # (b) crash AT the CAS: still the exact pre-delete table
+    real_link = os.link
+    monkeypatch.setattr(
+        os, "link", lambda s, d: (_ for _ in ()).throw(RuntimeError("crash at CAS"))
+    )
     with _pytest.raises(RuntimeError):
         stats_delete(spark, path, {"v": (600, 897)}, batch_id="purge-2")
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert not os.path.isdir(f"{path}/_skip_manifest")
-    assert rows() == want  # heal-on-read restored the manifest
-    assert os.path.isdir(f"{path}/_skip_manifest")
+    monkeypatch.setattr(os, "link", real_link)
+    assert rows() == want  # nothing committed
     want2 = sorted(i for i in want if not (200 <= i <= 299))
     stats_delete(spark, path, {"v": (600, 897)}, batch_id="purge-2")
     assert rows() == want2
 
-    # (c) crash before GC: new manifest governs immediately
-    state["arm"] = "done"
-    real_remove = os.remove
+    # (c) crash AFTER the CAS, before the _deletes record: committed —
+    # the retry must return the TRUE replaced list from the commit log
+    real_replace = os.replace
 
-    def crash_on_gc(p):
-        if os.path.basename(os.path.dirname(p)) == "data":
-            raise RuntimeError("simulated crash before GC")
-        return real_remove(p)
+    def crash_on_record(src, dst):
+        if "_deletes" in dst:
+            raise RuntimeError("simulated crash before record")
+        return real_replace(src, dst)
 
-    monkeypatch.setattr(os, "remove", crash_on_gc)
+    monkeypatch.setattr(os, "replace", crash_on_record)
     with _pytest.raises(RuntimeError):
         stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge-3")
-    monkeypatch.setattr(os, "remove", real_remove)
+    monkeypatch.setattr(os, "replace", real_replace)
     want3 = sorted(i for i in want2 if not (300 <= i <= 399))
-    assert rows() == want3  # post-delete table, stale files invisible
-    _heal_stats_layout(spark, path)
-    assert rows() == want3
-    # the crashed attempt never wrote its record: the retry must be a
-    # row-level no-op (nothing left to delete) that commits the record
+    assert rows() == want3  # post-delete table governs
+    assert not os.path.exists(f"{path}/_deletes/purge-3")
     again = stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge-3")
+    assert again  # the true replaced list, not [] (r12 ADVICE #3)
     assert rows() == want3
     assert os.path.exists(f"{path}/_deletes/purge-3")
 
@@ -1270,11 +1457,13 @@ def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
 
 
 def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
-    """stats_merge (r12): keyed copy-on-write MERGE — updates replace,
-    deletes remove, unseen keys insert; only files whose key interval
-    is hit by a batch key are rewritten (manifest interval planning);
-    replays short-circuit; a mid-swap crash heals on the very next
-    read; fail-fast on a non-skip key or missing layout columns."""
+    """stats_merge on the commit log (r13): keyed copy-on-write MERGE —
+    updates replace, deletes remove, unseen keys insert; only files
+    whose key interval is hit by a batch key are rewritten (manifest
+    interval planning); replays short-circuit; a crash AT the CAS
+    leaves the exact pre-merge table with no healing; a crash AFTER
+    the CAS is recovered from the commit log with the TRUE result;
+    fail-fast on a non-skip key or missing layout columns."""
     import os
 
     import pytest as _pytest
@@ -1318,24 +1507,41 @@ def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
     assert stats_merge(spark, path, ups, dels, "id", batch_id="m1") == rep
     assert n_files() == before and rows() == want
 
-    # mid-swap crash -> the immediate READ heals to the pre-merge state
+    # crash AT the CAS -> exact pre-merge table, no healing needed
     ups2 = spark.range(300, 320).select(F.col("id"), (F.col("id") * 7).alias("v"))
     none = spark.range(0).select(F.col("id"))
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        if str(src).endswith("manifest") and str(dst).endswith("_skip_manifest"):
-            raise RuntimeError("simulated crash between swap renames")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    real_link = os.link
+    monkeypatch.setattr(
+        os, "link", lambda s, d: (_ for _ in ()).throw(RuntimeError("crash at CAS"))
+    )
     with _pytest.raises(RuntimeError):
         stats_merge(spark, path, ups2, none, "id", batch_id="m2")
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert rows() == want  # heal-on-read: exact pre-merge table
+    monkeypatch.setattr(os, "link", real_link)
+    assert rows() == want  # nothing committed
     stats_merge(spark, path, ups2, none, "id", batch_id="m2")
     want.update({i: i * 7 for i in range(300, 320)})
     assert rows() == want
+
+    # crash AFTER the CAS, before the _merges record: the retry
+    # reconstructs the TRUE result from the commit payload
+    ups2b = spark.range(400, 410).select(F.col("id"), (F.col("id") * 9).alias("v"))
+    real_replace = os.replace
+
+    def crash_on_record(src, dst):
+        if "_merges" in dst:
+            raise RuntimeError("simulated crash before record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_record)
+    with _pytest.raises(RuntimeError):
+        stats_merge(spark, path, ups2b, none, "id", batch_id="m2b")
+    monkeypatch.setattr(os, "replace", real_replace)
+    want.update({i: i * 9 for i in range(400, 410)})
+    assert rows() == want  # committed: already visible
+    rep2b = stats_merge(spark, path, ups2b, none, "id", batch_id="m2b")
+    assert rep2b["replaced"] and rep2b["n_upserts"] == 10  # true result
+    assert rows() == want
+    assert os.path.exists(f"{path}/_merges/m2b")
 
     # pure insert: no file interval is hit, nothing replaced
     ups3 = spark.range(9000, 9010).select(F.col("id"), (F.col("id") * 2).alias("v"))
@@ -1344,21 +1550,14 @@ def test_stats_merge_keyed_upsert_delete(spark, tmp_path, monkeypatch):
     want.update({i: i * 2 for i in range(9000, 9010)})
     assert rows() == want
 
-    # no-op batch (deletes of keys no file can contain): no swap, no
-    # manifest churn, record still commits
+    # no-op batch (deletes of keys no file can contain): no commit, no
+    # manifest churn, record still lands
     none2 = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
     far = spark.range(10**7, 10**7 + 5).select(F.col("id"))
     before = n_files()
     rep4 = stats_merge(spark, path, none2, far, "id", batch_id="m4")
     assert rep4["replaced"] == [] and rep4["new_files"] == []
     assert n_files() == before and rows() == want
-    # a torn record tmp from a crashed record write is swept by heal
-    os.makedirs(f"{path}/_merges", exist_ok=True)
-    open(f"{path}/_merges/mX.tmp-dead", "w").write("{")
-    from data_pipeline_csv_spark.operators.layout import _heal_stats_layout
-
-    _heal_stats_layout(spark, path)
-    assert not os.path.exists(f"{path}/_merges/mX.tmp-dead")
 
     # fail-fast: key must be a skip column; upserts must carry the schema
     with _pytest.raises(ValueError, match="skip"):
@@ -1409,13 +1608,15 @@ def test_stats_delete_unbounded_range_and_tag_safety(spark, tmp_path):
 
 def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
     """EXHAUSTIVE crash-point sweep over the stats layout's whole
-    maintenance lifecycle (r12): the docstrings claim readers see the
-    exact old or exact new table at EVERY crash point of append /
-    delete / merge / compact — this test proves it by injecting a
-    crash at EACH python-side filesystem mutation (os.rename /
-    os.replace / os.remove touching the layout) in turn, then (a)
-    READING immediately (heal-on-read) and asserting the row set is
-    exactly pre-op or exactly post-op, never a mixture, and (b)
+    maintenance lifecycle (r12, re-proven over the r13 commit-log
+    protocol): the docstrings claim readers see the exact old or
+    exact new table at EVERY crash point of append / delete / merge /
+    compact / schema-evolving append — this test proves it by
+    injecting a crash at EACH python-side filesystem mutation
+    (os.rename / os.replace / os.remove / os.link — the CAS itself —
+    touching the layout) in turn, then (a) READING immediately and
+    asserting the row set is exactly pre-op or exactly post-op, never
+    a mixture (snapshot visibility needs no healing), and (b)
     retrying the op and asserting the exact post state."""
     import os
     import shutil
@@ -1444,19 +1645,31 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
     batch = spark.range(1000, 1060).select(F.col("id"), (F.col("id") * 3).alias("v"))
     ups = spark.range(50, 70).select(F.col("id"), (F.col("id") * 100).alias("v"))
     dels = spark.range(250, 260).select(F.col("id"))
-    none_df = spark.range(0).select(F.col("id"))
+    evbatch = spark.range(2000, 2030).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 5).alias("w")
+    )
     ops = [
         ("append", lambda p: stats_append(batch, p, batch_id="t-a")),
         ("delete", lambda p: stats_delete(spark, p, {"v": (300, 450)}, batch_id="t-d")),
         ("merge", lambda p: stats_merge(spark, p, ups, dels, "id", batch_id="t-m")),
         ("compact", lambda p: stats_compact(spark, p, target_rows=200)),
+        # schema evolution crashes at every window too (r13 VERDICT
+        # #5: the widened-manifest commit under the same sweep)
+        ("evolve", lambda p: stats_append(evbatch, p, batch_id="t-e",
+                                          new_skip_cols=["w"])),
     ]
 
-    real = {"rename": os.rename, "replace": os.replace, "remove": os.remove}
+    real = {
+        "rename": os.rename,
+        "replace": os.replace,
+        "remove": os.remove,
+        "link": os.link,
+    }
 
     def instrument(counter, crash_at, layout):
-        """Patch the three mutation calls: count (and optionally crash
-        at) calls whose path lies under the layout root."""
+        """Patch the four mutation calls (link IS the commit CAS):
+        count (and optionally crash at) calls whose path lies under
+        the layout root."""
 
         def wrap(name):
             orig = real[name]
@@ -1470,10 +1683,14 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
 
             return patched
 
-        os.rename, os.replace, os.remove = wrap("rename"), wrap("replace"), wrap("remove")
+        os.rename, os.replace, os.remove, os.link = (
+            wrap("rename"), wrap("replace"), wrap("remove"), wrap("link")
+        )
 
     def restore():
-        os.rename, os.replace, os.remove = real["rename"], real["replace"], real["remove"]
+        os.rename, os.replace, os.remove, os.link = (
+            real["rename"], real["replace"], real["remove"], real["link"]
+        )
 
     state = root  # advances through the lifecycle
     total_points = 0
@@ -1508,7 +1725,7 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
                 crashed = True
             finally:
                 restore()
-            got = rows(clone)  # heal-on-read runs inside the scan
+            got = rows(clone)  # plans from the last commit record
             assert got in (pre, post), (
                 f"{op_name} crash@{k}/{n_ops}: reader saw a mixed state"
             )
@@ -1569,6 +1786,17 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         y_lo, y_hi = y_lo.date(), y_hi.date()
 
     def rows(p):
+        # the read grace (r12 ADVICE #2) makes seconds-old stranded
+        # dirs read as "possibly a live compaction" and fail loud; a
+        # crash-sweep clone is by construction CRASHED maintenance, so
+        # age any stranded dir past the grace before the read — the
+        # realistic read-after-crash scenario the heal contract covers
+        import time
+
+        aged = time.time() - 3600
+        for d in os.listdir(p):
+            if d.endswith(".retired"):
+                os.utime(os.path.join(p, d), (aged, aged))
         return sorted(
             r["o_orderkey"]
             for r in zorder_pruned_scan(spark, p, x_lo, x_hi, y_lo, y_hi).collect()
@@ -1638,3 +1866,269 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
 
         op(state)
         assert rows(state) == post
+
+
+def test_hilbert_nd_curve_and_covering(spark, sf_dir):
+    """The n-D Hilbert machinery (r13, Skilling 2004): (a) the
+    transform is a bijection onto the grid with unit-step adjacency —
+    the defining Hilbert property — across several (d, m); (b) the
+    transpose round-trips; (c) on a real 3-D lineitem layout the
+    covering enumeration is complete: every in-box row's cell is
+    covered (replayed driver-side through hilbert_index_nd) and the
+    pruned scan equals the plain 3-predicate filter row-for-row while
+    reading a strict subset of buckets; (d) a ragged prefix fails
+    fast."""
+    import os
+    import tempfile
+    from datetime import date
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec_nd,
+        hilbert_covering_buckets_nd,
+        hilbert_coords_nd,
+        hilbert_index_nd,
+        read_zorder_spec,
+        write_hilbert_table_nd,
+        zorder_pruned_scan_nd,
+        zquant_nd,
+    )
+    from data_pipeline_csv_spark.sources.tables import load_table
+
+    for d, m in [(2, 3), (3, 3), (4, 2)]:
+        n_cells = 1 << (d * m)
+        seen = {}
+        mask = (1 << m) - 1
+        for packed in range(n_cells):
+            coords = [(packed >> ((d - 1 - j) * m)) & mask for j in range(d)]
+            h = hilbert_index_nd(m, coords)
+            assert 0 <= h < n_cells and h not in seen
+            seen[h] = coords
+            assert hilbert_coords_nd(m, d, h) == coords
+        for h in range(n_cells - 1):
+            diffs = [abs(a - b) for a, b in zip(seen[h], seen[h + 1])]
+            assert sum(diffs) == 1 and max(diffs) == 1
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    spec = derive_zorder_spec_nd(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        [("l_extendedprice", "num"), ("l_shipdate", "date"), ("l_quantity", "num")],
+        bits=7,
+        prefix_bits=9,
+    )
+    path = tempfile.mkdtemp(prefix="sg_h3_")
+    try:
+        write_hilbert_table_nd(li, spec, path)
+        spec = read_zorder_spec(path)
+        assert spec["curve"] == "hilbert"
+        box = [(20000, 45000), (date(1996, 1, 1), date(1996, 12, 31)), (10, 30)]
+        lo_q = [zquant_nd(spec, j, lo) for j, (lo, _) in enumerate(box)]
+        hi_q = [zquant_nd(spec, j, hi) for j, (_, hi) in enumerate(box)]
+        buckets = set(hilbert_covering_buckets_nd(spec, lo_q, hi_q))
+        assert 0 < len(buckets) < (1 << spec["prefix_bits"])
+
+        want = li.filter(
+            (F.col("l_extendedprice") >= 20000)
+            & (F.col("l_extendedprice") <= 45000)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        rows = want.collect()
+        assert rows
+        m = spec["prefix_bits"] // 3
+        for r in rows:
+            cell = [
+                zquant_nd(spec, 0, r["l_extendedprice"]) >> (spec["bits"] - m),
+                zquant_nd(spec, 1, r["l_shipdate"].date()) >> (spec["bits"] - m),
+                zquant_nd(spec, 2, r["l_quantity"]) >> (spec["bits"] - m),
+            ]
+            assert hilbert_index_nd(m, cell) in buckets
+
+        got = zorder_pruned_scan_nd(spark, path, box)  # curve-dispatched
+        key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+        assert sorted(map(key, got.collect())) == sorted(map(key, rows))
+
+        with _pytest.raises(ValueError, match="divisible"):
+            write_hilbert_table_nd(li, {**spec, "prefix_bits": 8}, path + "-bad")
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "-bad", ignore_errors=True)
+
+
+def test_stats_append_review_hardening(spark, tmp_path, monkeypatch):
+    """r13 review fixes, pinned: (a) new_skip_cols naming a column
+    ALREADY in the layout's data schema fails fast — files written
+    before the promotion could hold real values under NULL stats and
+    the planner would silently prune them; (b) a type conflict fails
+    BEFORE the staging write (no stranded prefixed files); (c) a CAS
+    loser whose batch carries a column the winner just promoted to a
+    skip column REBUILDS its manifest part with stats for it — else
+    its files would read NULL stats over non-NULL data and vanish
+    from scans on that column; (d) a retry arriving after retention
+    expired BOTH its record and its commit entry must not sweep its
+    still-referenced files — the record rolls forward instead."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "rh")
+    L.write_stats_layout(base, path, ["id"], n_files=4)
+
+    # (a) promoting an existing data column is rejected
+    batch = spark.range(1000, 1020).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    with _pytest.raises(ValueError, match="already exist"):
+        L.stats_append(batch, path, batch_id="promote", new_skip_cols=["v"])
+
+    # (b) type conflict fails before any file lands
+    clash = spark.range(0, 5).select(F.col("id"), F.lit("oops").alias("v"))
+    n_data = len(os.listdir(f"{path}/data"))
+    n_parts = len(os.listdir(f"{path}/_manifests"))
+    with _pytest.raises(ValueError, match="string"):
+        L.stats_append(clash, path, batch_id="clash")
+    assert len(os.listdir(f"{path}/data")) == n_data
+    assert len(os.listdir(f"{path}/_manifests")) == n_parts
+
+    # (c) loser rebuilds its part when the winner promotes a column
+    # the loser's batch carries
+    loser = spark.range(2000, 2030).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 5).alias("w")
+    )
+    winner = spark.range(3000, 3020).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 5).alias("w")
+    )
+    real_cas = L._cas_commit
+    state = {"fired": False}
+
+    def contended(p, v, payload):
+        if payload["tag"] == "loser" and not state["fired"]:
+            state["fired"] = True
+            L.stats_append(winner, p, batch_id="winner", new_skip_cols=["w"])
+        return real_cas(p, v, payload)
+
+    monkeypatch.setattr(L, "_cas_commit", contended)
+    L.stats_append(loser, path, batch_id="loser")
+    monkeypatch.setattr(L, "_cas_commit", real_cas)
+    assert state["fired"]
+    got = L.stats_pruned_scan(spark, path, {"w": (2, 2)})
+    want = sorted(
+        i for i in list(range(2000, 2030)) + list(range(3000, 3020)) if i % 5 == 2
+    )
+    assert sorted(r["id"] for r in got.collect()) == want  # loser rows NOT lost
+
+    # (d) late retry with record AND commit entry gone: roll forward,
+    # never sweep the still-referenced files
+    files_b = L.stats_append(
+        spark.range(4000, 4010).select(
+            F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 5).alias("w")
+        ),
+        path,
+        batch_id="late",
+    )
+    v_b = L._list_commits(path)[-1]
+    L.stats_append(
+        spark.range(5000, 5010).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="after",
+    )
+    os.remove(f"{path}/_batches/late")
+    os.remove(L._commit_file(path, v_b))  # simulate retention expiry
+    n_rows = L.stats_pruned_scan(spark, path, {"id": (None, None)}).count()
+    again = L.stats_append(
+        spark.range(4000, 4010).select(
+            F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 5).alias("w")
+        ),
+        path,
+        batch_id="late",
+    )
+    assert sorted(again) == sorted(files_b)  # rolled forward, no redo
+    assert L.stats_pruned_scan(spark, path, {"id": (None, None)}).count() == n_rows
+    assert os.path.exists(f"{path}/_batches/late")
+
+    # same guard on the rewrite side: a committed-beyond-retention
+    # delete retry fails loud instead of sweeping live state
+    rep = L.stats_delete(spark, path, {"id": (0, 49)}, batch_id="dlate")
+    assert rep
+    v_d = L._list_commits(path)[-1]
+    L.stats_append(
+        spark.range(6000, 6010).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="after2",
+    )
+    os.remove(f"{path}/_deletes/dlate")
+    os.remove(L._commit_file(path, v_d))
+    with _pytest.raises(RuntimeError, match="expired from retention"):
+        L.stats_delete(spark, path, {"id": (0, 49)}, batch_id="dlate")
+
+
+def test_bucket_read_grace_measures_swap_age(spark, sf_dir, tmp_path, monkeypatch):
+    """r13 review: rename() preserves a dir's own mtime, so without
+    the writer's post-retire touch the read grace would measure
+    bucket-DATA age — a live compaction of week-old data would read
+    as 'crashed' and a racing reader would restore it mid-swap (the
+    exact hazard the grace exists to close). Pin: backdate every
+    bucket dir, crash a compaction between its two renames, and
+    assert the stranded dir's mtime is FRESH (the touch) so the
+    immediate read fails loud instead of restoring."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from data_pipeline_csv_spark.operators.layout import (
+        zorder_append,
+        zorder_compact,
+        zorder_pruned_scan,
+    )
+
+    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
+    zorder_append(incoming, path)
+    aged = time.time() - 7 * 86400
+    for d in os.listdir(path):
+        if d.startswith("zb="):
+            os.utime(os.path.join(path, d), (aged, aged))
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        # crash at the SECOND swap rename (staged -> live): the retire
+        # rename and the writer's touch have both landed, which is the
+        # whole mid-swap window a racing reader can observe
+        if "_staging" in str(src) and str(dst).startswith(os.path.join(path, "zb=")):
+            raise RuntimeError("crash between the swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with _pytest.raises(RuntimeError, match="between the swap renames"):
+        zorder_compact(spark, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
+    assert len(stranded) >= 1
+    # the touch made the stranded dir's mtime the SWAP time, not the
+    # week-old data time — what makes the grace meaningful at all
+    for d in stranded:
+        assert time.time() - os.path.getmtime(os.path.join(path, d)) < 60
+
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    x_lo, x_hi, y_lo, y_hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_orderdate"), F.max("o_orderdate"),
+    ).collect()[0]
+    if isinstance(y_lo, datetime):
+        y_lo, y_hi = y_lo.date(), y_hi.date()
+    with _pytest.raises(RuntimeError, match="mid-swap"):
+        zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)

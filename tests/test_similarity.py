@@ -812,3 +812,32 @@ def test_ivf_heal_lock_excludes_and_recovers(spark, sf_dir, tmp_path):
         spark, layout, [int(d.split("=")[1]) for d in lists]
     ).count()
     assert ids == base.count()
+
+    # (d) r12 ADVICE #1: STALE-LOCK TAKEOVER IS SINGLE-WINNER. The old
+    # rmtree-then-mkdir takeover let two entrants interleave so one
+    # deleted the lock the other had just recreated (both "holding"
+    # it); the rename-first takeover gives the stale dir to exactly
+    # one renamer. Race N threads at one stale lock: exactly one may
+    # acquire, and the winner's fresh lock must survive the losers.
+    import threading
+
+    from data_pipeline_csv_spark.operators.similarity import _try_heal_lock
+
+    os.mkdir(lock)
+    os.utime(lock, (old, old))
+    got = []
+    barrier = threading.Barrier(8)
+
+    def contend():
+        barrier.wait()
+        got.append(_try_heal_lock(layout))
+
+    threads = [threading.Thread(target=contend) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [g for g in got if g is not None]
+    assert len(winners) == 1
+    assert os.path.isdir(lock)  # the winner's lock was not destroyed
+    os.rmdir(lock)

@@ -484,3 +484,54 @@ def test_streaming_stats_ingest_epoch_replay_is_noop(spark, tmp_path):
         r["id"] for r in base.unionByName(e0).unionByName(e1).collect()
     )
     assert got == want
+
+
+def test_streaming_cdc_stats_merge_replay(spark, tmp_path):
+    """foreachBatch is at-least-once per epoch; the CDC stats-merge
+    writer keys stats_merge by the epoch id, so a replayed epoch must
+    short-circuit on its committed record: same commit-log height, no
+    re-applied changes, and the layout equals the in-order fold of the
+    change feed (insert epoch, then update, then delete)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _list_commits,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+    from data_pipeline_csv_spark.streaming import cdc_stats_merge_writer
+
+    cols = ["k", "val"]
+    path = str(tmp_path / "cdcm")
+    base = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("val"))
+    write_stats_layout(base, path, ["k"], n_files=1)
+
+    def feed(rows):
+        return spark.createDataFrame(rows, "k long, val long, seq long, op string")
+
+    writer = cdc_stats_merge_writer(spark, path, "k", cols)
+    e0 = feed([(i, i * 10, 1, "I") for i in range(50)])
+    e1 = feed([(i, i * 100, 2, "U") for i in range(0, 50, 5)])
+    e2 = feed([(i, 0, 3, "D") for i in range(0, 50, 7)])
+    writer(e0, 0)
+    writer(e1, 1)
+    writer(e2, 2)
+    commits = _list_commits(path)
+    n_files = len(os.listdir(f"{path}/data"))
+
+    # replay all three epochs out of order — the at-least-once worst
+    # case: every one must be a committed-record no-op
+    writer(e2, 2)
+    writer(e0, 0)
+    writer(e1, 1)
+    assert _list_commits(path) == commits
+    assert len(os.listdir(f"{path}/data")) == n_files
+
+    got = {
+        r["k"]: r["val"]
+        for r in stats_pruned_scan(spark, path, {"k": (None, None)}).collect()
+    }
+    want = {i: (i * 100 if i % 5 == 0 else i * 10) for i in range(50) if i % 7 != 0}
+    assert got == want
