@@ -325,6 +325,30 @@ HEADLINE = [
     #   measures the key-range pruned scan against the merged layout
     #   — another stats-scan-sized number.
     "layout_stats_merged_scan",
+    # r13 debuts, tracked from their first round:
+    # - time travel: the deleted-scan scaffold read AS OF version 3
+    #   (post-append, pre-delete) — the same manifest planning + a
+    #   pruned read of the pre-delete file set; expect a
+    #   stats-scan-sized number.
+    "layout_stats_timetravel_scan",
+    # - schema evolution: base without l_quantity + the evolved
+    #   append, amortized; min-of-3 measures the 3-month scan across
+    #   the evolution boundary (explicit-schema read backfills NULL)
+    #   — stats-scan-sized.
+    "layout_stats_evolved_scan",
+    # - multi-writer appends: the two racing appenders run once at
+    #   build (amortized); min-of-3 measures the standard pruned scan
+    #   against the doubly-appended layout — stats-scan-sized.
+    "layout_stats_concurrent_appends",
+    # - 3-D Hilbert scan: the zorder3 entry's plan with bucket ids
+    #   mapped through the 512-entry Hilbert table — expect
+    #   layout_zorder3_pruned_scan's number.
+    "layout_hilbert3_pruned_scan",
+    # - streaming CDC merge: NOT amortized (builds the empty layout,
+    #   stages the feed, drains 3 foreachBatch epochs, each one
+    #   insert/update/delete stats_merge) — expect a
+    #   streaming_stats_ingest-sized number plus the merge rewrites.
+    "streaming_cdc_stats_merge",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -481,6 +505,37 @@ HEADLINE = [
 # the edge fold generates its deltas from three keyed joins over the
 # batch rather than the one-sided cross GEMM the vertex fold needs to
 # build its cross edges.
+# r12 artifact-of-record (r12 VERDICT wrong #1 / next #6): the
+# driver's post-commit rerun — not the committed-tree run quoted
+# above — produced the round's BENCH_r12.json: 119.43 s / 74 headline
+# queries at canary 0.3055 min / 0.3859 median (one host-noise-sized
+# step from the committed run's 124.5 s at 0.3034/0.3798; same tree,
+# same plans). Numbers in later rounds compare against THAT artifact.
+# r13 engine-side deltas to expect:
+# - STATS LAYOUT ON A COMMIT LOG (multi-writer, r12 VERDICT next #2):
+#   every stats-layout scan now resolves its version from _commits/
+#   (one listdir + one small JSON read) and reads data/manifest under
+#   the commit's EXPLICIT schema instead of directory inference, and
+#   the old heal-on-read listdir is gone — driver-side metadata only,
+#   expect noise-level deltas on the stats scan entries; maintenance
+#   ops add one hard-link CAS + retention-GC listdir each, off the
+#   scan path. Replaced files are GC'd by retention (keep 8) instead
+#   of in-op, so the AMORTIZED scaffolds carry a few extra on-disk
+#   files — invisible to planned reads.
+# - layout_stats_timetravel_scan / layout_stats_evolved_scan /
+#   layout_stats_concurrent_appends debuts: stats-scan-shaped
+#   (manifest planning + pruned read) over their own scaffolds —
+#   expect layout_stats_*-scan-sized entries; the concurrent scaffold
+#   pays its two racing appends once at build.
+# - layout_hilbert3_pruned_scan debut: the zorder3 plan with the
+#   bucket set mapped through the Hilbert table — expect a
+#   zorder3-sized entry (same 512-cell grid, same residuals).
+# - streaming_cdc_stats_merge debut: 3 foreachBatch epochs, each one
+#   stats_merge (insert/update/delete) on a small layout — expect a
+#   streaming_stats_ingest-sized entry plus the merge rewrites.
+# - bucket scans (zorder/zorder3/hilbert/hilbert3): the read-grace
+#   check (r12 ADVICE #2) adds an mtime stat per stranded dir — zero
+#   on healthy layouts; expect flat numbers.
 
 
 def _canary(spark, sf_dir):

@@ -38,128 +38,122 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-12 rotation, three parts (the r11 schedule: "rotate the r12
-# window to the 44 r08-stale entries plus everything r12 changes;
-# 44 + changed > 50, so split by registry order and schedule the
-# overflow by name for r13" — r11's part-(c) comment said 45 r08
-# entries remained; computed against the artifacts it was 44, the
-# r11 VERDICT's wrong #1, corrected here):
-# (a) every query that is NEW or whose implementation CHANGED this
-#     round — 19 entries. Five DEBUTS:
-#     graph_triangle_edge_incremental (EDGE-arrival triangle fold —
-#     new similarity pairs between EXISTING documents, the case the
-#     vertex fold cannot express; disjoint generation by batch-edge
-#     count, wedges from the degree sidecar, oracle IS the one-shot
-#     recount — r11 VERDICT #2), layout_stats_deleted_scan
-#     (manifest-gated copy-on-write DELETE planned from the manifest,
-#     swapped via the compaction journal protocol verbatim, committed
-#     replay on the real corpus; oracle = whole-table filter minus the
-#     deleted slice — r11 VERDICT #3), layout_hilbert_compacted_scan
-#     (Hilbert lifecycle parity: append/compact route along the
-#     layout's own curve via the spec-sidecar dispatch, crash tests
-#     parametrized over both curves — r11 VERDICT #6),
-#     sketch_join_strategy_audit (the correlated estimator DRIVING a
-#     broadcast-vs-shuffle choice by a documented 1M-row threshold,
-#     chosen plan executed, (estimate, strategy, actual) audited —
-#     r11 VERDICT #5), and layout_stats_merged_scan (keyed
-#     copy-on-write MERGE — the other half of missing #2: upserts
-#     replace, deletes remove, unseen keys insert; affected files
-#     planned by joining the batch's distinct keys against the
-#     broadcast per-file key intervals — the Delta MERGE file-pruning
-#     shape — and swapped via _journaled_cow_swap, the
-#     rewrite-and-swap body SHARED with stats_delete so the two
-#     row-level ops cannot drift off the compaction crash protocol;
-#     oracle = the proven CDC-merge formulation on the scanned key
-#     range). Plus the CHANGED implementations:
-#     sketch_join_size_estimate (the estimate side now builds through
-#     the extracted estimate_join_size/_key_counts helpers the chooser
-#     shares), streaming_stats_ingest (returned DataFrame's layout
-#     cleanup deferred to atexit — r11 ADVICE: an evicted cached block
-#     could recompute against a deleted path — plus the scan-entry
-#     heal), the three batch stats scans layout_stats_skipping_scan /
-#     layout_stats_appended_scan / layout_stats_compacted_scan and the
-#     four bucket-layout scans layout_zorder_pruned_scan /
+# Round-13 rotation, three parts (the r12 schedule: "the r13 window
+# MUST lead with the 13 scheduled r08-stale names, plus everything
+# r13 changes, then oldest-round (r09) fill"):
+# (a) THE 13 SCHEDULED r08 CARRYOVERS, leading the window exactly as
+#     the r12 comment named them: revenue_by_nation, the two sketches
+#     (sketch_kmv_setops, sketch_heavy_hitters_cms), the nine
+#     streaming suite entries, and window_rank_orders — every one
+#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
+#     every round since.
+# (b) every query that is NEW or whose implementation CHANGED this
+#     round — 21 entries. Five DEBUTS: layout_stats_timetravel_scan
+#     (VERSION AS OF on the new commit log — r12 VERDICT next #3),
+#     layout_stats_evolved_scan (schema evolution: widened commit
+#     schema, NULL backfill, evolved-column stats — next #5),
+#     layout_stats_concurrent_appends (TWO RACING WRITERS through the
+#     hard-link CAS, no lost update — next #2's acceptance artifact),
+#     layout_hilbert3_pruned_scan (n-D Hilbert via Skilling's
+#     transform behind the same spec-sidecar dispatch — next #7), and
+#     streaming_cdc_stats_merge (foreachBatch CDC feed folded through
+#     stats_merge keyed by epoch id, exactly-once — next #4). Plus the
+#     CHANGED implementations: the six stats-layout queries
+#     layout_stats_skipping_scan / layout_stats_appended_scan /
+#     layout_stats_compacted_scan / layout_stats_deleted_scan /
+#     layout_stats_merged_scan / streaming_stats_ingest (the r13
+#     MULTI-WRITER protocol rewrite — r12 VERDICT next #2: versioned
+#     immutable manifest parts + an append-only _commits/ log with
+#     os.link CAS; visibility = the commit record, so readers get
+#     snapshot isolation and ALL read-path healing is gone; append/
+#     delete/merge/compact commit optimistically and re-plan on a
+#     lost race; retention GC replaces in-op GC), the five bucket-
+#     layout scans layout_zorder_pruned_scan /
 #     layout_zorder_compacted_scan / layout_zorder3_pruned_scan /
-#     layout_hilbert_pruned_scan (HEAL ON READ, r11 VERDICT wrong #3 /
-#     #4: scan entry restores a manifest dir or bucket dir stranded by
-#     a compaction crashed between its swap renames — reads recover
-#     immediately instead of failing until the next maintenance op),
-#     and the five IVF serving/maintenance queries
-#     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
-#     similarity_ann_filtered / similarity_ivf_append /
-#     similarity_ivf_retrain (read_ivf_lists now runs the reader-mode
-#     recovery sweep at entry: crashed retrain swaps roll back via
-#     their journal before partition inference; journal-less staging
-#     dirs are left to the writer).
-# (b) RECENCY CARRYOVER: 31 of the 44 entries whose latest driver row
-#     is r08, in registry order (cluster_kmeans_embeddings through
-#     corpus_source_overlap). The 13 r08 entries left over — scheduled
-#     BY NAME for the r13 window, per the r11 schedule — are
-#     revenue_by_nation, sketch_kmv_setops, sketch_heavy_hitters_cms,
-#     the nine streaming suite entries (streaming_hourly_rollup,
-#     streaming_session_windows, streaming_dedup_event_ids,
-#     streaming_attribution_join, streaming_enriched_rollup,
-#     streaming_incremental_mv, streaming_cdc_upsert,
-#     streaming_heavy_hitters, streaming_dedup_neardup) and
-#     window_rank_orders — every one oracle-green in r08 and replayed
-#     by tests/test_oracle_parity.py every round since. After this
-#     round the recency floor is r08 for exactly those 13 names and
-#     r09 for everything else.
-# (c) no oldest-round fill this round: (a) + (b) = 50 exactly.
-# The window is 50/50 oracle-backed, as is the whole registry.
+#     layout_hilbert_pruned_scan / layout_hilbert_compacted_scan
+#     (r12 ADVICE #2: the shared read-path heal now fails LOUD on a
+#     stranded dir younger than the read grace instead of restoring
+#     under a possibly-live compaction; zorder3 additionally routes
+#     its covering set through the curve dispatcher), and the five
+#     IVF serving/maintenance queries similarity_ann_ivf_ondisk /
+#     similarity_ann_pq_rerank / similarity_ann_filtered /
+#     similarity_ivf_append / similarity_ivf_retrain (r12 ADVICE #1:
+#     the reader-mode heal's stale-lock takeover is now single-winner
+#     — rename-first — and healers refresh the lock mtime at entry).
+# (c) OLDEST-ROUND FILL: the first 16 of the 42 entries whose latest
+#     driver row is r09, in registry order (percentiles_order_value
+#     through multimodal_frame_stats). The 26 r09 entries left —
+#     scheduled BY NAME for the r14 window, in registry order —
+#     are multimodal_phash_neardup, multimodal_phash_incremental,
+#     multimodal_audio_fingerprint, text_profile,
+#     text_unigram_logprob, text_bigram_logprob,
+#     similarity_embedding_neardup, similarity_ann_recall_audit,
+#     similarity_neardup_pruned, embedding_quantize_int8,
+#     text_hybrid_retrieval_rrf, corpus_quality_funnel,
+#     corpus_decontaminate, corpus_split_report, q1_pricing_summary,
+#     q3_shipping_priority, q5_local_supplier_volume,
+#     range_join_price_bands, json_extract_props,
+#     sketch_distinct_customers, sketch_price_quantiles,
+#     streaming_distinct_kmv, q9_product_profit, window_events_suite,
+#     window_moving_avg, window_lag_lead. 13 + 21 + 16 = 50 exactly.
+#     After this round the recency floor is r09 for exactly those 26
+#     names and r10 for everything else (the r08 floor is retired).
+# The window is 50/50 oracle-backed, as is the whole 187-entry
+# registry.
 _PRIORITY = [
-    # --- new or changed implementations this round (19) ---
-    "graph_triangle_edge_incremental",
-    "layout_stats_deleted_scan",
-    "layout_stats_merged_scan",
-    "layout_hilbert_compacted_scan",
-    "sketch_join_strategy_audit",
-    "sketch_join_size_estimate",
-    "streaming_stats_ingest",
+    # --- (a) the 13 scheduled r08 carryovers ---
+    "revenue_by_nation",
+    "sketch_kmv_setops",
+    "sketch_heavy_hitters_cms",
+    "streaming_hourly_rollup",
+    "streaming_session_windows",
+    "streaming_dedup_event_ids",
+    "streaming_attribution_join",
+    "streaming_enriched_rollup",
+    "streaming_incremental_mv",
+    "streaming_cdc_upsert",
+    "streaming_heavy_hitters",
+    "streaming_dedup_neardup",
+    "window_rank_orders",
+    # --- (b) new or changed implementations this round (21) ---
+    "layout_stats_timetravel_scan",
+    "layout_stats_evolved_scan",
+    "layout_stats_concurrent_appends",
+    "layout_hilbert3_pruned_scan",
+    "streaming_cdc_stats_merge",
     "layout_stats_skipping_scan",
     "layout_stats_appended_scan",
     "layout_stats_compacted_scan",
+    "layout_stats_deleted_scan",
+    "layout_stats_merged_scan",
+    "streaming_stats_ingest",
     "layout_zorder_pruned_scan",
     "layout_zorder_compacted_scan",
     "layout_zorder3_pruned_scan",
     "layout_hilbert_pruned_scan",
+    "layout_hilbert_compacted_scan",
     "similarity_ann_ivf_ondisk",
     "similarity_ann_pq_rerank",
     "similarity_ann_filtered",
     "similarity_ivf_append",
     "similarity_ivf_retrain",
-    # --- last driver-verified in r08 (31 of 44, registry order) ---
-    "cluster_kmeans_embeddings",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "dedup_containment_lsh",
-    "dedup_containment_lsh_ensemble",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_dedup_first",
-    "events_sliding_counts",
-    "events_conversion_funnel",
-    "events_gapfill_resample",
-    "events_decay_score",
-    "graph_pagerank_dangling",
-    "incremental_mv_refresh",
-    "cdc_merge_snapshot",
-    "cdc_read_asof",
-    "text_tfidf_terms",
-    "text_repetition_filter",
-    "text_bpe_encode",
-    "text_bm25_topk",
-    "text_quality_classifier",
-    "text_ccnet_buckets",
-    "similarity_cosine_topk",
-    "similarity_neardup_clustered",
-    "similarity_label_knn",
-    "contrastive_hard_negatives",
-    "embedding_pca_project",
-    "corpus_shuffle_shards",
-    "corpus_write_shards",
-    "sample_weighted_reservoir",
-    "corpus_source_overlap",
+    # --- (c) last driver-verified in r09 (16 of 42, registry order) ---
+    "percentiles_order_value",
+    "skew_salted_join_priority",
+    "udf_scalar_normalize_name",
+    "dedup_exact",
+    "dedup_dup_spans",
+    "dedup_span_coverage",
+    "events_daily_pivot",
+    "events_pit_join",
+    "events_session_pmi",
+    "graph_pagerank_suppliers",
+    "graph_label_propagation",
+    "profile_lineitem",
+    "cdc_scd2_history",
+    "multimodal_decode_roundtrip",
+    "multimodal_image_features",
+    "multimodal_frame_stats",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"
