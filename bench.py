@@ -536,6 +536,31 @@ HEADLINE = [
 # - bucket scans (zorder/zorder3/hilbert/hilbert3): the read-grace
 #   check (r12 ADVICE #2) adds an mtime stat per stranded dir — zero
 #   on healthy layouts; expect flat numbers.
+# r13 observed (BENCH_DETAIL_r13: 140.37 s / 79 entries, canary
+# 0.3365 min / 0.3626 median = 1.10x the r12 artifact's min, 0.94x
+# its median — host roughly flat): shared-entry total 123.7 -> 135.4 s
+# raw = 0.994x NET of the canary, i.e. flat, with the five debuts
+# adding 9.2 s. The commit-log rewrite made every stats scan FASTER,
+# not just not-slower: skipping 0.25 -> 0.19 s, appended 0.24 -> 0.16,
+# compacted 0.22 -> 0.12, deleted 0.25 -> 0.14, merged 0.27 -> 0.13
+# (net 0.43-0.67x) — the old path re-listed the layout root (heal),
+# read the manifest dir by directory inference and the data files
+# with schema inference; the new path is one _commits listdir + one
+# small JSON + explicit-schema reads (no footer/schema inference at
+# plan time). Debuts landed as predicted: timetravel 0.13 s /
+# evolved 0.14 s / concurrent 0.14 s (stats-scan-sized), hilbert3
+# 1.12 s vs zorder3's 1.05 s (same 512-cell grid, the Hilbert id
+# table is the only delta), streaming_cdc_stats_merge 7.71 s (3
+# foreachBatch epochs; the insert epoch merges the FULL order set
+# into an empty layout — the dominant term — then update/delete
+# epochs pay manifest-planned rewrites; vs streaming_stats_ingest's
+# 3.84 s whose epochs are pure appends). Worst shared-entry deltas
+# are all UNTOUCHED code at sub-second scale where min-of-3 jitter
+# dominates (promo_revenue_share 0.34 -> 0.45 s = 1.21x net is 110 ms
+# on a 6-job plan; the next worst, 1.11-1.16x net, cluster across
+# multimodal/text/TPC-H entries whose paths did not change) — no
+# touched entry regressed, and no entry regressed >15% net outside
+# that sub-second jitter band.
 
 
 def _canary(spark, sf_dir):

@@ -70,14 +70,26 @@ REPLICAS = 10
 # graph genuinely densifies ~n^2 with corpus size); the edge fold is
 # probed at constant average degree by tools/triangle_fold_probe.py's
 # edge mode (recorded in SCALE.md).
+# r13 focus: the five debuts (time travel and the evolved scan are the
+# commit-log read path at 10x — version resolution is one listdir +
+# JSON read, so they should scale like the plain stats scan; the
+# concurrent-appends entry races its two writers at BUILD time and
+# measures the scan; hilbert3 is the 512-cell covering enumeration at
+# 10x rows; the streaming CDC merge is NOT amortized — it drains
+# 3 merge epochs over a 10x change feed each call, the honest
+# question being whether the manifest-planned rewrite stays
+# batch-bound), one protocol representative for the rewritten scans
+# (layout_stats_skipping_scan: the old heal listdir is gone, a
+# _commits listdir + explicit-schema read replaced it), and the PCA
+# anchor (the flattest r9 scaler; if IT moves, the host moved).
 QUERIES = [
-    "layout_stats_deleted_scan",
-    "layout_stats_merged_scan",
-    "layout_hilbert_compacted_scan",
-    "sketch_join_strategy_audit",
-    "sketch_join_size_estimate",
-    "similarity_ivf_append",
+    "layout_stats_timetravel_scan",
+    "layout_stats_evolved_scan",
+    "layout_stats_concurrent_appends",
+    "layout_hilbert3_pruned_scan",
+    "streaming_cdc_stats_merge",
     "layout_stats_skipping_scan",
+    "layout_stats_merged_scan",
     "embedding_pca_project",
 ]
 
