@@ -1269,11 +1269,13 @@ def _cas_commit(path: str, version: int, payload: dict) -> bool:
     import os
     import uuid
 
+    import time
+
     cdir = _commits_dir(path)
     os.makedirs(cdir, exist_ok=True)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as f:
-        json.dump(payload, f)
+        json.dump({**payload, "committed_at": time.time()}, f)
     try:
         os.link(tmp, _commit_file(path, version))
         return True
@@ -2442,3 +2444,50 @@ def stats_merge(
             _write_record(path, "_merges", tag, out)
             _retention_gc(path, keep_versions)
             return out
+
+
+def stats_history(spark, path: str) -> DataFrame:
+    """The retained commit log as a DataFrame — Delta's DESCRIBE
+    HISTORY for the stats layout: one row per retained version with
+    (version, op, tag, n_parts, n_new_files, n_replaced,
+    committed_at). Driver-side reads of the O(retention) commit
+    records, no Spark job over data. Versions beyond retention are
+    gone by design (their records were GC'd with their files); the
+    latest row is the live table."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("op", StringType(), True),
+            StructField("tag", StringType(), True),
+            StructField("n_parts", IntegerType(), True),
+            StructField("n_new_files", IntegerType(), True),
+            StructField("n_replaced", IntegerType(), True),
+            StructField("committed_at", DoubleType(), True),
+        ]
+    )
+    rows = []
+    for v in _list_commits(path):
+        rec = _read_commit(path, v)
+        if rec is None:
+            continue  # raced a concurrent retention GC
+        rows.append(
+            (
+                v,
+                rec.get("op"),
+                rec.get("tag"),
+                len(rec.get("parts", [])),
+                len(rec.get("new_files", [])),
+                len(rec.get("replaced", [])),
+                rec.get("committed_at"),
+            )
+        )
+    return spark.createDataFrame(rows, schema)

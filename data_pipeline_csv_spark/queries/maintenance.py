@@ -1448,3 +1448,38 @@ def layout_hilbert3_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
     )
+
+
+@query(
+    "layout_stats_history",
+    # FULL value oracle as a literal table: the deleted-scan
+    # scaffold's commit history is STRUCTURALLY deterministic —
+    # version numbers, op kinds, idempotency tags and part counts
+    # (appends add one part each; a rewrite collapses the list to 1)
+    # never depend on file-split boundaries or the scale factor.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'init',    CAST(1 AS INT)),
+      (CAST(2 AS BIGINT), 'append',  CAST(2 AS INT)),
+      (CAST(3 AS BIGINT), 'append',  CAST(3 AS INT)),
+      (CAST(4 AS BIGINT), 'delete',  CAST(1 AS INT))
+    ) AS t(version, op, n_parts)
+    """,
+    doc="DESCRIBE HISTORY for the stats layout (r13, rounding out the "
+    "commit-log surface): the retained commit records as a DataFrame "
+    "— (version, op, tag, n_parts, n_new_files, n_replaced, "
+    "committed_at), driver-side O(retention) JSON reads, no data "
+    "scan. Served over the deleted-scan scaffold, whose history is "
+    "structurally fixed — init (1 part), two appends (one part "
+    "added each), the April delete (rewrite collapses the part list "
+    "to 1) — so the oracle is a literal VALUES table over the "
+    "deterministic columns; the wall-clock and file-count columns "
+    "exist for operators and are projected off here "
+    "(operators/layout.py stats_history).",
+    tags=("layout", "versioning", "metadata"),
+)
+def layout_stats_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_history
+
+    layout = _skip_deleted_cached(spark, sf_dir)
+    return stats_history(spark, layout).select("version", "op", "n_parts")

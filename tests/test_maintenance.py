@@ -2132,3 +2132,72 @@ def test_bucket_read_grace_measures_swap_age(spark, sf_dir, tmp_path, monkeypatc
         y_lo, y_hi = y_lo.date(), y_hi.date()
     with _pytest.raises(RuntimeError, match="mid-swap"):
         zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
+
+
+def test_stats_mixed_writer_stress(spark, tmp_path):
+    """Mixed-op multi-writer stress: THREE appenders of disjoint row
+    sets and ONE compactor race one layout through the CAS. Appends
+    commute and compaction is row-preserving, so the final row set is
+    order-independent: exactly base plus all three batches, every
+    writer must succeed (losers retry, none error), and the commit
+    log must hold one commit per successful writer. stats_history
+    reports the retained log consistently."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    base = spark.range(0, 400).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "stress")
+    L.write_stats_layout(base, path, ["id"], n_files=8)
+
+    batches = [
+        spark.range(1000 * k, 1000 * k + 50).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        )
+        for k in (1, 2, 3)
+    ]
+    errs = []
+
+    def append(df, bid):
+        try:
+            L.stats_append(df, path, batch_id=bid)
+        except Exception as e:
+            errs.append(("append", bid, e))
+
+    def compact():
+        try:
+            L.stats_compact(spark, path, target_rows=100)
+        except Exception as e:
+            errs.append(("compact", e))
+
+    threads = [
+        threading.Thread(target=append, args=(b, f"s{k}"))
+        for k, b in enumerate(batches)
+    ] + [threading.Thread(target=compact)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    got = sorted(
+        r["id"]
+        for r in L.stats_pruned_scan(spark, path, {"id": (None, None)}).collect()
+    )
+    want = sorted(
+        list(range(400))
+        + [i for k in (1, 2, 3) for i in range(1000 * k, 1000 * k + 50)]
+    )
+    assert got == want  # nothing lost, nothing doubled, any interleaving
+
+    hist = {
+        r["version"]: r["op"]
+        for r in L.stats_history(spark, path).collect()
+    }
+    assert hist[1] == "init"
+    assert sorted(hist.values()).count("append") == 3
+    # the compactor either found small files and committed, or kept
+    # re-planning into a no-op — both are legal outcomes of the race
+    assert L._list_commits(path)[-1] in (4, 5)

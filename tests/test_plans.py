@@ -659,6 +659,22 @@ def test_hilbert_scan_prunes_buckets(spark, sf_dir):
     assert "PushedFilters" in plan
 
 
+def test_hilbert3_scan_prunes_buckets(spark, sf_dir):
+    """The 3-D Hilbert box scan must read only the covering cells —
+    the zorder3 plan shape with the bucket ids mapped through the
+    Hilbert table (r13): a zb IN-set far below the 512-cell grid,
+    raw predicates pushed into the scan."""
+    import re
+
+    df = REGISTRY["layout_hilbert3_pruned_scan"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
+    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
+    assert 0 < n_in < 64, pf  # same covering-cell count class as Morton
+    assert "PushedFilters" in plan
+
+
 def test_stats_skipping_scan_prunes_files(spark, sf_dir):
     """File planning must come from the manifest: the 3-month scan
     keeps a small fraction of the 48 files, the executed scan opens
