@@ -1507,11 +1507,17 @@ def _retention_gc(path: str, keep_versions=None) -> None:
         return
     cutoff = vs[-1] - keep_versions + 1
     live_parts = set()
+    protected = set()
     for v in vs:
         if v >= cutoff:
             rec = _read_commit(path, v)
             if rec is not None:
                 live_parts.update(rec["parts"])
+                # a RESTORE re-references files an older commit's
+                # replaced list still names: while the restore is
+                # retained, those files are live again and must not
+                # fall to the old record's expiry (stats_restore)
+                protected.update(rec.get("re_referenced", []))
     data_dir = _skip_data_dir(path)
     pool = _manifest_pool_dir(path)
     for v in vs:
@@ -1521,7 +1527,8 @@ def _retention_gc(path: str, keep_versions=None) -> None:
         if rec is None:
             continue  # concurrent GC already took it
         for fn in rec["replaced"]:
-            _rm_data_file(data_dir, fn)
+            if fn not in protected:
+                _rm_data_file(data_dir, fn)
         if v < cutoff:
             for p in rec["parts"]:
                 if p not in live_parts:
@@ -1603,7 +1610,7 @@ def stats_vacuum(spark, path: str, grace_seconds: float = 3600.0) -> dict:
                 removed["tmps"] += 1
     # torn idempotency-record tmps: the record either exists (replace
     # ran) or the retry redoes the op, so aged tmps are always dead
-    for family in ("_batches", "_deletes", "_merges"):
+    for family in ("_batches", "_deletes", "_merges", "_restores"):
         rdir = _record_dir(path, family)
         if not os.path.isdir(rdir):
             continue
@@ -2491,3 +2498,78 @@ def stats_history(spark, path: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema)
+
+
+def stats_restore(
+    spark,
+    path: str,
+    version: int,
+    batch_id: str | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """ROLLBACK the stats layout to a retained ``version`` — Delta's
+    RESTORE TABLE ... TO VERSION AS OF, metadata-only on the commit
+    log: a new commit whose part list IS the target version's, so the
+    restored table appears atomically at the CAS with no data
+    movement, and the un-restored versions remain time-travel-readable
+    until retention expires them (history is append-only — a restore
+    adds a commit, never rewrites one).
+
+    GC interplay: files the restored version references may be named
+    in some LATER commit's ``replaced`` list (the delete/merge/compact
+    being undone) — expiry of that record would delete them out from
+    under the restored lineage, so the restore commit carries the
+    restored file set as ``re_referenced`` and :func:`_retention_gc`
+    skips protected files while the restore is retained; once it
+    expires, the files are either still referenced by the flowing
+    lineage (a later rewrite's replaced list will eventually own
+    them) or orphaned by a second restore (collected by
+    :func:`stats_vacuum`). Exactly-once via the ``_restores/<tag>``
+    record + commit-log tag recovery, like every other op; a lost CAS
+    re-plans (the target must still be retained at commit time).
+    Returns {"restored_from", "version"}.
+    """
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    tag = _safe_tag(batch_id)
+    rec = _read_record(path, "_restores", tag)
+    if rec is not None:  # committed replay: short-circuit
+        return rec
+    committed = _find_commit_by_tag(path, "restore", tag)
+    if committed is not None:  # crashed between CAS and record
+        out = committed["result"]
+        _write_record(path, "_restores", tag, out)
+        return out
+
+    import os
+
+    while True:
+        v, cur = _load_version(path)
+        tv, target = _load_version(path, version)  # fails loud if expired
+        if tv == v:
+            out = {"restored_from": tv, "version": v}  # already there
+            _write_record(path, "_restores", tag, out)
+            return out
+        man = _read_manifest(spark, path, target)
+        re_referenced = sorted(
+            os.path.basename(r["file"].removeprefix("file:"))
+            for r in man.select("file").collect()
+        )
+        out = {"restored_from": tv, "version": v + 1}
+        payload = {
+            "op": "restore",
+            "tag": tag,
+            "parts": list(target["parts"]),
+            "new_files": [],
+            "replaced": [],
+            "re_referenced": re_referenced,
+            "skip_cols": list(target["skip_cols"]),
+            "data_schema": target["data_schema"],
+            "result": out,
+        }
+        if _cas_commit(path, v + 1, payload):
+            _write_record(path, "_restores", tag, out)
+            _retention_gc(path, keep_versions)
+            return out

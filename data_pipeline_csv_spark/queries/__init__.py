@@ -48,7 +48,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     oracle-green in r08 and replayed by tests/test_oracle_parity.py
 #     every round since.
 # (b) every query that is NEW or whose implementation CHANGED this
-#     round — 22 entries. Six DEBUTS: layout_stats_timetravel_scan
+#     round — 23 entries. Seven DEBUTS: layout_stats_timetravel_scan
 #     (VERSION AS OF on the new commit log — r12 VERDICT next #3),
 #     layout_stats_evolved_scan (schema evolution: widened commit
 #     schema, NULL backfill, evolved-column stats — next #5),
@@ -60,7 +60,11 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     stats_merge keyed by epoch id, exactly-once — next #4), and a
 #     sixth late debut layout_stats_history (DESCRIBE HISTORY over the
 #     retained commit records, literal-VALUES oracle on the
-#     structurally fixed scaffold history). Plus the
+#     structurally fixed scaffold history), and a seventh
+#     layout_stats_restored_scan (RESTORE TABLE TO VERSION: a
+#     metadata-only rollback commit reusing the target's part list,
+#     with re_referenced GC protection so the undone delete's expiring
+#     record cannot reap restored files). Plus the
 #     CHANGED implementations: the six stats-layout queries
 #     layout_stats_skipping_scan / layout_stats_appended_scan /
 #     layout_stats_compacted_scan / layout_stats_deleted_scan /
@@ -83,10 +87,11 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     similarity_ivf_append / similarity_ivf_retrain (r12 ADVICE #1:
 #     the reader-mode heal's stale-lock takeover is now single-winner
 #     — rename-first — and healers refresh the lock mtime at entry).
-# (c) OLDEST-ROUND FILL: the first 15 of the 42 entries whose latest
+# (c) OLDEST-ROUND FILL: the first 14 of the 42 entries whose latest
 #     driver row is r09, in registry order (percentiles_order_value
-#     through multimodal_image_features). The 27 r09 entries left —
+#     through multimodal_decode_roundtrip). The 28 r09 entries left —
 #     scheduled BY NAME for the r14 window, in registry order — are
+#     multimodal_image_features,
 #     multimodal_frame_stats, multimodal_phash_neardup, multimodal_phash_incremental,
 #     multimodal_audio_fingerprint, text_profile,
 #     text_unigram_logprob, text_bigram_logprob,
@@ -98,10 +103,10 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     range_join_price_bands, json_extract_props,
 #     sketch_distinct_customers, sketch_price_quantiles,
 #     streaming_distinct_kmv, q9_product_profit, window_events_suite,
-#     window_moving_avg, window_lag_lead. 13 + 22 + 15 = 50 exactly.
-#     After this round the recency floor is r09 for exactly those 27
+#     window_moving_avg, window_lag_lead. 13 + 23 + 14 = 50 exactly.
+#     After this round the recency floor is r09 for exactly those 28
 #     names and r10 for everything else (the r08 floor is retired).
-# The window is 50/50 oracle-backed, as is the whole 188-entry
+# The window is 50/50 oracle-backed, as is the whole 189-entry
 # registry.
 _PRIORITY = [
     # --- (a) the 13 scheduled r08 carryovers ---
@@ -125,6 +130,7 @@ _PRIORITY = [
     "layout_hilbert3_pruned_scan",
     "streaming_cdc_stats_merge",
     "layout_stats_history",
+    "layout_stats_restored_scan",
     "layout_stats_skipping_scan",
     "layout_stats_appended_scan",
     "layout_stats_compacted_scan",
@@ -156,7 +162,6 @@ _PRIORITY = [
     "profile_lineitem",
     "cdc_scd2_history",
     "multimodal_decode_roundtrip",
-    "multimodal_image_features",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -1483,3 +1483,73 @@ def layout_stats_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout = _skip_deleted_cached(spark, sf_dir)
     return stats_history(spark, layout).select("version", "op", "n_parts")
+
+
+_SKIP_RESTORE_CACHE: dict = {}
+
+
+def _skip_restored_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_stats_restored_scan: its OWN
+    copy of the append+delete lifecycle (the deleted/timetravel
+    scaffold is shared by two other entries and must stay on its
+    post-delete version), ROLLED BACK to the pre-delete version with
+    one :func:`~..operators.layout.stats_restore` (replayed once —
+    committed short-circuit). The live table is then exactly the
+    post-append state while the undone delete remains in history."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from ..operators.layout import stats_restore
+
+    path = _SKIP_RESTORE_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    cache: dict = {}
+    path = _build_skip_scaffold(
+        spark, sf_dir, cache, "sg_skiprestore_", 48,
+        with_appends=True,
+        delete={"l_shipdate": (datetime(1996, 4, 1), datetime(1996, 4, 30))},
+    )
+    stats_restore(spark, path, 3, batch_id="undo-1")
+    stats_restore(spark, path, 3, batch_id="undo-1")  # committed: no-op
+    _SKIP_RESTORE_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_stats_restored_scan",
+    # FULL value oracle — the whole-table 3-month filter WITH the
+    # April rows back: only a real rollback to the pre-delete version
+    # (and GC protection of its re-referenced files) reproduces it;
+    # a leaked delete or a lost restored file diverges the hash.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <= TIMESTAMP '1996-05-31'
+    """,
+    doc="RESTORE TABLE TO VERSION (r13, completing the versioning "
+    "surface next to time travel and DESCRIBE HISTORY — Delta's "
+    "RESTORE, metadata-only): the append+delete lifecycle is ROLLED "
+    "BACK to the pre-delete version by one commit whose part list IS "
+    "the target's — no data movement, the rollback appears atomically "
+    "at the CAS, and history stays append-only (the undone delete "
+    "remains time-travel-readable until retention expires it). The "
+    "restore commit carries the restored file set as re_referenced so "
+    "retention GC never deletes a restored file on the undone "
+    "delete's expiring record; files orphaned BY the rollback (the "
+    "delete's rewrites) fall to stats_vacuum. Served as the standard "
+    "3-month scan; the oracle is the whole-table filter INCLUDING the "
+    "April slice the delete had removed (operators/layout.py "
+    "stats_restore; rollback/replay/CAS-crash/GC-protection/expired-"
+    "target pinned by tests/test_maintenance.py::test_stats_restore_"
+    "rollback_and_gc_protection, every crash window by the sweep's "
+    "restore op).",
+    tags=("layout", "versioning", "restore", "scale"),
+)
+def layout_stats_restored_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _skip_scan_3months(spark, _skip_restored_cached(spark, sf_dir))

@@ -1629,6 +1629,7 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
         stats_delete,
         stats_merge,
         stats_pruned_scan,
+        stats_restore,
         write_stats_layout,
     )
 
@@ -1657,6 +1658,9 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
         # #5: the widened-manifest commit under the same sweep)
         ("evolve", lambda p: stats_append(evbatch, p, batch_id="t-e",
                                           new_skip_cols=["w"])),
+        # and RESTORE: the metadata-only rollback commit (to v2, the
+        # post-append state — undoing delete/merge/compact/evolve)
+        ("restore", lambda p: stats_restore(spark, p, 2, batch_id="t-r")),
     ]
 
     real = {
@@ -2201,3 +2205,84 @@ def test_stats_mixed_writer_stress(spark, tmp_path):
     # the compactor either found small files and committed, or kept
     # re-planning into a no-op — both are legal outcomes of the race
     assert L._list_commits(path)[-1] in (4, 5)
+
+
+def test_stats_restore_rollback_and_gc_protection(spark, tmp_path, monkeypatch):
+    """stats_restore (r13): metadata-only ROLLBACK via the commit log.
+    (a) restoring to a retained version serves exactly that version's
+    rows, atomically at the CAS, with history append-only (the undone
+    versions stay time-travel-readable); (b) replays short-circuit and
+    a crash AT the CAS leaves the un-restored table; (c) the restored
+    files SURVIVE retention GC even after the undone delete's record
+    expires (the re_referenced protection), and vacuum collects only
+    the genuinely orphaned rewrite files; (d) restoring to an expired
+    or future version fails loud."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "restore")
+    L.write_stats_layout(base, path, ["id"], n_files=4)
+    L.stats_append(
+        spark.range(1000, 1050).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="b",
+    )
+    L.stats_delete(spark, path, {"id": (0, 99)}, batch_id="d")
+
+    def ids(**kw):
+        return sorted(
+            r["id"]
+            for r in L.stats_pruned_scan(
+                spark, path, {"id": (None, None)}, **kw
+            ).collect()
+        )
+
+    want_v2 = sorted(list(range(300)) + list(range(1000, 1050)))
+    want_v3 = sorted(i for i in want_v2 if i >= 100)
+    assert ids() == want_v3
+
+    # (b) crash AT the CAS: nothing restored
+    real_link = os.link
+    monkeypatch.setattr(
+        os, "link", lambda s, d: (_ for _ in ()).throw(RuntimeError("crash at CAS"))
+    )
+    with _pytest.raises(RuntimeError):
+        L.stats_restore(spark, path, 2, batch_id="r1")
+    monkeypatch.setattr(os, "link", real_link)
+    assert ids() == want_v3 and L._list_commits(path)[-1] == 3
+
+    # (a) restore lands as version 4; history is append-only
+    out = L.stats_restore(spark, path, 2, batch_id="r1")
+    assert out == {"restored_from": 2, "version": 4}
+    assert L.stats_restore(spark, path, 2, batch_id="r1") == out  # replay
+    assert ids() == want_v2
+    assert ids(version=3) == want_v3  # the undone delete still readable
+    hist = {r["version"]: r["op"] for r in L.stats_history(spark, path).collect()}
+    assert hist[4] == "restore"
+
+    # (c) expire the delete's record under tight retention: the
+    # restored rows must survive GC, and vacuum must not break them
+    for i in range(6):
+        L.stats_append(
+            spark.range(5000 + 10 * i, 5005 + 10 * i).select(
+                F.col("id"), (F.col("id") * 3).alias("v")
+            ),
+            path,
+            batch_id=f"k{i}",
+            keep_versions=3,
+        )
+    got = ids()
+    assert sorted(i for i in got if i < 5000) == want_v2
+    L.stats_vacuum(spark, path, grace_seconds=0)
+    assert ids() == got
+
+    # (d) expired / future targets fail loud
+    with _pytest.raises(ValueError, match="expired"):
+        L.stats_restore(spark, path, 2, batch_id="r2")
+    with _pytest.raises(ValueError, match="does not exist"):
+        L.stats_restore(spark, path, 99, batch_id="r3")
