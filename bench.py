@@ -354,6 +354,18 @@ HEADLINE = [
     #   min-of-3 measures the standard pruned scan against the
     #   restored version — stats-scan-sized.
     "layout_stats_restored_scan",
+    # - OPTIMIZE ZORDER: the clustered scaffold (one full-table
+    #   rewrite) is amortized per corpus version; min-of-3 measures
+    #   the wide-date x narrow-price box scan against the clustered
+    #   layout — fewer files planned than the range layout could
+    #   (29 -> 11 of 48 at sf0.01), so expect a small number that
+    #   the range layout could not reach for this box shape.
+    "layout_stats_clustered_scan",
+    # - CHANGE DATA FEED: the purge commit's feed — two explicit-
+    #   schema reads of the commit's exclusive files + one EXCEPT ALL
+    #   (a hash-partitioned anti-diff over O(changed files), never
+    #   the table); expect a small join-shaped number.
+    "layout_stats_changes_feed",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -541,10 +553,15 @@ HEADLINE = [
 # - bucket scans (zorder/zorder3/hilbert/hilbert3): the read-grace
 #   check (r12 ADVICE #2) adds an mtime stat per stranded dir — zero
 #   on healthy layouts; expect flat numbers.
-# r13 observed — two full runs while the host drifted; the COMMITTED
-# BENCH_DETAIL_r13 is the FINAL-TREE run (all seven debuts incl. the
-# late RESTORE entry): 120.38 s / 80 entries, canary 0.229 min /
-# 0.358 median. The mid-round run (before the history/restore debuts)
+# r13 observed — three full runs while the host drifted; the
+# COMMITTED BENCH_DETAIL_r13 is the FINAL-TREE run (all nine debuts
+# incl. the late RESTORE / OPTIMIZE-ZORDER / CHANGE-FEED entries):
+# 135.57 s / 82 entries, canary 0.227 min / 0.378 median; its two
+# late debuts read layout_stats_clustered_scan 0.18 s (the tightened
+# 11-of-48-file box scan) and layout_stats_changes_feed 0.66 s (two
+# explicit-schema reads + one EXCEPT ALL over the purge commit's
+# files). The second run (through the restore debut) read 120.38 s /
+# 80 at canary 0.229/0.358. The mid-round run (before the history/restore debuts)
 # read 140.37 s / 79 at canary 0.3365/0.3626 — vs the r12 artifact
 # (119.43 s / 74, canary 0.3055/0.3859) the shared-entry total was
 # 0.994x NET of the canary, i.e. flat, with the headline debuts

@@ -2017,6 +2017,7 @@ def _commit_rewrite(
     rewrite_df: DataFrame,
     result: dict | None = None,
     n_out: int | None = None,
+    repartition: bool = True,
 ):
     """The COPY-ON-WRITE attempt body shared by :func:`stats_delete`,
     :func:`stats_merge` and :func:`stats_compact` — one implementation
@@ -2072,12 +2073,16 @@ def _commit_rewrite(
         if total_kept:
             if n_out is None:
                 n_out = max(1, len(affected_rows))
-            (
-                rewrite_df.repartitionByRange(n_out, *[F.col(c) for c in skip_cols])
-                .sortWithinPartitions(*skip_cols)
-                .write.mode("overwrite")
-                .parquet(sdata)
-            )
+            staged_df = rewrite_df
+            if repartition:
+                # the default file layout: range on the skip columns.
+                # stats_cluster passes repartition=False with its own
+                # z-ordered partitioning already applied — re-ranging
+                # here would undo exactly the clustering being written
+                staged_df = rewrite_df.repartitionByRange(
+                    n_out, *[F.col(c) for c in skip_cols]
+                ).sortWithinPartitions(*skip_cols)
+            staged_df.write.mode("overwrite").parquet(sdata)
             staged_parts = sorted(
                 fn for fn in os.listdir(sdata) if fn.endswith(".parquet")
             )
@@ -2573,3 +2578,167 @@ def stats_restore(
             _write_record(path, "_restores", tag, out)
             _retention_gc(path, keep_versions)
             return out
+
+
+def stats_changes(spark, path: str, version: int) -> DataFrame:
+    """Row-level CHANGE DATA FEED of commit ``version`` — what Delta's
+    table_changes() serves, computed from the retained commit log with
+    no stored feed: the change set of a commit is the row diff of its
+    file-set against its parent's, and file sets are exactly what the
+    manifests record, so
+
+    - inserts = rows of files referenced by v but not v-1, EXCEPT ALL
+      rows of files referenced by v-1 but not v;
+    - deletes = the converse
+
+    — O(symmetric file-set difference), never a table scan (an append
+    diffs its batch files against nothing; a delete diffs its rewrites
+    against the replaced originals, leaving exactly the deleted rows;
+    an update via merge yields the old version as delete + the new as
+    insert; a RESTORE yields the rows it brought back/removed — every
+    op uniformly, because the definition never looks at the op).
+    Both versions are read under v's committed schema (evolved columns
+    backfill NULL identically on both sides, so unchanged rows cancel
+    in the EXCEPT ALL). Returns the data columns plus ``_change_type``
+    ('insert' | 'delete'). Requires v AND v-1 retained — the same
+    retention contract as time travel; fails loud past it."""
+    import os
+
+    v, cur = _load_version(path, version)
+    if v <= 1:
+        raise ValueError(
+            f"stats_changes: version {v} has no parent — the initial "
+            f"commit's 'feed' is the whole table (scan version 1)"
+        )
+    _pv, parent = _load_version(path, v - 1)
+
+    def files_of(payload):
+        man = _read_manifest(spark, path, payload)
+        return {r["file"] for r in man.select("file").collect()}
+
+    f_new = files_of(cur)
+    f_old = files_of(parent)
+    only_new = sorted(f_new - f_old)
+    only_old = sorted(f_old - f_new)
+    added = _read_data_files(spark, cur, only_new)
+    removed = _read_data_files(spark, cur, only_old)
+    cols = added.columns
+    inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
+    deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes).select(*cols, "_change_type")
+
+
+def stats_cluster(
+    spark,
+    path: str,
+    cols: list,
+    n_files: int = 48,
+    batch_id: str | None = None,
+    keep_versions: int | None = None,
+) -> list[str]:
+    """OPTIMIZE ZORDER BY for the stats layout (Delta's multi-column
+    clustering, on the commit log): rewrite the table with rows
+    ordered along the Morton interleave of the quantized ``cols``, so
+    every clustered column's per-file [min, max] interval tightens and
+    the manifest prunes multi-column boxes the way the leading-column
+    range layout only could for its first key. One full copy-on-write
+    rewrite committed as a new version through :func:`_commit_rewrite`
+    (affected = every file) — crash windows, CAS-loser re-plan,
+    retention and time travel all come from the shared body; the
+    pre-cluster version stays readable until retention expires it.
+
+    Quantizers derive from one min/max aggregate over the table (the
+    same clamp-to-grid arithmetic as the bucketed layouts' specs, but
+    per-rewrite — clustering is a physical property of THIS version's
+    files, not a standing spec: the next cluster call re-derives).
+    ``cols`` must be committed skip columns — clustering exists to
+    serve the manifest's stats, and evolving + clustering in one step
+    would hide NULL-backfilled rows from the tightened intervals.
+    Exactly-once per ``batch_id`` via the ``_clusters/<tag>`` record +
+    commit-log tag recovery. Returns the new file names.
+    """
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    tag = _safe_tag(batch_id)
+    rec = _read_record(path, "_clusters", tag)
+    if rec is not None:  # committed replay: short-circuit
+        return rec["new_files"]
+    committed = _find_commit_by_tag(path, "cluster", tag)
+    if committed is not None:  # crashed between CAS and record
+        _write_record(path, "_clusters", tag, {"new_files": committed["new_files"]})
+        return committed["new_files"]
+    if _tag_part_referenced(path, "z", tag):
+        raise RuntimeError(
+            f"stats_cluster: batch {batch_id!r} committed at {path} but "
+            f"its record and commit entry expired from retention — the "
+            f"clustering IS applied; retries are expected within the "
+            f"retention window"
+        )
+    _sweep_own_tag(path, "z", tag)
+
+    while True:
+        v, cur = _load_version(path)
+        skip_cols = cur["skip_cols"]
+        bad = [c for c in cols if c not in skip_cols]
+        if bad:
+            raise ValueError(
+                f"stats_cluster: column(s) {bad} are not skip columns "
+                f"(layout has {skip_cols}) — clustering exists to tighten "
+                f"manifest stats, so cluster keys must carry them"
+            )
+        man = _read_manifest(spark, path, cur)
+        rows = man.collect()
+        if not rows:
+            return []
+        full = _read_data_files(spark, cur, [r["file"] for r in rows])
+        # per-rewrite quantizer constants from ONE min/max pass: every
+        # cluster key is normalized to a double up front (dates and
+        # timestamps via their epoch seconds), so the driver sees
+        # plain floats and the row side evaluates the identical
+        # clamp-to-grid arithmetic as the bucketed layouts' specs
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        num = {}
+        for c in cols:
+            if isinstance(
+                full.schema[c].dataType,
+                (DateType, TimestampType, TimestampNTZType),
+            ):
+                num[c] = F.col(c).cast("timestamp").cast("double")
+            else:
+                num[c] = F.col(c).cast("double")
+        b = full.agg(
+            *[f for c in cols for f in (
+                F.min(num[c]).alias(f"lo_{c}"), F.max(num[c]).alias(f"hi_{c}"))]
+        ).collect()[0]
+        bits = 10
+        qs = []
+        for c in cols:
+            lo = b[f"lo_{c}"] if b[f"lo_{c}"] is not None else 0.0
+            hi = b[f"hi_{c}"] if b[f"hi_{c}"] is not None else 1.0
+            span = hi - lo
+            scale = (float(1 << bits) / span) if span > 0 else 1.0
+            q = F.floor((num[c] - F.lit(lo)) * F.lit(scale))
+            qs.append(
+                F.least(
+                    F.lit((1 << bits) - 1).cast("long"),
+                    F.greatest(F.lit(0).cast("long"), q),
+                ).cast("int")
+            )
+        z = zvalue_nd(qs, bits)
+        clustered = (
+            full.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        payload = _commit_rewrite(
+            spark, path, tag, "z", "cluster", v, cur, rows, clustered,
+            n_out=n_files, repartition=False,
+        )
+        if payload is not None:
+            _write_record(path, "_clusters", tag, {"new_files": payload["new_files"]})
+            _retention_gc(path, keep_versions)
+            return payload["new_files"]

@@ -48,7 +48,7 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     oracle-green in r08 and replayed by tests/test_oracle_parity.py
 #     every round since.
 # (b) every query that is NEW or whose implementation CHANGED this
-#     round — 23 entries. Seven DEBUTS: layout_stats_timetravel_scan
+#     round — 25 entries. Nine DEBUTS: layout_stats_timetravel_scan
 #     (VERSION AS OF on the new commit log — r12 VERDICT next #3),
 #     layout_stats_evolved_scan (schema evolution: widened commit
 #     schema, NULL backfill, evolved-column stats — next #5),
@@ -64,7 +64,16 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     layout_stats_restored_scan (RESTORE TABLE TO VERSION: a
 #     metadata-only rollback commit reusing the target's part list,
 #     with re_referenced GC protection so the undone delete's expiring
-#     record cannot reap restored files). Plus the
+#     record cannot reap restored files), an eighth
+#     layout_stats_clustered_scan (OPTIMIZE ZORDER BY on the commit
+#     log: a full copy-on-write rewrite ordering rows along the Morton
+#     interleave of both skip columns, tightening every file's
+#     per-column interval so the manifest prunes the SECOND column
+#     too — the scaffold asserts the planned-file drop), and a ninth
+#     layout_stats_changes_feed (CHANGE DATA FEED: a commit's row diff
+#     as the EXCEPT ALL of its exclusive files against its parent's —
+#     O(changed files), uniform across op kinds, no stored feed). Plus
+#     the
 #     CHANGED implementations: the six stats-layout queries
 #     layout_stats_skipping_scan / layout_stats_appended_scan /
 #     layout_stats_compacted_scan / layout_stats_deleted_scan /
@@ -87,10 +96,11 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     similarity_ivf_append / similarity_ivf_retrain (r12 ADVICE #1:
 #     the reader-mode heal's stale-lock takeover is now single-winner
 #     — rename-first — and healers refresh the lock mtime at entry).
-# (c) OLDEST-ROUND FILL: the first 14 of the 42 entries whose latest
+# (c) OLDEST-ROUND FILL: the first 12 of the 42 entries whose latest
 #     driver row is r09, in registry order (percentiles_order_value
-#     through multimodal_decode_roundtrip). The 28 r09 entries left —
-#     scheduled BY NAME for the r14 window, in registry order — are
+#     through profile_lineitem). The 30 r09 entries left — scheduled
+#     BY NAME for the r14 window, in registry order — are
+#     cdc_scd2_history, multimodal_decode_roundtrip,
 #     multimodal_image_features,
 #     multimodal_frame_stats, multimodal_phash_neardup, multimodal_phash_incremental,
 #     multimodal_audio_fingerprint, text_profile,
@@ -103,10 +113,10 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     range_join_price_bands, json_extract_props,
 #     sketch_distinct_customers, sketch_price_quantiles,
 #     streaming_distinct_kmv, q9_product_profit, window_events_suite,
-#     window_moving_avg, window_lag_lead. 13 + 23 + 14 = 50 exactly.
-#     After this round the recency floor is r09 for exactly those 28
+#     window_moving_avg, window_lag_lead. 13 + 25 + 12 = 50 exactly.
+#     After this round the recency floor is r09 for exactly those 30
 #     names and r10 for everything else (the r08 floor is retired).
-# The window is 50/50 oracle-backed, as is the whole 189-entry
+# The window is 50/50 oracle-backed, as is the whole 191-entry
 # registry.
 _PRIORITY = [
     # --- (a) the 13 scheduled r08 carryovers ---
@@ -131,6 +141,8 @@ _PRIORITY = [
     "streaming_cdc_stats_merge",
     "layout_stats_history",
     "layout_stats_restored_scan",
+    "layout_stats_clustered_scan",
+    "layout_stats_changes_feed",
     "layout_stats_skipping_scan",
     "layout_stats_appended_scan",
     "layout_stats_compacted_scan",
@@ -160,8 +172,6 @@ _PRIORITY = [
     "graph_pagerank_suppliers",
     "graph_label_propagation",
     "profile_lineitem",
-    "cdc_scd2_history",
-    "multimodal_decode_roundtrip",
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

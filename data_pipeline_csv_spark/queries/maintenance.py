@@ -1553,3 +1553,134 @@ def _skip_restored_cached(spark: SparkSession, sf_dir: str) -> str:
 )
 def layout_stats_restored_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skip_scan_3months(spark, _skip_restored_cached(spark, sf_dir))
+
+
+_SKIP_CLUSTER_CACHE: dict = {}
+
+
+def _skip_clustered_cached(spark: SparkSession, sf_dir: str):
+    """Build-once scaffolding for layout_stats_clustered_scan: the
+    48-file range layout on (l_shipdate, l_extendedprice) — where
+    every file spans the full PRICE range, so a price-tight box can
+    prune nothing beyond its date bounds — rewritten by ONE
+    :func:`~..operators.layout.stats_cluster` along the Morton
+    interleave of both keys (replayed once — committed short-circuit).
+    Returns (path, files_planned_before, files_planned_after) for the
+    box the registered query serves; the build asserts the clustering
+    actually tightened the plan."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from ..operators.layout import stats_cluster, stats_pruned_scan, write_stats_layout
+
+    hit = _SKIP_CLUSTER_CACHE.get(sf_dir)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    li = _skip_lineitem(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sg_skipclust_")
+    write_stats_layout(li, path, _SKIP_COLS, n_files=48)
+    box = {
+        "l_shipdate": (datetime(1993, 1, 1), datetime(1998, 12, 31)),
+        "l_extendedprice": (30000.0, 34000.0),
+    }
+    _df, before = stats_pruned_scan(spark, path, box, return_files=True)
+    stats_cluster(spark, path, _SKIP_COLS, n_files=48, batch_id="opt-1")
+    stats_cluster(spark, path, _SKIP_COLS, n_files=48, batch_id="opt-1")  # replay
+    _df, after = stats_pruned_scan(spark, path, box, return_files=True)
+    out = (path, len(before), len(after))
+    _SKIP_CLUSTER_CACHE[sf_dir] = out
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return out
+
+
+@query(
+    "layout_stats_clustered_scan",
+    # FULL value oracle: the plain 2-predicate filter — the hash match
+    # proves the full-table clustering rewrite lost/duplicated nothing
+    # and every tightened manifest interval stayed a true bound.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1993-01-01'
+      AND l_shipdate <= TIMESTAMP '1998-12-31'
+      AND l_extendedprice >= 30000 AND l_extendedprice <= 34000
+    """,
+    doc="OPTIMIZE ZORDER BY on the stats layout (r13 — Delta's multi-"
+    "column clustering, expressed on the commit log): the range "
+    "layout's files each span the full price range, so a WIDE-date x "
+    "NARROW-price box plans nearly every file; one stats_cluster "
+    "rewrite orders rows along the Morton interleave of (ship-date, "
+    "price), tightening every file's per-column [min,max] so the SAME "
+    "manifest prunes the second column too (measured at build: the "
+    "box's planned file count drops, asserted in the scaffold). The "
+    "rewrite rides _commit_rewrite — one new version, crash-safe at "
+    "the CAS, the pre-cluster version time-travel-readable until "
+    "retention — with the clustering's own partitioning preserved "
+    "through a repartition bypass; quantizers derive per-rewrite from "
+    "one min/max pass (clustering is a physical property of THIS "
+    "version's files, not a standing spec). Cluster keys must be skip "
+    "columns — the point is the manifest's stats "
+    "(operators/layout.py stats_cluster; rows/pruning/crash/replay "
+    "pinned by tests/test_maintenance.py::test_stats_cluster_and_"
+    "changes_feed).",
+    tags=("layout", "skipping", "clustering", "zorder", "scale"),
+)
+def layout_stats_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.layout import stats_pruned_scan
+
+    path, before, after = _skip_clustered_cached(spark, sf_dir)
+    assert after < before, (before, after)  # the clustering DID tighten
+    return stats_pruned_scan(
+        spark,
+        path,
+        {
+            "l_shipdate": (datetime(1993, 1, 1), datetime(1998, 12, 31)),
+            "l_extendedprice": (30000.0, 34000.0),
+        },
+    ).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+
+
+@query(
+    "layout_stats_changes_feed",
+    # FULL value oracle: the deleted scaffold's v4 is the April purge,
+    # so its change feed is EXACTLY the April slice as deletes and
+    # nothing as inserts (the rewrite's surviving rows cancel in the
+    # EXCEPT ALL) — a missed or phantom row diverges the hash.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity,
+           'delete' AS _change_type
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-04-01'
+      AND l_shipdate <= TIMESTAMP '1996-04-30'
+    """,
+    doc="CHANGE DATA FEED from the commit log (r13 — Delta's "
+    "table_changes(), computed with no stored feed): a commit's "
+    "row-level change set is the EXCEPT ALL diff of the files only it "
+    "references against the files only its parent references — "
+    "O(symmetric file-set difference), never a table scan, and "
+    "uniform across op kinds because the definition never looks at "
+    "the op (append -> its batch as inserts; delete -> exactly the "
+    "purged rows, the rewrites' survivors cancelling; merge -> old "
+    "versions as deletes + new as inserts; RESTORE -> what it brought "
+    "back). Served over the deleted scaffold's purge commit, whose "
+    "feed must equal the April slice; availability matches the "
+    "retention window like time travel (operators/layout.py "
+    "stats_changes; all four op kinds + the v1 edge pinned by tests/"
+    "test_maintenance.py::test_stats_cluster_and_changes_feed).",
+    tags=("layout", "versioning", "cdc", "changefeed", "scale"),
+)
+def layout_stats_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_changes
+
+    layout = _skip_deleted_cached(spark, sf_dir)
+    return stats_changes(spark, layout, 4).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
+        "l_quantity", "_change_type",
+    )

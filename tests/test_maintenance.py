@@ -2286,3 +2286,101 @@ def test_stats_restore_rollback_and_gc_protection(spark, tmp_path, monkeypatch):
         L.stats_restore(spark, path, 2, batch_id="r2")
     with _pytest.raises(ValueError, match="does not exist"):
         L.stats_restore(spark, path, 99, batch_id="r3")
+
+
+def test_stats_cluster_and_changes_feed(spark, tmp_path, monkeypatch):
+    """stats_cluster (OPTIMIZE ZORDER on the commit log) and
+    stats_changes (the change data feed) — r13 completions: (a)
+    clustering preserves rows exactly, tightens multi-column pruning
+    (fewer planned files for a box constraining the SECOND column),
+    replays short-circuit, and the pre-cluster version stays readable;
+    (b) a crash AT the CAS leaves the unclustered table; (c) cluster
+    keys must be skip columns; (d) the change feed reproduces each
+    commit's exact row diff for append, delete, merge and RESTORE
+    uniformly (file-set diff, O(changed files)), and v1 fails loud."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "cluster")
+    L.write_stats_layout(df, path, ["x", "y"], n_files=32)
+
+    def planned(ranges):
+        _d, files = L.stats_pruned_scan(spark, path, ranges, return_files=True)
+        return len(files)
+
+    # a box tight in the SECOND column: the x-range layout cannot
+    # prune on y (every file spans all of y), clustering can
+    box = {"x": (None, None), "y": (20, 40)}
+    before = planned(box)
+    assert before == 32  # no pruning at all pre-cluster
+
+    # (b) crash AT the CAS: nothing committed
+    real_link = os.link
+    monkeypatch.setattr(
+        os, "link", lambda s, d: (_ for _ in ()).throw(RuntimeError("crash at CAS"))
+    )
+    with _pytest.raises(RuntimeError):
+        L.stats_cluster(spark, path, ["x", "y"], n_files=32, batch_id="z1")
+    monkeypatch.setattr(os, "link", real_link)
+    assert L._list_commits(path)[-1] == 1 and planned(box) == before
+
+    # (a) cluster commits; rows exact; second-column pruning appears
+    newf = L.stats_cluster(spark, path, ["x", "y"], n_files=32, batch_id="z1")
+    assert newf
+    assert L.stats_cluster(spark, path, ["x", "y"], n_files=32, batch_id="z1") == newf
+    after = planned(box)
+    assert after < before // 2, (before, after)
+    got = sorted(r["payload"] for r in L.stats_pruned_scan(spark, path, box).collect())
+    want = sorted(
+        r["payload"] for r in df.filter(F.col("y").between(20, 40)).collect()
+    )
+    assert got == want
+    assert L.stats_pruned_scan(spark, path, {"x": (None, None)}).count() == 40000
+    assert L.stats_pruned_scan(spark, path, box, version=1).count() == len(want)
+
+    # (c) cluster keys must carry manifest stats
+    with _pytest.raises(ValueError, match="not skip columns"):
+        L.stats_cluster(spark, path, ["payload"], batch_id="bad")
+
+    # (d) the change feed, across op kinds
+    L.stats_append(
+        spark.range(100000, 100050).select(
+            (F.col("id") % 200).alias("x"),
+            (F.col("id") / 200).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        ),
+        path,
+        batch_id="b",
+    )
+    v_append = L._list_commits(path)[-1]
+    feed = L.stats_changes(spark, path, v_append)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    assert sorted(
+        r["payload"] for r in feed.filter(F.col("_change_type") == "insert").collect()
+    ) == list(range(100000, 100050))
+
+    L.stats_delete(spark, path, {"y": (0, 4)}, batch_id="d")
+    v_del = L._list_commits(path)[-1]
+    feed = L.stats_changes(spark, path, v_del)
+    dels = feed.filter(F.col("_change_type") == "delete")
+    assert dels.count() == 1000 and feed.count() == 1000  # ids 0..999, no inserts
+
+    L.stats_restore(spark, path, v_append, batch_id="r")
+    v_rest = L._list_commits(path)[-1]
+    feed = L.stats_changes(spark, path, v_rest)
+    back = sorted(
+        r["payload"] for r in feed.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert back == list(range(1000))  # the restore brought them back
+
+    with _pytest.raises(ValueError, match="no parent"):
+        L.stats_changes(spark, path, 1)
