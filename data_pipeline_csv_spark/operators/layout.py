@@ -1509,15 +1509,24 @@ def _retention_gc(path: str, keep_versions=None) -> None:
     live_parts = set()
     protected = set()
     for v in vs:
+        rec = _read_commit(path, v)
+        if rec is None:
+            continue
         if v >= cutoff:
-            rec = _read_commit(path, v)
-            if rec is not None:
-                live_parts.update(rec["parts"])
-                # a RESTORE re-references files an older commit's
-                # replaced list still names: while the restore is
-                # retained, those files are live again and must not
-                # fall to the old record's expiry (stats_restore)
-                protected.update(rec.get("re_referenced", []))
+            live_parts.update(rec["parts"])
+        # a RESTORE re-references files an older commit's replaced
+        # list still names: those files are live again and must not
+        # fall to the old record's expiry (stats_restore). Protection
+        # comes from ALL present records, not just retained ones, and
+        # expiry processes versions ASCENDING below — so an old
+        # replaced-list is always evaluated while every younger
+        # restore's record still exists, even when the cutoff jumps
+        # several versions in one pass (crashed GC, mixed
+        # keep_versions). A file skipped here whose protector later
+        # expires is never double-processed (its record is gone) —
+        # it ends as vacuum's orphan if the lineage stops referencing
+        # it, never as a dangling reference (r13 review #2).
+        protected.update(rec.get("re_referenced", []))
     data_dir = _skip_data_dir(path)
     pool = _manifest_pool_dir(path)
     for v in vs:
@@ -1610,7 +1619,7 @@ def stats_vacuum(spark, path: str, grace_seconds: float = 3600.0) -> dict:
                 removed["tmps"] += 1
     # torn idempotency-record tmps: the record either exists (replace
     # ran) or the retry redoes the op, so aged tmps are always dead
-    for family in ("_batches", "_deletes", "_merges", "_restores"):
+    for family in ("_batches", "_deletes", "_merges", "_restores", "_clusters"):
         rdir = _record_dir(path, family)
         if not os.path.isdir(rdir):
             continue
@@ -2547,8 +2556,23 @@ def stats_restore(
         out = committed["result"]
         _write_record(path, "_restores", tag, out)
         return out
+    if _tag_part_referenced(path, "r", tag):
+        # committed, but BOTH the record write was lost and retention
+        # already expired the commit record (the marker part below is
+        # how a restore — which creates no data files — stays
+        # detectable through the same check as every other op):
+        # re-running would silently roll back everything committed
+        # since, so fail loud instead (r13 review #2)
+        raise RuntimeError(
+            f"stats_restore: batch {batch_id!r} committed at {path} but "
+            f"its record and commit entry expired from retention — the "
+            f"restore IS applied; retries are expected within the "
+            f"retention window"
+        )
+    _sweep_own_tag(path, "r", tag)
 
     import os
+    import uuid as _uuid
 
     while True:
         v, cur = _load_version(path)
@@ -2562,11 +2586,21 @@ def stats_restore(
             os.path.basename(r["file"].removeprefix("file:"))
             for r in man.select("file").collect()
         )
+        # an EMPTY manifest part tagged r<tag>- : contributes no rows
+        # to any manifest read, but flows forward through appends like
+        # every part, so _tag_part_referenced can recognize this
+        # restore's commit long after its record expired
+        marker = _stage_manifest_part(
+            spark.createDataFrame([], _manifest_schema(target)),
+            os.path.join(path, "_staging", f"restore-{tag}-{_uuid.uuid4().hex[:8]}"),
+            _manifest_pool_dir(path),
+            f"r{tag}-{_uuid.uuid4().hex[:8]}.parquet",
+        )
         out = {"restored_from": tv, "version": v + 1}
         payload = {
             "op": "restore",
             "tag": tag,
-            "parts": list(target["parts"]),
+            "parts": list(target["parts"]) + [marker],
             "new_files": [],
             "replaced": [],
             "re_referenced": re_referenced,
@@ -2578,6 +2612,7 @@ def stats_restore(
             _write_record(path, "_restores", tag, out)
             _retention_gc(path, keep_versions)
             return out
+        _rm_f(os.path.join(_manifest_pool_dir(path), marker))
 
 
 def stats_changes(spark, path: str, version: int) -> DataFrame:
@@ -2691,14 +2726,30 @@ def stats_cluster(
         man = _read_manifest(spark, path, cur)
         rows = man.collect()
         if not rows:
+            # record the no-op too: without it a same-batch_id retry
+            # after later appends would re-run the rewrite, breaking
+            # the exactly-once-per-batch_id contract (r13 review #3)
+            _write_record(path, "_clusters", tag, {"new_files": []})
             return []
         full = _read_data_files(spark, cur, [r["file"] for r in rows])
-        # per-rewrite quantizer constants from ONE min/max pass: every
-        # cluster key is normalized to a double up front (dates and
-        # timestamps via their epoch seconds), so the driver sees
-        # plain floats and the row side evaluates the identical
-        # clamp-to-grid arithmetic as the bucketed layouts' specs
+        # per-rewrite quantizer constants from the manifest rows
+        # ALREADY collected for planning — cluster keys are skip
+        # columns by contract, so global min/max = min-of-mins /
+        # max-of-maxes over the broadcast-sized row list, sparing the
+        # full-table aggregate the op's dominant cost path was paying
+        # (r13 review #5). Dates/timestamps normalize to epoch seconds
+        # on both sides; bounds only SCALE the grid (rows clamp to its
+        # edges), so exactness never depends on them.
+        import datetime as _dt
+
         from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        def _num_val(v):
+            if isinstance(v, _dt.datetime):
+                return v.timestamp()
+            if isinstance(v, _dt.date):
+                return _dt.datetime.combine(v, _dt.time()).timestamp()
+            return float(v)
 
         num = {}
         for c in cols:
@@ -2709,15 +2760,13 @@ def stats_cluster(
                 num[c] = F.col(c).cast("timestamp").cast("double")
             else:
                 num[c] = F.col(c).cast("double")
-        b = full.agg(
-            *[f for c in cols for f in (
-                F.min(num[c]).alias(f"lo_{c}"), F.max(num[c]).alias(f"hi_{c}"))]
-        ).collect()[0]
         bits = 10
         qs = []
         for c in cols:
-            lo = b[f"lo_{c}"] if b[f"lo_{c}"] is not None else 0.0
-            hi = b[f"hi_{c}"] if b[f"hi_{c}"] is not None else 1.0
+            los = [r[f"min_{c}"] for r in rows if r[f"min_{c}"] is not None]
+            his = [r[f"max_{c}"] for r in rows if r[f"max_{c}"] is not None]
+            lo = _num_val(min(los)) if los else 0.0
+            hi = _num_val(max(his)) if his else 1.0
             span = hi - lo
             scale = (float(1 << bits) / span) if span > 0 else 1.0
             q = F.floor((num[c] - F.lit(lo)) * F.lit(scale))

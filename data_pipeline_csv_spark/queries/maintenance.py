@@ -1496,10 +1496,7 @@ def _skip_restored_cached(spark: SparkSession, sf_dir: str) -> str:
     one :func:`~..operators.layout.stats_restore` (replayed once —
     committed short-circuit). The live table is then exactly the
     post-append state while the undone delete remains in history."""
-    import atexit
     import os
-    import shutil
-    import tempfile
     from datetime import datetime
 
     from ..operators.layout import stats_restore
@@ -1508,6 +1505,8 @@ def _skip_restored_cached(spark: SparkSession, sf_dir: str) -> str:
     if path is not None and os.path.isdir(path):
         return path
     cache: dict = {}
+    # _build_skip_scaffold registers the atexit cleanup itself — this
+    # builder only layers the rollback on top of its own private copy
     path = _build_skip_scaffold(
         spark, sf_dir, cache, "sg_skiprestore_", 48,
         with_appends=True,
@@ -1516,7 +1515,6 @@ def _skip_restored_cached(spark: SparkSession, sf_dir: str) -> str:
     stats_restore(spark, path, 3, batch_id="undo-1")
     stats_restore(spark, path, 3, batch_id="undo-1")  # committed: no-op
     _SKIP_RESTORE_CACHE[sf_dir] = path
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 

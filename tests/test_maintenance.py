@@ -1150,6 +1150,8 @@ def test_stats_vacuum_orphans_and_grace(spark, tmp_path):
     os.makedirs(f"{path}/_staging/append-dead/data", exist_ok=True)
     open(f"{path}/_commits/.tmp-dead", "w").write('{"op": "appe')
     open(f"{path}/_batches/e9.tmp-abc", "w").write("{")
+    os.makedirs(f"{path}/_clusters", exist_ok=True)
+    open(f"{path}/_clusters/zX.tmp-dead", "w").write("{")
 
     # young orphans survive a graced vacuum (a live writer looks
     # exactly like this)
@@ -1165,6 +1167,7 @@ def test_stats_vacuum_orphans_and_grace(spark, tmp_path):
         f"{path}/_staging/append-dead",
         f"{path}/_commits/.tmp-dead",
         f"{path}/_batches/e9.tmp-abc",
+        f"{path}/_clusters/zX.tmp-dead",
     ):
         os.utime(p, (old, old))
     removed = stats_vacuum(spark, path, grace_seconds=3600)
@@ -1173,6 +1176,7 @@ def test_stats_vacuum_orphans_and_grace(spark, tmp_path):
     assert not os.path.exists(f"{path}/_staging/append-dead")
     assert not os.path.exists(f"{path}/_commits/.tmp-dead")
     assert not os.path.exists(f"{path}/_batches/e9.tmp-abc")
+    assert not os.path.exists(f"{path}/_clusters/zX.tmp-dead")
     assert removed["data_files"] == 1 and removed["manifest_parts"] == 1
     # live state untouched, committed record intact
     assert rows() == want
@@ -2287,6 +2291,34 @@ def test_stats_restore_rollback_and_gc_protection(spark, tmp_path, monkeypatch):
     with _pytest.raises(ValueError, match="does not exist"):
         L.stats_restore(spark, path, 99, batch_id="r3")
 
+    # (e) r13 review #2: a retry arriving after BOTH the record and
+    # the commit entry expired must fail loud (the marker part keeps
+    # the committed restore detectable), never silently re-apply and
+    # roll back everything committed since
+    out2 = L.stats_restore(spark, path, L._list_commits(path)[-2], batch_id="rl")
+    v_r = out2["version"]
+    L.stats_append(
+        spark.range(7000, 7010).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        path,
+        batch_id="aft",
+    )
+    os.remove(f"{path}/_restores/rl")
+    os.remove(L._commit_file(path, v_r))
+    n_now = len(ids())
+    with _pytest.raises(RuntimeError, match="expired from retention"):
+        L.stats_restore(spark, path, L._list_commits(path)[0], batch_id="rl")
+    assert len(ids()) == n_now  # nothing rolled back
+
+    # (f) r13 review #1: a GC whose cutoff JUMPS several versions in
+    # one pass (crashed GC / mixed keep_versions) must still protect
+    # files the restored lineage references — ascending processing
+    # sees every younger restore's record before expiring an older
+    # replaced list. Aggressive single-pass GC, then full readability.
+    L._retention_gc(path, keep_versions=1)
+    assert len(ids()) == n_now
+    L.stats_vacuum(spark, path, grace_seconds=0)
+    assert len(ids()) == n_now
+
 
 def test_stats_cluster_and_changes_feed(spark, tmp_path, monkeypatch):
     """stats_cluster (OPTIMIZE ZORDER on the commit log) and
@@ -2350,6 +2382,16 @@ def test_stats_cluster_and_changes_feed(spark, tmp_path, monkeypatch):
     # (c) cluster keys must carry manifest stats
     with _pytest.raises(ValueError, match="not skip columns"):
         L.stats_cluster(spark, path, ["payload"], batch_id="bad")
+
+    # r13 review #3: clustering an EMPTY layout still records its
+    # no-op, so a same-batch_id retry after data arrives is a
+    # short-circuit, not a surprise rewrite
+    empty = str(tmp_path / "empty")
+    L.write_stats_layout(df.limit(0), empty, ["x"], n_files=1)
+    assert L.stats_cluster(spark, empty, ["x"], batch_id="e1") == []
+    L.stats_append(df.limit(30), empty, batch_id="late")
+    assert L.stats_cluster(spark, empty, ["x"], batch_id="e1") == []  # replay
+    assert L._list_commits(empty)[-1] == 2  # init + append, NO rewrite
 
     # (d) the change feed, across op kinds
     L.stats_append(
