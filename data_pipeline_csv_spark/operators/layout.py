@@ -1,24 +1,26 @@
-"""Z-order (Morton-curve) data layout for MULTI-column pruning — the
-lakehouse `OPTIMIZE ZORDER BY` shape (Delta/Iceberg/Hudi all ship it;
-Morton 1966 for the curve): interleave the bits of two quantized sort
-keys so that files/partitions become axis-aligned RECTANGLES in
-(x, y) space, and a 2-D range query statically prunes to the buckets
-whose rectangle intersects the query box — where a single-column sort
-can only prune one dimension.
+"""Z-order (Morton-curve) and Hilbert data layouts for MULTI-column
+pruning — the lakehouse `OPTIMIZE ZORDER BY` shape (Delta/Iceberg/
+Hudi all ship it; Morton 1966 for the curve): interleave the bits of
+quantized sort keys so that files become axis-aligned RECTANGLES in
+key space, and a range query statically prunes to the files whose
+cell run intersects the query box — where a single-column sort can
+only prune one dimension.
 
-Spark-first shape: the z-value is a pure JVM bit-op projection, the
-layout is an ordinary Hive-partitioned parquet write (one bucket =
-one partition dir = one rectangle), and the covering-bucket set for a
-query box is computed driver-side over the FIXED 2^prefix_bits bucket
-grid (256 ints — no data touched), then inlined as literals so
-Catalyst prunes statically, exactly like the IVF probe
-(operators/similarity.read_ivf_lists). Covering completeness is by
-construction: quantization is monotone, so any row inside the raw box
-quantizes into a bucket whose rectangle intersects the quantized box.
+Spark-first shape (r14): the z-value and the cell id are pure JVM
+bit-op projections, the layout is flat parquet ordered by (cell, z)
+GOVERNED BY THE SAME VERSIONED COMMIT LOG as the stats layout (the
+bucket-layout section comment below), and the covering-cell set for a
+query box is computed driver-side over the FIXED 2^prefix_bits cell
+grid (256-512 ints — no data touched), then intersected with the
+commit's per-file [min_zb, max_zb] manifest intervals — the same
+file-planning step as the stats layout's pruned scan. Covering
+completeness is by construction: quantization is monotone, so any row
+inside the raw box quantizes into a cell whose rectangle intersects
+the quantized box.
 
 At 100 TB the same math holds with more prefix bits (4096-65536
-buckets) and row-group-level min/max pruning inside each bucket from
-the z-sorted write order (``sortWithinPartitions(z)``).
+cells) and row-group-level min/max pruning inside each file from the
+(zb, z)-sorted write order.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ZBITS = 10  # per-dimension quantization width (z is 2*ZBITS bits)
-PREFIX_BITS = 8  # bucket = top PREFIX_BITS of z -> 256 rectangles
+PREFIX_BITS = 8  # cell = top PREFIX_BITS of z -> 256 rectangles
 
 
 def zvalue(xq: Column, yq: Column, bits: int = ZBITS) -> Column:
@@ -40,31 +42,6 @@ def zvalue(xq: Column, yq: Column, bits: int = ZBITS) -> Column:
             .bitwiseOR(F.shiftleft(F.shiftrightunsigned(yq.cast("long"), i).bitwiseAND(F.lit(1).cast("long")), 2 * i))
         )
     return z
-
-
-def write_zorder_layout(
-    df: DataFrame,
-    xq: Column,
-    yq: Column,
-    path: str,
-    bits: int = ZBITS,
-    prefix_bits: int = PREFIX_BITS,
-) -> None:
-    """Materialize ``df`` partitioned by its z-order bucket, rows
-    z-sorted within each bucket file (row-group min/max stay tight on
-    BOTH dimensions)."""
-    z = zvalue(xq, yq, bits)
-    zb = F.shiftrightunsigned(z, 2 * bits - prefix_bits).cast("int")
-    (
-        df.withColumn("_z", z)
-        .withColumn("zb", zb)
-        .repartition("zb")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(path)
-    )
 
 
 def derive_zorder_spec(
@@ -204,42 +181,35 @@ def _spec_bucket_exprs(spec: dict) -> tuple:
     return z, zb
 
 
-def _spec_path(path: str) -> str:
-    import os
-
-    return os.path.join(path, "_zorder_spec.json")
-
-
-def _dirty_dir(path: str) -> str:
-    import os
-
-    return os.path.join(path, "_dirty")
-
-
-def write_zorder_table(df: DataFrame, spec: dict, path: str) -> None:
-    """:func:`write_zorder_layout` plus the spec persisted as a sidecar
-    (underscore-prefixed: invisible to layout readers), so appends and
-    compactions quantize with the layout's OWN constants instead of
-    re-deriving (re-derivation from post-append stats would shift the
-    grid and break every existing bucket's rectangle)."""
-    import json
-    import os
-
-    xq, yq = zquant_cols(spec)
-    write_zorder_layout(
-        df, xq, yq, path, bits=spec["bits"], prefix_bits=spec["prefix_bits"]
-    )
-    tmp = _spec_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(spec, f)
-    os.replace(tmp, _spec_path(path))
-
-
-def read_zorder_spec(path: str) -> dict:
-    import json
-
-    with open(_spec_path(path)) as f:
-        return json.load(f)
+# ---------------------------------------------------------------------------
+# Bucket-layout commit log (r14): the Morton/Hilbert layouts (2-D and
+# n-D) commit through the SAME versioned log as the stats layout — an
+# immutable manifest-part pool + append-only ``_commits/N.json`` via
+# the hard-link CAS (:func:`_cas_commit`) — retiring the r10-r13
+# retired-dir swap protocol wholesale: no ``zb=N`` Hive dirs, no
+# ``.retired`` crash window, no heal-on-read, no read-grace heuristic,
+# no writer mtime touch, no single-maintenance-writer assumption.
+# The bucket id ``zb`` is an ordinary INT DATA COLUMN (RLE-encoded,
+# ~free at rest) and the layout is exactly a stats layout whose skip
+# column is ``zb``: files are written ordered by (zb, z) so each
+# file's manifest [min_zb, max_zb] interval is a tight run of
+# consecutive cells, a box scan prunes files by intersecting the
+# covering-cell set with those intervals (driver-side over the
+# broadcast-sized manifest — the Delta add-file-log planning shape),
+# and the residual ``zb IN covering`` predicate pushes into parquet
+# row-group pruning inside surviving files (rows are zb-sorted, so
+# row groups bound it tight). Readers get SNAPSHOT ISOLATION and any
+# number of writers race safely through the CAS — and the buckets
+# inherit time travel (``version=``), DESCRIBE HISTORY, RESTORE and
+# the change data feed from the shared payload shape FOR FREE. The
+# spec (quantizer constants + curve marker) is committed IN the
+# payload — immutable per layout, carried forward verbatim by every
+# commit — replacing the mutable ``_zorder_spec.json`` sidecar. A
+# commit's metadata is O(files) manifest rows in parquet parts plus
+# O(1) JSON, never a per-file JSON blob: a 100 TB table at 256 MB
+# files is ~400k manifest rows, broadcast-sized, same as the stats
+# layout's planning read.
+# ---------------------------------------------------------------------------
 
 
 def _safe_tag(batch_id: str) -> str:
@@ -257,295 +227,333 @@ def _safe_tag(batch_id: str) -> str:
     return hashlib.sha256(batch_id.encode()).hexdigest()[:16]
 
 
-# How old a stranded ``.retired`` bucket dir must be before a READ may
-# restore it: younger ones may belong to a LIVE compaction caught
-# between its two swap renames (milliseconds apart), and restoring
-# under the writer would make its second rename fail — the r12 ADVICE
-# #2 reader-undoes-writer hazard. A read hitting a younger stranded
-# dir fails LOUD instead (never silently missing rows, never mutating
-# under a live writer); maintenance entries restore unconditionally
-# (single maintenance writer per bucket layout assumed).
-RETIRED_READ_GRACE_SECONDS = 5.0
+def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """Rows with the layout's ``zb`` bucket column attached and a
+    transient ``_z`` Morton sort key — the shared write-side plan
+    (:func:`_spec_bucket_exprs` dispatches 2-D/n-D, Morton/Hilbert on
+    the spec itself, so no curve has a private write path)."""
+    z, zb = _spec_bucket_exprs(spec)
+    return df.withColumn("zb", zb.cast("int")).withColumn("_z", z)
 
 
-def _restore_retired_dirs(
-    path: str, prefix: str, read_grace: float | None = None
-) -> list[str]:
-    """Heal the compaction swap's crash window (r10 VERDICT/ADVICE):
-    the per-partition swap is rename(live -> live.retired) then
-    rename(staged -> live), so a crash BETWEEN the two renames leaves
-    the partition's rows only in the ``.retired`` dir — invisible to
-    readers, and a ``zb=5.retired`` leaf confuses partition discovery.
-    On entry every maintenance op restores any ``<prefix>*.retired``
-    whose live dir is MISSING (the crashed swap: old rows come back,
-    the dirty marker is still set, so the retry recompacts) and drops
-    any whose live dir EXISTS (the swap completed; only the cleanup
-    crashed — idempotent with the writer's own cleanup, safe at any
-    age). Returns the restored dir names. Single maintenance writer
-    per layout assumed (the append protocol's idempotency tokens
-    already require it).
-
-    READ-PATH callers pass ``read_grace`` (r12 ADVICE #2): a stranded
-    dir YOUNGER than the grace may be a live compaction mid-swap, and
-    restoring it would abort the writer's second rename — so the read
-    fails loud and retries instead of mutating under a live writer;
-    older ones are crashed maintenance (nobody is racing the restore)
-    and heal as before. The stats layout needs none of this — its r13
-    commit log gives readers snapshot isolation with no healing."""
-    import os
-    import shutil
-    import time
-
-    restored = []
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith(prefix) or not entry.endswith(".retired"):
-            continue
-        retired = os.path.join(path, entry)
-        if not os.path.isdir(retired):
-            continue
-        live = retired[: -len(".retired")]
-        if os.path.isdir(live):
-            shutil.rmtree(retired, ignore_errors=True)
-        elif read_grace is not None and (
-            time.time() - os.path.getmtime(retired) < read_grace
-        ):
-            # mtime measures SWAP age, not data age: rename() preserves
-            # the dir's own mtime, so the retiring writer touches the
-            # dir immediately after the rename (the swap sites below) —
-            # without that touch a bucket whose files were written long
-            # ago would always read "old" and the grace would never
-            # protect a live swap (r13 review)
-            raise RuntimeError(
-                f"{live} is mid-swap ({entry} younger than {read_grace}s): "
-                f"a compaction is likely LIVE — retry the scan, or run a "
-                f"maintenance op to heal a crashed one"
-            )
-        else:
-            try:
-                os.rename(retired, live)
-            except FileNotFoundError:
-                continue  # a concurrent reader's heal-on-read won the
-                # restore between our listdir and the rename — the live
-                # dir exists now, nothing left to do (r12 review: two
-                # readers racing the same crashed swap must both
-                # recover, not crash)
-            restored.append(os.path.basename(live))
-    return restored
+def _bucket_write(df: DataFrame, spec: dict, n_files: int) -> DataFrame:
+    """The bucket layout's file plan: range-partition and sort by
+    (zb, _z) so every written file covers a CONTIGUOUS run of cells on
+    the layout's own curve — what makes the per-file [min_zb, max_zb]
+    manifest interval tight — with Morton-z row order inside each cell
+    (row-group min/max tight on every quantized dimension)."""
+    return (
+        _bucket_stage(df, spec)
+        .repartitionByRange(n_files, F.col("zb"), F.col("_z"))
+        .sortWithinPartitions("zb", "_z")
+        .drop("_z")
+    )
 
 
-def _rollback_uncommitted_appends(path: str) -> list[str]:
-    """Roll back every UNCOMMITTED append batch before a compaction
-    (r10 ADVICE, medium): a crashed :func:`zorder_append` leaves its
-    partially-moved files identifiable only by their ``a<tag>-``
-    filename prefix, and compaction would merge them into unprefixed
-    sorted files — after which the append RETRY's sweep finds nothing
-    and re-appends the whole batch, duplicating the partially-moved
-    rows. So compaction first removes the prefixed files named by each
-    uncommitted staging manifest (returning the layout to its
-    pre-batch state; the retry re-appends the batch in full) and
-    clears the dead staging dir. Committed batches (their
-    ``_batches/<tag>`` record exists) only lose their leftover staging
-    dir. Returns the rolled-back tags."""
-    import json
-    import os
-    import shutil
-
-    staging_root = os.path.join(path, "_staging")
-    if not os.path.isdir(staging_root):
-        return []
-    rolled = []
-    for d in sorted(os.listdir(staging_root)):
-        if d.startswith("compact-"):  # uniquely named per run: any
-            # surviving one is a dead crashed-compaction staging
-            shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
-            continue
-        if not d.startswith("append-"):
-            continue
-        tag = d[len("append-") :]
-        sdir = os.path.join(staging_root, d)
-        manifest = os.path.join(sdir, "_manifest.json")
-        committed = os.path.exists(os.path.join(path, "_batches", tag))
-        if not committed and os.path.exists(manifest):
-            with open(manifest) as f:
-                buckets = json.load(f)["buckets"]
-            for b in buckets:
-                live = os.path.join(path, f"zb={b}")
-                if os.path.isdir(live):
-                    for fn in os.listdir(live):
-                        if fn.startswith(f"a{tag}-"):
-                            os.remove(os.path.join(live, fn))
-            rolled.append(tag)
-        shutil.rmtree(sdir, ignore_errors=True)
-    return rolled
-
-
-def zorder_append(df_new: DataFrame, path: str, batch_id: str | None = None) -> list[int]:
-    """Append rows into an existing z-order layout (2-D or n-D — the
-    spec sidecar decides, :func:`_spec_bucket_exprs`): quantize with the
-    LAYOUT'S spec, route into the covering bucket partitions (only
-    those dirs gain files — the IVF-append isolation property), and
-    mark each touched bucket DIRTY (an empty marker file per bucket —
-    atomic, idempotent). Appended rows are NOT z-sorted within the
-    bucket: bucket membership (the pruning contract) is exact
-    immediately; only row-group min/max tightness degrades until
-    :func:`zorder_compact` folds the dirty buckets. Returns the dirty
-    bucket ids.
-
-    CRASH SAFETY / IDEMPOTENCY (the ivf_append protocol): callers pass
-    a stable ``batch_id``; the batch stages under
-    ``_staging/append-<id>/`` with a partition manifest, data files
-    move in under an ``a<id>-`` filename prefix, and a ``_batches/<id>``
-    commit record lands LAST (atomic rename). A committed replay
-    short-circuits; a crashed attempt's partial move is swept by
-    prefix before the retry, so rows cannot be appended twice."""
-    import json
+def _bucket_init(df: DataFrame, spec: dict, path: str, n_files: int = 64) -> None:
+    """CREATE a bucket layout at ``path``: data files ordered along
+    the spec's curve under ``data/``, ONE manifest part with per-file
+    [min_zb, max_zb], commit v1 = {parts, spec, skip_cols: ["zb"],
+    data_schema, dirty_buckets: []} through the hard-link CAS.
+    Initialization is single-writer (a concurrent initializer fails
+    loud at the v1 CAS), exactly like :func:`write_stats_layout`;
+    multi-writer concurrency begins at the first commit."""
     import os
     import shutil
     import uuid
 
+    spark = df.sparkSession
+    if "zb" in df.columns:
+        raise ValueError("bucket layout: 'zb' is the reserved bucket column")
+    shutil.rmtree(path, ignore_errors=True)
+    data_dir = _skip_data_dir(path)
+    _bucket_write(df, spec, n_files).write.mode("overwrite").parquet(data_dir)
+    data_schema = _nullable_schema(spark.read.parquet(data_dir).schema)
+    tag = f"init-{uuid.uuid4().hex[:12]}"
+    staging = os.path.join(path, "_staging", tag)
+    part = _stage_manifest_part(
+        _manifest_rows(spark.read.schema(data_schema).parquet(data_dir), ["zb"]),
+        staging,
+        _manifest_pool_dir(path),
+        f"{tag}.parquet",
+    )
+    new_files = sorted(fn for fn in os.listdir(data_dir) if fn.endswith(".parquet"))
+    payload = {
+        "op": "init",
+        "tag": tag,
+        "parts": [part],
+        "new_files": new_files,
+        "replaced": [],
+        "skip_cols": ["zb"],
+        "data_schema": data_schema.jsonValue(),
+        "spec": spec,
+        "dirty_buckets": [],
+    }
+    if not _cas_commit(path, 1, payload):
+        raise RuntimeError(f"bucket layout: {path} was initialized concurrently")
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_zorder_table(
+    df: DataFrame, spec: dict, path: str, n_files: int = 64
+) -> None:
+    """Materialize ``df`` as a 2-D Morton bucket layout governed by
+    the versioned commit log (r14 — the section comment above): the
+    spec is committed IN the v1 payload so appends and compactions
+    quantize with the layout's OWN constants instead of re-deriving
+    (re-derivation from post-append stats would shift the grid and
+    break every existing file's cell run)."""
+    _bucket_init(df, dict(spec), path, n_files)
+
+
+def read_zorder_spec(path: str) -> dict:
+    """The layout's quantizer spec, from the LATEST commit — the spec
+    is immutable per layout and carried verbatim by every commit, so
+    any version would answer identically."""
+    return _load_version(path)[1]["spec"]
+
+
+def bucket_scan(spark, path: str, version=None) -> DataFrame:
+    """Full-table read of a committed bucket layout (the latest
+    version, or ``version=`` for time travel): the commit's complete
+    file list under its explicit schema — how tests and consumers read
+    the table now that the root holds protocol state, not Hive
+    partition dirs."""
+    v, cur = _load_version(path, version)
+    man = _read_manifest(spark, path, cur)
+    files = sorted(r["file"] for r in man.select("file").collect())
+    return _read_data_files(spark, cur, files)
+
+
+def _bucket_planned_scan(spark, path: str, cur: dict, buckets) -> DataFrame:
+    """The pruned read every bucket scan shares: keep the commit's
+    files whose [min_zb, max_zb] cell run contains ANY covering cell
+    (driver-side sorted-set bisection over the broadcast-sized
+    manifest, O(files * log cells)), then apply ``zb IN covering`` as
+    a residual so parquet row-group stats prune INSIDE surviving files
+    too — rows are zb-sorted, so a file spanning cells [12, 19]
+    serving a 2-cell query decodes only those cells' row groups."""
+    import bisect
+
+    man = _read_manifest(spark, path, cur)
+    rows = man.select("file", "min_zb", "max_zb").collect()
+    bs = sorted(set(buckets))
+
+    def hit(lo, hi):
+        if lo is None or hi is None:
+            return False  # an all-null interval plans nothing
+        i = bisect.bisect_left(bs, lo)
+        return i < len(bs) and bs[i] <= hi
+
+    files = sorted(r["file"] for r in rows if hit(r["min_zb"], r["max_zb"]))
+    return _read_data_files(spark, cur, files).where(F.col("zb").isin(bs))
+
+
+def zorder_append(
+    df_new: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+    n_files: int = 4,
+    keep_versions: int | None = None,
+) -> list[int]:
+    """Append rows into a committed bucket layout (either curve, 2-D
+    or n-D — the commit's spec decides): quantize with the LAYOUT'S
+    spec, stage as (zb, z)-ordered files, move them in under an
+    ``a<tag>-`` prefix (invisible — nothing references them until the
+    CAS), add ONE manifest part covering exactly those files, and
+    commit parts = parent's + that part, with the touched cells
+    unioned into the commit's DIRTY set (what :func:`zorder_compact`
+    folds). O(batch) work independent of table size.
+
+    MULTI-WRITER (r14 — the property the retired-dir protocol could
+    never offer): appends commute, so a CAS loser re-points its part
+    at the winner's list and retries without redoing Spark work (the
+    :func:`stats_append` discipline; the bucket spec is immutable, so
+    there is no skip-column-promotion rebuild case). Appended rows are
+    bucket-EXACT immediately — their manifest intervals are true
+    bounds — only interval tightness degrades until compaction.
+
+    EXACTLY-ONCE per ``batch_id``: the ``_batches/<tag>`` record
+    short-circuits committed replays; a retry that crashed between CAS
+    and record recovers its TRUE touched-cell set from the commit log
+    (or, past record expiry, from its still-referenced files); a retry
+    arriving after a later rewrite replaced its files fails loud via
+    the retained ``replaced`` lists (:func:`_tag_files_replaced`).
+    Returns the touched cell ids, sorted."""
+    import os
+    import shutil
+    import uuid
+
+    spark = df_new.sparkSession
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
-    # heal a crashed compaction swap FIRST: appending into a freshly
-    # recreated live dir while the old rows sit in zb=N.retired would
-    # turn the later retired-cleanup into data loss
-    _restore_retired_dirs(path, "zb=")
     tag = _safe_tag(batch_id)
-    batches_dir = os.path.join(path, "_batches")
-    record = os.path.join(batches_dir, tag)
+    rec = _read_record(path, "_batches", tag)
+    if rec is not None:  # committed replay: short-circuit
+        return rec["buckets"]
+    committed = _find_commit_by_tag(path, "append", tag)
+    if committed is not None:  # crashed between CAS and record
+        out = committed["touched_buckets"]
+        _write_record(
+            path, "_batches", tag,
+            {"buckets": out, "files": committed["new_files"]},
+        )
+        return out
+    if _tag_part_referenced(path, "a", tag):
+        # committed so long ago that retention expired the commit
+        # record, yet the record write never landed: the batch's part
+        # and data files are still live (later commits reference the
+        # part), so recover the TRUE touched-cell set from the files
+        # themselves (r13 review, bucket form)
+        moved = sorted(
+            fn
+            for fn in os.listdir(_skip_data_dir(path))
+            if fn.startswith(f"a{tag}-")
+        )
+        v, cur = _load_version(path)
+        got = _read_data_files(
+            spark, cur, [os.path.join(_skip_data_dir(path), fn) for fn in moved]
+        )
+        out = sorted(r["zb"] for r in got.select("zb").distinct().collect())
+        _write_record(path, "_batches", tag, {"buckets": out, "files": moved})
+        return out
+    if _tag_files_replaced(path, "a", tag):
+        raise RuntimeError(
+            f"zorder_append: batch {batch_id!r} committed at {path} but "
+            f"its record and commit entry expired from retention (a later "
+            f"rewrite replaced its files) — the append IS applied; retries "
+            f"are expected within the retention window"
+        )
+    _sweep_own_tag(path, "a", tag)
+
+    v, cur = _load_version(path)
+    spec = cur["spec"]
+    schema_names = [f.name for f in _data_schema(cur).fields if f.name != "zb"]
+    missing = [c for c in schema_names if c not in df_new.columns]
+    extra_cols = [c for c in df_new.columns if c not in schema_names]
+    if missing or extra_cols:
+        raise ValueError(
+            f"zorder_append: batch schema must match the layout's "
+            f"{schema_names} (bucket layouts do not evolve — the explicit-"
+            f"schema read would silently NULL-backfill a missing column); "
+            f"missing {missing}, unexpected {extra_cols}"
+        )
+    data_dir = _skip_data_dir(path)
     staging = os.path.join(path, "_staging", f"append-{tag}")
-    if os.path.exists(record):  # committed replay: short-circuit
-        shutil.rmtree(staging, ignore_errors=True)
-        with open(record) as f:
-            return json.load(f)["buckets"]
-
-    manifest = os.path.join(staging, "_manifest.json")
-    if os.path.exists(manifest):  # crashed attempt: sweep its partial move
-        with open(manifest) as f:
-            for b in json.load(f)["buckets"]:
-                live = os.path.join(path, f"zb={b}")
-                if os.path.isdir(live):
-                    for fn in os.listdir(live):
-                        if fn.startswith(f"a{tag}-"):
-                            os.remove(os.path.join(live, fn))
-
-    spec = read_zorder_spec(path)
-    _z, zb = _spec_bucket_exprs(spec)
-    data_dir = os.path.join(staging, "data")
-    (
-        df_new.withColumn("zb", zb)
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(data_dir)
+    sdata = os.path.join(staging, "data")
+    _bucket_write(df_new, spec, n_files).write.mode("overwrite").parquet(sdata)
+    moved = []
+    for fn in sorted(os.listdir(sdata)):
+        if fn.endswith(".parquet"):
+            dst = f"a{tag}-{fn}"
+            os.rename(os.path.join(sdata, fn), os.path.join(data_dir, dst))
+            moved.append(dst)
+    staged = _read_data_files(
+        spark, cur, [os.path.join(data_dir, fn) for fn in moved]
     )
     touched = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(data_dir)
-        if d.startswith("zb=")
+        r["zb"] for r in staged.select("zb").distinct().collect()
     )
-    with open(manifest, "w") as f:
-        json.dump({"buckets": touched}, f)
-    os.makedirs(_dirty_dir(path), exist_ok=True)
-    for b in touched:  # mark dirty BEFORE the files land
-        open(os.path.join(_dirty_dir(path), str(b)), "w").close()
-    for b in touched:
-        src = os.path.join(data_dir, f"zb={b}")
-        dst = os.path.join(path, f"zb={b}")
-        os.makedirs(dst, exist_ok=True)
-        for fn in os.listdir(src):
-            if fn.endswith(".parquet"):
-                os.rename(os.path.join(src, fn), os.path.join(dst, f"a{tag}-{fn}"))
-    os.makedirs(batches_dir, exist_ok=True)
-    tmp = f"{record}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"buckets": touched}, f)
-    os.replace(tmp, record)  # commit: the batch is now applied
+    part = _stage_manifest_part(
+        _manifest_rows(staged, ["zb"]),
+        os.path.join(staging, "manifest"),
+        _manifest_pool_dir(path),
+        f"a{tag}-{uuid.uuid4().hex[:8]}.parquet",
+    )
+    while True:
+        payload = {
+            "op": "append",
+            "tag": tag,
+            "parts": cur["parts"] + [part],
+            "new_files": moved,
+            "replaced": [],
+            "skip_cols": ["zb"],
+            "data_schema": cur["data_schema"],
+            "spec": spec,
+            "dirty_buckets": sorted(
+                set(cur.get("dirty_buckets", [])) | set(touched)
+            ),
+            "touched_buckets": touched,
+        }
+        if _cas_commit(path, v + 1, payload):
+            break
+        # lost the race: appends commute — re-point at the winner and
+        # retry; the staged files and part are reused verbatim
+        v, cur = _load_version(path)
+    _write_record(path, "_batches", tag, {"buckets": touched, "files": moved})
+    _retention_gc(path, keep_versions)
     shutil.rmtree(staging, ignore_errors=True)
     return touched
 
 
-def zorder_compact(spark, path: str) -> list[int]:
-    """Fold the dirty buckets of an appended z-order layout: ONE
-    partition-pruned job re-sorts exactly the dirty buckets' rows by
-    z-value and rewrites those partitions; every clean bucket's files
-    stay byte-untouched (the tiered-compaction shape of the streaming
-    near-dup state, applied to layout maintenance).
-
-    CRASH SAFETY: the per-bucket swap is TWO renames (live -> retired,
-    staged -> live); a crash between them strands the bucket's rows in
-    ``zb=N.retired``. Every maintenance entry (here and
-    :func:`zorder_append`) therefore runs the
-    :func:`_restore_retired_dirs` sweep — the stranded bucket is
-    restored, its dirty marker is still set (markers clear only after
-    a completed swap), and the retry recompacts it, so each bucket is
-    ALWAYS either fully old+dirty or fully new (pinned by
-    tests/test_maintenance.py::test_zorder_compact_crash_between_renames_recovers).
-    Compaction also first ROLLS BACK uncommitted append batches
-    (:func:`_rollback_uncommitted_appends`): compacting would erase
-    their ``a<tag>-`` file prefixes and make the append retry
-    double-apply the batch. Returns the compacted bucket ids."""
-    import os
-    import shutil
+def zorder_compact(spark, path: str, keep_versions: int | None = None) -> list[int]:
+    """Fold the DIRTY cells of an appended bucket layout: rewrite
+    exactly the files whose [min_zb, max_zb] run intersects the
+    commit's dirty set — the appended batch files plus the standing
+    files they overlap — re-ordered by (zb, z) and committed as a new
+    version through :func:`_commit_rewrite` (crash windows, CAS-loser
+    re-plan, retention and time travel all from the shared body).
+    Clean files stay byte-untouched; the pre-compaction version stays
+    readable until retention expires it; the commit clears the dirty
+    set. O(dirty cells' data), never the table. A CAS loser re-plans
+    from the winner's version — a racing append may have dirtied MORE
+    cells, and the re-plan picks them up (why compaction opts out of
+    the adopt-without-restaging fast path: its plan is defined BY the
+    head commit's dirty set, not by a row predicate). Returns the
+    folded cell ids (empty when nothing is dirty)."""
+    import math
     import uuid
 
-    _restore_retired_dirs(path, "zb=")
-    _rollback_uncommitted_appends(path)
-    ddir = _dirty_dir(path)
-    dirty = (
-        sorted(int(b) for b in os.listdir(ddir)) if os.path.isdir(ddir) else []
-    )
-    if not dirty:
-        return []
-    spec = read_zorder_spec(path)
-    z_expr, _zb = _spec_bucket_exprs(spec)
-    staging = os.path.join(path, "_staging", f"compact-{uuid.uuid4().hex[:8]}")
-    (
-        spark.read.parquet(path)
-        .where(F.col("zb").isin(dirty))  # static partition pruning
-        .withColumn("_z", z_expr)
-        .repartition("zb")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(staging)
-    )
-    for b in dirty:
-        live = os.path.join(path, f"zb={b}")
-        staged = os.path.join(staging, f"zb={b}")
-        retired = f"{live}.retired"
-        if os.path.isdir(staged):
-            if os.path.isdir(live):
-                os.rename(live, retired)
-                # stamp SWAP time: rename() preserves the dir's own
-                # mtime, so without this touch the read grace
-                # (_restore_retired_dirs) would measure bucket-DATA
-                # age and judge a live swap of old data "crashed" —
-                # the reader-undoes-writer hazard it exists to close
-                # (r13 review). A crash between rename and touch
-                # leaves the stale mtime: the reader then fails loud
-                # or restores a genuinely-crashed swap — both safe.
-                os.utime(retired)
-            os.rename(staged, live)
-            shutil.rmtree(retired, ignore_errors=True)
-        marker = os.path.join(ddir, str(b))
-        if os.path.exists(marker):
-            os.remove(marker)
-    shutil.rmtree(staging, ignore_errors=True)
-    return dirty
+    tag = f"c{uuid.uuid4().hex[:10]}"
+    while True:
+        v, cur = _load_version(path)
+        dirty = sorted(cur.get("dirty_buckets", []))
+        if not dirty:
+            return []
+        man = _read_manifest(spark, path, cur)
+        rows = man.collect()
+        ds = set(dirty)
+        affected = [
+            r
+            for r in rows
+            if r["min_zb"] is not None
+            and any(b in ds for b in range(r["min_zb"], r["max_zb"] + 1))
+        ]
+        if not affected:
+            return []
+        z_expr, _zb_expr = _spec_bucket_exprs(cur["spec"])
+        total = sum(r["n_rows"] for r in affected)
+        target = max(r["n_rows"] for r in rows)
+        n_out = max(1, math.ceil(total / max(1, target)))
+        full = _read_data_files(spark, cur, [r["file"] for r in affected])
+        staged = (
+            full.withColumn("_z", z_expr)
+            .repartitionByRange(n_out, F.col("zb"), F.col("_z"))
+            .sortWithinPartitions("zb", "_z")
+            .drop("_z")
+        )
+        payload = _commit_rewrite(
+            spark, path, tag, "c", "compact", v, cur, affected, staged,
+            n_out=n_out, repartition=False,
+            extra={"spec": cur["spec"], "dirty_buckets": []},
+        )
+        if payload is not None:
+            _retention_gc(path, keep_versions)
+            return dirty
 
 
 def zorder_pruned_scan(
-    spark, path: str, x_lo, x_hi, y_lo, y_hi
+    spark, path: str, x_lo, x_hi, y_lo, y_hi, version=None
 ) -> DataFrame:
-    """2-D range query against a spec-carrying z-order layout: the
-    query box is quantized with the layout's own spec, the covering
-    buckets enumerated driver-side, and the residual predicate applied
-    on the pruned scan. Entry restores any bucket dir stranded mid-
-    swap by a crashed compaction (heal on read, r11 VERDICT wrong #3:
-    a ``zb=N.retired`` bucket's rows were invisible to reads until the
-    next maintenance op; one listdir)."""
-    _restore_retired_dirs(path, "zb=", read_grace=RETIRED_READ_GRACE_SECONDS)
-    spec = read_zorder_spec(path)
+    """2-D range query against a committed Morton layout: the query
+    box is quantized with the layout's own spec, the covering cells
+    enumerated driver-side, the commit's manifest prunes to the files
+    whose cell run intersects them, and the exact residual predicates
+    apply on the pruned scan — snapshot-isolated from one commit
+    record (r14: heal-on-read and the read-grace heuristic are gone
+    with the retired-swap protocol; ``version=`` time-travels)."""
+    v, cur = _load_version(path, version)
+    spec = cur["spec"]
     buckets = zorder_covering_buckets(
         zquant_x(spec, x_lo),
         zquant_x(spec, x_hi),
@@ -554,15 +562,11 @@ def zorder_pruned_scan(
         bits=spec["bits"],
         prefix_bits=spec["prefix_bits"],
     )
-    return (
-        spark.read.parquet(path)
-        .where(F.col("zb").isin(buckets))
-        .where(
-            (F.col(spec["x_col"]) >= F.lit(x_lo))
-            & (F.col(spec["x_col"]) <= F.lit(x_hi))
-            & (F.col(spec["y_col"]) >= F.lit(y_lo.isoformat()).cast("timestamp"))
-            & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
-        )
+    return _bucket_planned_scan(spark, path, cur, buckets).where(
+        (F.col(spec["x_col"]) >= F.lit(x_lo))
+        & (F.col(spec["x_col"]) <= F.lit(x_hi))
+        & (F.col(spec["y_col"]) >= F.lit(y_lo.isoformat()).cast("timestamp"))
+        & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
     )
 
 
@@ -650,32 +654,17 @@ def hilbert_bucket_expr(spec: dict) -> Column:
     return F.element_at(table, (packed + 1).cast("int")).cast("int")
 
 
-def write_hilbert_table(df: DataFrame, spec: dict, path: str) -> None:
-    """Materialize ``df`` partitioned by its Hilbert bucket (one bucket
-    = one level-k cell = one axis-aligned square), rows Morton-z-sorted
-    within each bucket, the spec (marked ``curve: hilbert``) persisted
-    as the layout sidecar so appends/compactions route with the same
-    curve (:func:`_spec_bucket_exprs` dispatches on the marker)."""
-    import json
-    import os
-
-    spec = {**spec, "curve": "hilbert"}
-    xq, yq = zquant_cols(spec)
-    z = zvalue(xq, yq, spec["bits"])  # intra-bucket sort key
-    (
-        df.withColumn("_z", z)
-        .withColumn("zb", hilbert_bucket_expr(spec))
-        .repartition("zb")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(path)
-    )
-    tmp = _spec_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(spec, f)
-    os.replace(tmp, _spec_path(path))
+def write_hilbert_table(
+    df: DataFrame, spec: dict, path: str, n_files: int = 64
+) -> None:
+    """Materialize ``df`` as a 2-D Hilbert bucket layout governed by
+    the versioned commit log (r14 — see :func:`write_zorder_table`):
+    one cell = one axis-aligned square, files ordered by (cell id,
+    Morton z) so each covers a tight run of cells, the spec (marked
+    ``curve: hilbert``) committed IN the v1 payload so appends and
+    compactions route along the layout's OWN curve
+    (:func:`_spec_bucket_exprs` dispatches on the marker)."""
+    _bucket_init(df, {**spec, "curve": "hilbert"}, path, n_files)
 
 
 def hilbert_covering_buckets(
@@ -700,15 +689,18 @@ def hilbert_covering_buckets(
     return sorted(out)
 
 
-def hilbert_pruned_scan(spark, path: str, x_lo, x_hi, y_lo, y_hi) -> DataFrame:
-    """2-D range query against a Hilbert layout: quantize the box with
-    the layout's own spec, enumerate the covering cells driver-side,
-    inline them as literals (static partition pruning), apply the
-    exact residual predicates. Entry restores any bucket dir stranded
-    mid-swap by a crashed compaction (heal on read — same sweep as
-    :func:`zorder_pruned_scan`; the bucket-dir protocol is shared)."""
-    _restore_retired_dirs(path, "zb=", read_grace=RETIRED_READ_GRACE_SECONDS)
-    spec = read_zorder_spec(path)
+def hilbert_pruned_scan(
+    spark, path: str, x_lo, x_hi, y_lo, y_hi, version=None
+) -> DataFrame:
+    """2-D range query against a committed Hilbert layout: quantize
+    the box with the layout's own spec, enumerate the covering cells
+    driver-side (identical geometry to Morton's — only the cell ->
+    bucket-id mapping changes), prune to the commit's files whose cell
+    run intersects them, apply the exact residual predicates —
+    snapshot-isolated from one commit record (r14; ``version=``
+    time-travels)."""
+    v, cur = _load_version(path, version)
+    spec = cur["spec"]
     buckets = hilbert_covering_buckets(
         spec,
         zquant_x(spec, x_lo),
@@ -716,15 +708,11 @@ def hilbert_pruned_scan(spark, path: str, x_lo, x_hi, y_lo, y_hi) -> DataFrame:
         zquant_y(spec, y_lo),
         zquant_y(spec, y_hi),
     )
-    return (
-        spark.read.parquet(path)
-        .where(F.col("zb").isin(buckets))
-        .where(
-            (F.col(spec["x_col"]) >= F.lit(x_lo))
-            & (F.col(spec["x_col"]) <= F.lit(x_hi))
-            & (F.col(spec["y_col"]) >= F.lit(y_lo.isoformat()).cast("timestamp"))
-            & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
-        )
+    return _bucket_planned_scan(spark, path, cur, buckets).where(
+        (F.col(spec["x_col"]) >= F.lit(x_lo))
+        & (F.col(spec["x_col"]) <= F.lit(x_hi))
+        & (F.col(spec["y_col"]) >= F.lit(y_lo.isoformat()).cast("timestamp"))
+        & (F.col(spec["y_col"]) <= F.lit(y_hi.isoformat()).cast("timestamp"))
     )
 
 
@@ -860,30 +848,13 @@ def zquant_nd_cols(spec: dict) -> list:
     return out
 
 
-def write_zorder_table_nd(df: DataFrame, spec: dict, path: str) -> None:
-    """Materialize ``df`` partitioned by its n-D z-order bucket (top
-    ``prefix_bits`` of the interleaved value), rows z-sorted within
-    each bucket, the spec persisted as the layout's sidecar."""
-    import json
-    import os
-
-    d = len(spec["cols"])
-    z = zvalue_nd(zquant_nd_cols(spec), spec["bits"])
-    zb = F.shiftrightunsigned(z, d * spec["bits"] - spec["prefix_bits"]).cast("int")
-    (
-        df.withColumn("_z", z)
-        .withColumn("zb", zb)
-        .repartition("zb")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(path)
-    )
-    tmp = _spec_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(spec, f)
-    os.replace(tmp, _spec_path(path))
+def write_zorder_table_nd(
+    df: DataFrame, spec: dict, path: str, n_files: int = 64
+) -> None:
+    """Materialize ``df`` as an n-D Morton bucket layout governed by
+    the versioned commit log (r14 — see :func:`write_zorder_table`):
+    the same protocol with the n-D spec committed in the payload."""
+    _bucket_init(df, dict(spec), path, n_files)
 
 
 def zorder_covering_buckets_nd(spec: dict, lo_q: list, hi_q: list) -> list[int]:
@@ -915,21 +886,21 @@ def zorder_covering_buckets_nd(spec: dict, lo_q: list, hi_q: list) -> list[int]:
     return out
 
 
-def zorder_pruned_scan_nd(spark, path: str, box: list) -> DataFrame:
-    """n-D range query against a spec-carrying n-D z-order layout:
-    ``box`` is one (lo, hi) pair per spec column (dates as
-    datetime.date). The box is quantized with the layout's own spec,
-    the covering buckets enumerated driver-side and inlined as
-    literals (static partition pruning), and the exact residual
-    predicates applied on the pruned scan. Entry restores any bucket
-    dir stranded mid-swap by a crashed compaction (heal on read — same
-    sweep as :func:`zorder_pruned_scan`)."""
-    _restore_retired_dirs(path, "zb=", read_grace=RETIRED_READ_GRACE_SECONDS)
-    spec = read_zorder_spec(path)
+def zorder_pruned_scan_nd(spark, path: str, box: list, version=None) -> DataFrame:
+    """n-D range query against a committed n-D bucket layout (either
+    curve — the covering-cell enumeration dispatches on the commit's
+    own spec marker): ``box`` is one (lo, hi) pair per spec column
+    (dates as datetime.date). The box is quantized with the layout's
+    spec, the covering cells enumerated driver-side, the commit's
+    manifest prunes to the files whose cell run intersects them, and
+    the exact residual predicates apply — snapshot-isolated from one
+    commit record (r14; ``version=`` time-travels)."""
+    v, cur = _load_version(path, version)
+    spec = cur["spec"]
     lo_q = [zquant_nd(spec, j, lo) for j, (lo, _hi) in enumerate(box)]
     hi_q = [zquant_nd(spec, j, hi) for j, (_lo, hi) in enumerate(box)]
     buckets = _covering_buckets_for_spec(spec, lo_q, hi_q)
-    df = spark.read.parquet(path).where(F.col("zb").isin(buckets))
+    df = _bucket_planned_scan(spark, path, cur, buckets)
     for c, (lo, hi) in zip(spec["cols"], box):
         if c["kind"] == "date":
             df = df.where(
@@ -1122,34 +1093,20 @@ def hilbert_bucket_expr_nd(spec: dict) -> Column:
     return F.element_at(table, (packed + 1).cast("int")).cast("int")
 
 
-def write_hilbert_table_nd(df: DataFrame, spec: dict, path: str) -> None:
-    """Materialize ``df`` partitioned by its n-D Hilbert bucket (one
-    bucket = one level-m cell = one axis-aligned box), rows Morton-z-
-    sorted within each bucket, the spec (marked ``curve: hilbert``)
-    persisted as the sidecar so appends/compactions route along the
-    layout's OWN curve (:func:`_spec_bucket_exprs` dispatches on the
-    marker + the n-D ``cols`` key — the same maintenance code as every
-    other bucketed layout, no curve-specific path)."""
-    import json
-    import os
-
+def write_hilbert_table_nd(
+    df: DataFrame, spec: dict, path: str, n_files: int = 64
+) -> None:
+    """Materialize ``df`` as an n-D Hilbert bucket layout governed by
+    the versioned commit log (r14 — see :func:`write_zorder_table`):
+    rows ordered by (level-m Hilbert cell id, Morton z), the spec
+    (marked ``curve: hilbert``) committed IN the v1 payload so
+    appends/compactions route along the layout's OWN curve
+    (:func:`_spec_bucket_exprs` dispatches on the marker + the n-D
+    ``cols`` key — the same maintenance code as every other bucketed
+    layout, no curve-specific path)."""
     spec = {**spec, "curve": "hilbert"}
     _hilbert_dims(spec)  # fail fast on a ragged prefix
-    z = zvalue_nd(zquant_nd_cols(spec), spec["bits"])
-    (
-        df.withColumn("_z", z)
-        .withColumn("zb", hilbert_bucket_expr_nd(spec))
-        .repartition("zb")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("zb")
-        .parquet(path)
-    )
-    tmp = _spec_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(spec, f)
-    os.replace(tmp, _spec_path(path))
+    _bucket_init(df, spec, path, n_files)
 
 
 def hilbert_covering_buckets_nd(spec: dict, lo_q: list, hi_q: list) -> list[int]:
@@ -1475,6 +1432,33 @@ def _tag_part_referenced(path: str, prefix: str, tag: str) -> bool:
     for v in _list_commits(path):
         rec = _read_commit(path, v)
         if rec is not None and any(p.startswith(marker) for p in rec["parts"]):
+            return True
+    return False
+
+
+def _tag_files_replaced(path: str, prefix: str, tag: str) -> bool:
+    """True when any RETAINED commit's ``replaced`` list names a data
+    file of this (prefix, tag) — i.e. the tagged op COMMITTED and a
+    LATER rewrite already replaced its files. Closes the late-retry
+    asymmetry (r13 ADVICE #3): once a full rewrite folds the part
+    list, an append's part is no longer referenced by any retained
+    commit, so :func:`_tag_part_referenced` alone would let a retry
+    arriving after both its record and commit entry expired sweep and
+    silently RE-APPEND the batch (duplicate rows). The replaced list
+    is the remaining retained evidence the op committed — and unlike
+    the on-disk prefixed files the ADVICE names, it survives retention
+    GC deleting those files, and can never be confused with a crashed
+    UNCOMMITTED attempt's leftovers (nothing replaces files that were
+    never committed). Residual window: record lost AND the replacing
+    rewrite itself expired — then no retained state remembers the
+    batch at all, the same out-of-retention contract every op
+    documents (retries are expected within the retention window)."""
+    marker = f"{prefix}{tag}-"
+    for v in _list_commits(path):
+        rec = _read_commit(path, v)
+        if rec is not None and any(
+            fn.startswith(marker) for fn in rec.get("replaced", [])
+        ):
             return True
     return False
 
@@ -1911,6 +1895,19 @@ def stats_append(
         )
         _write_record(path, "_batches", tag, {"files": moved})
         return moved
+    if _tag_files_replaced(path, "a", tag):
+        # committed, record lost, commit record expired, AND a later
+        # full rewrite folded the part away — _tag_part_referenced is
+        # blind here, but the rewrite's retained ``replaced`` list
+        # still names our files: re-appending would silently duplicate
+        # the batch, so fail loud like the rewrite ops do in the same
+        # situation (r13 ADVICE #3)
+        raise RuntimeError(
+            f"stats_append: batch {batch_id!r} committed at {path} but "
+            f"its record and commit entry expired from retention (a "
+            f"later rewrite replaced its files) — the append IS "
+            f"applied; retries are expected within the retention window"
+        )
     _sweep_own_tag(path, "a", tag)
 
     v, cur = _load_version(path)
@@ -1938,7 +1935,7 @@ def stats_append(
             f"can hold real values there but would carry NULL stats, and "
             f"the planner would silently prune them (a skip column must "
             f"arrive WITH its evolution; retrofitting stats onto an "
-            f"existing column needs a rewrite)"
+            f"existing column is :func:`stats_compute_stats`)"
         )
     # fail the type check BEFORE the staging write, not at commit time
     # after the whole batch has been written and moved (r13 review)
@@ -2001,6 +1998,24 @@ def stats_append(
         v, cur = _load_version(path)
         skip_cols = list(cur["skip_cols"])
         new_skip = [c for c in new_skip if c not in skip_cols]
+        # re-run the schema-NEW guard against the WINNER's schema (r13
+        # ADVICE #1): a concurrent winner may have introduced the same
+        # column as a PLAIN data column — promoting it now would put
+        # NULL stats over the winner's real values and the planner
+        # would silently prune them, the exact hazard the serial-path
+        # guard (above) blocks. Sweep our own staged artifacts first so
+        # the failure strands nothing (a retry re-raises at entry).
+        already = [c for c in new_skip if c in _data_schema(cur).names]
+        if already:
+            _sweep_own_tag(path, "a", tag)
+            raise ValueError(
+                f"stats_append: new_skip_cols {already} were concurrently "
+                f"added to the layout's data schema as plain columns — "
+                f"files written by that winner can hold real values there "
+                f"but would carry NULL stats, and the planner would "
+                f"silently prune them (retrofitting stats onto an "
+                f"existing column is stats_compute_stats)"
+            )
         gained = [
             c for c in skip_cols if c in df_new.columns and c not in stat_cols
         ]
@@ -2027,10 +2042,14 @@ def _commit_rewrite(
     result: dict | None = None,
     n_out: int | None = None,
     repartition: bool = True,
+    extra: dict | None = None,
 ):
     """The COPY-ON-WRITE attempt body shared by :func:`stats_delete`,
-    :func:`stats_merge` and :func:`stats_compact` — one implementation
-    of stage-and-CAS so the three rewrite operations cannot drift:
+    :func:`stats_merge`, :func:`stats_compact`, :func:`stats_cluster`
+    and the bucket-layout :func:`zorder_compact` — one implementation
+    of stage-and-CAS so the rewrite operations cannot drift
+    (``extra`` carries op-family payload keys straight into the
+    commit, e.g. the bucket layouts' ``spec``/``dirty_buckets``):
 
     1. ``rewrite_df`` (the affected files' surviving rows, plus any
        replacement/new rows) stages as range-partitioned files — one
@@ -2131,6 +2150,8 @@ def _commit_rewrite(
         "skip_cols": skip_cols,
         "data_schema": cur["data_schema"],
     }
+    if extra:
+        payload.update(extra)
     if result is not None:
         payload["result"] = result
     if _cas_commit(path, version + 1, payload):
@@ -2608,6 +2629,12 @@ def stats_restore(
             "data_schema": target["data_schema"],
             "result": out,
         }
+        # bucket-layout payload keys flow from the restored version
+        # (the spec is immutable per layout; the dirty set is part of
+        # the state being restored)
+        for k in ("spec", "dirty_buckets"):
+            if k in target:
+                payload[k] = target[k]
         if _cas_commit(path, v + 1, payload):
             _write_record(path, "_restores", tag, out)
             _retention_gc(path, keep_versions)

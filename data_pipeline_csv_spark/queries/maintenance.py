@@ -215,9 +215,10 @@ def _orders_zorder_spec(sf_dir: str) -> dict:
 def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     """Build-once z-ordered orders layout (the ivf_layout_cached
     contract): stats-derived quantized (price, order-day) interleaved
-    into a 20-bit Morton value, bucketed by its top 8 bits -> 256
-    rectangle partitions, z-sorted within each; the spec rides the
-    layout as a sidecar so appends/compactions reuse its grid."""
+    into a 20-bit Morton value, 256 level-8 cells, files (cell, z)-
+    ordered and committed through the r14 versioned commit log; the
+    spec rides IN the commit payload so appends/compactions reuse its
+    grid."""
     import atexit
     import os
     import shutil
@@ -253,23 +254,23 @@ def _zorder_layout_cached(spark: SparkSession, sf_dir: str) -> str:
       AND o_orderdate <= TIMESTAMP '1997-12-31'
     """,
     doc="Z-ORDER layout + 2-D pruned scan — the lakehouse OPTIMIZE "
-    "ZORDER BY shape (Morton 1966; Delta/Iceberg/Hudi ship it): "
-    "orders materialized partitioned by the top 8 bits of the "
-    "interleaved (quantized price, order-day) Morton value, so every "
-    "partition is an axis-aligned RECTANGLE in (price, date) space "
-    "and a 2-D range query statically prunes to the rectangles "
-    "intersecting its box — measured 6 of 256 buckets for this "
-    "price x year box (a single-column sort prunes only one "
-    "dimension). The quantization grid is DERIVED FROM COLUMN STATS "
-    "(parquet footer min/max — metadata only) and both quantizers "
-    "clamp to the grid edges; the covering set is driver-side "
-    "arithmetic over the fixed bucket grid (no data touched), inlined "
-    "as literals like the IVF probe; rows are z-sorted within buckets "
-    "so row-group min/max stay tight on BOTH columns at 100 TB "
-    "(operators/layout.py; plan pinned by tests/test_plans.py::"
-    "test_zorder_scan_prunes_buckets; quantizer agreement + clamps by "
-    "tests/test_maintenance.py::test_zorder_spec_quantizers_agree_"
-    "and_clamp).",
+    "ZORDER BY shape (Morton 1966; Delta/Iceberg/Hudi ship it), r14: "
+    "GOVERNED BY THE SAME VERSIONED COMMIT LOG as the stats layout. "
+    "Orders are materialized as flat parquet ordered by (cell id, z) "
+    "— the cell id is the top 8 bits of the interleaved (quantized "
+    "price, order-day) Morton value, an ordinary INT column — so "
+    "every file covers a tight RUN of axis-aligned rectangles, and a "
+    "2-D range query prunes driver-side by intersecting the covering-"
+    "cell set (6 of 256 cells for this price x year box) with the "
+    "commit's per-file [min_zb, max_zb] manifest intervals, then "
+    "pushes zb IN as a row-group residual. The quantization grid is "
+    "DERIVED FROM COLUMN STATS (parquet footer min/max — metadata "
+    "only), both quantizers clamp to the grid edges, and readers get "
+    "snapshot isolation + time travel from the commit record "
+    "(operators/layout.py; planned-file fraction pinned by tests/"
+    "test_plans.py::test_zorder_scan_prunes_buckets; quantizer "
+    "agreement + clamps by tests/test_maintenance.py::"
+    "test_zorder_spec_quantizers_agree_and_clamp).",
     tags=("layout", "zorder", "pruning", "scale"),
 )
 def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +291,7 @@ def _zorder_compacted_cached(spark: SparkSession, sf_dir: str):
     """Build-once scaffolding for layout_zorder_compacted_scan: a
     z-order layout over the BASE 80% of orders (o_orderkey % 5 != 0),
     one :func:`~..operators.layout.zorder_append` of the remaining 20%
-    (bucket-routed but unsorted, dirty buckets marked), then ONE
+    (cell-routed, touched cells committed as dirty), then ONE
     :func:`~..operators.layout.zorder_compact` folding exactly the
     dirty buckets. The clean-bucket byte-identity check runs at
     compaction time, when 'before' is observable, and rides the cache.
@@ -321,23 +322,22 @@ def _zorder_compacted_cached(spark: SparkSession, sf_dir: str):
     dirty = zorder_append(incoming, path)
 
     def _files():
+        ddir = os.path.join(path, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(path, d, f)))
-                for f in os.listdir(os.path.join(path, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(path)
-            if d.startswith("zb=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
     compacted = zorder_compact(spark, path)
     after = _files()
-    dirty_set = {f"zb={b}" for b in compacted}
-    clean_ok = all(
-        files == after.get(d) for d, files in before.items() if d not in dirty_set
-    )
+    # commit-log immutability (r14): compaction only ADDS files — every
+    # pre-compaction data file must still be present byte-identical
+    # (the replaced ones stay referenced by retained versions until
+    # retention GC), so clean files are untouched BY CONSTRUCTION and
+    # pinned readers survive the rewrite
+    clean_ok = all(after.get(f) == sz for f, sz in before.items())
     out = (path, dirty, compacted, clean_ok)
     _ZORDER_COMPACT_CACHE[sf_dir] = out
     atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -359,18 +359,20 @@ def _zorder_compacted_cached(spark: SparkSession, sf_dir: str):
       AND o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <= TIMESTAMP '1997-12-31'
     """,
-    doc="INCREMENTAL Z-ORDER maintenance (the lakehouse OPTIMIZE loop: "
-    "appends land unclustered, compaction restores clustering): a "
-    "layout built on 80% of orders ingests the rest via zorder_append "
-    "— rows routed into their covering bucket partitions with the "
-    "layout's OWN stats-derived grid (bucket membership, hence the "
-    "pruning contract, is exact immediately; only row-group min/max "
-    "tightness degrades), touched buckets marked dirty — then "
-    "zorder_compact re-sorts EXACTLY the dirty buckets in one "
-    "partition-pruned job and swaps their dirs atomically; clean "
-    "buckets stay byte-untouched (operators/layout.py). The query "
-    "serves the same 2-D box as layout_zorder_pruned_scan from the "
-    "compacted layout.",
+    doc="INCREMENTAL Z-ORDER maintenance on the commit log (r14 — the "
+    "lakehouse OPTIMIZE loop: appends land unclustered, compaction "
+    "restores clustering): a layout built on 80% of orders ingests "
+    "the rest via zorder_append — one O(batch) staged write quantized "
+    "with the layout's OWN committed grid (cell membership, hence the "
+    "pruning contract, is exact immediately), the touched cells "
+    "unioned into the commit's DIRTY set — then zorder_compact "
+    "rewrites EXACTLY the files intersecting the dirty cells, "
+    "re-sorted by (cell, z), as a NEW VERSION through the shared CAS "
+    "body: clean files stay byte-untouched, readers pinned to the "
+    "pre-compaction commit keep their exact snapshot, and any number "
+    "of appenders race safely (operators/layout.py). The query serves "
+    "the same 2-D box as layout_zorder_pruned_scan from the compacted "
+    "layout.",
     tags=("layout", "zorder", "incremental", "compaction", "scale"),
 )
 def layout_zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,12 +442,13 @@ def _hilbert_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     "quantizers and cell geometry as layout_zorder_pruned_scan — only "
     "the cell->bucket mapping changes, computed as a 256-entry "
     "literal-array lookup (pure JVM, no UDF, no per-row state "
-    "machine); rows Morton-z-sorted within buckets for row-group "
-    "tightness; appends/compactions route with the layout's own curve "
-    "via the spec sidecar marker. Curve math pinned by the adjacency+"
-    "roundtrip property test; covering completeness and pruning by "
-    "tests/test_maintenance.py::test_hilbert_layout_scan_and_maintenance "
-    "and tests/test_plans.py::test_hilbert_scan_prunes_buckets.",
+    "machine); files (cell, Morton-z)-ordered on the r14 commit log "
+    "so each covers a tight run of Hilbert cells; appends/compactions "
+    "route with the layout's own curve via the committed spec marker. "
+    "Curve math pinned by the adjacency+roundtrip property test; "
+    "covering completeness and pruning by tests/test_maintenance.py::"
+    "test_hilbert_layout_scan_and_maintenance and tests/"
+    "test_plans.py::test_hilbert_scan_prunes_buckets.",
     tags=("layout", "hilbert", "pruning", "scale"),
 )
 def layout_hilbert_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -956,10 +959,10 @@ def _hilbert_compacted_cached(spark: SparkSession, sf_dir: str):
     """Build-once scaffolding for layout_hilbert_compacted_scan — the
     Morton compacted scaffold with the curve swapped (r11 VERDICT #6,
     Hilbert lifecycle parity): a Hilbert layout over the BASE 80% of
-    orders, one zorder_append of the rest (the spec sidecar's
+    orders, one zorder_append of the rest (the committed spec's
     ``curve: hilbert`` marker routes the batch along the layout's OWN
     curve — no Hilbert-specific append code exists, which is the
-    point), then one zorder_compact folding exactly the dirty buckets.
+    point), then one zorder_compact folding exactly the dirty cells.
     Returns (layout_path, dirty_ids, compacted_ids, clean_untouched_ok)."""
     import atexit
     import os
@@ -985,23 +988,22 @@ def _hilbert_compacted_cached(spark: SparkSession, sf_dir: str):
     dirty = zorder_append(incoming, path)
 
     def _files():
+        ddir = os.path.join(path, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(path, d, f)))
-                for f in os.listdir(os.path.join(path, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(path)
-            if d.startswith("zb=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
     compacted = zorder_compact(spark, path)
     after = _files()
-    dirty_set = {f"zb={b}" for b in compacted}
-    clean_ok = all(
-        files == after.get(d) for d, files in before.items() if d not in dirty_set
-    )
+    # commit-log immutability (r14): compaction only ADDS files — every
+    # pre-compaction data file must still be present byte-identical
+    # (the replaced ones stay referenced by retained versions until
+    # retention GC), so clean files are untouched BY CONSTRUCTION and
+    # pinned readers survive the rewrite
+    clean_ok = all(after.get(f) == sz for f, sz in before.items())
     out = (path, dirty, compacted, clean_ok)
     _HILBERT_COMPACT_CACHE[sf_dir] = out
     atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -1025,17 +1027,18 @@ def _hilbert_compacted_cached(spark: SparkSession, sf_dir: str):
     "#6): the full write/append/compact loop on the HILBERT layout — "
     "a user choosing the better-locality curve no longer loses "
     "incremental maintenance. The append routes the 20% batch along "
-    "the layout's own curve via the spec sidecar's marker "
+    "the layout's own curve via the committed spec's marker "
     "(_spec_bucket_exprs dispatch — the SAME zorder_append/"
     "zorder_compact code, no curve-specific maintenance path, so the "
-    "two curves cannot drift), dirty buckets fold in one partition-"
-    "pruned job, clean buckets stay byte-untouched (checked at build "
+    "two curves cannot drift), dirty cells fold into a new commit-log "
+    "version (r14), clean files stay byte-untouched (checked at build "
     "time), and the served scan is the identical 2-D box as the "
     "Morton compacted entry against the identical whole-table oracle "
     "(operators/layout.py; both-curve crash windows pinned by the "
     "parametrized tests/test_maintenance.py::test_zorder_compact_"
-    "crash_between_renames_recovers and ::test_zorder_compact_rolls_"
-    "back_uncommitted_append).",
+    "crash_at_cas_keeps_snapshot and ::test_zorder_append_crash_"
+    "windows_exactly_once, plus the exhaustive ::test_zorder_"
+    "lifecycle_crash_at_every_fs_op sweep).",
     tags=("layout", "hilbert", "incremental", "compaction", "scale"),
 )
 def layout_hilbert_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,7 +1425,7 @@ def _hilbert3_layout_cached(spark: SparkSession, sf_dir: str) -> str:
     "UDF), the covering cells enumerate driver-side over the SAME "
     "grid geometry as the Morton path (only the cell->id map "
     "differs), and zorder_pruned_scan_nd dispatches on the spec "
-    "sidecar's curve marker — appends and compactions likewise, so "
+    "payload's curve marker — appends and compactions likewise, so "
     "neither curve has a private maintenance path "
     "(operators/layout.py hilbert_index_nd/hilbert_bucket_expr_nd/"
     "_covering_buckets_for_spec; properties + covering completeness "

@@ -161,16 +161,20 @@ def test_zorder_spec_quantizers_agree_and_clamp(spark, sf_dir):
 
 
 def test_zorder_append_compact_roundtrip(spark, sf_dir, tmp_path):
-    """Append marks exactly the touched buckets dirty; compact folds
-    exactly those and clears the markers; clean buckets stay
-    byte-untouched; no row lost or duplicated; the pruned scan equals
-    a plain filter before AND after compaction."""
+    """Append records exactly the touched cells in the commit's dirty
+    set; compact folds exactly those and clears it; pre-compaction
+    data files stay byte-untouched on disk (commit-log immutability —
+    replaced files are only ever deleted by retention GC); no row lost
+    or duplicated; the pruned scan equals a plain filter before AND
+    after compaction."""
     import os
     from datetime import date
 
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
+        _load_version,
+        bucket_scan,
         derive_zorder_spec,
         write_zorder_table,
         zorder_append,
@@ -207,34 +211,30 @@ def test_zorder_append_compact_roundtrip(spark, sf_dir, tmp_path):
 
     dirty = zorder_append(incoming, path)
     assert dirty
-    assert sorted(os.listdir(os.path.join(path, "_dirty"))) == sorted(
-        str(b) for b in dirty
-    )
-    assert spark.read.parquet(path).count() == n_total
+    assert sorted(_load_version(path)[1]["dirty_buckets"]) == sorted(dirty)
+    assert bucket_scan(spark, path).count() == n_total
     got, want = _box()
     assert got == want  # pruning contract exact while unsorted
 
     def _files():
+        ddir = os.path.join(path, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(path, d, f)))
-                for f in os.listdir(os.path.join(path, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(path)
-            if d.startswith("zb=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
     compacted = zorder_compact(spark, path)
     assert sorted(compacted) == sorted(dirty)
-    assert not os.listdir(os.path.join(path, "_dirty"))
+    assert _load_version(path)[1]["dirty_buckets"] == []
     after = _files()
-    dirty_set = {f"zb={b}" for b in compacted}
-    for d, files in before.items():
-        if d not in dirty_set:
-            assert files == after.get(d), d
-    assert spark.read.parquet(path).count() == n_total
+    # immutability: compaction only ADDS files; every pre-compaction
+    # file is still present byte-identical (referenced by retained
+    # versions until retention GC)
+    for f, sz in before.items():
+        assert after.get(f) == sz, f
+    assert bucket_scan(spark, path).count() == n_total
     got, want = _box()
     assert got == want
     # idempotent: nothing dirty -> no-op
@@ -242,16 +242,18 @@ def test_zorder_append_compact_roundtrip(spark, sf_dir, tmp_path):
 
 
 def test_zorder_append_replay_and_crash_retry(spark, sf_dir, tmp_path, monkeypatch):
-    """Idempotency + crash-safety of zorder_append (the ivf_append
-    protocol): a committed batch replays as a no-op; a crash after the
-    partial move is swept by prefix on retry — row counts exact in
-    both cases."""
+    """Idempotency + crash-safety of the commit-log zorder_append: a
+    committed batch replays as a no-op; a crash AFTER the CAS but
+    before the idempotency record is recovered from the commit log's
+    (op, tag) match with the TRUE touched-cell set — never re-applied
+    — so row counts are exact either way."""
     import os
 
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
+        bucket_scan,
         derive_zorder_spec,
         write_zorder_table,
         zorder_append,
@@ -273,10 +275,11 @@ def test_zorder_append_replay_and_crash_retry(spark, sf_dir, tmp_path, monkeypat
     # replay: same batch twice lands once
     t1 = zorder_append(incoming, path, batch_id="day-1")
     assert zorder_append(incoming, path, batch_id="day-1") == t1
-    assert spark.read.parquet(path).count() == n_total
+    assert bucket_scan(spark, path).count() == n_total
 
-    # crash between move and commit record: monkeypatch the commit
-    # (os.replace) to fail once for the record path only
+    # crash between CAS and commit record: monkeypatch the record
+    # write (os.replace) to fail for the record path only — the batch
+    # IS committed at that point
     incoming2 = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
         "o_orderkey", F.col("o_orderkey") + 10_000_000
     )
@@ -292,9 +295,9 @@ def test_zorder_append_replay_and_crash_retry(spark, sf_dir, tmp_path, monkeypat
         zorder_append(incoming2, path, batch_id="day-2")
     monkeypatch.setattr(os, "replace", real_replace)
     t2 = zorder_append(incoming2, path, batch_id="day-2")
-    assert t2
-    got = spark.read.parquet(path).count()
-    assert got == n_total + incoming2.count()
+    assert t2  # recovered touched cells, not a fabricated empty result
+    keys = [r["o_orderkey"] for r in bucket_scan(spark, path).collect()]
+    assert len(keys) == len(set(keys)) == n_total + incoming2.count()
 
 
 def _zorder_mini(spark, sf_dir, tmp_path, curve="morton"):
@@ -332,20 +335,23 @@ import pytest
 
 
 @pytest.mark.parametrize("curve", ["morton", "hilbert"])
-def test_zorder_compact_crash_between_renames_recovers(
+def test_zorder_compact_crash_at_cas_keeps_snapshot(
     spark, sf_dir, tmp_path, monkeypatch, curve
 ):
-    """r10 VERDICT #2 (parametrized over both curves, r11 VERDICT #6):
-    the per-bucket swap is TWO renames; a crash
-    between them strands the bucket's rows in zb=N.retired, invisible
-    to readers. The maintenance-entry sweep must restore the bucket
-    (its dirty marker is still set) so the retry recompacts with no
-    row lost and the pruning contract intact."""
+    """r14 (buckets on the commit log, replacing the retired-dir swap
+    and its crash window): a compaction that crashes AT its CAS
+    publishes nothing — the immediate read plans from the old commit
+    and sees the exact pre-compact table with NO healing (the staged
+    c*- files are invisible), the dirty set is intact, and the retry
+    folds it completely."""
     import os
 
     import pytest as _pytest
 
     from data_pipeline_csv_spark.operators.layout import (
+        _list_commits,
+        _load_version,
+        bucket_scan,
         zorder_append,
         zorder_compact,
     )
@@ -355,54 +361,78 @@ def test_zorder_compact_crash_between_renames_recovers(
     dirty = zorder_append(incoming, path)
     assert dirty
 
-    real_rename = os.rename
+    real_link = os.link
 
-    def crashing_rename(src, dst):
-        if str(dst).endswith(".retired"):
-            real_rename(src, dst)  # the retire rename LANDS...
-            raise RuntimeError("simulated crash between the swap renames")
-        return real_rename(src, dst)
+    def crash_on_link(src, dst):
+        raise RuntimeError("simulated crash at commit CAS")
 
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    monkeypatch.setattr(os, "link", crash_on_link)
     with _pytest.raises(RuntimeError):
         zorder_compact(spark, path)
-    monkeypatch.setattr(os, "rename", real_rename)
+    monkeypatch.setattr(os, "link", real_link)
 
-    # the stranded state the VERDICT described: live dir gone, rows
-    # only in .retired
-    stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
-    assert len(stranded) == 1
-    assert not os.path.isdir(os.path.join(path, stranded[0][: -len(".retired")]))
+    # nothing published: same versions, same rows, dirty set intact
+    assert _list_commits(path) == [1, 2]
+    keys = [r["o_orderkey"] for r in bucket_scan(spark, path).collect()]
+    assert len(keys) == len(set(keys)) == n_total
+    assert sorted(_load_version(path)[1]["dirty_buckets"]) == sorted(dirty)
 
-    # retry: entry sweep restores the bucket, compaction completes
     compacted = zorder_compact(spark, path)
     assert sorted(compacted) == sorted(dirty)
-    assert not [d for d in os.listdir(path) if d.endswith(".retired")]
-    assert not os.listdir(os.path.join(path, "_dirty"))
-    keys = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
+    assert _load_version(path)[1]["dirty_buckets"] == []
+    keys = [r["o_orderkey"] for r in bucket_scan(spark, path).collect()]
     assert len(keys) == len(set(keys)) == n_total
 
 
 @pytest.mark.parametrize("curve", ["morton", "hilbert"])
-def test_zorder_compact_rolls_back_uncommitted_append(
+def test_zorder_append_crash_windows_exactly_once(
     spark, sf_dir, tmp_path, monkeypatch, curve
 ):
-    """r10 ADVICE (medium): compaction between a crashed append and
-    its retry would erase the a<tag>- retry prefixes and make the
-    retry double-apply the batch — so compaction must first roll the
-    uncommitted batch back (the retry then re-appends it in full)."""
+    """Append crash windows under the commit log (r14): a crash BEFORE
+    the CAS leaves the batch invisible — its moved a<tag>- files are
+    referenced by nothing, an intervening compaction sees no committed
+    dirty cells, and the retry sweeps its own leftovers and lands the
+    batch exactly once. A crash AFTER the CAS means the batch IS
+    committed and visible; the retry recovers its TRUE touched-cell
+    set from the commit log instead of re-appending. No duplicate rows
+    either way — the r10 rollback machinery this replaces is gone
+    because nothing uncommitted is ever visible to fold."""
     import os
 
     import pytest as _pytest
+    from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
+        bucket_scan,
         zorder_append,
         zorder_compact,
     )
 
     orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path, curve)
     n_total = orders.count()
+    n_base = n_total - incoming.count()
 
+    # (a) crash BEFORE the CAS: fail the commit hard-link once
+    real_link = os.link
+    monkeypatch.setattr(
+        os,
+        "link",
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("crash before commit")),
+    )
+    with _pytest.raises(RuntimeError):
+        zorder_append(incoming, path, batch_id="day-1")
+    monkeypatch.setattr(os, "link", real_link)
+    assert bucket_scan(spark, path).count() == n_base  # invisible
+    assert zorder_compact(spark, path) == []  # no committed dirty cells
+    t1 = zorder_append(incoming, path, batch_id="day-1")
+    assert t1
+    keys = [r["o_orderkey"] for r in bucket_scan(spark, path).collect()]
+    assert len(keys) == len(set(keys)) == n_total
+
+    # (b) crash AFTER the CAS, before the record: committed + visible
+    incoming2 = incoming.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
     real_replace = os.replace
 
     def failing_replace(src, dst):
@@ -412,18 +442,13 @@ def test_zorder_compact_rolls_back_uncommitted_append(
 
     monkeypatch.setattr(os, "replace", failing_replace)
     with _pytest.raises(RuntimeError):
-        zorder_append(incoming, path, batch_id="day-1")
+        zorder_append(incoming2, path, batch_id="day-2")
     monkeypatch.setattr(os, "replace", real_replace)
-
-    # maintenance runs BETWEEN the crash and the retry: it must roll
-    # the partial move back, not bake it into unprefixed files
-    zorder_compact(spark, path)
-    assert spark.read.parquet(path).count() == n_total - incoming.count()
-
-    dirty = zorder_append(incoming, path, batch_id="day-1")
-    assert dirty
-    keys = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
-    assert len(keys) == len(set(keys)) == n_total
+    assert bucket_scan(spark, path).count() == n_total + incoming2.count()
+    t2 = zorder_append(incoming2, path, batch_id="day-2")  # log recovery
+    assert t2
+    keys = [r["o_orderkey"] for r in bucket_scan(spark, path).collect()]
+    assert len(keys) == len(set(keys)) == n_total + incoming2.count()
 
 
 def test_zorder_nd_covering_completeness(spark, sf_dir):
@@ -505,6 +530,7 @@ def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path, curve):
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
+        bucket_scan,
         derive_zorder_spec_nd,
         write_hilbert_table_nd,
         write_zorder_table_nd,
@@ -551,12 +577,12 @@ def test_zorder_nd_append_compact_roundtrip(spark, sf_dir, tmp_path, curve):
     assert got == want  # pruning contract exact while unsorted
     compacted = zorder_compact(spark, path)
     assert sorted(compacted) == sorted(dirty)
-    assert spark.read.parquet(path).count() == n_total
+    assert bucket_scan(spark, path).count() == n_total
     got, want = _box()
     assert got == want
     # replay: the committed batch short-circuits
     assert zorder_append(incoming, path, batch_id="nd-day-1") == dirty
-    assert spark.read.parquet(path).count() == n_total
+    assert bucket_scan(spark, path).count() == n_total
 
 
 def test_hilbert_curve_property():
@@ -594,6 +620,7 @@ def test_hilbert_layout_scan_and_maintenance(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
+        bucket_scan,
         derive_zorder_spec,
         hilbert_covering_buckets,
         hilbert_pruned_scan,
@@ -645,7 +672,7 @@ def test_hilbert_layout_scan_and_maintenance(spark, sf_dir, tmp_path):
     assert got == want
     compacted = zorder_compact(spark, path)
     assert sorted(compacted) == sorted(dirty)
-    assert spark.read.parquet(path).count() == n_total
+    assert bucket_scan(spark, path).count() == n_total
     got, want = _box(orders)
     assert got == want
 
@@ -1249,15 +1276,121 @@ def test_stats_schema_evolution(spark, tmp_path):
         stats_append(clash, path, batch_id="clash")
 
 
-def test_zorder_scan_heals_stranded_bucket(spark, sf_dir, tmp_path, monkeypatch):
-    """Heal on read for the bucketed layouts (r11 VERDICT wrong #3):
-    a compaction killed between the per-bucket swap's two renames
-    strands the bucket's rows in ``zb=N.retired`` — invisible to
-    readers. An immediate pruned scan (no maintenance op) must restore
-    the bucket and return the full pre-compaction row set."""
-    import os
+def test_bucket_concurrent_appends(spark, sf_dir, tmp_path):
+    """MULTI-WRITER buckets (r14 — the property the retired-swap
+    protocol excluded by its single-maintenance-writer assumption):
+    two appenders racing one bucket layout both land through the
+    hard-link CAS, the final table is the exact union, the commit log
+    advanced by exactly two, and the dirty set is the union of both
+    batches' touched cells."""
+    import threading
 
-    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _list_commits,
+        _load_version,
+        bucket_scan,
+        zorder_append,
+    )
+
+    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
+    b1 = incoming.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = incoming.filter(F.col("o_orderkey") % 2 != 0)
+    errs, touched = [], {}
+
+    def run(df, bid):
+        try:
+            touched[bid] = zorder_append(df, path, batch_id=bid)
+        except Exception as e:  # pragma: no cover - reported below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(b1, "w1")),
+        threading.Thread(target=run, args=(b2, "w2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = sorted(r["o_orderkey"] for r in bucket_scan(spark, path).collect())
+    want = sorted(r["o_orderkey"] for r in orders.collect())
+    assert got == want  # both batches landed, nothing lost
+    assert _list_commits(path)[-1] == 3  # init + two appends
+    assert set(_load_version(path)[1]["dirty_buckets"]) == set(
+        touched["w1"]
+    ) | set(touched["w2"])
+
+
+def test_bucket_timetravel_restore_and_history(spark, sf_dir, tmp_path):
+    """The bucket layouts INHERIT the commit-log versioning surface
+    (r14): VERSION AS OF on the pruned scan, DESCRIBE HISTORY and
+    RESTORE TABLE all work on a bucket table with ZERO bucket-specific
+    code — the payload shape is shared with the stats layout, and the
+    spec/dirty-set keys flow through the restore commit."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        bucket_scan,
+        read_zorder_spec,
+        stats_history,
+        stats_restore,
+        zorder_append,
+        zorder_pruned_scan,
+    )
+
+    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
+    base = orders.join(incoming, "o_orderkey", "left_anti")
+    n_base = base.count()
+    zorder_append(incoming, path, batch_id="tt-1")
+
+    lo, hi = date(1996, 1, 1), date(1998, 6, 30)
+
+    def box_keys(version=None):
+        return sorted(
+            r["o_orderkey"]
+            for r in zorder_pruned_scan(
+                spark, path, 150000, 300000, lo, hi, version=version
+            ).collect()
+        )
+
+    def want_keys(src):
+        return sorted(
+            r["o_orderkey"]
+            for r in src.filter(
+                (F.col("o_totalprice") >= 150000)
+                & (F.col("o_totalprice") <= 300000)
+                & (F.col("o_orderdate") >= F.lit(lo.isoformat()).cast("timestamp"))
+                & (F.col("o_orderdate") <= F.lit(hi.isoformat()).cast("timestamp"))
+            ).collect()
+        )
+
+    assert box_keys(version=1) == want_keys(base)  # time travel
+    assert box_keys() == want_keys(orders)
+    hist = {r["version"]: r["op"] for r in stats_history(spark, path).collect()}
+    assert hist == {1: "init", 2: "append"}
+
+    out = stats_restore(spark, path, 1, batch_id="tt-restore")
+    assert out == {"restored_from": 1, "version": 3}
+    assert bucket_scan(spark, path).count() == n_base  # append undone
+    assert box_keys() == want_keys(base)
+    # the spec flowed through the metadata-only restore commit
+    assert read_zorder_spec(path)["x_col"] == "o_totalprice"
+
+
+def test_bucket_snapshot_isolation_reader_vs_compaction(spark, sf_dir, tmp_path):
+    """A pinned bucket scan survives a concurrent compaction (r14 —
+    what heal-on-read plus the read grace only ever approximated, now
+    structural): the DataFrame plans from its commit's immutable file
+    list; compaction adds files and a new commit but deletes nothing
+    within retention, so the pinned plan collects exactly its
+    version's rows AFTER the compaction rewrote the table."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.layout import (
         zorder_append,
@@ -1266,94 +1399,22 @@ def test_zorder_scan_heals_stranded_bucket(spark, sf_dir, tmp_path, monkeypatch)
     )
 
     orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
-    n_total = orders.count()
-    assert zorder_append(incoming, path)
-
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        if str(dst).endswith(".retired"):
-            real_rename(src, dst)  # the retire rename LANDS...
-            raise RuntimeError("simulated crash between the swap renames")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
-    with _pytest.raises(RuntimeError):
-        zorder_compact(spark, path)
-    monkeypatch.setattr(os, "rename", real_rename)
-    stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
-    assert len(stranded) == 1
-
-    import time
-    from datetime import datetime
-
-    from pyspark.sql import functions as F
-
-    x_lo, x_hi, y_lo, y_hi = orders.agg(
-        F.min("o_totalprice"), F.max("o_totalprice"),
-        F.min("o_orderdate"), F.max("o_orderdate"),
-    ).collect()[0]
-    if isinstance(y_lo, datetime):  # date quantizer takes datetime.date
-        y_lo, y_hi = y_lo.date(), y_hi.date()
-    # r12 ADVICE #2: the stranded dir is seconds old — it could be a
-    # LIVE compaction mid-swap, so the read fails LOUD instead of
-    # restoring under the writer (never silently-missing rows)
-    with _pytest.raises(RuntimeError, match="mid-swap"):
-        zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
-    # past the grace it is a crashed compaction: the read heals it
-    aged = time.time() - 3600
-    os.utime(os.path.join(path, stranded[0]), (aged, aged))
-    got = zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
-    keys = [r["o_orderkey"] for r in got.collect()]
-    assert len(keys) == len(set(keys)) == n_total
-    assert not [d for d in os.listdir(path) if d.endswith(".retired")]
-
-
-def test_hilbert_scan_heals_stranded_bucket(spark, sf_dir, tmp_path):
-    """Same read-entry sweep through the Hilbert scan (the bucket-dir
-    protocol is shared): a manually stranded ``zb=N.retired`` leaf is
-    restored and its rows come back in the very next scan."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from data_pipeline_csv_spark.operators.layout import (
-        derive_zorder_spec,
-        hilbert_pruned_scan,
-        write_hilbert_table,
+    dirty = zorder_append(incoming, path)
+    lo, hi = date(1996, 1, 1), date(1998, 6, 30)
+    pinned = zorder_pruned_scan(spark, path, 150000, 300000, lo, hi)  # v2 plan
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(
+            (F.col("o_totalprice") >= 150000)
+            & (F.col("o_totalprice") <= 300000)
+            & (F.col("o_orderdate") >= F.lit(lo.isoformat()).cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit(hi.isoformat()).cast("timestamp"))
+        ).collect()
     )
-    from data_pipeline_csv_spark.sources.tables import load_table
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderdate"
-    )
-    spec = derive_zorder_spec(
-        os.path.join(sf_dir, "orders.parquet"), "o_totalprice", "o_orderdate"
-    )
-    path = str(tmp_path / "h")
-    write_hilbert_table(orders, spec, path)
-    n_total = orders.count()
-    bucket = sorted(d for d in os.listdir(path) if d.startswith("zb="))[0]
-    os.rename(os.path.join(path, bucket), os.path.join(path, f"{bucket}.retired"))
-    # age the stranded dir past the read grace (r12 ADVICE #2): a
-    # crashed compaction, not a live one — the read may heal it
-    import time
-
-    aged = time.time() - 3600
-    os.utime(os.path.join(path, f"{bucket}.retired"), (aged, aged))
-
-    from datetime import datetime
-
-    x_lo, x_hi, y_lo, y_hi = orders.agg(
-        F.min("o_totalprice"), F.max("o_totalprice"),
-        F.min("o_orderdate"), F.max("o_orderdate"),
-    ).collect()[0]
-    if isinstance(y_lo, datetime):  # date quantizer takes datetime.date
-        y_lo, y_hi = y_lo.date(), y_hi.date()
-    got = hilbert_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
-    keys = [r["o_orderkey"] for r in got.collect()]
-    assert len(keys) == len(set(keys)) == n_total
-    assert not [d for d in os.listdir(path) if d.endswith(".retired")]
+    compacted = zorder_compact(spark, path)
+    assert sorted(compacted) == sorted(dirty)
+    got = sorted(r["o_orderkey"] for r in pinned.collect())  # post-compact
+    assert got == want
 
 
 def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
@@ -1749,21 +1810,17 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
 
 
 def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
-    """The bucket-layout twin of the stats-lifecycle crash sweep: a
-    crash injected at EVERY python-side filesystem mutation of
-    zorder_append and zorder_compact in turn. The bucket contract is
-    weaker than the manifest-gated one — a mid-append crash MAY expose
-    a partial batch (documented) — so the swept invariants are: (a)
-    the immediate pruned scan (heal-on-read) always succeeds, returns
-    no duplicate keys, nothing outside pre∪batch, and never loses a
-    pre-existing row; (b) the retry lands the exact post state.
-
-    The BATCH is confined to a narrow price/date box so it lands in a
-    handful of buckets: the sweep costs one clone + op + scan per
-    filesystem mutation, and the per-bucket protocol is identical for
-    every bucket — sweeping a few buckets' points exhaustively proves
-    the same invariant a full-spread batch would, in minutes instead
-    of the full-spread sweep's half hour."""
+    """The bucket-layout twin of the stats-lifecycle crash sweep, on
+    the r14 commit log: a crash injected at EVERY python-side
+    filesystem mutation (os.rename / os.replace / os.remove /
+    os.link — the CAS itself) of zorder_append and zorder_compact in
+    turn. The swept invariant is now the STRONG one the stats layout
+    pins — the immediate read is exactly the pre-op table or exactly
+    the post-op table, never a mixture and never an error (snapshot
+    visibility, NO healing) — where the retired-swap protocol could
+    only promise no-loss/no-dup through heal-on-read plus a grace
+    heuristic. The batch is confined to a narrow price/date box so
+    the sweep stays ~dozens of points."""
     import os
     import shutil
 
@@ -1794,17 +1851,6 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         y_lo, y_hi = y_lo.date(), y_hi.date()
 
     def rows(p):
-        # the read grace (r12 ADVICE #2) makes seconds-old stranded
-        # dirs read as "possibly a live compaction" and fail loud; a
-        # crash-sweep clone is by construction CRASHED maintenance, so
-        # age any stranded dir past the grace before the read — the
-        # realistic read-after-crash scenario the heal contract covers
-        import time
-
-        aged = time.time() - 3600
-        for d in os.listdir(p):
-            if d.endswith(".retired"):
-                os.utime(os.path.join(p, d), (aged, aged))
         return sorted(
             r["o_orderkey"]
             for r in zorder_pruned_scan(spark, p, x_lo, x_hi, y_lo, y_hi).collect()
@@ -1814,7 +1860,12 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         ("append", lambda p: zorder_append(incoming, p, batch_id="t-za")),
         ("compact", lambda p: zorder_compact(spark, p)),
     ]
-    real = {"rename": os.rename, "replace": os.replace, "remove": os.remove}
+    real = {
+        "rename": os.rename,
+        "replace": os.replace,
+        "remove": os.remove,
+        "link": os.link,
+    }
 
     def instrument(counter, crash_at, layout):
         def wrap(name):
@@ -1829,14 +1880,19 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
 
             return patched
 
-        os.rename, os.replace, os.remove = wrap("rename"), wrap("replace"), wrap("remove")
+        os.rename, os.replace, os.remove, os.link = (
+            wrap("rename"), wrap("replace"), wrap("remove"), wrap("link")
+        )
 
     def restore():
-        os.rename, os.replace, os.remove = real["rename"], real["replace"], real["remove"]
+        os.rename, os.replace, os.remove, os.link = (
+            real["rename"], real["replace"], real["remove"], real["link"]
+        )
 
     state = root
+    total_points = 0
     for op_name, op in ops:
-        pre = set(rows(state))
+        pre = rows(state)
         probe = f"{state}-probe-{op_name}"
         shutil.copytree(state, probe)
         counter = [0]
@@ -1848,7 +1904,10 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         n_ops, post = counter[0], rows(probe)
         shutil.rmtree(probe, ignore_errors=True)
         assert n_ops > 0
-        allowed = pre | set(post)
+        if op_name == "compact":
+            assert post == pre  # row-preserving by definition
+        else:
+            assert post != pre
 
         for k in range(1, n_ops + 1):
             clone = f"{state}-k{k}-{op_name}"
@@ -1862,18 +1921,20 @@ def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
                 crashed = True
             finally:
                 restore()
-            got = rows(clone)  # heal-on-read restores stranded buckets
-            assert len(got) == len(set(got)), f"{op_name} crash@{k}: duplicates"
-            got_set = set(got)
-            assert got_set <= allowed, f"{op_name} crash@{k}: foreign rows"
-            assert pre <= got_set, f"{op_name} crash@{k}: pre-existing row lost"
+            got = rows(clone)  # immediate read: NO healing, no grace
+            assert got == pre or got == post, f"{op_name} crash@{k}: mixture"
             if crashed:
-                op(clone)  # retry: idempotency token / journal heals
+                op(clone)  # retry: idempotency token / commit log
                 assert rows(clone) == post, f"{op_name} retry after crash@{k}"
             shutil.rmtree(clone, ignore_errors=True)
+        total_points += n_ops
 
-        op(state)
+        op(state)  # advance the real lifecycle
         assert rows(state) == post
+    assert total_points >= 8  # the sweep actually covered real windows
+    # (measured 10 on the narrow batch: the commit-log protocol has
+    # FEWER mutation points than the retired-swap one it replaced —
+    # stage moves + part rename + CAS link + record replace per op)
 
 
 def test_hilbert_nd_curve_and_covering(spark, sf_dir):
@@ -2078,68 +2139,6 @@ def test_stats_append_review_hardening(spark, tmp_path, monkeypatch):
     os.remove(L._commit_file(path, v_d))
     with _pytest.raises(RuntimeError, match="expired from retention"):
         L.stats_delete(spark, path, {"id": (0, 49)}, batch_id="dlate")
-
-
-def test_bucket_read_grace_measures_swap_age(spark, sf_dir, tmp_path, monkeypatch):
-    """r13 review: rename() preserves a dir's own mtime, so without
-    the writer's post-retire touch the read grace would measure
-    bucket-DATA age — a live compaction of week-old data would read
-    as 'crashed' and a racing reader would restore it mid-swap (the
-    exact hazard the grace exists to close). Pin: backdate every
-    bucket dir, crash a compaction between its two renames, and
-    assert the stranded dir's mtime is FRESH (the touch) so the
-    immediate read fails loud instead of restoring."""
-    import os
-    import time
-
-    import pytest as _pytest
-
-    from data_pipeline_csv_spark.operators.layout import (
-        zorder_append,
-        zorder_compact,
-        zorder_pruned_scan,
-    )
-
-    orders, incoming, path = _zorder_mini(spark, sf_dir, tmp_path)
-    zorder_append(incoming, path)
-    aged = time.time() - 7 * 86400
-    for d in os.listdir(path):
-        if d.startswith("zb="):
-            os.utime(os.path.join(path, d), (aged, aged))
-
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        # crash at the SECOND swap rename (staged -> live): the retire
-        # rename and the writer's touch have both landed, which is the
-        # whole mid-swap window a racing reader can observe
-        if "_staging" in str(src) and str(dst).startswith(os.path.join(path, "zb=")):
-            raise RuntimeError("crash between the swap renames")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
-    with _pytest.raises(RuntimeError, match="between the swap renames"):
-        zorder_compact(spark, path)
-    monkeypatch.setattr(os, "rename", real_rename)
-    stranded = [d for d in os.listdir(path) if d.endswith(".retired")]
-    assert len(stranded) >= 1
-    # the touch made the stranded dir's mtime the SWAP time, not the
-    # week-old data time — what makes the grace meaningful at all
-    for d in stranded:
-        assert time.time() - os.path.getmtime(os.path.join(path, d)) < 60
-
-    from datetime import datetime
-
-    from pyspark.sql import functions as F
-
-    x_lo, x_hi, y_lo, y_hi = orders.agg(
-        F.min("o_totalprice"), F.max("o_totalprice"),
-        F.min("o_orderdate"), F.max("o_orderdate"),
-    ).collect()[0]
-    if isinstance(y_lo, datetime):
-        y_lo, y_hi = y_lo.date(), y_hi.date()
-    with _pytest.raises(RuntimeError, match="mid-swap"):
-        zorder_pruned_scan(spark, path, x_lo, x_hi, y_lo, y_hi)
 
 
 def test_stats_mixed_writer_stress(spark, tmp_path):

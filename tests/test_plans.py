@@ -584,32 +584,60 @@ def test_filtered_ann_label_is_partition_filter(spark, sf_dir):
 
 
 def test_zorder_scan_prunes_buckets(spark, sf_dir):
-    """The 2-D box scan must read only the covering rectangles: the
-    layout scan's PartitionFilters carries a zb IN-set far below the
-    256-bucket grid, and the raw predicates push into the scan."""
+    """The 2-D box scan must read only the files whose cell run
+    intersects the covering set (r14: driver-side manifest planning
+    replaced Hive partition pruning): the executed scan opens a small
+    fraction of the layout's files, and the residual zb IN + range
+    predicates push into the surviving files' row groups."""
+    import os
     import re
 
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.maintenance import _zorder_layout_cached
+
     df = REGISTRY["layout_zorder_pruned_scan"].fn(spark, sf_dir)
+    layout = _zorder_layout_cached(spark, sf_dir)
+    total = len(
+        [
+            f
+            for f in os.listdir(os.path.join(layout, "data"))
+            if f.endswith(".parquet")
+        ]
+    )
+    opened = df.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < max(2, total // 4), (opened, total)
     plan = _plan(df)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
-    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
-    assert 0 < n_in < 64, pf  # 9 covering buckets of 256 for this box
     assert "PushedFilters" in plan
+    assert re.search(r"In\(zb", plan), plan  # covering-cell residual pushed
 
 
 def test_zorder_compacted_scan_prunes_buckets(spark, sf_dir):
-    """The appended-then-compacted layout keeps the pruning contract:
-    same PartitionFilters IN-set shape as the build-once layout."""
+    """The appended-then-compacted layout keeps the pruning contract
+    (r14 commit log): the scan plans from the LATEST commit's manifest
+    and opens a small fraction of the on-disk files (which include
+    retained pre-compaction versions), residuals pushed."""
+    import os
     import re
 
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.maintenance import _zorder_compacted_cached
+
     df = REGISTRY["layout_zorder_compacted_scan"].fn(spark, sf_dir)
+    layout = _zorder_compacted_cached(spark, sf_dir)[0]
+    total = len(
+        [
+            f
+            for f in os.listdir(os.path.join(layout, "data"))
+            if f.endswith(".parquet")
+        ]
+    )
+    opened = df.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < max(2, total // 4), (opened, total)
     plan = _plan(df)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
-    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
-    assert 0 < n_in < 64, pf
     assert "PushedFilters" in plan
+    assert re.search(r"In\(zb", plan), plan  # covering-cell residual pushed
 
 
 def test_video_neardup_no_nested_loop(spark, sf_dir):
@@ -631,48 +659,84 @@ def test_dpp_scan_prunes_at_runtime(spark, sf_dir):
 
 
 def test_zorder3_scan_prunes_buckets(spark, sf_dir):
-    """The 3-D box scan must read only the covering boxes: the layout
-    scan's PartitionFilters carries a zb IN-set far below the
-    512-bucket grid, and the raw predicates push into the scan."""
+    """The 3-D box scan must read only the files whose cell run
+    intersects the covering boxes (24 of 512 cells for this box):
+    manifest file planning + pushed zb IN residual (r14)."""
+    import os
     import re
 
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.maintenance import _zorder3_layout_cached
+
     df = REGISTRY["layout_zorder3_pruned_scan"].fn(spark, sf_dir)
+    layout = _zorder3_layout_cached(spark, sf_dir)
+    total = len(
+        [
+            f
+            for f in os.listdir(os.path.join(layout, "data"))
+            if f.endswith(".parquet")
+        ]
+    )
+    opened = df.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < max(2, total // 4), (opened, total)
     plan = _plan(df)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
-    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
-    assert 0 < n_in < 64, pf  # 24 covering boxes of 512 for this box
     assert "PushedFilters" in plan
+    assert re.search(r"In\(zb", plan), plan  # covering-cell residual pushed
 
 
 def test_hilbert_scan_prunes_buckets(spark, sf_dir):
-    """The Hilbert box scan must read only the covering cells: a zb
-    IN-set far below the 256-bucket grid, raw predicates pushed."""
+    """The Hilbert box scan must read only the files whose CELL RUN
+    intersects the covering cells — same planning math as Morton, the
+    Hilbert cell id in the manifest interval (r14)."""
+    import os
     import re
 
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.maintenance import _hilbert_layout_cached
+
     df = REGISTRY["layout_hilbert_pruned_scan"].fn(spark, sf_dir)
+    layout = _hilbert_layout_cached(spark, sf_dir)
+    total = len(
+        [
+            f
+            for f in os.listdir(os.path.join(layout, "data"))
+            if f.endswith(".parquet")
+        ]
+    )
+    opened = df.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < max(2, total // 4), (opened, total)
     plan = _plan(df)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
-    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
-    assert 0 < n_in < 64, pf  # 6 covering cells of 256 for this box
     assert "PushedFilters" in plan
+    assert re.search(r"In\(zb", plan), plan  # covering-cell residual pushed
 
 
 def test_hilbert3_scan_prunes_buckets(spark, sf_dir):
-    """The 3-D Hilbert box scan must read only the covering cells —
-    the zorder3 plan shape with the bucket ids mapped through the
-    Hilbert table (r13): a zb IN-set far below the 512-cell grid,
-    raw predicates pushed into the scan."""
+    """The 3-D Hilbert box scan: the zorder3 plan shape with the
+    cell ids mapped through the n-D Hilbert walk (r13; r14 commit-log
+    file planning), small opened fraction + pushed zb IN residual."""
+    import os
     import re
 
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.queries.maintenance import _hilbert3_layout_cached
+
     df = REGISTRY["layout_hilbert3_pruned_scan"].fn(spark, sf_dir)
+    layout = _hilbert3_layout_cached(spark, sf_dir)
+    total = len(
+        [
+            f
+            for f in os.listdir(os.path.join(layout, "data"))
+            if f.endswith(".parquet")
+        ]
+    )
+    opened = df.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < max(2, total // 4), (opened, total)
     plan = _plan(df)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"zb#\d+ IN", pf[0]), pf
-    n_in = len(re.findall(r"\d+", pf[0].split("IN", 1)[1].split(")")[0]))
-    assert 0 < n_in < 64, pf  # same covering-cell count class as Morton
     assert "PushedFilters" in plan
+    assert re.search(r"In\(zb", plan), plan  # covering-cell residual pushed
 
 
 def test_stats_skipping_scan_prunes_files(spark, sf_dir):
