@@ -38,140 +38,120 @@ from . import (  # noqa: F401, E402  (registration side effect)
     windows,
 )
 
-# Round-13 rotation, three parts (the r12 schedule: "the r13 window
-# MUST lead with the 13 scheduled r08-stale names, plus everything
-# r13 changes, then oldest-round (r09) fill"):
-# (a) THE 13 SCHEDULED r08 CARRYOVERS, leading the window exactly as
-#     the r12 comment named them: revenue_by_nation, the two sketches
-#     (sketch_kmv_setops, sketch_heavy_hitters_cms), the nine
-#     streaming suite entries, and window_rank_orders — every one
-#     oracle-green in r08 and replayed by tests/test_oracle_parity.py
+# Round-14 rotation, two parts (the r13 schedule: "the r14 window
+# MUST lead with the 30 scheduled r09-stale names, plus everything
+# r14 changes, then r10 fill" — the changed set fills the window
+# exactly, so the r10 fill is zero this round):
+# (a) THE 30 SCHEDULED r09 CARRYOVERS, leading the window exactly as
+#     the r13 comment named them, in registry order:
+#     cdc_scd2_history through window_lag_lead — every one
+#     oracle-green in r09 and replayed by tests/test_oracle_parity.py
 #     every round since.
 # (b) every query that is NEW or whose implementation CHANGED this
-#     round — 25 entries. Nine DEBUTS: layout_stats_timetravel_scan
-#     (VERSION AS OF on the new commit log — r12 VERDICT next #3),
-#     layout_stats_evolved_scan (schema evolution: widened commit
-#     schema, NULL backfill, evolved-column stats — next #5),
-#     layout_stats_concurrent_appends (TWO RACING WRITERS through the
-#     hard-link CAS, no lost update — next #2's acceptance artifact),
-#     layout_hilbert3_pruned_scan (n-D Hilbert via Skilling's
-#     transform behind the same spec-sidecar dispatch — next #7), and
-#     streaming_cdc_stats_merge (foreachBatch CDC feed folded through
-#     stats_merge keyed by epoch id, exactly-once — next #4), and a
-#     sixth late debut layout_stats_history (DESCRIBE HISTORY over the
-#     retained commit records, literal-VALUES oracle on the
-#     structurally fixed scaffold history), and a seventh
-#     layout_stats_restored_scan (RESTORE TABLE TO VERSION: a
-#     metadata-only rollback commit reusing the target's part list,
-#     with re_referenced GC protection so the undone delete's expiring
-#     record cannot reap restored files), an eighth
-#     layout_stats_clustered_scan (OPTIMIZE ZORDER BY on the commit
-#     log: a full copy-on-write rewrite ordering rows along the Morton
-#     interleave of both skip columns, tightening every file's
-#     per-column interval so the manifest prunes the SECOND column
-#     too — the scaffold asserts the planned-file drop), and a ninth
-#     layout_stats_changes_feed (CHANGE DATA FEED: a commit's row diff
-#     as the EXCEPT ALL of its exclusive files against its parent's —
-#     O(changed files), uniform across op kinds, no stored feed). Plus
-#     the
-#     CHANGED implementations: the six stats-layout queries
-#     layout_stats_skipping_scan / layout_stats_appended_scan /
-#     layout_stats_compacted_scan / layout_stats_deleted_scan /
-#     layout_stats_merged_scan / streaming_stats_ingest (the r13
-#     MULTI-WRITER protocol rewrite — r12 VERDICT next #2: versioned
-#     immutable manifest parts + an append-only _commits/ log with
-#     os.link CAS; visibility = the commit record, so readers get
-#     snapshot isolation and ALL read-path healing is gone; append/
-#     delete/merge/compact commit optimistically and re-plan on a
-#     lost race; retention GC replaces in-op GC), the five bucket-
-#     layout scans layout_zorder_pruned_scan /
+#     round — 20 entries. Two DEBUTS: layout_stats_retrofit_scan
+#     (stats_compute_stats: skip stats retrofitted onto an EXISTING
+#     column as a METADATA-ONLY commit — one per-file min/max
+#     aggregate, no data rewrite; the affordance behind the r13
+#     stats_append refusal — r13 VERDICT next #6) and
+#     layout_cdf_incremental_mv (the change feed's CONSUMER: a
+#     per-custkey (sum, count) MV maintained purely from
+#     stats_changes_since, the cursor riding the fold-merge's
+#     batch_id so at-least-once callers fold each source version
+#     exactly once — next #4). Plus the CHANGED implementations:
+#     the six bucket-layout queries layout_zorder_pruned_scan /
 #     layout_zorder_compacted_scan / layout_zorder3_pruned_scan /
-#     layout_hilbert_pruned_scan / layout_hilbert_compacted_scan
-#     (r12 ADVICE #2: the shared read-path heal now fails LOUD on a
-#     stranded dir younger than the read grace instead of restoring
-#     under a possibly-live compaction; zorder3 additionally routes
-#     its covering set through the curve dispatcher), and the five
-#     IVF serving/maintenance queries similarity_ann_ivf_ondisk /
-#     similarity_ann_pq_rerank / similarity_ann_filtered /
-#     similarity_ivf_append / similarity_ivf_retrain (r12 ADVICE #1:
-#     the reader-mode heal's stale-lock takeover is now single-winner
-#     — rename-first — and healers refresh the lock mtime at entry).
-# (c) OLDEST-ROUND FILL: the first 12 of the 42 entries whose latest
-#     driver row is r09, in registry order (percentiles_order_value
-#     through profile_lineitem). The 30 r09 entries left — scheduled
-#     BY NAME for the r14 window, in registry order — are
-#     cdc_scd2_history, multimodal_decode_roundtrip,
-#     multimodal_image_features,
-#     multimodal_frame_stats, multimodal_phash_neardup, multimodal_phash_incremental,
-#     multimodal_audio_fingerprint, text_profile,
-#     text_unigram_logprob, text_bigram_logprob,
-#     similarity_embedding_neardup, similarity_ann_recall_audit,
-#     similarity_neardup_pruned, embedding_quantize_int8,
-#     text_hybrid_retrieval_rrf, corpus_quality_funnel,
-#     corpus_decontaminate, corpus_split_report, q1_pricing_summary,
-#     q3_shipping_priority, q5_local_supplier_volume,
-#     range_join_price_bands, json_extract_props,
-#     sketch_distinct_customers, sketch_price_quantiles,
-#     streaming_distinct_kmv, q9_product_profit, window_events_suite,
-#     window_moving_avg, window_lag_lead. 13 + 25 + 12 = 50 exactly.
-#     After this round the recency floor is r09 for exactly those 30
-#     names and r10 for everything else (the r08 floor is retired).
-# The window is 50/50 oracle-backed, as is the whole 191-entry
+#     layout_hilbert_pruned_scan / layout_hilbert_compacted_scan /
+#     layout_hilbert3_pruned_scan (r14 MOVED THE BUCKET LAYOUTS ONTO
+#     THE COMMIT LOG — next #2: zb is a data column with per-file
+#     [min_zb, max_zb] manifest intervals, scans plan files from a
+#     pinned commit, appends/compactions are multi-writer CAS
+#     commits; the retired-dir swap, heal-on-read, the read grace
+#     and the single-writer assumption are DELETED, and buckets
+#     inherit time travel / history / restore), and the twelve
+#     stats-layout queries whose scaffolds exercise the r14-changed
+#     write paths — layout_stats_appended_scan /
+#     layout_stats_evolved_scan / layout_stats_concurrent_appends
+#     (stats_append: the lost-CAS retry now re-runs the schema-NEW
+#     guard against the winner's schema, r13 ADVICE #1, and a late
+#     retry whose files a later rewrite replaced fails loud instead
+#     of silently re-appending, ADVICE #3) and
+#     layout_stats_compacted_scan / layout_stats_deleted_scan /
+#     layout_stats_merged_scan / layout_stats_clustered_scan /
+#     layout_stats_restored_scan / layout_stats_changes_feed /
+#     layout_stats_timetravel_scan / streaming_stats_ingest /
+#     streaming_cdc_stats_merge (next #3, CONFLICT-DETECTION COMMITS:
+#     a rewrite losing its CAS to DISJOINT winners now ADOPTS them —
+#     staged data files reused, only the manifest part rebuilt —
+#     instead of re-staging; overlapping losers still re-plan, pinned
+#     by the unchanged test_stats_rewrite_replans_after_lost_cas).
+#     30 + 2 + 6 + 12 = 50 exactly.
+# (c) OLDEST-ROUND FILL: none this round (the window is full).
+#     layout_stats_history ALSO changed in r14 (its scaffold is the
+#     deleted-scan scaffold, whose delete/append ops changed) but
+#     its own read path — driver-side JSON reads of the commit
+#     records — is untouched, and the three sibling queries on the
+#     SAME scaffold (deleted/timetravel/changes) are in-window, so it
+#     is scheduled BY NAME for the r15 window instead. The r15 window
+#     MUST therefore lead with layout_stats_history, then r15's own
+#     changes, then fill from the 40 entries whose latest driver row
+#     is r10 (the r09 floor retires this round; after r14 the floor
+#     is r10 for exactly those 40 names).
+# The window is 50/50 oracle-backed, as is the whole 193-entry
 # registry.
 _PRIORITY = [
-    # --- (a) the 13 scheduled r08 carryovers ---
-    "revenue_by_nation",
-    "sketch_kmv_setops",
-    "sketch_heavy_hitters_cms",
-    "streaming_hourly_rollup",
-    "streaming_session_windows",
-    "streaming_dedup_event_ids",
-    "streaming_attribution_join",
-    "streaming_enriched_rollup",
-    "streaming_incremental_mv",
-    "streaming_cdc_upsert",
-    "streaming_heavy_hitters",
-    "streaming_dedup_neardup",
-    "window_rank_orders",
-    # --- (b) new or changed implementations this round (21) ---
-    "layout_stats_timetravel_scan",
-    "layout_stats_evolved_scan",
-    "layout_stats_concurrent_appends",
-    "layout_hilbert3_pruned_scan",
-    "streaming_cdc_stats_merge",
-    "layout_stats_history",
-    "layout_stats_restored_scan",
-    "layout_stats_clustered_scan",
-    "layout_stats_changes_feed",
-    "layout_stats_skipping_scan",
-    "layout_stats_appended_scan",
-    "layout_stats_compacted_scan",
-    "layout_stats_deleted_scan",
-    "layout_stats_merged_scan",
-    "streaming_stats_ingest",
+    # --- (a) the 30 scheduled r09 carryovers (registry order) ---
+    "cdc_scd2_history",
+    "multimodal_decode_roundtrip",
+    "multimodal_image_features",
+    "multimodal_frame_stats",
+    "multimodal_phash_neardup",
+    "multimodal_phash_incremental",
+    "multimodal_audio_fingerprint",
+    "text_profile",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "similarity_embedding_neardup",
+    "similarity_ann_recall_audit",
+    "similarity_neardup_pruned",
+    "embedding_quantize_int8",
+    "text_hybrid_retrieval_rrf",
+    "corpus_quality_funnel",
+    "corpus_decontaminate",
+    "corpus_split_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "range_join_price_bands",
+    "json_extract_props",
+    "sketch_distinct_customers",
+    "sketch_price_quantiles",
+    "streaming_distinct_kmv",
+    "q9_product_profit",
+    "window_events_suite",
+    "window_moving_avg",
+    "window_lag_lead",
+    # --- (b) new or changed implementations this round (20) ---
+    "layout_stats_retrofit_scan",
+    "layout_cdf_incremental_mv",
     "layout_zorder_pruned_scan",
     "layout_zorder_compacted_scan",
     "layout_zorder3_pruned_scan",
     "layout_hilbert_pruned_scan",
     "layout_hilbert_compacted_scan",
-    "similarity_ann_ivf_ondisk",
-    "similarity_ann_pq_rerank",
-    "similarity_ann_filtered",
-    "similarity_ivf_append",
-    "similarity_ivf_retrain",
-    # --- (c) last driver-verified in r09 (16 of 42, registry order) ---
-    "percentiles_order_value",
-    "skew_salted_join_priority",
-    "udf_scalar_normalize_name",
-    "dedup_exact",
-    "dedup_dup_spans",
-    "dedup_span_coverage",
-    "events_daily_pivot",
-    "events_pit_join",
-    "events_session_pmi",
-    "graph_pagerank_suppliers",
-    "graph_label_propagation",
-    "profile_lineitem",
+    "layout_hilbert3_pruned_scan",
+    "layout_stats_appended_scan",
+    "layout_stats_evolved_scan",
+    "layout_stats_concurrent_appends",
+    "layout_stats_compacted_scan",
+    "layout_stats_deleted_scan",
+    "layout_stats_merged_scan",
+    "layout_stats_clustered_scan",
+    "layout_stats_restored_scan",
+    "layout_stats_changes_feed",
+    "layout_stats_timetravel_scan",
+    "streaming_stats_ingest",
+    "streaming_cdc_stats_merge",
+    # --- (c) oldest-round fill: none (30 + 20 fill the window) ---
 ]
 
 assert len(_PRIORITY) == 50, f"priority block must be exactly 50, got {len(_PRIORITY)}"

@@ -1685,3 +1685,207 @@ def layout_stats_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
         "l_quantity", "_change_type",
     )
+
+
+_RETROFIT_CACHE: dict = {}
+
+
+def _skip_retrofit_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_stats_retrofit_scan: a stats
+    layout over lineitem keyed on l_shipdate whose data arrived in
+    four PRICE-BANDED appends (the correlated-ingest shape — batches
+    land by supplier tier / source shard, so per-file price ranges
+    are naturally tight even though price carries no stats), then
+    :func:`~..operators.layout.stats_compute_stats` promoting
+    l_extendedprice METADATA-ONLY. The scaffold pins the r13 failure
+    mode first (the price predicate is REFUSED pre-retrofit, and the
+    append-path promotion raises the silent-mis-prune guard), then
+    that the promoted scan plans a minority of the files."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        stats_append,
+        stats_compute_stats,
+        stats_pruned_scan,
+        write_stats_layout,
+    )
+
+    path = _RETROFIT_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    bands = [(0, 25000), (25000, 40000), (40000, 55000), (55000, 10**9)]
+    path = tempfile.mkdtemp(prefix="sg_retrofit_")
+    first = li.filter(
+        (F.col("l_extendedprice") >= bands[0][0])
+        & (F.col("l_extendedprice") < bands[0][1])
+    )
+    write_stats_layout(first, path, ["l_shipdate"], n_files=8)
+    for i, (lo, hi) in enumerate(bands[1:], 1):
+        stats_append(
+            li.filter(
+                (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi)
+            ),
+            path,
+            batch_id=f"band-{i}",
+            n_files=8,
+        )
+    # the r13 failure mode, pinned: no stats -> refused, not wrong
+    try:
+        stats_pruned_scan(spark, path, {"l_extendedprice": (41000, 54000)})
+        raise AssertionError("price predicate must be refused before retrofit")
+    except ValueError:
+        pass
+    widened = stats_compute_stats(
+        spark, path, ["l_extendedprice"], batch_id="retrofit-price"
+    )
+    assert widened == ["l_shipdate", "l_extendedprice"]
+    _df, files = stats_pruned_scan(
+        spark, path, {"l_extendedprice": (41000, 54000)}, return_files=True
+    )
+    assert 0 < len(files) <= 10, len(files)  # ~band 3's 8 of 32 files
+    _RETROFIT_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@query(
+    "layout_stats_retrofit_scan",
+    # FULL value oracle: the served scan is a plain price filter over
+    # the whole table (the four bands together ARE lineitem), so one
+    # file silently mis-pruned = a hash miss.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_extendedprice >= 41000 AND l_extendedprice <= 54000
+    """,
+    doc="SKIP-STAT RETROFIT (r14; r13 VERDICT missing #5): "
+    "stats_compute_stats promotes an EXISTING data column to a skip "
+    "column METADATA-ONLY — one distributed per-file min/max "
+    "aggregate (the ANALYZE TABLE shape), one fresh full-snapshot "
+    "manifest part, parts=[it] / new_files=[] / replaced=[] through "
+    "the CAS; no data rewrite, because the stats are a pure function "
+    "of the existing files (the OPTIMIZE-style CoW the refusal "
+    "message used to point at would pay write amplification for "
+    "nothing). Pre-retrofit files hold REAL price values, so the "
+    "append-path promotion is still refused (NULL stats would "
+    "silently prune them — layout.py's guard); the retrofit computes "
+    "TRUE bounds instead, making the promoted scan exact BY "
+    "CONSTRUCTION and prunable where ingest order correlates with "
+    "the column (banded appends here: 8 of 32 files planned). "
+    "Exactly-once per batch_id; old versions time-travel with their "
+    "original skip set (operators/layout.py stats_compute_stats; "
+    "pinned by tests/test_maintenance.py::"
+    "test_stats_compute_stats_retrofit).",
+    tags=("layout", "stats", "skipping", "maintenance", "scale"),
+)
+def layout_stats_retrofit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_pruned_scan
+
+    layout = _skip_retrofit_cached(spark, sf_dir)
+    return stats_pruned_scan(
+        spark, layout, {"l_extendedprice": (41000, 54000)}
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+
+
+_CDF_MV_CACHE: dict = {}
+
+
+def _cdf_mv_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scaffolding for layout_cdf_incremental_mv: a source
+    stats layout over orders (keyed o_orderkey, values in integer
+    CENTS so incremental +x/-x folding is exact), and a per-custkey
+    (sum, count) MV maintained ONLY from the source's change feed —
+    tick after init, then append + range-delete and tick again; a
+    replayed tick is a no-op (the cursor rides the fold-merge's batch
+    token). Returns the MV path."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        stats_append,
+        stats_delete,
+        stats_incremental_mv_apply,
+        stats_init_mv,
+        write_stats_layout,
+    )
+
+    mv = _CDF_MV_CACHE.get(sf_dir)
+    if mv is not None and os.path.isdir(mv):
+        return mv
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 4 == 0)
+    root = tempfile.mkdtemp(prefix="sg_cdfmv_")
+    src = os.path.join(root, "src")
+    mv = os.path.join(root, "mv")
+    write_stats_layout(base, src, ["o_orderkey"], n_files=8)
+    stats_init_mv(spark, mv, "o_custkey")
+    assert stats_incremental_mv_apply(spark, src, mv, "o_custkey", "o_cents") == (0, 1)
+    stats_append(batch, src, batch_id="cdfmv-batch", n_files=4)
+    stats_delete(spark, src, {"o_orderkey": (1, 2000)}, batch_id="cdfmv-del")
+    assert stats_incremental_mv_apply(spark, src, mv, "o_custkey", "o_cents") == (1, 3)
+    # an at-least-once caller re-ticks: nothing double-folds
+    assert stats_incremental_mv_apply(spark, src, mv, "o_custkey", "o_cents") == (3, 3)
+    _CDF_MV_CACHE[sf_dir] = mv
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return mv
+
+
+@query(
+    "layout_cdf_incremental_mv",
+    # FULL value oracle: the MV was maintained purely from the change
+    # feed (bootstrap inserts + append inserts + delete tombstones),
+    # and must equal the aggregate DuckDB recomputes from the final
+    # source state — integer cents make the incremental fold exact.
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mv_sum,
+           COUNT(*) AS mv_count
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 1 AND 2000)
+    GROUP BY o_custkey
+    """,
+    doc="CHANGE-FEED CONSUMER / incremental MV maintenance (r14; r13 "
+    "VERDICT missing #3 — 'the change feed has no consumer'): a "
+    "per-custkey (sum-of-cents, order-count) materialized view "
+    "maintained ONLY from the source table's own commit-log change "
+    "feed — stats_changes_since(cursor) folds +value/+1 per insert "
+    "and -value/-1 per delete, O(changed rows) never a source scan, "
+    "and applies the per-key deltas as ONE stats_merge whose "
+    "batch_id carries the (from, to) versions: the cursor advances "
+    "ATOMICALLY with the fold through the MV's own commit protocol "
+    "(derived from the MV's _merges records, no separate cursor file "
+    "to tear), so at-least-once callers — foreachBatch, cron retries, "
+    "crash loops, even two racing consumers — fold each source "
+    "version EXACTLY ONCE (the Delta CDF + MERGE pattern; contrast "
+    "streaming_incremental_mv, which maintains from the source "
+    "STREAM: this one maintains from the TABLE, so every writer "
+    "path feeds the same MV). Values are integer cents: incremental "
+    "+x/-x is exact where float folding would drift by accumulation "
+    "order (operators/layout.py stats_changes_since / stats_mv_cursor "
+    "/ stats_incremental_mv_apply; crash/replay exactly-once pinned "
+    "by tests/test_maintenance.py::test_cdf_incremental_mv_exactly_"
+    "once).",
+    tags=("layout", "stats", "cdc", "incremental", "scale"),
+)
+def layout_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stats_pruned_scan
+
+    mv = _cdf_mv_cached(spark, sf_dir)
+    return stats_pruned_scan(spark, mv, {"o_custkey": (None, None)}).select(
+        "o_custkey", "mv_sum", "mv_count"
+    )
