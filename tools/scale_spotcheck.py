@@ -83,14 +83,18 @@ REPLICAS = 10
 # _commits listdir + explicit-schema read replaced it), and the PCA
 # anchor (the flattest r9 scaler; if IT moves, the host moved).
 QUERIES = [
-    "layout_stats_timetravel_scan",
-    "layout_stats_evolved_scan",
-    "layout_stats_concurrent_appends",
+    # r14 changed/debuted entries: the bucket layouts behind the
+    # commit-log port (file planning replaces Hive partition pruning
+    # — the 10x ratio tests that the manifest read stays metadata-
+    # sized), the two debuts, and the conflict-detection-path merge
+    "layout_zorder_pruned_scan",
+    "layout_zorder_compacted_scan",
+    "layout_hilbert_compacted_scan",
     "layout_hilbert3_pruned_scan",
-    "streaming_cdc_stats_merge",
-    "layout_stats_skipping_scan",
+    "layout_stats_retrofit_scan",
+    "layout_cdf_incremental_mv",
     "layout_stats_merged_scan",
-    "embedding_pca_project",
+    "embedding_pca_project",  # host-baseline anchor, every round
 ]
 
 
