@@ -366,6 +366,19 @@ HEADLINE = [
     #   (a hash-partitioned anti-diff over O(changed files), never
     #   the table); expect a small join-shaped number.
     "layout_stats_changes_feed",
+    # --- round 14 debuts ---
+    # - skip-stat retrofit: the banded-append scaffold (4 price-band
+    #   appends + the METADATA-ONLY stats_compute_stats promotion) is
+    #   amortized per corpus version; min-of-3 measures the price-box
+    #   scan against the retrofitted manifest (~8 of 32 files
+    #   planned) — expect a stats-scan-sized number.
+    "layout_stats_retrofit_scan",
+    # - change-feed-driven incremental MV: the source layout, the MV
+    #   and both maintenance ticks (bootstrap fold + append/delete
+    #   fold) are amortized per corpus version; min-of-3 measures the
+    #   full-MV scan (per-custkey aggregates) — expect a small
+    #   manifest-planned read.
+    "layout_cdf_incremental_mv",
 ]
 
 # r8 -> r9 comparability note (the r8 annotation-rule lapse, made
@@ -594,6 +607,44 @@ HEADLINE = [
 # so r14 deltas are computed against 139.66/82 at canary 0.3091
 # (r13 VERDICT wrong #2: annotation and artifact-of-record must
 # quote the same run).
+# r14 expectations (annotated BEFORE the run, as always):
+# - the six bucket scans (zorder/zorder3/hilbert/hilbert3 pruned +
+#   both compacted): the commit-log port replaces Hive partition
+#   discovery (256-512 dirs per scan) + the heal/grace listdir-and-
+#   stat pass with one _commits listdir + one small JSON + one
+#   broadcast-sized manifest read under an explicit schema — expect
+#   flat-to-faster, the r13 stats-scan experience repeated (those
+#   roughly halved raw when their protocol made the same move). The
+#   compacted scaffolds also swap dir-swap maintenance for one CAS
+#   commit; their scans read ~same bytes (zb IN row-group residual
+#   restores in-file pruning at the 64-file default).
+# - conflict-detection commits add ZERO serial-path work (the probes
+#   run only on a lost CAS) — expect no movement from them anywhere.
+# - stats_append's two new entry guards are O(retention) metadata
+#   reads per op — noise.
+# - the two debuts are amortized-scaffold scans (predictions above,
+#   in the HEADLINE list).
+# r14 observed (committed final-tree run; 124.98 s / 84 entries at
+# canary 0.3063 min == median, vs the r13 artifact 139.66 s / 82 at
+# 0.3091 — canary 0.99x, host flat, so raw deltas are real): the
+# shared-entry total is 0.898x RAW, and the win is exactly where the
+# round worked — the six ported bucket scans dropped 4-6x
+# (zorder_pruned 0.55 -> 0.12 s, zorder_compacted 0.54 -> 0.15,
+# zorder3 1.21 -> 0.22, hilbert_pruned 0.50 -> 0.14,
+# hilbert_compacted 0.67 -> 0.13, hilbert3 1.06 -> 0.17): Hive
+# partition discovery over 256-512 dirs + the heal/grace listdir-and-
+# stat pass became one _commits listdir + one small JSON + one
+# broadcast-sized manifest read with explicit-schema file reads, the
+# r13 stats-scan experience repeated on the bucket family. The stats
+# ops moved 0.81-1.12x (entry-guard consolidation to ONE retained-log
+# pass offsets the new checks); streaming_cdc_stats_merge 0.87x. The
+# debuts landed as predicted: retrofit_scan 0.18 s (stats-scan-
+# sized), cdf_incremental_mv 0.09 s (MV-sized manifest-planned read).
+# Only two shared entries exceed 1.15x raw — events_sessionize 1.23x
+# and text_bpe_encode 1.18x, both sub-second, both UNTOUCHED for
+# rounds, the documented min-of-3 jitter band — while twenty
+# untouched entries moved 0.74-0.85x the other way with the same
+# zero-code-change explanation.
 
 
 def _canary(spark, sf_dir):

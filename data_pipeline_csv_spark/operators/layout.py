@@ -213,16 +213,22 @@ def _spec_bucket_exprs(spec: dict) -> tuple:
 
 
 def _safe_tag(batch_id: str) -> str:
-    """Collision-safe filesystem tag for an idempotency token — the
-    :func:`~.similarity._safe_batch_tag` rule: a short clean id passes
-    through verbatim; anything else (unsafe chars, overlong) becomes a
-    sha256 prefix. The old truncate-and-substitute sanitizer mapped
-    DISTINCT ids like "purge:x" and "purge.x" to the same tag, so the
-    second operation silently short-circuited as a committed replay of
-    the first (r12 review) — hashing keeps distinct ids distinct."""
+    """Collision-safe filesystem tag for an idempotency token: a short
+    id of [alnum_] passes through verbatim; anything else (unsafe
+    chars, overlong — and, since r14, HYPHENS) becomes a sha256
+    prefix. The old truncate-and-substitute sanitizer mapped DISTINCT
+    ids like "purge:x" and "purge.x" to the same tag (r12 review);
+    hyphens had to go because "-" is the marker TERMINATOR in every
+    artifact name (``a<tag>-<file>``), so tag "day-1" prefix-matched
+    tag "day-1-fix"'s artifacts — a first-ever batch "day-1" arriving
+    after a committed "day-1-fix" would short-circuit as already
+    applied (silent batch drop), and its own-tag sweep could delete a
+    LIVE concurrent writer's staged files (r14 review #2). With tags
+    confined to [alnum_], the "-" terminator cannot occur inside a
+    tag and ``startswith(f"{prefix}{tag}-")`` is exact."""
     import hashlib
 
-    if all(c.isalnum() or c in "_-" for c in batch_id) and 0 < len(batch_id) <= 48:
+    if all(c.isalnum() or c == "_" for c in batch_id) and 0 < len(batch_id) <= 48:
         return batch_id
     return hashlib.sha256(batch_id.encode()).hexdigest()[:16]
 
@@ -378,7 +384,7 @@ def zorder_append(
     and record recovers its TRUE touched-cell set from the commit log
     (or, past record expiry, from its still-referenced files); a retry
     arriving after a later rewrite replaced its files fails loud via
-    the retained ``replaced`` lists (:func:`_tag_files_replaced`).
+    the retained ``replaced`` lists (:func:`_tag_recovery_state`).
     Returns the touched cell ids, sorted."""
     import os
     import shutil
@@ -391,7 +397,7 @@ def zorder_append(
     rec = _read_record(path, "_batches", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec["buckets"]
-    committed = _find_commit_by_tag(path, "append", tag)
+    committed, part_ref, files_rep = _tag_recovery_state(path, "append", "a", tag)
     if committed is not None:  # crashed between CAS and record
         out = committed["touched_buckets"]
         _write_record(
@@ -399,7 +405,7 @@ def zorder_append(
             {"buckets": out, "files": committed["new_files"]},
         )
         return out
-    if _tag_part_referenced(path, "a", tag):
+    if part_ref:
         # committed so long ago that retention expired the commit
         # record, yet the record write never landed: the batch's part
         # and data files are still live (later commits reference the
@@ -417,7 +423,7 @@ def zorder_append(
         out = sorted(r["zb"] for r in got.select("zb").distinct().collect())
         _write_record(path, "_batches", tag, {"buckets": out, "files": moved})
         return out
-    if _tag_files_replaced(path, "a", tag):
+    if files_rep:
         raise RuntimeError(
             f"zorder_append: batch {batch_id!r} committed at {path} but "
             f"its record and commit entry expired from retention (a later "
@@ -512,12 +518,20 @@ def zorder_compact(spark, path: str, keep_versions: int | None = None) -> list[i
             return []
         man = _read_manifest(spark, path, cur)
         rows = man.collect()
-        ds = set(dirty)
+        import bisect
+
+        def _hits_dirty(lo, hi):
+            # sorted-set bisection, the _bucket_planned_scan rule —
+            # not an O(cells-spanned) range walk (r14 review #5: a
+            # wide compacted file at a 65536-cell prefix would walk
+            # tens of thousands of elements per file per attempt)
+            if lo is None or hi is None:
+                return False
+            i = bisect.bisect_left(dirty, lo)
+            return i < len(dirty) and dirty[i] <= hi
+
         affected = [
-            r
-            for r in rows
-            if r["min_zb"] is not None
-            and any(b in ds for b in range(r["min_zb"], r["max_zb"] + 1))
+            r for r in rows if _hits_dirty(r["min_zb"], r["max_zb"])
         ]
         if not affected:
             return []
@@ -1383,20 +1397,37 @@ def _write_record(path: str, family: str, tag: str, content: dict) -> None:
     os.replace(tmp, record)
 
 
-def _find_commit_by_tag(path: str, op: str, tag: str):
-    """Scan the RETAINED commit records (newest first, O(keep_versions)
-    JSON reads) for an (op, tag) match — how an at-least-once retry
-    that crashed between its CAS and its idempotency record discovers
-    the first attempt actually committed, and recovers the TRUE result
-    (replaced/new_files) instead of re-applying or fabricating an
-    empty one (r12 ADVICE #3). Retries must arrive within the
-    retention window; beyond it the record family is the only memory,
-    and the crash window between CAS and record is milliseconds."""
-    for v in reversed(_list_commits(path)):
+def _tag_recovery_state(path: str, op: str, prefix: str, tag: str):
+    """ONE pass over the retained commit records answering the three
+    entry questions every tagged op asks — previously three separate
+    O(retention) listdir+JSON passes per entry (r14 review #6):
+
+    - ``committed``: the retained commit with this (op, tag) — how a
+      retry that crashed between CAS and record recovers its TRUE
+      result (r12 ADVICE #3);
+    - ``part_referenced``: some retained commit's part list carries
+      this tag's manifest-part prefix — the op committed even though
+      both its record and its own commit record are gone;
+    - ``files_replaced``: some retained commit's replaced list names
+      this tag's data files — a later rewrite consumed them, so the
+      op DEFINITELY committed and a sweep-and-redo would duplicate it
+      (r13 ADVICE #3).
+    """
+    marker = f"{prefix}{tag}-"
+    committed, part_ref, files_rep = None, False, False
+    for v in _list_commits(path):
         rec = _read_commit(path, v)
-        if rec is not None and rec.get("op") == op and rec.get("tag") == tag:
-            return rec
-    return None
+        if rec is None:
+            continue
+        if rec.get("op") == op and rec.get("tag") == tag:
+            committed = rec
+        if not part_ref and any(p.startswith(marker) for p in rec["parts"]):
+            part_ref = True
+        if not files_rep and any(
+            fn.startswith(marker) for fn in rec.get("replaced", [])
+        ):
+            files_rep = True
+    return committed, part_ref, files_rep
 
 
 def _sweep_own_tag(path: str, prefix: str, tag: str) -> None:
@@ -1417,50 +1448,6 @@ def _sweep_own_tag(path: str, prefix: str, tag: str) -> None:
         for fn in os.listdir(d):
             if fn.startswith(marker):
                 _rm_f(os.path.join(d, fn))
-
-
-def _tag_part_referenced(path: str, prefix: str, tag: str) -> bool:
-    """True when any RETAINED commit's part list references a manifest
-    part of this (prefix, tag) — i.e. the tagged op COMMITTED, even if
-    both its idempotency record and its own commit record are gone
-    (a retry arriving after retention expired the record). The entry
-    guard that keeps such a late retry from sweeping live table state:
-    an append's part stays referenced by every later commit until the
-    next full rewrite, so this check catches exactly the case where
-    the prefixed files are still load-bearing (r13 review)."""
-    marker = f"{prefix}{tag}-"
-    for v in _list_commits(path):
-        rec = _read_commit(path, v)
-        if rec is not None and any(p.startswith(marker) for p in rec["parts"]):
-            return True
-    return False
-
-
-def _tag_files_replaced(path: str, prefix: str, tag: str) -> bool:
-    """True when any RETAINED commit's ``replaced`` list names a data
-    file of this (prefix, tag) — i.e. the tagged op COMMITTED and a
-    LATER rewrite already replaced its files. Closes the late-retry
-    asymmetry (r13 ADVICE #3): once a full rewrite folds the part
-    list, an append's part is no longer referenced by any retained
-    commit, so :func:`_tag_part_referenced` alone would let a retry
-    arriving after both its record and commit entry expired sweep and
-    silently RE-APPEND the batch (duplicate rows). The replaced list
-    is the remaining retained evidence the op committed — and unlike
-    the on-disk prefixed files the ADVICE names, it survives retention
-    GC deleting those files, and can never be confused with a crashed
-    UNCOMMITTED attempt's leftovers (nothing replaces files that were
-    never committed). Residual window: record lost AND the replacing
-    rewrite itself expired — then no retained state remembers the
-    batch at all, the same out-of-retention contract every op
-    documents (retries are expected within the retention window)."""
-    marker = f"{prefix}{tag}-"
-    for v in _list_commits(path):
-        rec = _read_commit(path, v)
-        if rec is not None and any(
-            fn.startswith(marker) for fn in rec.get("replaced", [])
-        ):
-            return True
-    return False
 
 
 def _retention_gc(path: str, keep_versions=None) -> None:
@@ -1880,11 +1867,11 @@ def stats_append(
     rec = _read_record(path, "_batches", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec["files"]
-    committed = _find_commit_by_tag(path, "append", tag)
+    committed, part_ref, files_rep = _tag_recovery_state(path, "append", "a", tag)
     if committed is not None:  # crashed between CAS and record
         _write_record(path, "_batches", tag, {"files": committed["new_files"]})
         return committed["new_files"]
-    if _tag_part_referenced(path, "a", tag):
+    if part_ref:
         # committed so long ago that retention expired the commit
         # record itself, yet the record write never landed: the part
         # is still live (later commits reference it), so sweeping
@@ -1898,9 +1885,9 @@ def stats_append(
         )
         _write_record(path, "_batches", tag, {"files": moved})
         return moved
-    if _tag_files_replaced(path, "a", tag):
+    if files_rep:
         # committed, record lost, commit record expired, AND a later
-        # full rewrite folded the part away — _tag_part_referenced is
+        # full rewrite folded the part away — the part-referenced probe is
         # blind here, but the rewrite's retained ``replaced`` list
         # still names our files: re-appending would silently duplicate
         # the batch, so fail loud like the rewrite ops do in the same
@@ -1914,6 +1901,13 @@ def stats_append(
     _sweep_own_tag(path, "a", tag)
 
     v, cur = _load_version(path)
+    if "spec" in cur:
+        raise ValueError(
+            "stats_append: this is a BUCKET layout (the commit carries a "
+            "curve spec) — appending without curve routing would land "
+            "files whose zb column is NULL and whose rows no pruned scan "
+            "would ever plan; use zorder_append (r14 review #4)"
+        )
     skip_cols = list(cur["skip_cols"])
     # a batch may omit skip columns EVOLVED IN after its producer was
     # written — its files simply record no stats for them (the
@@ -2183,6 +2177,15 @@ def _commit_rewrite(
         }
         if extra:
             payload.update(extra)
+        # op-family payload keys the op didn't set flow forward from
+        # the planned version (r14 review #4): a stats_delete /
+        # stats_compact / stats_merge run against a BUCKET table must
+        # not strand the next scan without its curve spec, nor
+        # silently drop the pending dirty set — the bucket compactor
+        # overrides both via ``extra``; everyone else inherits.
+        for k in ("spec", "dirty_buckets"):
+            if k in cur and k not in payload:
+                payload[k] = cur[k]
         if result is not None:
             payload["result"] = result
         if _cas_commit(path, version + 1, payload):
@@ -2341,11 +2344,11 @@ def stats_delete(
     rec = _read_record(path, "_deletes", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec["replaced"]
-    committed = _find_commit_by_tag(path, "delete", tag)
+    committed, part_ref, _files_rep = _tag_recovery_state(path, "delete", "d", tag)
     if committed is not None:  # crashed between CAS and record
         _write_record(path, "_deletes", tag, {"replaced": committed["replaced"]})
         return committed["replaced"]
-    if _tag_part_referenced(path, "d", tag):
+    if part_ref:
         # committed, but BOTH the record write was lost and retention
         # already expired the commit record: the part is still live
         # (appends since then reference it), so sweeping would corrupt
@@ -2487,7 +2490,7 @@ def stats_merge(
     rec = _read_record(path, "_merges", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec
-    committed = _find_commit_by_tag(path, "merge", tag)
+    committed, part_ref, _files_rep = _tag_recovery_state(path, "merge", "m", tag)
     if committed is not None:  # crashed between CAS and record:
         # reconstruct the TRUE result from the commit payload, never
         # an empty fabrication (r12 ADVICE #3)
@@ -2498,7 +2501,7 @@ def stats_merge(
         }
         _write_record(path, "_merges", tag, out)
         return out
-    if _tag_part_referenced(path, "m", tag):
+    if part_ref:
         raise RuntimeError(
             f"stats_merge: batch {batch_id!r} committed at {path} but "
             f"its record and commit entry expired from retention — the "
@@ -2705,12 +2708,12 @@ def stats_restore(
     rec = _read_record(path, "_restores", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec
-    committed = _find_commit_by_tag(path, "restore", tag)
+    committed, part_ref, _files_rep = _tag_recovery_state(path, "restore", "r", tag)
     if committed is not None:  # crashed between CAS and record
         out = committed["result"]
         _write_record(path, "_restores", tag, out)
         return out
-    if _tag_part_referenced(path, "r", tag):
+    if part_ref:
         # committed, but BOTH the record write was lost and retention
         # already expired the commit record (the marker part below is
         # how a restore — which creates no data files — stays
@@ -2742,7 +2745,7 @@ def stats_restore(
         )
         # an EMPTY manifest part tagged r<tag>- : contributes no rows
         # to any manifest read, but flows forward through appends like
-        # every part, so _tag_part_referenced can recognize this
+        # every part, so the part-referenced probe can recognize this
         # restore's commit long after its record expired
         marker = _stage_manifest_part(
             spark.createDataFrame([], _manifest_schema(target)),
@@ -2860,11 +2863,11 @@ def stats_cluster(
     rec = _read_record(path, "_clusters", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec["new_files"]
-    committed = _find_commit_by_tag(path, "cluster", tag)
+    committed, part_ref, _files_rep = _tag_recovery_state(path, "cluster", "z", tag)
     if committed is not None:  # crashed between CAS and record
         _write_record(path, "_clusters", tag, {"new_files": committed["new_files"]})
         return committed["new_files"]
-    if _tag_part_referenced(path, "z", tag):
+    if part_ref:
         raise RuntimeError(
             f"stats_cluster: batch {batch_id!r} committed at {path} but "
             f"its record and commit entry expired from retention — the "
@@ -2989,7 +2992,7 @@ def stats_compute_stats(
     Exactly-once per ``batch_id`` via the ``_computes/<tag>`` record
     + commit-log tag recovery; the part carries the ``s<tag>-``
     prefix so a post-retention retry of a committed attempt still
-    short-circuits through :func:`_tag_part_referenced` (and skip
+    short-circuits through :func:`_tag_recovery_state` (and skip
     sets only WIDEN, so the current version's set IS the true
     result). Returns the widened skip-column list.
     """
@@ -3003,13 +3006,13 @@ def stats_compute_stats(
     rec = _read_record(path, "_computes", tag)
     if rec is not None:  # committed replay: short-circuit
         return rec["skip_cols"]
-    committed = _find_commit_by_tag(path, "compute_stats", tag)
+    committed, part_ref, _files_rep = _tag_recovery_state(path, "compute_stats", "s", tag)
     if committed is not None:  # crashed between CAS and record
         _write_record(
             path, "_computes", tag, {"skip_cols": committed["skip_cols"]}
         )
         return committed["skip_cols"]
-    if _tag_part_referenced(path, "s", tag):
+    if part_ref:
         _v, cur = _load_version(path)
         out = list(cur["skip_cols"])
         _write_record(path, "_computes", tag, {"skip_cols": out})
@@ -3050,6 +3053,9 @@ def stats_compute_stats(
             "skip_cols": widened,
             "data_schema": cur["data_schema"],
         }
+        for k in ("spec", "dirty_buckets"):  # bucket tables keep their
+            if k in cur:                     # curve state (r14 review #4)
+                payload[k] = cur[k]
         if _cas_commit(path, v + 1, payload):
             _write_record(path, "_computes", tag, {"skip_cols": widened})
             _retention_gc(path, keep_versions)
@@ -3084,11 +3090,18 @@ def stats_changes_since(spark, path: str, cursor: int):
         )
         return empty, head
     vs = _list_commits(path)
-    if cursor + 1 < vs[0]:
+    # stats_changes(v) needs v's PARENT retained, so the oldest
+    # servable cursor is vs[0] itself (not vs[0]-1): cursor+1's diff
+    # reads version cursor. cursor=0 is the bootstrap special case —
+    # it needs only version 1 itself (r14 review #3: the old
+    # cursor+1 < vs[0] guard passed cursor=vs[0]-1 and then died
+    # inside the per-version diff with the wrong error contract).
+    if max(cursor, 1) < vs[0]:
         raise ValueError(
-            f"stats_changes_since: version {cursor + 1} has expired from "
-            f"retention (oldest retained is {vs[0]}) — changes were lost "
-            f"to GC; re-bootstrap the consumer from a full snapshot"
+            f"stats_changes_since: the feed from version {cursor + 1} has "
+            f"expired from retention (oldest retained is {vs[0]}) — "
+            f"changes were lost to GC; re-bootstrap the consumer from a "
+            f"full snapshot"
         )
     chunks = []
     for v in range(cursor + 1, head + 1):
@@ -3110,7 +3123,9 @@ def stats_changes_since(spark, path: str, cursor: int):
 
 def stats_mv_cursor(mv_path: str) -> int:
     """The LAST source version folded into a CDF-maintained MV — read
-    from the MV's own ``_merges`` records (tags ``cdf-<from>-<to>``),
+    from the MV's own ``_merges`` records (tags ``cdf<from>_<to>``)
+    and, for a fold that crashed between its CAS and its record, the
+    MV's retained commit log,
     so the cursor commits ATOMICALLY with the fold itself: it IS the
     fold-merge's idempotency token, there is no separate cursor file
     to tear, and a crashed consumer resumes exactly where the last
@@ -3118,11 +3133,28 @@ def stats_mv_cursor(mv_path: str) -> int:
     import os
     import re
 
+    pat = re.compile(r"cdf(\d+)_(\d+)")
     rdir = _record_dir(mv_path, "_merges")
     out = 0
     if os.path.isdir(rdir):
         for fn in os.listdir(rdir):
-            m = re.fullmatch(r"cdf-(\d+)-(\d+)", fn)
+            m = pat.fullmatch(fn)
+            if m:
+                out = max(out, int(m.group(2)))
+    # a fold that committed at the MV's CAS but crashed before its
+    # record is invisible to the records dir — and if the SOURCE has
+    # advanced since, the retry carries a NEW token (cdf<from>_<new
+    # head>) that recovers nothing, so it would re-fold the already-
+    # applied versions (r14 review #1: the silent double-fold the
+    # same-token recovery cannot catch). The MV's retained commit log
+    # still names the crashed fold's (op, tag), so the cursor takes
+    # the max over BOTH sources; the residual is a crashed fold whose
+    # MV commit ALSO expired before any retry — the same
+    # retries-within-retention contract as every tagged op.
+    for v in _list_commits(mv_path):
+        rec = _read_commit(mv_path, v)
+        if rec is not None and rec.get("op") == "merge":
+            m = pat.fullmatch(rec.get("tag") or "")
             if m:
                 out = max(out, int(m.group(2)))
     return out
@@ -3156,7 +3188,7 @@ def stats_incremental_mv_apply(
        never a source-table scan;
     3. per-key new totals = current MV row + delta; keys whose count
        reaches 0 DELETE, the rest UPSERT, applied as ONE
-       :func:`stats_merge` with ``batch_id = f"cdf-{cursor}-{head}"``
+       :func:`stats_merge` with ``batch_id = f"cdf{cursor}_{head}"``
        — the cursor advances ATOMICALLY with the fold through the
        MV's own commit protocol, so an at-least-once caller
        (foreachBatch, cron retry, crash loop, even two racing
@@ -3197,6 +3229,6 @@ def stats_incremental_mv_apply(
         upserts,
         deletes,
         key_col,
-        batch_id=f"cdf-{cursor}-{head}",
+        batch_id=f"cdf{cursor}_{head}",
     )
     return (cursor, head)

@@ -640,9 +640,12 @@ def _layout_partition_cols(layout_path: str) -> tuple:
 
 
 def _safe_batch_tag(batch_id: str) -> str:
+    # [alnum_] only: "-" is the marker terminator in b<tag>- artifact
+    # names, so a tag containing it would prefix-match a longer tag's
+    # files (r14 review #2 — the layout.py _safe_tag rule)
     import hashlib
 
-    if all(c.isalnum() or c in "_-" for c in batch_id) and 0 < len(batch_id) <= 48:
+    if all(c.isalnum() or c == "_" for c in batch_id) and 0 < len(batch_id) <= 48:
         return batch_id
     return hashlib.sha256(batch_id.encode()).hexdigest()[:16]
 

@@ -85,17 +85,26 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     instead of re-staging; overlapping losers still re-plan, pinned
 #     by the unchanged test_stats_rewrite_replans_after_lost_cas).
 #     30 + 2 + 6 + 12 = 50 exactly.
-# (c) OLDEST-ROUND FILL: none this round (the window is full).
-#     layout_stats_history ALSO changed in r14 (its scaffold is the
-#     deleted-scan scaffold, whose delete/append ops changed) but
-#     its own read path — driver-side JSON reads of the commit
-#     records — is untouched, and the three sibling queries on the
-#     SAME scaffold (deleted/timetravel/changes) are in-window, so it
-#     is scheduled BY NAME for the r15 window instead. The r15 window
-#     MUST therefore lead with layout_stats_history, then r15's own
-#     changes, then fill from the 40 entries whose latest driver row
-#     is r10 (the r09 floor retires this round; after r14 the floor
-#     is r10 for exactly those 40 names).
+# (c) OLDEST-ROUND FILL: none this round (the window is full). Six
+#     entries ALSO changed in r14 but are scheduled BY NAME for the
+#     r15 window instead, each with a narrow changed surface that
+#     in-window siblings already exercise: layout_stats_history (its
+#     scaffold is the deleted-scan scaffold, whose delete/append ops
+#     changed, but its own read path — driver-side JSON reads of the
+#     commit records — is untouched, and the three sibling queries
+#     on the SAME scaffold, deleted/timetravel/changes, are
+#     in-window), and the five IVF entries similarity_ann_ivf_ondisk
+#     / similarity_ann_pq_rerank / similarity_ann_filtered /
+#     similarity_ivf_append / similarity_ivf_retrain (the r14
+#     self-review's _safe_batch_tag hardening — hyphenated batch ids
+#     now hash so tag prefixes cannot collide — is one line on their
+#     idempotency-token derivation, replayed green by
+#     test_oracle_parity every round; the r15 IVF commit-log port
+#     will change them wholesale anyway). The r15 window MUST lead
+#     with those six names, then r15's own changes, then fill from
+#     the 40 entries whose latest driver row is r10 (the r09 floor
+#     retires this round; after r14 the floor is r10 for exactly
+#     those 40 names).
 # The window is 50/50 oracle-backed, as is the whole 193-entry
 # registry.
 _PRIORITY = [

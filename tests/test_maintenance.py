@@ -1501,15 +1501,15 @@ def test_stats_delete_crash_windows_and_replay(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(os, "replace", crash_on_record)
     with _pytest.raises(RuntimeError):
-        stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge-3")
+        stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge_3")
     monkeypatch.setattr(os, "replace", real_replace)
     want3 = sorted(i for i in want2 if not (300 <= i <= 399))
     assert rows() == want3  # post-delete table governs
-    assert not os.path.exists(f"{path}/_deletes/purge-3")
-    again = stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge-3")
+    assert not os.path.exists(f"{path}/_deletes/purge_3")
+    again = stats_delete(spark, path, {"v": (900, 1197)}, batch_id="purge_3")
     assert again  # the true replaced list, not [] (r12 ADVICE #3)
     assert rows() == want3
-    assert os.path.exists(f"{path}/_deletes/purge-3")
+    assert os.path.exists(f"{path}/_deletes/purge_3")
 
     # no-match fast path: manifest proves nothing can match
     assert stats_delete(spark, path, {"v": (10**9, 2 * 10**9)}, batch_id="nop") == []
@@ -2587,7 +2587,7 @@ def test_cdf_incremental_mv_exactly_once(spark, tmp_path, monkeypatch):
     real_replace = os.replace
 
     def failing_replace(s, d):
-        if "_merges" in str(d) and "cdf-" in str(d):
+        if "_merges" in str(d) and "cdf" in os.path.basename(str(d)):
             raise RuntimeError("simulated crash before fold record")
         return real_replace(s, d)
 
@@ -2595,35 +2595,58 @@ def test_cdf_incremental_mv_exactly_once(spark, tmp_path, monkeypatch):
     with _pytest.raises(RuntimeError):
         L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents")
     monkeypatch.setattr(os, "replace", real_replace)
-    assert L.stats_mv_cursor(mv) == 1  # record lost -> cursor unmoved
+    # record lost, but the fold COMMITTED at the MV's CAS: the cursor
+    # recovers from the MV's retained commit log (r14 review #1 — a
+    # records-only cursor would re-fold versions 2-3 on the next tick
+    # once the source advanced and the batch token changed)
+    assert L.stats_mv_cursor(mv) == 3
 
-    # retry: same batch token -> recovered from the MV's commit log,
-    # the fold is NOT applied twice
-    assert L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents") == (1, 3)
+    # the source advances BEFORE the retry — the poisoned case: the
+    # retry's token is cdf3_4, which matches nothing, so only the
+    # commit-log cursor keeps versions 2-3 from double-folding
+    L.stats_append(
+        spark.range(300, 320).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("cust"),
+            (F.col("id") * 2).alias("cents"),
+        ),
+        src,
+        batch_id="b2",
+    )
+    assert L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents") == (3, 4)
     # replay tick: nothing new
-    assert L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents") == (3, 3)
+    assert L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents") == (4, 4)
 
     got = sorted(
         (r["cust"], r["mv_sum"], r["mv_count"])
         for r in L.stats_pruned_scan(spark, mv, {"cust": (None, None)}).collect()
     )
+    orders2 = orders.unionByName(
+        spark.range(300, 320).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("cust"),
+            (F.col("id") * 2).alias("cents"),
+        )
+    )
     want = sorted(
         (r["cust"], r["s"], r["n"])
-        for r in orders.filter(F.col("k") > 99)
+        for r in orders2.filter(F.col("k") > 99)
         .groupBy("cust")
         .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     assert got == want
 
-    # zero-count keys delete: remove every remaining row of cust 0
-    L.stats_delete(spark, src, {"k": (100, 299)}, batch_id="d2")
+    # zero-count keys delete: remove every remaining row
+    L.stats_delete(spark, src, {"k": (100, 319)}, batch_id="d2")
     L.stats_incremental_mv_apply(spark, src, mv, "cust", "cents")
     assert (
         L.stats_pruned_scan(spark, mv, {"cust": (None, None)}).count() == 0
     )
 
-    # a consumer that slept past retention fails loud
+    # a consumer that slept past retention fails loud — including at
+    # the exact horizon edge (r14 review #3: cursor = vs[0] - 1 needs
+    # version vs[0]-1 itself as a diff parent, which is gone)
     for i in range(10):
         L.stats_append(
             spark.range(1000 + i, 1001 + i).select(
@@ -2637,3 +2660,72 @@ def test_cdf_incremental_mv_exactly_once(spark, tmp_path, monkeypatch):
         )
     with _pytest.raises(ValueError, match="expired from retention"):
         L.stats_changes_since(spark, src, 1)
+
+
+def test_tag_prefix_collision_and_bucket_op_inheritance(spark, sf_dir, tmp_path):
+    """r14 review #2 and #4: (a) hyphenated batch ids HASH now, so tag
+    'day-1' can no longer prefix-match a committed 'day-1-fix' batch's
+    artifacts — a first-ever 'day-1' append must APPLY instead of
+    short-circuiting as already-done (silent batch drop); (b) shared-
+    path ops on a BUCKET table (stats_delete, stats_compute_stats'
+    class) inherit the curve spec and the pending dirty set into their
+    commits, so scans, the spec read and compaction keep working after
+    them — and stats_append refuses the bucket table outright (it
+    bypasses curve routing)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+
+    # (a) tags that share a hyphenated prefix stay distinct batches
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "tags")
+    L.write_stats_layout(base, path, ["v"], n_files=2)
+    b1 = spark.range(1000, 1010).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    b2 = spark.range(2000, 2010).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    assert L.stats_append(b1, path, batch_id="day-1-fix")
+    assert L.stats_append(b2, path, batch_id="day-1")  # must APPLY
+    got = sorted(
+        r["id"]
+        for r in L.stats_pruned_scan(spark, path, {"v": (None, None)}).collect()
+    )
+    assert got == sorted([*range(100), *range(1000, 1010), *range(2000, 2010)])
+    # and each replays as itself
+    assert L.stats_append(b2, path, batch_id="day-1") == L.stats_append(
+        b2, path, batch_id="day-1"
+    )
+
+    # (b) a manifest-gated DELETE on a bucket table (predicate on the
+    # zb skip column) commits WITHOUT stranding the curve state
+    orders, incoming, bpath = _zorder_mini(spark, sf_dir, tmp_path)
+    dirty = L.zorder_append(incoming, bpath, batch_id="inh_1")
+    n_before = L.bucket_scan(spark, bpath).count()
+    spec_before = L.read_zorder_spec(bpath)
+    replaced = L.stats_delete(spark, bpath, {"zb": (0, 3)}, batch_id="zbpurge")
+    assert replaced  # cells 0-3 had rows
+    cur = L._load_version(bpath)[1]
+    assert cur["spec"] == spec_before  # spec flowed through the delete
+    assert sorted(cur["dirty_buckets"]) == sorted(dirty)  # dirty kept
+    n_after = L.bucket_scan(spark, bpath).count()
+    assert 0 < n_after < n_before
+    assert not [
+        r
+        for r in L.bucket_scan(spark, bpath).select("zb").distinct().collect()
+        if r["zb"] <= 3
+    ]
+    # compaction still folds the (inherited) dirty set; scans exact
+    remaining_dirty = [b for b in dirty]
+    compacted = L.zorder_compact(spark, bpath)
+    assert sorted(compacted) == sorted(remaining_dirty)
+    from datetime import date
+
+    got = L.zorder_pruned_scan(
+        spark, bpath, 150000, 300000, date(1996, 1, 1), date(1998, 6, 30)
+    ).count()
+    assert got > 0
+
+    # stats_append on a bucket table refuses loudly
+    with _pytest.raises(ValueError, match="zorder_append"):
+        L.stats_append(
+            orders.limit(5), bpath, batch_id="wrongdoor"
+        )
