@@ -645,6 +645,18 @@ HEADLINE = [
 # rounds, the documented min-of-3 jitter band — while twenty
 # untouched entries moved 0.74-0.85x the other way with the same
 # zero-code-change explanation.
+# r14 SECOND HALF (the IVF commit-log port landed after the run
+# above) — expectations, annotated before the rerun: the five IVF
+# serving entries swap Hive partition discovery (only nlists=16 dirs
+# here, so the old planning cost was already small) + the journaled-
+# swap/heal entry checks for one _commits listdir + manifest read +
+# two nlists-row side-part reads — expect FLAT (+/- the jitter band),
+# NOT the bucket scans' 4-6x (those were paying a 256-512-dir
+# discovery; the IVF layouts never were). ivf_append/ivf_retrain
+# scaffolds trade the generation-swap + advisory-lock machinery for
+# CAS commits of the same Spark work — flat. Everything else in the
+# headline list is untouched by the port. (Observed numbers appended
+# after the rerun, below.)
 
 
 def _canary(spark, sf_dir):

@@ -1187,6 +1187,29 @@ def _manifest_pool_dir(path: str) -> str:
 # override per call.
 STATS_KEEP_VERSIONS = 8
 
+# Single-file pool parts a commit references OUTSIDE its manifest part
+# list: the IVF index's per-list drift sidecar and its coarse-quantizer
+# centroids (operators/similarity.py) ride the commit under these keys
+# so index data, manifest AND serving state version together. They are
+# NOT manifest parts — different schemas, so they must never enter a
+# mergeSchema manifest read — but they share the pool's GC contract:
+# referenced-by-a-retained-commit = live.
+_SIDE_PART_KEYS = ("stats_part", "centroids_part")
+
+# Op-family payload keys that flow forward through any shared
+# commit-log op that doesn't set them itself (_commit_rewrite,
+# stats_restore, stats_compute_stats): the bucket layouts' curve state
+# and the IVF layouts' sidecar parts. Without this a stats_delete on a
+# bucket table would strand the next scan without its spec, and one on
+# an IVF layout would strand the index without its drift sidecar or
+# quantizer (r14 review #4, extended by the IVF port's review).
+_CARRY_KEYS = ("spec", "dirty_buckets", *_SIDE_PART_KEYS)
+
+
+def _side_parts(rec: dict) -> list:
+    """The commit's side-part pool file names (see _SIDE_PART_KEYS)."""
+    return [rec[k] for k in _SIDE_PART_KEYS if rec.get(k)]
+
 
 def _commit_file(path: str, version: int) -> str:
     import os
@@ -1485,6 +1508,8 @@ def _retention_gc(path: str, keep_versions=None) -> None:
             continue
         if v >= cutoff:
             live_parts.update(rec["parts"])
+            live_parts.update(_side_parts(rec))  # IVF sidecars version
+            # WITH the index (r14)
         # a RESTORE re-references files an older commit's replaced
         # list still names: those files are live again and must not
         # fall to the old record's expiry (stats_restore). Protection
@@ -1510,7 +1535,8 @@ def _retention_gc(path: str, keep_versions=None) -> None:
             if fn not in protected:
                 _rm_data_file(data_dir, fn)
         if v < cutoff:
-            for p in rec["parts"]:
+            expired_parts = list(rec["parts"]) + _side_parts(rec)
+            for p in expired_parts:
                 if p not in live_parts:
                     _rm_f(os.path.join(pool, p))
             _rm_f(_commit_file(path, v))
@@ -1538,10 +1564,15 @@ def stats_vacuum(spark, path: str, grace_seconds: float = 3600.0) -> dict:
 
     vs = _list_commits(path)
     live_parts = set()
+    live_stats = set()  # IVF side parts (stats/centroids): referenced
+    # state, but a DIFFERENT schema — they must be protected from the
+    # pool sweep without entering the mergeSchema manifest read below
+    # (r14)
     for v in vs:
         rec = _read_commit(path, v)
         if rec is not None:
             live_parts.update(rec["parts"])
+            live_stats.update(_side_parts(rec))
     pool = _manifest_pool_dir(path)
     live_files = set()
     if live_parts:
@@ -1572,7 +1603,7 @@ def stats_vacuum(spark, path: str, grace_seconds: float = 3600.0) -> dict:
     if os.path.isdir(pool):
         for fn in os.listdir(pool):
             p = os.path.join(pool, fn)
-            if fn not in live_parts and old(p):
+            if fn not in live_parts and fn not in live_stats and old(p):
                 _rm_f(p)
                 removed["manifest_parts"] += 1
     staging_root = os.path.join(path, "_staging")
@@ -2181,9 +2212,14 @@ def _commit_rewrite(
         # the planned version (r14 review #4): a stats_delete /
         # stats_compact / stats_merge run against a BUCKET table must
         # not strand the next scan without its curve spec, nor
-        # silently drop the pending dirty set — the bucket compactor
-        # overrides both via ``extra``; everyone else inherits.
-        for k in ("spec", "dirty_buckets"):
+        # silently drop the pending dirty set; one against an IVF
+        # layout must not strand the index without its sidecar parts
+        # (the per-list drift stats go approximate after a data
+        # rewrite — the next retrain re-freezes them — but losing the
+        # reference would crash the next append AND let GC reap the
+        # pool file). The bucket compactor / retrain override via
+        # ``extra``; everyone else inherits.
+        for k in _CARRY_KEYS:
             if k in cur and k not in payload:
                 payload[k] = cur[k]
         if result is not None:
@@ -2765,10 +2801,13 @@ def stats_restore(
             "data_schema": target["data_schema"],
             "result": out,
         }
-        # bucket-layout payload keys flow from the restored version
-        # (the spec is immutable per layout; the dirty set is part of
-        # the state being restored)
-        for k in ("spec", "dirty_buckets"):
+        # op-family payload keys flow from the RESTORED version (the
+        # spec is immutable per layout; the dirty set — and, for an
+        # IVF layout, the drift sidecar and the coarse quantizer — is
+        # part of the state being restored: rolling an index back
+        # rolls its centroids back with it, so probes against the
+        # restored version are assignment-consistent)
+        for k in _CARRY_KEYS:
             if k in target:
                 payload[k] = target[k]
         if _cas_commit(path, v + 1, payload):
@@ -3053,8 +3092,8 @@ def stats_compute_stats(
             "skip_cols": widened,
             "data_schema": cur["data_schema"],
         }
-        for k in ("spec", "dirty_buckets"):  # bucket tables keep their
-            if k in cur:                     # curve state (r14 review #4)
+        for k in _CARRY_KEYS:  # bucket tables keep their curve state,
+            if k in cur:       # IVF layouts their sidecars (r14 #4)
                 payload[k] = cur[k]
         if _cas_commit(path, v + 1, payload):
             _write_record(path, "_computes", tag, {"skip_cols": widened})

@@ -10,10 +10,12 @@
 - :func:`ann_ivf_topk` — IVF-style approximate search: a deterministic
   centroid subset partitions the corpus into inverted lists; queries
   probe the ``nprobe`` nearest centroids and re-rank only those lists.
-  At 100 TB the corpus lives on disk partitioned by list id
-  (:func:`write_ivf_layout`) and a probe reads ONLY the matching
-  partitions (:func:`ann_ivf_probe_ondisk` — static partition pruning,
-  pinned by tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions);
+  At 100 TB the corpus lives on disk as a list-ordered layout governed
+  by the versioned commit log (:func:`write_ivf_layout`) and a probe
+  plans ONLY the files whose [min_list_id, max_list_id] manifest run
+  intersects the probed lists (:func:`ann_ivf_probe_ondisk` via
+  :func:`read_ivf_lists`, pinned by
+  tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions);
   the in-memory form expresses the same pruning as a join.
 
 Scale notes: brute force is O(|corpus| * |queries| * dim) map-side —
@@ -279,364 +281,215 @@ def write_ivf_layout(
     path: str,
     carry: tuple = (),
     partition_cols: tuple = ("list_id",),
+    n_files: int | None = None,
 ) -> None:
-    """Materialize the IVF index AS the storage layout: the corpus
-    written Hive-partitioned by its inverted-list id.
+    """Materialize the IVF index AS a storage layout GOVERNED BY THE
+    VERSIONED COMMIT LOG (r14 — the same protocol the stats and bucket
+    layouts run; r13 VERDICT next #5 retired the journaled-swap +
+    advisory-lock + generation-sidecar machinery this replaced): the
+    corpus is assigned to its inverted lists (the only full-corpus
+    pass), written as flat parquet ordered by the partition columns so
+    every file covers a tight [min_list_id, max_list_id] run recorded
+    in the commit's manifest part, and the per-list stats sidecar
+    (n_vec / min_sim / build_min_sim / n_drift — the drift-accounting
+    artifact every append reads) plus the COARSE QUANTIZER itself
+    (the centroids that define what ``list_id`` means) become pool
+    parquets referenced by the commit's ``stats_part`` /
+    ``centroids_part`` keys, so index data, file manifest, drift
+    state AND quantizer version TOGETHER: readers get snapshot
+    isolation, any number of maintainers race through the CAS (an
+    append that loses to a retrain re-assigns against the winner's
+    committed centroids — no desync is expressible), and the index
+    inherits time travel / DESCRIBE HISTORY / RESTORE from the shared
+    payload shape, centroids rolling back with the data. Default one
+    file per list (``n_files = nlists``) keeps probe read
+    amplification at the dir-per-list protocol's level.
 
     This is the amortize-once artifact a 100 TB ANN deployment keeps
-    per corpus version: assignment (the only full-corpus pass) runs at
-    write time, and every probe afterwards reads ONLY the ``nprobe``
-    matching partitions (:func:`ann_ivf_probe_ondisk`) instead of
-    scanning the corpus. list_id cardinality = nlists (bounded, the
-    partition-column requirement); within a partition, files stay
-    row-group-sized by the normal writer path.
+    per corpus version: every probe afterwards plans the ``nprobe``
+    matching files from the broadcast-sized manifest
+    (:func:`read_ivf_lists`) instead of scanning the corpus.
     """
-    (
-        ivf_assign_lists(
-            corpus.select("vec_id", "embedding", *carry), centroids, carry=carry
-        )
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
-    _write_ivf_list_stats(
-        corpus.sparkSession.read.parquet(path), centroids, path
-    )
-
-
-def _ivf_stats_path(layout_path: str) -> str:
-    # underscore prefix: Spark's file index skips it, so the stats
-    # sidecar never pollutes spark.read.parquet(layout_path)
-    import os
-
-    return os.path.join(layout_path, "_list_stats")
-
-
-def _stats_current_link(layout_path: str) -> str:
-    import os
-
-    return os.path.join(_ivf_stats_path(layout_path), "current")
-
-
-def _read_ivf_stats(spark, layout_path: str):
-    """Committed sidecar state: (stats DataFrame, applied-batches dict).
-
-    The sidecar is generation-committed (same protocol as the streaming
-    sinks' :func:`~..streaming.sinks._commit_generation`): parquet
-    generations under ``_list_stats/gen-<n>-<uuid>/`` with a ``current``
-    symlink naming the committed one, plus an ``_applied.json`` commit
-    record inside each generation mapping applied batch_id -> its drift
-    report. Pre-r10 layouts (flat parquet directly in ``_list_stats``,
-    no ``n_drift`` column, no batch record) read as generation 0 with
-    an empty applied set."""
-    import json
-    import os
-
-    root = _ivf_stats_path(layout_path)
-    cur = _stats_current_link(layout_path)
-    if os.path.lexists(cur):
-        gen = os.path.join(root, os.readlink(cur))
-        stats = spark.read.parquet(gen)
-        rec = os.path.join(gen, "_applied.json")
-        with open(rec) as f:
-            applied = json.load(f).get("batches", {})
-    else:  # legacy flat sidecar
-        stats = spark.read.parquet(root)
-        applied = {}
-    if "n_drift" not in stats.columns:
-        stats = stats.withColumn("n_drift", F.lit(0).cast("bigint"))
-    if "build_min_sim" not in stats.columns:  # pre-r11 sidecar
-        stats = stats.withColumn("build_min_sim", F.col("min_sim"))
-    return (
-        stats.select(
-            "list_id",
-            "n_vec",
-            "min_sim",
-            # the FROZEN drift edge (r10 VERDICT: measuring drift
-            # against the merged all-time min ratchets the goalpost
-            # down and mutes sustained drift); null rows (lists first
-            # seen by an append) fall back to the observed min
-            F.coalesce(F.col("build_min_sim"), F.col("min_sim")).alias(
-                "build_min_sim"
-            ),
-            "n_drift",
-        ),
-        applied,
-    )
-
-
-def _commit_ivf_stats(stats: DataFrame, layout_path: str, applied: dict) -> None:
-    """Write ``stats`` as a per-attempt-unique generation, record the
-    applied-batch set inside it, then commit with ONE atomic symlink
-    replace and GC superseded generations (keep current + predecessor).
-    A crash before the replace leaves the previous generation committed
-    and the half-written one unreferenced — the retry overwrites it."""
-    import json
     import os
     import shutil
     import uuid
 
-    root = _ivf_stats_path(layout_path)
-    os.makedirs(root, exist_ok=True)
-    cur = _stats_current_link(layout_path)
-    prev = os.readlink(cur) if os.path.lexists(cur) else None
-    n = int(prev.split("-")[1]) + 1 if prev else 0
-    gen_name = f"gen-{n}-{uuid.uuid4().hex[:8]}"
-    gen = os.path.join(root, gen_name)
-    stats.coalesce(1).write.mode("overwrite").parquet(gen)
-    with open(os.path.join(gen, "_applied.json"), "w") as f:
-        json.dump({"batches": applied}, f)
-    tmp = f"{cur}.tmp-{uuid.uuid4().hex[:8]}"
-    os.symlink(gen_name, tmp)
-    os.replace(tmp, cur)  # atomic: the new stats + batch record commit together
-    keep = {gen_name, prev}
-    for d in os.listdir(root):
-        if d.startswith("gen-") and d not in keep:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        elif d.endswith(".parquet") or d == "_SUCCESS":  # legacy flat files
-            os.remove(os.path.join(root, d))
+    from .layout import (
+        _cas_commit,
+        _manifest_pool_dir,
+        _manifest_rows,
+        _nullable_schema,
+        _skip_data_dir,
+        _stage_manifest_part,
+    )
+
+    spark = corpus.sparkSession
+    pcols = list(partition_cols)
+    if n_files is None:
+        n_files = centroids.count()
+    assigned = ivf_assign_lists(
+        corpus.select("vec_id", "embedding", *carry), centroids, carry=carry
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    data_dir = _skip_data_dir(path)
+    (
+        assigned.repartitionByRange(int(n_files), *[F.col(c) for c in pcols])
+        .sortWithinPartitions(*pcols)
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    data_schema = _nullable_schema(spark.read.parquet(data_dir).schema)
+    missing = [c for c in pcols if c not in data_schema.names]
+    if missing:
+        raise ValueError(f"write_ivf_layout: partition column(s) {missing} not in data")
+    tag = f"init-{uuid.uuid4().hex[:12]}"
+    staging = os.path.join(path, "_staging", tag)
+    members = spark.read.schema(data_schema).parquet(data_dir)
+    part = _stage_manifest_part(
+        _manifest_rows(members, pcols),
+        staging,
+        _manifest_pool_dir(path),
+        f"{tag}.parquet",
+    )
+    stats_part = _stage_manifest_part(
+        _ivf_list_stats(members, centroids),
+        os.path.join(staging, "stats"),
+        _manifest_pool_dir(path),
+        f"{tag}-stats.parquet",
+    )
+    # The coarse quantizer is COMMITTED STATE (r14 review: centroids
+    # are what list_id means — leaving them caller-side let a racing
+    # retrain silently desync assignment from the index). Every later
+    # op assigns/probes against the centroids of the commit it plans.
+    cents_part = _stage_manifest_part(
+        centroids.select(
+            F.col("c_id").cast("long"), F.col("c_emb").cast("array<double>")
+        ),
+        os.path.join(staging, "cents"),
+        _manifest_pool_dir(path),
+        f"{tag}-cents.parquet",
+    )
+    new_files = sorted(fn for fn in os.listdir(data_dir) if fn.endswith(".parquet"))
+    payload = {
+        "op": "init",
+        "tag": tag,
+        "parts": [part],
+        "new_files": new_files,
+        "replaced": [],
+        "skip_cols": pcols,
+        "data_schema": data_schema.jsonValue(),
+        "stats_part": stats_part,
+        "centroids_part": cents_part,
+    }
+    ok = _cas_commit(path, 1, payload)
+    shutil.rmtree(staging, ignore_errors=True)
+    if not ok:
+        raise RuntimeError(f"write_ivf_layout: {path} was initialized concurrently")
 
 
-def _write_ivf_list_stats(members: DataFrame, centroids: DataFrame, path: str) -> None:
-    """Per-list build stats sidecar: (list_id, n_vec, min_sim,
-    build_min_sim, n_drift) — each cell's population, its observed
-    all-time min cosine to the cell centroid, the FROZEN build-time
-    edge drift is measured against (set only at build/retrain, never
-    merged with batch mins — r10 VERDICT: a min-merged edge ratchets
-    down and stops registering sustained drift), and the count of
-    appended members below that frozen edge (0 at build). nlists rows;
-    computed from the already-partitioned files with one broadcast join
-    + agg, and the artifact every later :func:`ivf_append` reads so
-    drift accounting NEVER re-scans the base corpus."""
-    stats = (
+# The per-list stats sidecar's fixed shape (explicit-schema reads, no
+# footer inference at plan time — the layout.py discipline).
+_IVF_STATS_SCHEMA = (
+    "list_id long, n_vec long, min_sim double,"
+    " build_min_sim double, n_drift long"
+)
+
+
+def _read_ivf_stats(spark, layout_path: str, payload: dict | None = None):
+    """The committed per-list stats sidecar of ``payload`` (default:
+    the latest commit) — one small pool parquet named by the commit's
+    ``stats_part`` key, so stats version WITH the index (r14; the
+    generation-symlink sidecar and its crash/GC protocol are gone).
+    Returns the (list_id, n_vec, min_sim, build_min_sim, n_drift)
+    DataFrame; ``build_min_sim`` is the FROZEN drift edge (set only at
+    build/retrain — r10 VERDICT: a min-merged edge ratchets down and
+    mutes sustained drift). Lists FIRST POPULATED BY AN APPEND persist
+    a NULL frozen edge (there was no build to freeze); the read
+    re-establishes the invariant the old sidecar protocol kept —
+    NULL falls back to the list's observed min — so later appends of
+    equally-close vectors don't count 100% drifted against the 1.0
+    no-stats fallback (r14 review)."""
+    import os
+
+    from .layout import _load_version, _manifest_pool_dir
+
+    if payload is None:
+        _v, payload = _load_version(layout_path)
+    return spark.read.schema(_IVF_STATS_SCHEMA).parquet(
+        os.path.join(_manifest_pool_dir(layout_path), payload["stats_part"])
+    ).select(
+        "list_id",
+        "n_vec",
+        "min_sim",
+        F.coalesce("build_min_sim", "min_sim").alias("build_min_sim"),
+        "n_drift",
+    )
+
+
+def _ivf_list_stats(members: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-list build stats: (list_id, n_vec, min_sim, build_min_sim,
+    n_drift) — each cell's population, its observed min cosine to the
+    cell centroid, the FROZEN build-time edge drift is measured
+    against, and the count of appended members below that edge (0 at
+    build/retrain). nlists rows from one broadcast join + agg."""
+    return (
         members.join(
             F.broadcast(centroids), members["list_id"] == centroids["c_id"]
         )
-        .select("list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s"))
+        .select(
+            "list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s")
+        )
         .groupBy("list_id")
         .agg(
-            F.count(F.lit(1)).alias("n_vec"),
+            F.count(F.lit(1)).cast("long").alias("n_vec"),
             F.min("_s").alias("min_sim"),
             F.min("_s").alias("build_min_sim"),
-            F.lit(0).cast("bigint").alias("n_drift"),
+            F.lit(0).cast("long").alias("n_drift"),
+        )
+        .select(
+            F.col("list_id").cast("long"),
+            "n_vec",
+            "min_sim",
+            "build_min_sim",
+            "n_drift",
         )
     )
-    _commit_ivf_stats(stats, path, {})
 
 
-def _try_heal_lock(layout_path: str, stale_after: float = 600.0):
-    """Advisory mutual exclusion for :func:`_recover_ivf_layout` via
-    atomic mkdir. The heal's retrain rollback is rmtree(live) THEN
-    rename(retired, live) — two concurrent healers interleaving those
-    steps can delete BOTH copies of a list (r12 review), so only one
-    healer may mutate at a time. A lock dir older than ``stale_after``
-    seconds is a crashed healer's leftover — TAKEN OVER BY RENAME
-    FIRST (r12 ADVICE #1): the old rmtree-then-mkdir takeover let two
-    entrants interleave so one deleted the lock the other had just
-    recreated; os.rename of the stale dir to a unique grave name is
-    atomic and succeeds for exactly ONE renamer, so exactly one
-    entrant proceeds to mkdir the fresh lock and the loser backs off.
-    A legitimate healer that somehow outlives ``stale_after`` (the
-    sweeps are listdirs + renames, orders of magnitude faster) can
-    still lose its lock — the residual risk the generous default
-    prices in; healers touch the lock's mtime at entry
-    (:func:`_recover_ivf_layout`) so the clock measures inactivity,
-    not queue time. Returns the lock path when acquired, else None."""
-    import os
-    import shutil
-    import time
-    import uuid
-
-    lock = os.path.join(layout_path, "_heal.lock")
-    try:
-        os.mkdir(lock)
-        return lock
-    except FileExistsError:
-        try:
-            if time.time() - os.path.getmtime(lock) > stale_after:
-                grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-                os.rename(lock, grave)  # exactly one renamer wins
-                shutil.rmtree(grave, ignore_errors=True)
-                os.mkdir(lock)
-                return lock
-        except (FileNotFoundError, FileExistsError):
-            pass  # lost the takeover race (or the holder finished)
-        return None
+_IVF_CENTS_SCHEMA = "c_id long, c_emb array<double>"
 
 
-def _recover_ivf_layout(layout_path: str, committed_tags: set | None) -> None:
-    """Heal every known crash window of the IVF maintenance protocol —
-    run on entry by :func:`ivf_append` and :func:`ivf_retrain`, and in
-    READER MODE (``committed_tags=None``) by the serving read
-    :func:`read_ivf_lists` (single maintenance writer per layout,
-    which the append idempotency tokens already require). Reader mode
-    runs sweeps 1 and 2 only — the retrain-journal resolution and the
-    stale ``.retired`` cleanup, which need no sidecar read and without
-    which a crash mid-retrain-swap leaves probes reading half-swapped
-    lists until the next maintenance op (r11 VERDICT wrong #3: heal on
-    read) — and leaves append staging dirs (sweep 3) untouched, since
-    judging a batch committed requires the sidecar's applied set. All
-    sweeps run under the ``_heal.lock`` advisory mutex
-    (:func:`_try_heal_lock` — r12 review: two readers interleaving the
-    rollback's rmtree+rename could delete both copies of a list);
-    readers finding the lock held wait briefly for the healer and then
-    serve, maintenance entries take over stale locks or fail loud.
-    Three sweeps (r10 VERDICT + ADVICE):
-
-    1. CRASHED RETRAIN SWAP (journaled): the retrain swap moves rows
-       ACROSS lists, so a mid-swap crash can leave rows duplicated
-       between already-installed and not-yet-retired lists — the only
-       consistent recovery is all-or-nothing. The swap journals itself:
-       ``_swap.json`` (in-flight) is atomically renamed to
-       ``_swap_done.json`` once every staged list is installed, and no
-       ``.retired`` dir is deleted while ``_swap.json`` exists. So a
-       staging dir with ``_swap.json`` ROLLS BACK (every journaled
-       list's pre-retrain rows are intact in live or retired; restore
-       retired over live) and the untouched sidecar (it commits last)
-       replays the same drift signal on retry; one with
-       ``_swap_done.json`` ROLLS FORWARD (drop the listed lists'
-       retired dirs — this also finishes lists the re-assignment
-       emptied, whose "install" is exactly that deletion).
-    2. STALE ``.retired`` DIRS outside any journal: a live sibling
-       means the swap completed and only cleanup crashed — drop them.
-       No live sibling (cannot occur under the journal ordering) is
-       restored, defensively.
-    3. UNCOMMITTED APPEND BATCHES: a crashed :func:`ivf_append` left
-       ``b<tag>-``-prefixed files that a retrain would rewrite into
-       unprefixed files — after which the append retry's sweep finds
-       nothing and re-appends the batch, duplicating rows (r10 ADVICE,
-       medium). Roll the partial move back via the staging manifest
-       and clear the dead staging dir; the retry re-appends in full.
-    """
-    import json
-    import os
-    import shutil
-    import time
-
-    lock = _try_heal_lock(layout_path)
-    if lock is None:
-        # another healer holds the lock. A reader waits briefly for it
-        # to finish (the sweeps are listdirs + renames) and then reads
-        # the healed layout; a maintenance entry insists — it may not
-        # proceed over an unhealed layout — and takes over a stale
-        # lock or fails loud.
-        deadline = time.time() + (5.0 if committed_tags is None else 30.0)
-        while time.time() < deadline:
-            if not os.path.isdir(os.path.join(layout_path, "_heal.lock")):
-                break
-            time.sleep(0.1)
-        if committed_tags is None:
-            return  # healed by the other reader (or its residual
-            # in-flight window — the documented quiesce caveat)
-        lock = _try_heal_lock(layout_path)
-        if lock is None:
-            raise RuntimeError(
-                f"IVF heal lock still held after 30s at {layout_path}: "
-                f"is a second maintenance writer running? (single "
-                f"maintenance writer per layout assumed)"
-            )
-    try:
-        os.utime(lock)  # the staleness clock measures inactivity from
-        # heal START, not from whenever the dir was first created
-        _recover_ivf_layout_locked(layout_path, committed_tags)
-    finally:
-        try:
-            os.rmdir(lock)
-        except OSError:
-            pass
-
-
-def _recover_ivf_layout_locked(layout_path: str, committed_tags: set | None) -> None:
-    """The sweeps of :func:`_recover_ivf_layout`, to be called only
-    under its heal lock."""
-    import json
-    import os
-    import shutil
-
-    staging_root = os.path.join(layout_path, "_staging")
-    if os.path.isdir(staging_root):
-        for d in sorted(os.listdir(staging_root)):
-            sdir = os.path.join(staging_root, d)
-            if d.startswith("retrain-"):
-                journal = os.path.join(sdir, "_swap.json")
-                done = os.path.join(sdir, "_swap_done.json")
-                if (
-                    committed_tags is None
-                    and not os.path.exists(journal)
-                    and not os.path.exists(done)
-                ):
-                    # reader mode, no journal yet: either a crash that
-                    # predates any rename (nothing visible changed — no
-                    # heal needed) or a retrain still STAGING; deleting
-                    # the latter's dir would crash the live writer, so
-                    # readers leave journal-less staging alone
-                    continue
-                if os.path.exists(journal):  # crashed mid-swap: roll back
-                    with open(journal) as f:
-                        lists = json.load(f)["lists"]
-                    for lid in lists:
-                        live = os.path.join(layout_path, f"list_id={lid}")
-                        retired = f"{live}.retired"
-                        if os.path.isdir(retired):
-                            shutil.rmtree(live, ignore_errors=True)
-                            os.rename(retired, live)
-                elif os.path.exists(done):  # committed: roll forward
-                    with open(done) as f:
-                        lists = json.load(f)["lists"]
-                    for lid in lists:
-                        retired = os.path.join(
-                            layout_path, f"list_id={lid}.retired"
-                        )
-                        shutil.rmtree(retired, ignore_errors=True)
-                # neither journal: the crash predates any rename
-                shutil.rmtree(sdir, ignore_errors=True)
-            elif d.startswith("batch-"):
-                if committed_tags is None:  # reader mode: the append
-                    continue  # writer's own retry/recovery owns these
-                tag = d[len("batch-") :]
-                manifest = os.path.join(sdir, "_manifest.json")
-                if tag not in committed_tags and os.path.exists(manifest):
-                    with open(manifest) as f:
-                        parts = json.load(f)["partitions"]
-                    for rel in parts:
-                        live_dir = os.path.join(layout_path, rel)
-                        if os.path.isdir(live_dir):
-                            for fn in os.listdir(live_dir):
-                                if fn.startswith(f"b{tag}-"):
-                                    os.remove(os.path.join(live_dir, fn))
-                shutil.rmtree(sdir, ignore_errors=True)
-    for entry in sorted(os.listdir(layout_path)):
-        if not entry.startswith("list_id=") or not entry.endswith(".retired"):
-            continue
-        retired = os.path.join(layout_path, entry)
-        if not os.path.isdir(retired):
-            continue
-        live = retired[: -len(".retired")]
-        if os.path.isdir(live):
-            shutil.rmtree(retired, ignore_errors=True)
-        else:
-            os.rename(retired, live)
-
-
-def _layout_partition_cols(layout_path: str) -> tuple:
-    """Partition columns of a written layout, read from its directory
-    structure (the first ``name=value`` chain) — metadata-only, no
-    files opened."""
+def _read_ivf_centroids(spark, layout_path: str, payload: dict | None = None):
+    """The COMMITTED coarse quantizer of ``payload`` (default: the
+    latest commit) — the ``centroids_part`` pool parquet. This is what
+    assignment and probing use: ``list_id`` is only meaningful
+    relative to these centroids, so they version with the index (r14
+    review — caller-supplied centroids could silently desync from a
+    racing retrain's commit)."""
     import os
 
-    cols = []
-    d = layout_path
-    while True:
-        subs = sorted(
-            e
-            for e in os.listdir(d)
-            if "=" in e and not e.startswith((".", "_"))
-            and os.path.isdir(os.path.join(d, e))
-        )
-        if not subs:
-            return tuple(cols)
-        cols.append(subs[0].split("=", 1)[0])
-        d = os.path.join(d, subs[0])
+    from .layout import _load_version, _manifest_pool_dir
+
+    if payload is None:
+        _v, payload = _load_version(layout_path)
+    return spark.read.schema(_IVF_CENTS_SCHEMA).parquet(
+        os.path.join(_manifest_pool_dir(layout_path), payload["centroids_part"])
+    )
+
+
+def _lists_intersect(sorted_ids: list, lo, hi) -> bool:
+    """Does the sorted probed/drifted id set intersect a file's
+    [lo, hi] list_id run? One bisect over the driver-side set — the
+    single manifest-planning predicate shared by the probe read
+    (:func:`read_ivf_lists`) and the retrain's affected-file plan, so
+    the two planners cannot drift apart. None stats (an all-NULL
+    file) never match: such a file holds no probed list."""
+    import bisect
+
+    if lo is None or hi is None:
+        return False
+    i = bisect.bisect_left(sorted_ids, lo)
+    return i < len(sorted_ids) and sorted_ids[i] <= hi
 
 
 def _safe_batch_tag(batch_id: str) -> str:
@@ -652,83 +505,102 @@ def _safe_batch_tag(batch_id: str) -> str:
 
 def ivf_append(
     new_corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     layout_path: str,
     batch_id: str | None = None,
     carry: tuple = (),
 ) -> dict:
-    """Incremental IVF maintenance: route NEW vectors into an existing
-    :func:`write_ivf_layout` corpus without rebuilding it.
+    """Incremental IVF maintenance on the commit log (r14): route NEW
+    vectors into an existing :func:`write_ivf_layout` corpus without
+    rebuilding it. The batch is assigned with the COMMITTED centroids
+    of the version this op plans (``centroids_part`` — probes stay
+    consistent by construction: ``centroids`` the argument is
+    accepted for API continuity but the committed quantizer is
+    authoritative, so a caller holding stale centroids cannot desync
+    assignment from the index), staged as list-ordered files (one per
+    touched list, the dir-per-list protocol's read amplification
+    kept), moved in under a ``b<tag>-`` prefix (invisible until the
+    CAS), and committed as parts = parent's + one O(batch) manifest
+    part with the MERGED stats sidecar riding the same commit — index
+    data, manifest and drift state land atomically together, which
+    the old protocol could only approximate with its generation
+    symlink.
 
-    The new batch is assigned with the SAME centroids the layout was
-    built with (so probes stay consistent: a query's nprobe lists
-    contain every appended vector a rebuild would put there — appended
-    recall is exact w.r.t. the frozen coarse quantizer), then written
-    ``mode("append")`` under the same ``partitionBy(list_id)``:
-    Spark's dynamic partition append creates files ONLY in the
-    partitions present in the batch — untouched lists' directories are
-    not opened, let alone rewritten (pinned by
-    tests/test_plans.py::test_ivf_append_touches_only_appended_lists).
-    This is what a continuously-ingesting 100 TB ANN corpus runs
-    between retrains: per-batch cost is O(batch) assignment + an
-    append into at most |batch| lists.
+    MULTI-WRITER: a CAS loser whose winner kept the quantizer
+    (another append, a compaction) reuses its staged files and
+    manifest part verbatim and only re-derives the merged sidecar
+    against the winner's frozen edges; a loser whose winner CHANGED
+    the quantizer (a retrain — its commit carries a new
+    ``centroids_part``) RE-ASSIGNS the batch against the winner's
+    committed centroids and restages, because rows list-assigned by
+    the old quantizer would sit in lists the new one would not probe
+    (r14 review — drift counted against re-frozen edges with
+    stale-centroid similarities was metric-inconsistent). Any number
+    of appenders and retrainers race safely, replacing the advisory
+    heal lock wholesale. EXACTLY-ONCE per ``batch_id`` via the
+    ``_batches/<tag>`` record + commit-log tag recovery (the TRUE
+    drift report rides the commit's ``result``); a retry arriving
+    after a later retrain replaced its files fails loud.
 
-    Returns a drift report telling the owner WHEN to retrain: an
-    appended vector has "drifted" if its cosine to its assigned
-    centroid falls below that cell's FROZEN build-time edge (the
-    sidecar's per-list ``build_min_sim``, set only at build/retrain —
-    :func:`_write_ivf_list_stats`), i.e. it lands outside the
-    population the quantizer was trained on. The sidecar is then
-    merged (counts and per-list drift counts sum; the observed
-    ``min_sim`` takes the min as a reporting stat; ``build_min_sim``
-    stays CONSTANT — r10 VERDICT: merging the edge with batch mins
-    ratcheted the goalpost down, so a second equally-drifted batch
-    registered ~zero drift exactly when the signal mattered) so drift
-    accumulates across repeated appends — and per-list ``n_drift`` is
-    what :func:`ivf_retrain` consumes to pick WHICH cells to refit.
+    Returns the drift report that tells the owner WHEN to retrain:
+    an appended vector has "drifted" if its cosine to its assigned
+    centroid falls below that cell's FROZEN build-time edge.
     ``{"n_appended", "n_drifted", "drift_ratio", "lists_touched",
     "batch_id", "replayed"}``.
-
-    CRASH SAFETY / IDEMPOTENCY (r10): callers pass a stable
-    ``batch_id`` as the idempotency token. The batch is staged under
-    ``<layout>/_staging/batch-<id>/`` (underscore-prefixed: invisible
-    to layout readers), its data files are MOVED into the live
-    partition dirs with a ``b<id>-`` filename prefix, and the merged
-    sidecar + the applied-batch record commit together via the
-    sidecar's atomic symlink replace (:func:`_commit_ivf_stats`) —
-    the LAST step. A replayed committed batch short-circuits to its
-    recorded report; a retry of a crashed attempt first removes any
-    ``b<id>-`` files the partial move left (the staging manifest names
-    exactly the partitions to sweep), so no duplicate vec_ids can ever
-    enter the layout. ``carry`` must name the metadata columns the
-    layout was built with (e.g. the filtered-ANN ``("label",)``
-    layout); a schema or partition mismatch with the existing files
-    fails fast instead of corrupting the layout.
     """
-    import json
     import os
     import shutil
     import uuid
+
+    from .layout import (
+        _cas_commit,
+        _data_schema,
+        _load_version,
+        _manifest_pool_dir,
+        _manifest_rows,
+        _read_data_files,
+        _read_record,
+        _retention_gc,
+        _rm_f,
+        _skip_data_dir,
+        _stage_manifest_part,
+        _sweep_own_tag,
+        _tag_recovery_state,
+        _write_record,
+    )
 
     spark = new_corpus.sparkSession
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:16]
     tag = _safe_batch_tag(batch_id)
+    staging = os.path.join(layout_path, "_staging", f"batch-{tag}")
+    rec = _read_record(layout_path, "_batches", tag)
+    if rec is not None:  # committed replay: short-circuit (dropping a
+        # crashed earlier attempt's staging dir, r14 review)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {**rec, "replayed": True}
+    committed, part_ref, files_rep = _tag_recovery_state(
+        layout_path, "append", "b", tag
+    )
+    if committed is not None:  # crashed between CAS and record: the
+        # TRUE report rides the commit payload (r12 ADVICE #3)
+        out = {**committed["result"], "replayed": True}
+        _write_record(layout_path, "_batches", tag, committed["result"])
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+    if part_ref or files_rep:
+        raise RuntimeError(
+            f"ivf_append: batch {batch_id!r} committed at {layout_path} but "
+            f"its record and commit entry expired from retention — the "
+            f"append IS applied (its drift report is unrecoverable); "
+            f"retries are expected within the retention window"
+        )
 
-    # --- heal any crashed maintenance op BEFORE reading the layout:
-    # a stranded list_id=N.retired dir would poison partition
-    # inference, and appending into a recreated live dir while old
-    # rows sit in .retired turns the later cleanup into data loss
-    stats, applied = _read_ivf_stats(spark, layout_path)
-    _recover_ivf_layout(layout_path, {_safe_batch_tag(b) for b in applied})
-
-    # --- fail fast on layout mismatch (ADVICE r9): the live schema is
-    # the contract; an append that would drop a carry/partition column
-    # corrupts every later filtered probe.
-    pcols = _layout_partition_cols(layout_path)
+    v, cur = _load_version(layout_path)
+    pcols = list(cur["skip_cols"])
     if "list_id" not in pcols:
         raise ValueError(f"not an IVF layout (partitions {pcols}): {layout_path}")
-    live_cols = set(spark.read.parquet(layout_path).schema.names)
+    live_cols = set(_data_schema(cur).names)
     batch_cols = {"vec_id", "embedding", "list_id", *carry}
     if not set(pcols) <= batch_cols:
         raise ValueError(
@@ -739,146 +611,172 @@ def ivf_append(
             f"append schema {sorted(batch_cols)} != layout schema {sorted(live_cols)}"
         )
 
-    staging = os.path.join(layout_path, "_staging", f"batch-{tag}")
-    if batch_id in applied:  # committed replay: short-circuit
-        shutil.rmtree(staging, ignore_errors=True)
-        return {**applied[batch_id], "replayed": True}
+    sdata = os.path.join(staging, "data")
+    data_dir = _skip_data_dir(layout_path)
 
-    # --- sweep a crashed attempt's partial move (manifest names the
-    # partitions it could have touched) before re-staging
-    manifest = os.path.join(staging, "_manifest.json")
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            for rel in json.load(f)["partitions"]:
-                live_dir = os.path.join(layout_path, rel)
-                if os.path.isdir(live_dir):
-                    for fn in os.listdir(live_dir):
-                        if fn.startswith(f"b{tag}-"):
-                            os.remove(os.path.join(live_dir, fn))
-
-    # --- stage: ONE assignment job writes the routed batch, partitioned
-    # exactly like the layout; the two report jobs below are O(batch)
-    # re-reads of the staged files, never of the corpus.
-    data_dir = os.path.join(staging, "data")
-    (
-        ivf_assign_lists(
-            new_corpus.select("vec_id", "embedding", *carry), centroids, carry=carry
-        )
-        .write.mode("overwrite")
-        .partitionBy(*pcols)
-        .parquet(data_dir)
-    )
-    staged = spark.read.parquet(data_dir)
-    sim = staged.join(
-        F.broadcast(centroids), staged["list_id"] == centroids["c_id"]
-    ).select(
-        "list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_sim")
-    )
-    rep_row = (
-        sim.join(F.broadcast(stats), "list_id", "left")
-        .select(
+    def _stage(cents):
+        """Assign the batch against ``cents`` (the COMMITTED quantizer
+        of the version being planned) and stage it: list-ordered
+        files moved in under the ``b<tag>-`` prefix + one O(batch)
+        manifest part. Re-run wholesale when a retrain wins the CAS —
+        sweeping this attempt's own artifacts first."""
+        _sweep_own_tag(layout_path, "b", tag)
+        shutil.rmtree(sdata, ignore_errors=True)
+        assigned = ivf_assign_lists(
+            new_corpus.select("vec_id", "embedding", *carry), cents, carry=carry
+        ).persist()
+        try:
+            lists_touched = sorted(
+                int(r["list_id"])
+                for r in assigned.select("list_id").distinct().collect()
+            )
             (
-                F.col("_sim") < F.coalesce(F.col("build_min_sim"), F.lit(1.0))
-            ).alias("_drift")
+                assigned.repartitionByRange(
+                    max(1, len(lists_touched)), *[F.col(c) for c in pcols]
+                )
+                .sortWithinPartitions(*pcols)
+                .write.mode("overwrite")
+                .parquet(sdata)
+            )
+        finally:
+            assigned.unpersist()
+        moved = []
+        for fn in sorted(os.listdir(sdata)):
+            if fn.endswith(".parquet"):
+                dst = f"b{tag}-{fn}"
+                os.rename(os.path.join(sdata, fn), os.path.join(data_dir, dst))
+                moved.append(dst)
+        staged = _read_data_files(
+            spark, cur, [os.path.join(data_dir, fn) for fn in moved]
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_appended"),
-            F.sum(F.col("_drift").cast("int")).alias("n_drifted"),
+        part = _stage_manifest_part(
+            _manifest_rows(staged, pcols),
+            os.path.join(staging, "manifest"),
+            _manifest_pool_dir(layout_path),
+            f"b{tag}-{uuid.uuid4().hex[:8]}.parquet",
         )
-        .collect()[0]
-    )
-    # eagerly materialized (<= nlists rows): the staged files these
-    # plans read are renamed into the live partitions below, so nothing
-    # may lazily re-read them afterwards
-    batch_rows = (
-        sim.join(
-            F.broadcast(stats.select("list_id", "build_min_sim")),
+        return moved, part, staged, lists_touched
+
+    def _fold_against(base_payload, cents, staged, lists_touched):
+        """(report, merged-stats pool name) against ``base_payload``'s
+        sidecar, with similarities measured against ``cents`` — the
+        SAME committed centroids the sidecar's edges are frozen on
+        (metric consistency; r14 review)."""
+        stats = _read_ivf_stats(spark, layout_path, base_payload)
+        sim = staged.join(
+            F.broadcast(cents), staged["list_id"] == cents["c_id"]
+        ).select(
             "list_id",
-            "left",
+            cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_sim"),
         )
-        .groupBy("list_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vec"),
-            F.min("_sim").alias("min_sim_b"),
-            F.sum(
+        rep_row = (
+            sim.join(F.broadcast(stats), "list_id", "left")
+            .select(
                 (
                     F.col("_sim") < F.coalesce(F.col("build_min_sim"), F.lit(1.0))
-                ).cast("bigint")
-            ).alias("n_drift"),
-        )
-        .select("list_id", "n_vec", F.col("min_sim_b").alias("min_sim"), "n_drift")
-        .collect()
-    )
-
-    # --- move staged files into the live partitions (rename: same FS),
-    # prefixed so a retry can identify this batch's files
-    def _part_dirs(root):
-        out = []
-        for dirpath, dirnames, filenames in os.walk(root):
-            if any(f.endswith(".parquet") for f in filenames):
-                out.append(os.path.relpath(dirpath, root))
-        return sorted(out)
-
-    parts = _part_dirs(data_dir)
-    with open(manifest, "w") as f:
-        json.dump({"partitions": parts}, f)
-    for rel in parts:
-        live_dir = os.path.join(layout_path, rel)
-        os.makedirs(live_dir, exist_ok=True)
-        src_dir = os.path.join(data_dir, rel)
-        for fn in os.listdir(src_dir):
-            if fn.endswith(".parquet"):
-                os.rename(
-                    os.path.join(src_dir, fn), os.path.join(live_dir, f"b{tag}-{fn}")
-                )
-
-    # --- commit: merged sidecar + applied-batch record in one atomic swap
-    lists_touched = sorted(
-        {
-            int(rel.split(os.sep)[0].split("=", 1)[1])
-            for rel in parts
-            if rel.split(os.sep)[0].startswith("list_id=")
-        }
-    )
-    batch_stats = spark.createDataFrame(
-        [
-            (
-                int(r["list_id"]),
-                int(r["n_vec"]),
-                float(r["min_sim"]),
-                None,  # the frozen edge never comes from a batch
-                int(r["n_drift"]),
+                ).alias("_drift")
             )
-            for r in batch_rows
-        ],
-        "list_id long, n_vec bigint, min_sim double,"
-        " build_min_sim double, n_drift bigint",
-    )
-    merged = (
-        stats.unionByName(batch_stats)
-        .groupBy("list_id")
-        .agg(
-            F.sum("n_vec").alias("n_vec"),
-            F.min("min_sim").alias("min_sim"),
-            # max over {frozen value, null} = the frozen value: the
-            # build-time edge survives every merge unchanged (r10
-            # VERDICT: F.min here was the ratchet that muted the
-            # retrain signal under sustained drift)
-            F.max("build_min_sim").alias("build_min_sim"),
-            F.sum("n_drift").alias("n_drift"),
+            .agg(
+                F.count(F.lit(1)).alias("n_appended"),
+                F.sum(F.col("_drift").cast("int")).alias("n_drifted"),
+            )
+            .collect()[0]
         )
-    )
-    n_app = int(rep_row["n_appended"])
-    n_drift = int(rep_row["n_drifted"] or 0)
-    report = {
-        "n_appended": n_app,
-        "n_drifted": n_drift,
-        "drift_ratio": (n_drift / n_app) if n_app else 0.0,
-        "lists_touched": lists_touched,
-        "batch_id": batch_id,
-        "replayed": False,
-    }
-    _commit_ivf_stats(merged, layout_path, {**applied, batch_id: report})
+        batch_stats = (
+            sim.join(
+                F.broadcast(stats.select("list_id", "build_min_sim")),
+                "list_id",
+                "left",
+            )
+            .groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vec"),
+                F.min("_sim").alias("min_sim"),
+                F.max(F.lit(None).cast("double")).alias("build_min_sim"),
+                F.sum(
+                    (
+                        F.col("_sim")
+                        < F.coalesce(F.col("build_min_sim"), F.lit(1.0))
+                    ).cast("long")
+                ).alias("n_drift"),
+            )
+            .select(
+                F.col("list_id").cast("long"),
+                "n_vec",
+                "min_sim",
+                "build_min_sim",
+                "n_drift",
+            )
+        )
+        merged = (
+            stats.unionByName(batch_stats)
+            .groupBy("list_id")
+            .agg(
+                F.sum("n_vec").cast("long").alias("n_vec"),
+                F.min("min_sim").alias("min_sim"),
+                # max over {frozen value, null} = the frozen value: the
+                # build-time edge survives every merge unchanged (r10
+                # VERDICT: a min-merge here ratcheted the goalpost down)
+                F.max("build_min_sim").alias("build_min_sim"),
+                F.sum("n_drift").cast("long").alias("n_drift"),
+            )
+            .select("list_id", "n_vec", "min_sim", "build_min_sim", "n_drift")
+        )
+        sp = _stage_manifest_part(
+            merged,
+            os.path.join(staging, f"stats-{uuid.uuid4().hex[:6]}"),
+            _manifest_pool_dir(layout_path),
+            f"b{tag}-stats-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        n_app = int(rep_row["n_appended"])
+        n_drift = int(rep_row["n_drifted"] or 0)
+        report = {
+            "n_appended": n_app,
+            "n_drifted": n_drift,
+            "drift_ratio": (n_drift / n_app) if n_app else 0.0,
+            "lists_touched": lists_touched,
+            "batch_id": batch_id,
+            "replayed": False,
+        }
+        return report, sp
+
+    cents = _read_ivf_centroids(spark, layout_path, cur)
+    moved, part, staged, lists_touched = _stage(cents)
+    report, sp = _fold_against(cur, cents, staged, lists_touched)
+    while True:
+        payload = {
+            "op": "append",
+            "tag": tag,
+            "parts": cur["parts"] + [part],
+            "new_files": moved,
+            "replaced": [],
+            "skip_cols": pcols,
+            "data_schema": cur["data_schema"],
+            "stats_part": sp,
+            "centroids_part": cur["centroids_part"],
+            "result": report,
+        }
+        if _cas_commit(layout_path, v + 1, payload):
+            break
+        nv, ncur = _load_version(layout_path)
+        _rm_f(os.path.join(_manifest_pool_dir(layout_path), sp))
+        if ncur.get("centroids_part") != cur.get("centroids_part"):
+            # a RETRAIN won: the staged rows are assigned by a
+            # quantizer that no longer exists — re-assign against the
+            # winner's committed centroids and restage (r14 review;
+            # probes planned with the new centroids would otherwise
+            # never find these rows)
+            v, cur = nv, ncur
+            cents = _read_ivf_centroids(spark, layout_path, cur)
+            moved, part, staged, lists_touched = _stage(cents)
+        else:
+            # an append/compaction won: quantizer unchanged, so data
+            # files + manifest part are reused verbatim; only the
+            # sidecar fold re-derives against the winner
+            v, cur = nv, ncur
+        report, sp = _fold_against(cur, cents, staged, lists_touched)
+    _write_record(layout_path, "_batches", tag, report)
+    _retention_gc(layout_path)
     shutil.rmtree(staging, ignore_errors=True)
     return report
 
@@ -900,47 +798,47 @@ def _distortion_fp(sub: DataFrame, cents: DataFrame) -> int:
 def ivf_retrain(
     spark,
     layout_path: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     drift_threshold: float = 0.2,
     iters: int = 2,
 ) -> tuple:
-    """Consume :func:`ivf_append`'s drift signal: refit ONLY the
-    drifted cells of an IVF layout, leaving every other list's files
-    byte-untouched.
+    """Consume :func:`ivf_append`'s drift signal on the commit log
+    (r14): refit ONLY the drifted cells, committed as one
+    copy-on-write version through the shared :func:`_commit_rewrite`
+    body — crash windows, CAS-loser re-plan, retention and snapshot
+    isolation all inherited, retiring the swap journal, the roll-
+    back/-forward recovery and the advisory heal lock wholesale.
 
-    A continuously-ingesting ANN corpus appends between retrains;
-    appended vectors that land outside their cell's build-time edge
-    accumulate in the sidecar's per-list ``n_drift``. When a cell's
-    drift ratio (n_drift / n_vec) crosses ``drift_threshold`` it no
-    longer represents its population and probe ranking degrades. This
-    operator:
+    1. pick the drifted cells from the committed sidecar (nlists rows
+       — no corpus scan decides anything);
+    2. plan the AFFECTED FILES from the manifest — files whose
+       [min_list_id, max_list_id] run intersects the drifted set;
+       rows of clean lists sharing those files PASS THROUGH unchanged
+       (file granularity replaces the old dir granularity);
+    3. run ``iters`` warm-started Lloyd iterations over the drifted
+       rows (same fixed-point trainer), re-assign them among the
+       refitted cells, and stage passthrough + reassigned rows
+       list-ordered;
+    4. commit {data files, manifest part, RE-FROZEN sidecar, NEW
+       QUANTIZER} in one CAS (``extra={"stats_part": ...,
+       "centroids_part": ...}``): n_drift resets, build_min_sim
+       re-freezes, and the committed centroids change for exactly the
+       retrained cells — a racing append that loses to this commit
+       sees the new ``centroids_part`` and re-assigns its batch
+       against it (r14 review). A racing append WINNING makes this op
+       lose its CAS and RE-PLAN — the appended rows then count into
+       the refit (retrain never adopts; its plan is defined BY the
+       head's files, sidecar and quantizer, all re-read per attempt —
+       so retrain-vs-retrain losers also warm-start from the winner's
+       centroids, never the caller's stale ones).
 
-    1. picks the drifted cells from the sidecar (nlists rows — no
-       corpus scan decides anything);
-    2. reads ONLY those cells' partitions (partition-pruned scan);
-    3. runs ``iters`` warm-started Lloyd iterations over that
-       sub-corpus, initialized from the CURRENT centroids of exactly
-       those cells (the trainer's map-side-combine partials: <= k rows
-       to the driver per iteration) — cell ids and count are preserved,
-       so untouched lists and every downstream probe stay consistent;
-    4. re-assigns the sub-corpus among the refitted cells (same cosine
-       rule as the layout build) and swaps ONLY those partition dirs
-       under a JOURNAL (``_swap.json`` -> renames -> atomic rename to
-       ``_swap_done.json`` -> cleanup): rows move across lists here,
-       so the swap must be all-or-nothing — a crash before the commit
-       rename rolls fully back on the next maintenance entry, after it
-       rolls forward (:func:`_recover_ivf_layout`; pinned by
-       tests/test_scale_ops.py::test_ivf_retrain_crash_mid_swap_recovers);
-       carry/extra partition columns ride along unchanged;
-    5. commits refreshed sidecar rows (n_drift reset, build_min_sim
-       re-frozen at the new edges) via the atomic generation swap,
-       applied-batch record carried over.
-
-    Returns ``(new_centroids_df, report)`` where the centroids frame
-    keeps the untouched cells' centroids verbatim. The report carries
-    the exact fixed-point L2 distortion of the retrained sub-corpus
-    before/after (Lloyd guarantees non-increase — the auditable
-    "recall machinery got better" invariant).
+    The warm start and every similarity is computed against the
+    COMMITTED quantizer of the attempt's planned version; the
+    ``centroids`` argument is accepted for API continuity only.
+    Returns ``(new_centroids_df, report)``; untouched cells'
+    centroids ride through verbatim, and the report carries the exact
+    fixed-point L2 distortion before/after (Lloyd non-increase, the
+    auditable invariant).
     """
     import os
     import shutil
@@ -949,20 +847,17 @@ def ivf_retrain(
     import numpy as np
 
     from .clustering import SCALE, _reduce_partials
-
-    stats, applied = _read_ivf_stats(spark, layout_path)
-    # heal any crashed maintenance op first: a mid-swap retrain rolls
-    # back (or forward past its commit point), stranded .retired dirs
-    # are resolved, and uncommitted append batches are rolled back so
-    # this retrain cannot erase their b<tag>- retry prefixes
-    _recover_ivf_layout(layout_path, {_safe_batch_tag(b) for b in applied})
-    srows = {int(r["list_id"]): r for r in stats.collect()}
-    drifted = sorted(
-        lid
-        for lid, r in srows.items()
-        if int(r["n_vec"]) > 0
-        and int(r["n_drift"] or 0) / int(r["n_vec"]) > drift_threshold
+    from .layout import (
+        _commit_rewrite,
+        _load_version,
+        _manifest_pool_dir,
+        _read_data_files,
+        _read_manifest,
+        _retention_gc,
+        _rm_f,
+        _stage_manifest_part,
     )
+
     no_op = {
         "retrained_lists": [],
         "n_vec_rewritten": 0,
@@ -970,128 +865,144 @@ def ivf_retrain(
         "distortion_fp_before": 0,
         "distortion_fp_after": 0,
     }
-    if not drifted:
-        return centroids, no_op
-
-    pcols = _layout_partition_cols(layout_path)
-    if not pcols or pcols[0] != "list_id":
-        raise ValueError(
-            f"retrain needs a list_id-first partitioned layout, got {pcols}"
+    tag = f"rt{uuid.uuid4().hex[:10]}"
+    while True:
+        v, cur = _load_version(layout_path)
+        stats = _read_ivf_stats(spark, layout_path, cur)
+        committed_cents = _read_ivf_centroids(spark, layout_path, cur)
+        srows = {int(r["list_id"]): r for r in stats.collect()}
+        drifted = sorted(
+            lid
+            for lid, r in srows.items()
+            if int(r["n_vec"]) > 0
+            and int(r["n_drift"] or 0) / int(r["n_vec"]) > drift_threshold
         )
-    sub = read_ivf_lists(spark, layout_path, drifted).persist()
-    try:
-        cent_rows = {int(r["c_id"]): r["c_emb"] for r in centroids.collect()}
-        dim = len(next(iter(cent_rows.values())))
-        size = max(cent_rows) + 1
-        C = np.zeros((size, dim), dtype=np.float64)
-        alive = np.zeros(size, dtype=bool)
-        for cid, emb in cent_rows.items():
-            C[cid] = np.asarray(emb, dtype=np.float64)
-        alive[drifted] = True  # Lloyd runs over the drifted cells only
-
-        old_cents = centroids.filter(F.col("c_id").isin(drifted))
-        j_before = _distortion_fp(sub, old_cents)
-        vecs = sub.select("vec_id", "embedding")
-        for _ in range(iters):
-            reduced = _reduce_partials(vecs, C, alive)
-            cnt = np.zeros(size, dtype=np.int64)
-            S = np.zeros_like(C, dtype=np.int64)
-            for r in reduced:
-                cnt[r["cluster"]] += r["n"]
-                S[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
-            upd = (cnt > 0) & alive
-            C = np.where(
-                upd[:, None],
-                S.astype(np.float64) / np.maximum(cnt, 1)[:, None] / float(SCALE),
-                C,
+        if not drifted:
+            return committed_cents, no_op
+        pcols = list(cur["skip_cols"])
+        if not pcols or pcols[0] != "list_id":
+            raise ValueError(
+                f"retrain needs a list_id-first partitioned layout, got {pcols}"
             )
+        man = _read_manifest(spark, layout_path, cur)
+        mrows = man.collect()
+        affected = [
+            r
+            for r in mrows
+            if _lists_intersect(drifted, r["min_list_id"], r["max_list_id"])
+        ]
+        sub_all = _read_data_files(
+            spark, cur, [r["file"] for r in affected]
+        ).persist()
+        try:
+            sub = sub_all.filter(F.col("list_id").isin(drifted))
+            passthrough = sub_all.filter(~F.col("list_id").isin(drifted))
+            cent_rows = {
+                int(r["c_id"]): r["c_emb"] for r in committed_cents.collect()
+            }
+            dim = len(next(iter(cent_rows.values())))
+            size = max(cent_rows) + 1
+            C = np.zeros((size, dim), dtype=np.float64)
+            alive = np.zeros(size, dtype=bool)
+            for cid, emb in cent_rows.items():
+                C[cid] = np.asarray(emb, dtype=np.float64)
+            alive[drifted] = True  # Lloyd runs over the drifted cells only
 
-        import pandas as pd
+            old_cents = committed_cents.filter(F.col("c_id").isin(drifted))
+            j_before = _distortion_fp(sub, old_cents)
+            vecs = sub.select("vec_id", "embedding")
+            for _ in range(iters):
+                reduced = _reduce_partials(vecs, C, alive)
+                cnt = np.zeros(size, dtype=np.int64)
+                S = np.zeros_like(C, dtype=np.int64)
+                for r in reduced:
+                    cnt[r["cluster"]] += r["n"]
+                    S[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
+                upd = (cnt > 0) & alive
+                C = np.where(
+                    upd[:, None],
+                    S.astype(np.float64) / np.maximum(cnt, 1)[:, None] / float(SCALE),
+                    C,
+                )
 
-        new_cents = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "c_id": sorted(cent_rows),
-                    "c_emb": [C[cid].tolist() for cid in sorted(cent_rows)],
-                }
-            ),
-            "c_id long, c_emb array<double>",
-        )
-        retr_cents = new_cents.filter(F.col("c_id").isin(drifted))
-        j_after = _distortion_fp(sub, retr_cents)
+            import pandas as pd
 
-        # re-assign within the refitted cells (layout's own cosine rule)
-        carry = tuple(c for c in sub.columns if c not in ("vec_id", "embedding", "list_id"))
-        staging = os.path.join(
-            layout_path, "_staging", f"retrain-{uuid.uuid4().hex[:8]}"
-        )
-        (
-            ivf_assign_lists(
+            new_cents = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "c_id": sorted(cent_rows),
+                        "c_emb": [C[cid].tolist() for cid in sorted(cent_rows)],
+                    }
+                ),
+                "c_id long, c_emb array<double>",
+            )
+            retr_cents = new_cents.filter(F.col("c_id").isin(drifted))
+            j_after = _distortion_fp(sub, retr_cents)
+
+            carry = tuple(
+                c
+                for c in sub_all.columns
+                if c not in ("vec_id", "embedding", "list_id")
+            )
+            reassigned = ivf_assign_lists(
                 sub.select("vec_id", "embedding", *carry), retr_cents, carry=carry
             )
-            .write.mode("overwrite")
-            .partitionBy(*pcols)
-            .parquet(staging)
-        )
-        n_rewritten = int(sub.count())
-    finally:
-        sub.unpersist()
+            rewrite = passthrough.unionByName(
+                reassigned.select(*passthrough.columns)
+            )
+            n_out = max(1, len(affected))
+            staged = rewrite.repartitionByRange(
+                n_out, *[F.col(c) for c in pcols]
+            ).sortWithinPartitions(*pcols)
+            n_rewritten = int(sub.count())
 
-    # swap the drifted lists' dirs under a journal (r10 VERDICT: the
-    # bare two-rename swap stranded rows in .retired on a mid-swap
-    # crash). Phases: journal -> retire all -> install all -> commit
-    # (atomic journal rename) -> cleanup. No .retired dir is deleted
-    # while _swap.json exists, so _recover_ivf_layout can always roll
-    # a crashed swap fully back; after the commit rename it rolls
-    # forward instead. Lists the re-assignment emptied end with no
-    # live dir (their "install" is the post-commit retired cleanup).
-    import json as _json
-
-    journal = os.path.join(staging, "_swap.json")
-    done = os.path.join(staging, "_swap_done.json")
-    with open(journal, "w") as f:
-        _json.dump({"lists": drifted}, f)
-    for lid in drifted:
-        live_dir = os.path.join(layout_path, f"list_id={lid}")
-        if os.path.isdir(live_dir):
-            os.rename(live_dir, f"{live_dir}.retired")
-    for lid in drifted:
-        live_dir = os.path.join(layout_path, f"list_id={lid}")
-        staged_dir = os.path.join(staging, f"list_id={lid}")
-        if os.path.isdir(staged_dir):
-            os.rename(staged_dir, live_dir)
-    os.rename(journal, done)  # commit: swap is now roll-forward-only
-    for lid in drifted:
-        shutil.rmtree(
-            os.path.join(layout_path, f"list_id={lid}.retired"),
-            ignore_errors=True,
-        )
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # refreshed sidecar rows for the retrained cells (new edges, drift
-    # reset); untouched rows and the applied-batch record carried over.
-    members = read_ivf_lists(spark, layout_path, drifted)
-    fresh = (
-        members.join(F.broadcast(retr_cents), members["list_id"] == F.col("c_id"))
-        .select("list_id", cosine_fast(F.col("embedding"), F.col("c_emb")).alias("_s"))
-        .groupBy("list_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vec"),
-            F.min("_s").alias("min_sim"),
-            F.min("_s").alias("build_min_sim"),  # re-frozen at retrain
-            F.lit(0).cast("bigint").alias("n_drift"),
-        )
-    )
-    kept = stats.filter(~F.col("list_id").isin(drifted))
-    _commit_ivf_stats(kept.unionByName(fresh), layout_path, applied)
-    report = {
-        "retrained_lists": drifted,
-        "n_vec_rewritten": n_rewritten,
-        "iters": iters,
-        "distortion_fp_before": j_before,
-        "distortion_fp_after": j_after,
-    }
-    return new_cents, report
+            # RE-FROZEN sidecar for the retrained cells rides the same
+            # commit: fresh edges from the reassigned rows, drift reset;
+            # untouched rows carried verbatim
+            fresh = _ivf_list_stats(
+                reassigned.select("vec_id", "embedding", "list_id"), retr_cents
+            )
+            kept = stats.filter(~F.col("list_id").isin(drifted))
+            side_staging = os.path.join(
+                layout_path, "_staging", f"retrain-{tag}-{uuid.uuid4().hex[:8]}"
+            )
+            sp = _stage_manifest_part(
+                kept.unionByName(fresh),
+                os.path.join(side_staging, "stats"),
+                _manifest_pool_dir(layout_path),
+                f"w{tag}-stats-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            # the NEW quantizer rides the same commit: a racing
+            # append's loser sees centroids_part change and re-assigns
+            cp = _stage_manifest_part(
+                new_cents,
+                os.path.join(side_staging, "cents"),
+                _manifest_pool_dir(layout_path),
+                f"w{tag}-cents-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            shutil.rmtree(side_staging, ignore_errors=True)
+            payload = _commit_rewrite(
+                spark, layout_path, tag, "w", "retrain", v, cur, affected,
+                staged, n_out=n_out, repartition=False,
+                extra={"stats_part": sp, "centroids_part": cp},
+            )
+        finally:
+            sub_all.unpersist()
+        if payload is not None:
+            _retention_gc(layout_path)
+            report = {
+                "retrained_lists": drifted,
+                "n_vec_rewritten": n_rewritten,
+                "iters": iters,
+                "distortion_fp_before": j_before,
+                "distortion_fp_after": j_after,
+            }
+            return new_cents, report
+        # lost the CAS (e.g. a racing append): drop the staged side
+        # parts and RE-PLAN from the winner — the new rows join the
+        # refit, warm-started from the winner's committed centroids
+        _rm_f(os.path.join(_manifest_pool_dir(layout_path), sp))
+        _rm_f(os.path.join(_manifest_pool_dir(layout_path), cp))
 
 
 _IVF_LAYOUT_CACHE: dict = {}
@@ -1134,26 +1045,35 @@ def ann_ivf_probe_ondisk(
     spark,
     layout_path: str,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     k: int = 10,
     nprobe: int = 4,
     return_lists: bool = False,
     where=None,
 ):
     """IVF top-k against a :func:`write_ivf_layout` corpus — the probe
-    reads only the probed lists' partitions.
+    reads only the files covering the probed lists.
 
     The probed list ids are computed from queries x centroids (a
-    |queries|*nlists-row job, independent of corpus size) and inlined
-    as LITERALS into the scan filter, so Catalyst statically prunes
-    non-matching partitions — the scan never opens them (plan pinned by
-    tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions).
-    Results are identical to :func:`ann_ivf_topk` with the same
-    centroids: assignment was computed by the same operator at write
-    time and the per-query list restriction is enforced by the same
-    probes join. Returns (q_id, vec_id, rank); with
-    ``return_lists=True``, a (DataFrame, sorted probed list ids) pair.
+    |queries|*nlists-row job, independent of corpus size);
+    :func:`read_ivf_lists` then plans, from the pinned commit's
+    broadcast-sized manifest, exactly the files whose
+    [min_list_id, max_list_id] run intersects them, with ``list_id
+    IN probed`` as a row-group residual inside survivors (plan pinned
+    by tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions).
+    ``centroids=None`` probes against the layout's COMMITTED
+    quantizer (``centroids_part``) — always assignment-consistent;
+    passing centroids is for callers already holding them (e.g. the
+    DataFrame :func:`ivf_retrain` returned, identical to the
+    committed ones). Results are identical to :func:`ann_ivf_topk`
+    with the same centroids: assignment was computed by the same
+    operator at write time and the per-query list restriction is
+    enforced by the same probes join. Returns (q_id, vec_id, rank);
+    with ``return_lists=True``, a (DataFrame, sorted probed list ids)
+    pair.
     """
+    if centroids is None:
+        centroids = _read_ivf_centroids(spark, layout_path)
     probes = ivf_probe_lists(
         queries.select("q_id", "q_emb"), centroids, nprobe
     )
@@ -1172,28 +1092,45 @@ def ann_ivf_probe_ondisk(
     return (out, lists) if return_lists else out
 
 
-def read_ivf_lists(spark, layout_path: str, lists) -> DataFrame:
-    """Partition-pruned scan of a :func:`write_ivf_layout` corpus: the
-    list ids are inlined as LITERALS so Catalyst statically prunes
-    every other partition — the scan never opens them. This is the
+def ivf_scan(spark, layout_path: str, version=None) -> DataFrame:
+    """Full read of a committed IVF layout (the latest version, or
+    ``version=`` for time travel): the commit's complete file list
+    under its explicit schema — what the PQ encode pass and tests use
+    now that the root holds protocol state, not Hive partitions."""
+    from .layout import _load_version, _read_data_files, _read_manifest
+
+    v, cur = _load_version(layout_path, version)
+    man = _read_manifest(spark, layout_path, cur)
+    files = sorted(r["file"] for r in man.select("file").collect())
+    return _read_data_files(spark, cur, files)
+
+
+def read_ivf_lists(spark, layout_path: str, lists, version=None) -> DataFrame:
+    """Manifest-pruned scan of a committed IVF layout: keep the
+    commit's files whose [min_list_id, max_list_id] run contains ANY
+    probed list (driver-side sorted-set bisection over the broadcast-
+    sized manifest — the Delta add-file planning shape), then apply
+    ``list_id IN probed`` as a residual so parquet row-group stats
+    prune INSIDE surviving files (rows are list-ordered). This is the
     point-lookup primitive shared by the IVF probe
     (:func:`ann_ivf_probe_ondisk`) and the PQ rerank's shortlist
-    vector fetch (queries/similarity.similarity_ann_pq_rerank): at
-    100 TB, fetching a few hundred shortlist vectors must read the
-    shortlist's lists, not re-scan the embedding table. Entry runs
-    the reader-mode recovery sweep (:func:`_recover_ivf_layout` with
-    ``committed_tags=None`` — two listdirs): a retrain that crashed
-    mid-swap rolls back via its journal and a stranded
-    ``list_id=N.retired`` dir is restored BEFORE partition inference,
-    so serving recovers immediately instead of failing (or silently
-    missing a list) until the next maintenance entry. As with the
-    stats-layout scan, reads racing a LIVE (non-crashed) swap are
-    outside the contract — quiesce serving during retrain, exactly as
-    the single-writer assumption already quiesces maintenance."""
-    _recover_ivf_layout(layout_path, None)
-    return spark.read.parquet(layout_path).where(
-        F.col("list_id").isin([int(x) for x in lists])
+    fetch: at 100 TB, fetching a few hundred shortlist vectors reads
+    the shortlist's lists, never the embedding table. SNAPSHOT
+    ISOLATION from the pinned commit (r14): a racing retrain commits
+    a NEW version and deletes nothing this plan references within
+    retention — the reader-mode healing sweep this replaces is gone."""
+    from .layout import _load_version, _read_data_files, _read_manifest
+
+    v, cur = _load_version(layout_path, version)
+    man = _read_manifest(spark, layout_path, cur)
+    rows = man.select("file", "min_list_id", "max_list_id").collect()
+    ls = sorted({int(x) for x in lists})
+    files = sorted(
+        r["file"]
+        for r in rows
+        if _lists_intersect(ls, r["min_list_id"], r["max_list_id"])
     )
+    return _read_data_files(spark, cur, files).where(F.col("list_id").isin(ls))
 
 
 def _exact_rescore(corpus2: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
@@ -1601,7 +1538,7 @@ def pq_codes_cached(spark, layout_path: str, books, m: int, cache_key) -> str:
         return path
     path = tempfile.mkdtemp(prefix="sg_pq_codes_")
     codes = pq_encode(
-        spark.read.parquet(layout_path).withColumn(
+        ivf_scan(spark, layout_path).withColumn(
             "list_id", F.col("list_id").cast("bigint")
         ),
         books,

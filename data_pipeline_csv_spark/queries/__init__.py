@@ -55,10 +55,11 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     stats_append refusal — r13 VERDICT next #6) and
 #     layout_cdf_incremental_mv (the change feed's CONSUMER: a
 #     per-custkey (sum, count) MV maintained purely from
-#     stats_changes_since, the cursor riding the fold-merge's
-#     batch_id so at-least-once callers fold each source version
-#     exactly once — next #4). Plus the CHANGED implementations:
-#     the six bucket-layout queries layout_zorder_pruned_scan /
+#     stats_changes_since, the cursor riding the fold-merge's batch
+#     token AND recoverable from the MV's own commit log, so
+#     at-least-once callers fold each source version exactly once —
+#     next #4). Plus the CHANGED implementations: the six
+#     bucket-layout queries layout_zorder_pruned_scan /
 #     layout_zorder_compacted_scan / layout_zorder3_pruned_scan /
 #     layout_hilbert_pruned_scan / layout_hilbert_compacted_scan /
 #     layout_hilbert3_pruned_scan (r14 MOVED THE BUCKET LAYOUTS ONTO
@@ -67,44 +68,57 @@ from . import (  # noqa: F401, E402  (registration side effect)
 #     pinned commit, appends/compactions are multi-writer CAS
 #     commits; the retired-dir swap, heal-on-read, the read grace
 #     and the single-writer assumption are DELETED, and buckets
-#     inherit time travel / history / restore), and the twelve
+#     inherit time travel / history / restore); the five IVF queries
+#     similarity_ann_ivf_ondisk / similarity_ann_pq_rerank /
+#     similarity_ann_filtered / similarity_ivf_append /
+#     similarity_ivf_retrain (r14 ALSO MOVED THE IVF INDEX ONTO THE
+#     COMMIT LOG — next #5: flat list-ordered files with
+#     [min_list_id, max_list_id] manifest intervals, the per-list
+#     drift sidecar AND the coarse quantizer as side pool parts
+#     named by the commit's stats_part / centroids_part keys so
+#     index data + manifest + drift state + centroids version
+#     TOGETHER, probes plan from a pinned commit, append/retrain
+#     race through the CAS — the swap journal, the reader-mode heal
+#     and the advisory heal lock are DELETED; an append losing to a
+#     retrain re-assigns against the winner's committed quantizer;
+#     both race directions pinned by
+#     test_ivf_retrain_vs_append_race_via_cas and
+#     test_ivf_append_loses_to_retrain_reassigns); and the seven
 #     stats-layout queries whose scaffolds exercise the r14-changed
-#     write paths — layout_stats_appended_scan /
+#     write paths most directly — layout_stats_appended_scan /
 #     layout_stats_evolved_scan / layout_stats_concurrent_appends
-#     (stats_append: the lost-CAS retry now re-runs the schema-NEW
-#     guard against the winner's schema, r13 ADVICE #1, and a late
-#     retry whose files a later rewrite replaced fails loud instead
-#     of silently re-appending, ADVICE #3) and
-#     layout_stats_compacted_scan / layout_stats_deleted_scan /
-#     layout_stats_merged_scan / layout_stats_clustered_scan /
-#     layout_stats_restored_scan / layout_stats_changes_feed /
-#     layout_stats_timetravel_scan / streaming_stats_ingest /
-#     streaming_cdc_stats_merge (next #3, CONFLICT-DETECTION COMMITS:
-#     a rewrite losing its CAS to DISJOINT winners now ADOPTS them —
-#     staged data files reused, only the manifest part rebuilt —
-#     instead of re-staging; overlapping losers still re-plan, pinned
-#     by the unchanged test_stats_rewrite_replans_after_lost_cas).
-#     30 + 2 + 6 + 12 = 50 exactly.
-# (c) OLDEST-ROUND FILL: none this round (the window is full). Six
+#     (stats_append: the lost-CAS retry re-runs the schema-NEW guard
+#     against the winner's schema, r13 ADVICE #1; a late retry whose
+#     files a later rewrite replaced fails loud, ADVICE #3; bucket
+#     tables are refused) and layout_stats_compacted_scan /
+#     layout_stats_deleted_scan / layout_stats_merged_scan /
+#     layout_stats_restored_scan (next #3, CONFLICT-DETECTION
+#     COMMITS: a rewrite losing its CAS to DISJOINT winners ADOPTS
+#     them — staged data files reused, only the manifest part rebuilt
+#     — instead of re-staging; overlapping losers still re-plan,
+#     pinned by the unchanged
+#     test_stats_rewrite_replans_after_lost_cas; restore additionally
+#     flows the bucket payload keys). 30 + 2 + 6 + 5 + 7 = 50
+#     exactly.
+# (c) OLDEST-ROUND FILL: none this round (the window is full). SIX
 #     entries ALSO changed in r14 but are scheduled BY NAME for the
-#     r15 window instead, each with a narrow changed surface that
-#     in-window siblings already exercise: layout_stats_history (its
-#     scaffold is the deleted-scan scaffold, whose delete/append ops
-#     changed, but its own read path — driver-side JSON reads of the
-#     commit records — is untouched, and the three sibling queries
-#     on the SAME scaffold, deleted/timetravel/changes, are
-#     in-window), and the five IVF entries similarity_ann_ivf_ondisk
-#     / similarity_ann_pq_rerank / similarity_ann_filtered /
-#     similarity_ivf_append / similarity_ivf_retrain (the r14
-#     self-review's _safe_batch_tag hardening — hyphenated batch ids
-#     now hash so tag prefixes cannot collide — is one line on their
-#     idempotency-token derivation, replayed green by
-#     test_oracle_parity every round; the r15 IVF commit-log port
-#     will change them wholesale anyway). The r15 window MUST lead
-#     with those six names, then r15's own changes, then fill from
-#     the 40 entries whose latest driver row is r10 (the r09 floor
-#     retires this round; after r14 the floor is r10 for exactly
-#     those 40 names).
+#     r15 window instead, each with a narrow changed surface that an
+#     in-window sibling exercises on the same code path:
+#     layout_stats_history, layout_stats_timetravel_scan and
+#     layout_stats_changes_feed (their own read paths — driver-side
+#     record reads, version resolution, the file-set diff — are
+#     untouched; their scaffold is the deleted-scan scaffold, and
+#     layout_stats_deleted_scan is in-window), layout_stats_clustered_scan
+#     (stats_cluster's only r14 change is the shared _commit_rewrite
+#     body + the appends-never-conflict callback, the exact code
+#     layout_stats_compacted_scan exercises in-window), and
+#     streaming_stats_ingest / streaming_cdc_stats_merge (foreachBatch
+#     shells over stats_append / stats_merge, both of whose changed
+#     paths are in-window via appended/evolved/concurrent and
+#     merged). The r15 window MUST lead with those six names, then
+#     r15's own changes, then fill from the 40 entries whose latest
+#     driver row is r10 (the r09 floor retires this round; after r14
+#     the floor is r10 for exactly those 40 names).
 # The window is 50/50 oracle-backed, as is the whole 193-entry
 # registry.
 _PRIORITY = [
@@ -148,18 +162,18 @@ _PRIORITY = [
     "layout_hilbert_pruned_scan",
     "layout_hilbert_compacted_scan",
     "layout_hilbert3_pruned_scan",
+    "similarity_ann_ivf_ondisk",
+    "similarity_ann_pq_rerank",
+    "similarity_ann_filtered",
+    "similarity_ivf_append",
+    "similarity_ivf_retrain",
     "layout_stats_appended_scan",
     "layout_stats_evolved_scan",
     "layout_stats_concurrent_appends",
     "layout_stats_compacted_scan",
     "layout_stats_deleted_scan",
     "layout_stats_merged_scan",
-    "layout_stats_clustered_scan",
     "layout_stats_restored_scan",
-    "layout_stats_changes_feed",
-    "layout_stats_timetravel_scan",
-    "streaming_stats_ingest",
-    "streaming_cdc_stats_merge",
     # --- (c) oldest-round fill: none (30 + 20 fill the window) ---
 ]
 

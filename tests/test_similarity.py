@@ -295,9 +295,10 @@ def test_semdedup_triu_chain_semantics(spark):
 
 
 def test_ivf_append_touches_only_appended_lists(spark, sf_dir, tmp_path):
-    """Incremental maintenance contract: appending a batch creates
-    files ONLY under the appended lists' partition directories; every
-    other list's file set is byte-untouched, and the merged index
+    """Incremental maintenance contract on the commit log (r14): an
+    append only ADDS b<tag>- files — every pre-append data file stays
+    byte-identical (standing lists untouched BY CONSTRUCTION), the
+    batch's manifest part joins the commit, and the merged index
     serves the union of base + appended vectors."""
     import os
 
@@ -306,6 +307,7 @@ def test_ivf_append_touches_only_appended_lists(spark, sf_dir, tmp_path):
     from data_pipeline_csv_spark.operators.clustering import kmeans_centroids_df
     from data_pipeline_csv_spark.operators.similarity import (
         ivf_append,
+        ivf_scan,
         write_ivf_layout,
     )
     from data_pipeline_csv_spark.sources.tables import load_table
@@ -320,29 +322,22 @@ def test_ivf_append_touches_only_appended_lists(spark, sf_dir, tmp_path):
     write_ivf_layout(base, cents, layout)
 
     def _files():
-        out = {}
-        for d in os.listdir(layout):
-            if not d.startswith("list_id="):
-                continue
-            out[d] = sorted(
-                (f, os.path.getsize(os.path.join(layout, d, f)))
-                for f in os.listdir(os.path.join(layout, d))
-                if not f.startswith(".")
-            )
-        return out
+        ddir = os.path.join(layout, "data")
+        return {
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
+        }
 
     before = _files()
     rep = ivf_append(new, cents, layout)
     after = _files()
-    touched = {f"list_id={i}" for i in rep["lists_touched"]}
     assert rep["n_appended"] == new.count() > 0
-    for d, files in before.items():
-        if d in touched:
-            assert set(files) < set(after[d])  # old files intact, new added
-        else:
-            assert files == after[d]  # byte-untouched
+    for f, sz in before.items():
+        assert after.get(f) == sz, f  # standing files byte-untouched
+    assert all(f.startswith("b") for f in set(after) - set(before))
     # merged index serves base + appended
-    merged_ids = {r["vec_id"] for r in spark.read.parquet(layout).collect()}
+    merged_ids = {r["vec_id"] for r in ivf_scan(spark, layout).collect()}
     assert merged_ids == {r["vec_id"] for r in corpus.select("vec_id").collect()}
     assert 0.0 <= rep["drift_ratio"] <= 1.0
 
@@ -370,51 +365,75 @@ def _mini_layout(spark, sf_dir, tmp_path, carry=(), partition_cols=("list_id",))
 def test_ivf_append_replay_short_circuits(spark, sf_dir, tmp_path):
     """Idempotency contract: re-appending a committed batch_id is a
     no-op returning the recorded report — no duplicate vec_ids."""
-    from data_pipeline_csv_spark.operators.similarity import ivf_append
+    from data_pipeline_csv_spark.operators.similarity import ivf_append, ivf_scan
 
     base, new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
     rep1 = ivf_append(new, cents, layout, batch_id="daily-001")
-    ids_after_first = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    ids_after_first = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
     rep2 = ivf_append(new, cents, layout, batch_id="daily-001")
     assert rep2["replayed"] is True
     assert rep2["n_appended"] == rep1["n_appended"]
     assert rep2["lists_touched"] == rep1["lists_touched"]
-    ids_after_second = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    ids_after_second = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
     assert sorted(ids_after_second) == sorted(ids_after_first)
     assert len(ids_after_first) == len(set(ids_after_first))
 
 
 def test_ivf_append_crash_retry_no_duplicates(spark, sf_dir, tmp_path, monkeypatch):
-    """Crash-safety contract: a failure AFTER the data-file move but
-    BEFORE the sidecar commit (the widest window) leaves the staging
-    manifest behind; the retry sweeps the partial move and lands the
-    batch exactly once."""
-    import data_pipeline_csv_spark.operators.similarity as sim
-    from data_pipeline_csv_spark.operators.similarity import ivf_append
+    """Append crash windows under the commit log (r14): a crash
+    BEFORE the CAS leaves the batch invisible — the immediate read is
+    the exact pre-batch index, and the retry sweeps its own leftovers
+    and lands the batch once. A crash AFTER the CAS but before the
+    record means the batch IS committed — the retry recovers its TRUE
+    drift report from the commit payload instead of re-appending."""
+    import os
 
-    base, new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
-    n_base = spark.read.parquet(layout).count()
-
-    real_commit = sim._commit_ivf_stats
-    boom = {"n": 0}
-
-    def crashing_commit(*a, **kw):
-        boom["n"] += 1
-        raise RuntimeError("simulated crash before sidecar commit")
-
-    monkeypatch.setattr(sim, "_commit_ivf_stats", crashing_commit)
     import pytest as _pytest
 
+    from data_pipeline_csv_spark.operators.similarity import ivf_append, ivf_scan
+
+    base, new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
+    n_base = ivf_scan(spark, layout).count()
+
+    # (a) crash BEFORE the CAS
+    real_link = os.link
+    monkeypatch.setattr(
+        os,
+        "link",
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("crash before commit")),
+    )
     with _pytest.raises(RuntimeError):
         ivf_append(new, cents, layout, batch_id="daily-002")
-    assert boom["n"] == 1
-    monkeypatch.setattr(sim, "_commit_ivf_stats", real_commit)
+    monkeypatch.setattr(os, "link", real_link)
+    assert ivf_scan(spark, layout).count() == n_base  # invisible
     rep = ivf_append(new, cents, layout, batch_id="daily-002")
     assert rep["replayed"] is False
-    ids = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
     assert len(ids) == len(set(ids)) == n_base + rep["n_appended"]
     # committed: a further retry replays
     assert ivf_append(new, cents, layout, batch_id="daily-002")["replayed"] is True
+
+    # (b) crash AFTER the CAS, before the record: committed + visible;
+    # the retry recovers the TRUE report from the commit log
+    from pyspark.sql import functions as F
+
+    new2 = new.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    real_replace = os.replace
+
+    def failing_replace(src, dst):
+        if "_batches" in str(dst):
+            raise RuntimeError("simulated crash before record")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with _pytest.raises(RuntimeError):
+        ivf_append(new2, cents, layout, batch_id="daily-003")
+    monkeypatch.setattr(os, "replace", real_replace)
+    n_now = ivf_scan(spark, layout).count()
+    assert n_now == n_base + 2 * rep["n_appended"]  # batch IS committed
+    rep3 = ivf_append(new2, cents, layout, batch_id="daily-003")
+    assert rep3["replayed"] is True and rep3["n_appended"] == rep["n_appended"]
+    assert ivf_scan(spark, layout).count() == n_now  # never re-applied
 
 
 def test_ivf_append_schema_mismatch_fails_fast(spark, sf_dir, tmp_path):
@@ -432,14 +451,19 @@ def test_ivf_append_schema_mismatch_fails_fast(spark, sf_dir, tmp_path):
     # and the carry-aware append works
     rep = ivf_append(new, cents, layout, batch_id="lab-1", carry=("label",))
     assert rep["n_appended"] > 0
-    cols = set(spark.read.parquet(layout).columns)
+    from data_pipeline_csv_spark.operators.similarity import ivf_scan
+
+    cols = set(ivf_scan(spark, layout).columns)
     assert {"vec_id", "embedding", "list_id", "label"} <= cols
 
 
 def test_ivf_retrain_refits_only_drifted_lists(spark, sf_dir, tmp_path):
-    """Retrain contract: cells past the drift threshold are refitted
-    (distortion non-increasing — Lloyd), every other list's files are
-    byte-identical, and the sidecar's drift counters reset."""
+    """Retrain contract on the commit log (r14): cells past the drift
+    threshold are refitted (distortion non-increasing — Lloyd), the
+    copy-on-write rewrite only ADDS files (every pre-retrain file
+    byte-identical, pinned readers survive), the re-frozen sidecar
+    rides the same commit (drift counters reset), and untouched cells
+    keep their centroids bit-identically."""
     import os
 
     from pyspark.sql import functions as F
@@ -449,6 +473,7 @@ def test_ivf_retrain_refits_only_drifted_lists(spark, sf_dir, tmp_path):
         _read_ivf_stats,
         ivf_append,
         ivf_retrain,
+        ivf_scan,
         write_ivf_layout,
     )
     from data_pipeline_csv_spark.sources.tables import load_table
@@ -464,31 +489,26 @@ def test_ivf_retrain_refits_only_drifted_lists(spark, sf_dir, tmp_path):
     ivf_append(new, cents, layout, batch_id="drift-1")
 
     def _files():
+        ddir = os.path.join(layout, "data")
         return {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(layout, d, f)))
-                for f in os.listdir(os.path.join(layout, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(layout)
-            if d.startswith("list_id=")
+            f: os.path.getsize(os.path.join(ddir, f))
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
         }
 
     before = _files()
-    n_before = spark.read.parquet(layout).count()
+    n_before = ivf_scan(spark, layout).count()
     new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
     assert rep["retrained_lists"], "planted drift must trigger refits"
     assert rep["distortion_fp_after"] <= rep["distortion_fp_before"]
     after = _files()
-    retrained = {f"list_id={i}" for i in rep["retrained_lists"]}
-    for d, files in before.items():
-        if d not in retrained:
-            assert files == after.get(d), d
-    # no vectors lost or duplicated by the partition swaps
-    ids = [r["vec_id"] for r in spark.read.parquet(layout).collect()]
+    for f, sz in before.items():
+        assert after.get(f) == sz, f  # copy-on-write: old files intact
+    # no vectors lost or duplicated by the rewrite
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
     assert len(ids) == len(set(ids)) == n_before
     # drift counters reset on the retrained cells
-    stats, _ = _read_ivf_stats(spark, layout)
+    stats = _read_ivf_stats(spark, layout)
     for r in stats.collect():
         if int(r["list_id"]) in rep["retrained_lists"]:
             assert int(r["n_drift"]) == 0
@@ -535,7 +555,7 @@ def test_ivf_append_drift_accumulates_across_batches(spark, sf_dir, tmp_path):
     base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
     edges_at_build = {
         int(r["list_id"]): r["build_min_sim"]
-        for r in _read_ivf_stats(spark, layout)[0].collect()
+        for r in _read_ivf_stats(spark, layout).collect()
     }
     b1 = drift.filter(F.col("vec_id") % 2 == 0)
     b2 = drift.filter(F.col("vec_id") % 2 == 1)
@@ -546,7 +566,7 @@ def test_ivf_append_drift_accumulates_across_batches(spark, sf_dir, tmp_path):
     # ~zero against a ratcheted edge
     assert rep2["n_drifted"] > 0
     assert rep2["n_drifted"] >= 0.3 * rep1["n_drifted"]
-    stats, _ = _read_ivf_stats(spark, layout)
+    stats = _read_ivf_stats(spark, layout)
     rows = stats.collect()
     assert sum(int(r["n_drift"]) for r in rows) == (
         rep1["n_drifted"] + rep2["n_drifted"]
@@ -560,284 +580,329 @@ def test_ivf_append_drift_accumulates_across_batches(spark, sf_dir, tmp_path):
         assert r["min_sim"] <= r["build_min_sim"]
 
 
-def test_ivf_retrain_crash_mid_swap_recovers(spark, sf_dir, tmp_path, monkeypatch):
-    """r10 VERDICT #2: rows move ACROSS lists in the retrain swap, so
-    a mid-swap crash must roll the whole swap back (journal present)
-    — no row lost or duplicated — and the retry must retrain cleanly
-    from the untouched sidecar's drift signal."""
+def test_ivf_retrain_crash_at_cas_keeps_snapshot(spark, sf_dir, tmp_path, monkeypatch):
+    """r14 (replacing the swap-journal roll-back/-forward tests): a
+    retrain that crashes AT its CAS publishes nothing — the immediate
+    read is the exact pre-retrain index with NO healing (the staged
+    w*- files and sidecar are invisible), the drift signal is intact,
+    and the retry refits cleanly."""
     import os
 
     import pytest as _pytest
 
     from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_stats,
         ivf_append,
         ivf_retrain,
+        ivf_scan,
     )
 
     base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
     ivf_append(drift, cents, layout, batch_id="drift-1")
-    n_before = spark.read.parquet(layout).count()
-    ids_before = sorted(
-        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    ids_before = sorted(r["vec_id"] for r in ivf_scan(spark, layout).collect())
+    drift_before = sorted(
+        (int(r["list_id"]), int(r["n_drift"]))
+        for r in _read_ivf_stats(spark, layout).collect()
     )
 
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        if str(dst).endswith(".retired"):
-            real_rename(src, dst)  # the retire rename LANDS...
-            raise RuntimeError("simulated crash mid-swap")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    real_link = os.link
+    monkeypatch.setattr(
+        os,
+        "link",
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("crash at CAS")),
+    )
     with _pytest.raises(RuntimeError):
-        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    monkeypatch.setattr(os, "rename", real_rename)
+        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    monkeypatch.setattr(os, "link", real_link)
 
-    # stranded: one list retired, journal still present
-    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
-    st = os.path.join(layout, "_staging")
-    assert any(d.startswith("retrain-") for d in os.listdir(st))
-
-    new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    assert rep["retrained_lists"], "retry must retrain from the same signal"
-    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
-    assert not os.path.isdir(st) or not os.listdir(st)
-    ids = sorted(
-        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
+    # nothing published: rows AND drift state exactly pre-retrain
+    assert sorted(r["vec_id"] for r in ivf_scan(spark, layout).collect()) == ids_before
+    assert (
+        sorted(
+            (int(r["list_id"]), int(r["n_drift"]))
+            for r in _read_ivf_stats(spark, layout).collect()
+        )
+        == drift_before
     )
-    assert len(ids) == len(set(ids)) == n_before
-    assert ids == ids_before
+    new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    assert rep["retrained_lists"]
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    assert sorted(ids) == ids_before and len(ids) == len(set(ids))
 
 
-def test_ivf_retrain_crash_before_cleanup_rolls_forward(
-    spark, sf_dir, tmp_path, monkeypatch
-):
-    """Crash AFTER the journal commit rename (swap complete, cleanup
-    pending): the next maintenance entry rolls FORWARD — retired dirs
-    dropped, no row lost or duplicated."""
+def test_ivf_crashed_append_invisible_to_retrain(spark, sf_dir, tmp_path, monkeypatch):
+    """r14 (replacing the rollback-before-retrain machinery): an
+    append that crashed BEFORE its CAS left only unreferenced b<tag>-
+    files — a retrain in between plans from the commit log and never
+    sees them, and the append retry sweeps its own leftovers and
+    lands exactly once."""
     import os
-    import shutil
 
     import pytest as _pytest
-    from pyspark.sql import functions as F
 
     from data_pipeline_csv_spark.operators.similarity import (
         ivf_append,
         ivf_retrain,
+        ivf_scan,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    n_base = ivf_scan(spark, layout).count()
+
+    real_link = os.link
+    monkeypatch.setattr(
+        os,
+        "link",
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("crash before commit")),
+    )
+    with _pytest.raises(RuntimeError):
+        ivf_append(drift, cents, layout, batch_id="drift-1")
+    monkeypatch.setattr(os, "link", real_link)
+
+    # the crashed batch is invisible; no drift -> retrain is a no-op
+    assert ivf_scan(spark, layout).count() == n_base
+    _cents2, rep0 = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    assert rep0["retrained_lists"] == []
+
+    rep = ivf_append(drift, cents, layout, batch_id="drift-1")
+    assert rep["replayed"] is False
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    assert len(ids) == len(set(ids)) == n_base + rep["n_appended"]
+
+
+def test_ivf_reader_snapshot_survives_concurrent_retrain(spark, sf_dir, tmp_path):
+    """r14 (replacing heal-on-read): a serving read planned BEFORE a
+    retrain collects its exact snapshot AFTER the retrain rewrote the
+    drifted lists — the pinned commit's files are never deleted within
+    retention, so serving needs no healing, no locks and no quiesce
+    window (the old protocol's documented gap)."""
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
+        read_ivf_lists,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, cents, layout, batch_id="drift-1")
+    all_lists = sorted(
+        int(r["list_id"])
+        for r in ivf_scan(spark, layout).select("list_id").distinct().collect()
+    )
+    pinned = read_ivf_lists(spark, layout, all_lists)  # plans NOW
+    want = sorted(r["vec_id"] for r in ivf_scan(spark, layout).collect())
+    _cents2, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    assert rep["retrained_lists"]
+    got = sorted(r["vec_id"] for r in pinned.collect())  # collected AFTER
+    assert got == want
+
+
+def test_ivf_retrain_vs_append_race_via_cas(spark, sf_dir, tmp_path, monkeypatch):
+    """r13 VERDICT next #5's acceptance artifact: a RETRAIN and an
+    APPEND race the same layout through the CAS — no locks anywhere.
+    The append wins the contended version; the retrain loses its CAS,
+    RE-PLANS from the winner's commit (picking up the appended rows
+    and their drift), and commits next. Nothing lost, nothing
+    duplicated, and the log advanced by exactly two."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
     )
 
     base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
     b1 = drift.filter(F.col("vec_id") % 2 == 0)
     b2 = drift.filter(F.col("vec_id") % 2 == 1)
-    ivf_append(b1, cents, layout, batch_id="drift-1")
-    n_before = spark.read.parquet(layout).count()
+    ivf_append(b1, cents, layout, batch_id="drift-a")  # plant the signal
 
-    real_rmtree = shutil.rmtree
+    real_cas = L._cas_commit
+    state = {"fired": False}
 
-    def failing_rmtree(p, *a, **kw):
-        if str(p).endswith(".retired"):
-            raise RuntimeError("simulated crash before retired cleanup")
-        return real_rmtree(p, *a, **kw)
+    def contended(p, v, payload):
+        # the moment the retrain first attempts its CAS, an append
+        # sneaks in and takes the version
+        if payload.get("op") == "retrain" and not state["fired"]:
+            state["fired"] = True
+            ivf_append(b2, cents, layout, batch_id="drift-b")
+        return real_cas(p, v, payload)
 
-    monkeypatch.setattr(shutil, "rmtree", failing_rmtree)
-    with _pytest.raises(RuntimeError):
-        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
-    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
+    monkeypatch.setattr(L, "_cas_commit", contended)
+    new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    monkeypatch.setattr(L, "_cas_commit", real_cas)
+    assert state["fired"] and rep["retrained_lists"]
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    want = sorted(
+        r["vec_id"]
+        for r in base.select("vec_id").unionByName(drift.select("vec_id")).collect()
+    )
+    assert sorted(ids) == want and len(ids) == len(set(ids))
+    # init + append + append + retrain: the retrain re-planned, never
+    # stacked a stale commit
+    assert L._list_commits(layout) == [1, 2, 3, 4]
 
-    # the NEXT maintenance op's entry sweep rolls forward
-    rep = ivf_append(b2, cents, layout, batch_id="drift-2")
-    assert rep["n_appended"] == b2.count()
-    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
-    ids = [r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()]
-    assert len(ids) == len(set(ids)) == n_before + rep["n_appended"]
 
 
-def test_ivf_retrain_rolls_back_uncommitted_append(
-    spark, sf_dir, tmp_path, monkeypatch
-):
-    """r10 ADVICE (medium): a retrain between a crashed append and its
-    retry would rewrite the drifted partitions and erase the b<tag>-
-    retry prefixes — the retry would then double-apply the batch. The
-    retrain entry sweep must roll the uncommitted batch back first."""
-    import data_pipeline_csv_spark.operators.similarity as sim
-    import pytest as _pytest
+def test_ivf_append_loses_to_retrain_reassigns(spark, sf_dir, tmp_path, monkeypatch):
+    """The REVERSE race of test_ivf_retrain_vs_append_race_via_cas: a
+    RETRAIN sneaks in and wins the version the APPEND was about to
+    take. The quantizer changed underneath the loser, so reusing its
+    staged files would commit rows list-assigned by centroids that no
+    longer exist — probes planned with the new centroids would never
+    find them. The loser must detect the changed ``centroids_part``,
+    RE-ASSIGN the batch against the winner's committed centroids and
+    restage (r14 review); the committed rows end up exactly where the
+    committed quantizer says they belong."""
     from pyspark.sql import functions as F
 
+    import data_pipeline_csv_spark.operators.layout as L
     from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_centroids,
         ivf_append,
+        ivf_assign_lists,
         ivf_retrain,
+        ivf_scan,
     )
 
     base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
-    b0 = drift.filter(F.col("vec_id") % 3 == 0)
-    b1 = drift.filter(F.col("vec_id") % 3 != 0)
-    ivf_append(b0, cents, layout, batch_id="seed-drift")  # committed drift
+    b1 = drift.filter(F.col("vec_id") % 2 == 0)
+    b2 = drift.filter(F.col("vec_id") % 2 == 1)
+    ivf_append(b1, cents, layout, batch_id="drift-a")  # plant the signal
 
-    real_commit = sim._commit_ivf_stats
+    real_cas = L._cas_commit
+    state = {"fired": False}
 
-    def crashing_commit(*a, **kw):
-        raise RuntimeError("simulated crash before sidecar commit")
+    def contended(p, v, payload):
+        # the moment the append first attempts its CAS, a retrain
+        # sneaks in, takes the version and re-freezes the quantizer
+        if payload.get("op") == "append" and not state["fired"]:
+            state["fired"] = True
+            ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+        return real_cas(p, v, payload)
 
-    monkeypatch.setattr(sim, "_commit_ivf_stats", crashing_commit)
-    with _pytest.raises(RuntimeError):
-        ivf_append(b1, cents, layout, batch_id="day-9")
-    monkeypatch.setattr(sim, "_commit_ivf_stats", real_commit)
-
-    # maintenance between crash and retry: must roll b1 back, then
-    # rewrite the drifted lists
-    _, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    assert rep["retrained_lists"]
-    n_mid = spark.read.parquet(layout).count()
-    assert n_mid == base.count() + b0.count()  # b1 fully rolled back
-
-    rep2 = ivf_append(b1, cents, layout, batch_id="day-9")
-    assert rep2["replayed"] is False
-    ids = [r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()]
-    assert len(ids) == len(set(ids)) == n_mid + b1.count()
-
-
-def test_ivf_serving_read_heals_crashed_retrain_swap(
-    spark, sf_dir, tmp_path, monkeypatch
-):
-    """Heal on read for the IVF layout (r11 VERDICT wrong #3): a
-    retrain killed mid-swap leaves a list stranded in
-    ``list_id=N.retired`` plus the rollback journal. The SERVING read
-    (read_ivf_lists — the primitive under every probe) must resolve
-    the journal at entry and return the exact pre-retrain corpus, no
-    maintenance op in between; a journal-less retrain staging dir
-    (possibly a LIVE writer) must be left untouched."""
-    import os
-
-    import pytest as _pytest
-
-    from data_pipeline_csv_spark.operators.similarity import (
-        ivf_append,
-        ivf_retrain,
-        read_ivf_lists,
-    )
-
-    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
-    ivf_append(drift, cents, layout, batch_id="drift-1")
-    ids_before = sorted(
-        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
-    )
-    lists_all = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(layout)
-        if d.startswith("list_id=") and not d.endswith(".retired")
-    )
-
-    real_rename = os.rename
-
-    def crashing_rename(src, dst):
-        if str(dst).endswith(".retired"):
-            real_rename(src, dst)  # the retire rename LANDS...
-            raise RuntimeError("simulated crash mid-swap")
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(os, "rename", crashing_rename)
-    with _pytest.raises(RuntimeError):
-        ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert [d for d in os.listdir(layout) if d.endswith(".retired")]
-
-    # a journal-less staging dir alongside: the reader must not touch it
-    live_staging = os.path.join(layout, "_staging", "retrain-liveprobe")
-    os.makedirs(live_staging, exist_ok=True)
-
-    # immediate serving read: journal rolls the swap back, probe serves
-    got = sorted(
+    monkeypatch.setattr(L, "_cas_commit", contended)
+    rep = ivf_append(b2, cents, layout, batch_id="drift-b")
+    monkeypatch.setattr(L, "_cas_commit", real_cas)
+    assert state["fired"] and rep["replayed"] is False
+    assert rep["n_appended"] == b2.count()
+    # nothing lost, nothing duplicated
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    want = sorted(
         r["vec_id"]
-        for r in read_ivf_lists(spark, layout, lists_all).select("vec_id").collect()
+        for r in base.select("vec_id").unionByName(drift.select("vec_id")).collect()
     )
-    assert got == ids_before
-    assert not [d for d in os.listdir(layout) if d.endswith(".retired")]
-    assert os.path.isdir(live_staging)  # reader left the live writer alone
-    os.rmdir(live_staging)
+    assert sorted(ids) == want and len(ids) == len(set(ids))
+    # init + append + retrain + append: the loser re-planned, never
+    # stacked a stale commit
+    assert L._list_commits(layout) == [1, 2, 3, 4]
+    # ASSIGNMENT CONSISTENCY — the committed rows of the losing batch
+    # sit exactly where the COMMITTED quantizer routes them
+    committed_cents = _read_ivf_centroids(spark, layout)
+    want_assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign_lists(
+            b2.select("vec_id", "embedding"), committed_cents
+        ).collect()
+    }
+    got_assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_scan(spark, layout)
+        .filter(F.col("vec_id").isin(list(want_assign)))
+        .collect()
+    }
+    assert got_assign == want_assign
 
-    # maintenance still works after the read-side heal: the retry
-    # retrains cleanly from the untouched sidecar
-    _cents2, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=2)
-    assert rep["retrained_lists"]
-    ids = sorted(
-        r["vec_id"] for r in spark.read.parquet(layout).select("vec_id").collect()
-    )
-    assert ids == ids_before
 
-
-def test_ivf_heal_lock_excludes_and_recovers(spark, sf_dir, tmp_path):
-    """r12 review: the heal's retrain rollback is rmtree(live) then
-    rename(retired, live) — two concurrent healers interleaving could
-    delete both copies of a list, so all sweeps run under _heal.lock.
-    (a) a reader finding a FRESH lock (a live healer) must NOT mutate;
-    (b) a STALE lock (crashed healer) is taken over and healing runs;
-    (c) the lock is released afterwards so maintenance proceeds."""
-    import os
-    import time
-
+def test_ivf_append_first_touch_list_uses_observed_edge(spark, tmp_path):
+    """A list FIRST POPULATED BY AN APPEND has no build-time edge (the
+    build saw an empty cell — k-means leaves them routinely). The
+    first batch lands with no stats row, so it counts drifted against
+    the 1.0 no-stats fallback; the sidecar must then freeze that
+    batch's OBSERVED min as the list's edge (the old sidecar
+    protocol's NULL-falls-back-to-min invariant, r14 review) so a
+    SECOND batch of equally-close vectors is NOT flagged — without
+    the fallback every later append to the cell reads as 100% drifted
+    and spuriously triggers retrain of a healthy cell."""
     from data_pipeline_csv_spark.operators.similarity import (
-        _recover_ivf_layout,
-        read_ivf_lists,
+        ivf_append,
+        write_ivf_layout,
     )
 
-    base, _new, cents, layout = _mini_layout(spark, sf_dir, tmp_path)
-    # strand a list manually: live renamed away, as a crashed swap does
-    lists = sorted(
-        d for d in os.listdir(layout) if d.startswith("list_id=")
+    def _corpus(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "c_id long, c_emb array<double>",
     )
-    victim = os.path.join(layout, lists[0])
-    os.rename(victim, f"{victim}.retired")
+    # the build populates cells 0 and 1 only; cell 2 stays EMPTY
+    base = _corpus(
+        [(1, [0.9, 0.1, 0.0]), (2, [0.8, 0.2, 0.0]),
+         (3, [0.1, 0.9, 0.0]), (4, [0.2, 0.8, 0.0])]
+    )
+    layout = str(tmp_path / "layout")
+    write_ivf_layout(base, cents, layout)
+    # first touch of cell 2: no stats row -> counted against the 1.0
+    # fallback (the cell WAS a quantizer hole; flagging is honest)
+    b1 = _corpus([(10, [0.05, 0.0, 0.95]), (11, [0.0, 0.1, 0.9])])
+    rep1 = ivf_append(b1, None, layout, batch_id="first_touch")
+    assert rep1["n_drifted"] == 2
+    # second batch, EQUALLY close to the centroid: the frozen edge is
+    # now b1's observed min, so nothing is drifted
+    b2 = _corpus([(12, [0.05, 0.0, 0.95]), (13, [0.0, 0.1, 0.9])])
+    rep2 = ivf_append(b2, None, layout, batch_id="second_touch")
+    assert rep2["n_drifted"] == 0, (
+        "append-born list must freeze its first observed min as the "
+        "drift edge, not fall back to 1.0 forever"
+    )
 
-    # (a) fresh lock held by "another healer": reader mode waits its
-    # grace period and returns WITHOUT touching the stranded dir
-    lock = os.path.join(layout, "_heal.lock")
-    os.mkdir(lock)
-    t0 = time.time()
-    _recover_ivf_layout(layout, None)
-    assert time.time() - t0 < 20  # bounded wait, no deadlock
-    assert os.path.isdir(f"{victim}.retired")  # untouched under the lock
-    assert os.path.isdir(lock)  # and the foreign lock was not stolen
 
-    # (b) stale lock: age it past the takeover threshold; healing runs
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
-    _recover_ivf_layout(layout, None)
-    assert os.path.isdir(victim)  # restored
-    assert not os.path.isdir(f"{victim}.retired")
-    # (c) lock released: a serving read heals/serves normally
-    assert not os.path.isdir(lock)
-    ids = read_ivf_lists(
-        spark, layout, [int(d.split("=")[1]) for d in lists]
-    ).count()
-    assert ids == base.count()
+def test_ivf_restore_rolls_back_quantizer(spark, sf_dir, tmp_path):
+    """RESTORE on an IVF layout is inherited from the shared commit
+    log — and it must roll back the SIDE PARTS with the data: the
+    drift sidecar AND the committed quantizer flow from the restored
+    version (layout.py _CARRY_KEYS), so post-restore appends and
+    probes are assignment-consistent with the restored rows. Pins the
+    r14 review finding that the shared ops flowed only the bucket
+    keys and stranded IVF layouts without their sidecars."""
+    from data_pipeline_csv_spark.operators.layout import stats_restore
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_centroids,
+        _read_ivf_stats,
+        ann_ivf_probe_ondisk,
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
+    )
 
-    # (d) r12 ADVICE #1: STALE-LOCK TAKEOVER IS SINGLE-WINNER. The old
-    # rmtree-then-mkdir takeover let two entrants interleave so one
-    # deleted the lock the other had just recreated (both "holding"
-    # it); the rename-first takeover gives the stale dir to exactly
-    # one renamer. Race N threads at one stale lock: exactly one may
-    # acquire, and the winner's fresh lock must survive the losers.
-    import threading
-
-    from data_pipeline_csv_spark.operators.similarity import _try_heal_lock
-
-    os.mkdir(lock)
-    os.utime(lock, (old, old))
-    got = []
-    barrier = threading.Barrier(8)
-
-    def contend():
-        barrier.wait()
-        got.append(_try_heal_lock(layout))
-
-    threads = [threading.Thread(target=contend) for _ in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    winners = [g for g in got if g is not None]
-    assert len(winners) == 1
-    assert os.path.isdir(lock)  # the winner's lock was not destroyed
-    os.rmdir(lock)
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, cents, layout, batch_id="d1")  # v2
+    cents_v2 = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout).collect()
+    }
+    n_v2 = ivf_scan(spark, layout).count()
+    _new_cents, rep = ivf_retrain(spark, layout, cents, drift_threshold=0.05, iters=1)
+    assert rep["retrained_lists"]  # v3 changed the quantizer
+    cents_v3 = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout).collect()
+    }
+    assert cents_v3 != cents_v2
+    stats_restore(spark, layout, 2)  # v4 = the pre-retrain state
+    assert ivf_scan(spark, layout).count() == n_v2
+    restored = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout).collect()
+    }
+    assert restored == cents_v2  # quantizer rolled back WITH the data
+    assert _read_ivf_stats(spark, layout).count() > 0  # sidecar intact
+    # end-to-end: a probe against the restored head plans and runs
+    # against the restored quantizer (centroids=None -> committed)
+    queries = (
+        base.limit(3)
+        .selectExpr("vec_id as q_id", "embedding as q_emb")
+    )
+    assert ann_ivf_probe_ondisk(spark, layout, queries, k=5, nprobe=3).count() > 0
