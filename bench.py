@@ -655,8 +655,17 @@ HEADLINE = [
 # discovery; the IVF layouts never were). ivf_append/ivf_retrain
 # scaffolds trade the generation-swap + advisory-lock machinery for
 # CAS commits of the same Spark work — flat. Everything else in the
-# headline list is untouched by the port. (Observed numbers appended
-# after the rerun, below.)
+# headline list is untouched by the port.
+# r14 SECOND-HALF observed (committed final-tree run: 116.68 s / 84
+# at canary 0.3126 min / 0.3213 median, vs the first-half run
+# 124.98 s / 84 at 0.3063 — canary 1.02x, shared-entry total 0.932x):
+# the four headline IVF entries rode 0.84-1.07x raw (pq_rerank
+# 2.07 -> 2.14, filtered 1.23 -> 1.03, append 1.14 -> 1.22, retrain
+# 1.20 -> 1.23) — the predicted FLAT result; the spread on untouched
+# entries (0.76-1.25x in both directions, worst
+# multimodal_decode_roundtrip 1.25x, all sub-second deltas) is the
+# documented min-of-3 jitter band. No entry crosses 2x of any
+# published number.
 
 
 def _canary(spark, sf_dir):

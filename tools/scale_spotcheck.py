@@ -82,20 +82,28 @@ REPLICAS = 10
 # (layout_stats_skipping_scan: the old heal listdir is gone, a
 # _commits listdir + explicit-schema read replaced it), and the PCA
 # anchor (the flattest r9 scaler; if IT moves, the host moved).
+# r14 second half: the IVF serving/maintenance entries behind the
+# IVF commit-log port (manifest bisection + two nlists-row side-part
+# reads replace partition discovery + the heal entry checks — expect
+# the flat slopes the serving entries always had, now through the new
+# protocol), re-anchored by PCA. Runs MERGE into an existing round
+# artifact (the bucket-port first-half rows stay; a re-run anchor
+# lands as embedding_pca_project_rerun so both runs' host baselines
+# are recorded).
 QUERIES = [
-    # r14 changed/debuted entries: the bucket layouts behind the
-    # commit-log port (file planning replaces Hive partition pruning
-    # — the 10x ratio tests that the manifest read stays metadata-
-    # sized), the two debuts, and the conflict-detection-path merge
-    "layout_zorder_pruned_scan",
-    "layout_zorder_compacted_scan",
-    "layout_hilbert_compacted_scan",
-    "layout_hilbert3_pruned_scan",
-    "layout_stats_retrofit_scan",
-    "layout_cdf_incremental_mv",
-    "layout_stats_merged_scan",
+    "similarity_ann_ivf_ondisk",
+    "similarity_ann_pq_rerank",
+    "similarity_ann_filtered",
+    "similarity_ivf_append",
+    "similarity_ivf_retrain",
     "embedding_pca_project",  # host-baseline anchor, every round
 ]
+# r14 first-half set (recorded in SCALE_SPOTCHECK_r14.json): the six
+# bucket/debut/merge entries behind the bucket port —
+# layout_zorder_pruned_scan, layout_zorder_compacted_scan,
+# layout_hilbert_compacted_scan, layout_hilbert3_pruned_scan,
+# layout_stats_retrofit_scan, layout_cdf_incremental_mv,
+# layout_stats_merged_scan, + the anchor.
 
 
 def _build_sf1_events(spark) -> None:
@@ -209,7 +217,18 @@ def main() -> None:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     n = max(rounds) + 1 if rounds else 0
-    with open(os.path.join(ROOT, f"SCALE_SPOTCHECK_r{n:02d}.json"), "w") as f:
+    path = os.path.join(ROOT, f"SCALE_SPOTCHECK_r{n:02d}.json")
+    if os.path.isfile(path):
+        # second focus set in the same round: MERGE — earlier rows are
+        # a different focus set's record, not stale data; a duplicate
+        # anchor reading lands under a _rerun suffix
+        with open(path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("queries", {}))
+        for k, v in out.items():
+            merged[f"{k}_rerun" if k in merged else k] = v
+        rec = {**prev, "queries": merged}
+    with open(path, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec))
 
