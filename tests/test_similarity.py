@@ -906,3 +906,171 @@ def test_ivf_restore_rolls_back_quantizer(spark, sf_dir, tmp_path):
         .selectExpr("vec_id as q_id", "embedding as q_emb")
     )
     assert ann_ivf_probe_ondisk(spark, layout, queries, k=5, nprobe=3).count() > 0
+
+def test_ivf_concurrent_appends(spark, sf_dir, tmp_path):
+    """MULTI-WRITER IVF (r14 — the property the retired advisory-lock
+    protocol excluded): two appenders racing one index through the
+    hard-link CAS both land, the final index is the exact union with
+    no duplicate vec_ids, the commit log advanced by exactly two, and
+    the merged drift sidecar accounts every vector exactly once
+    (sum n_vec == corpus size). Real threads, no sequencing — the
+    IVF twin of test_maintenance.py::test_bucket_concurrent_appends."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import _list_commits
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_stats,
+        ivf_append,
+        ivf_scan,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    b1 = drift.filter(F.col("vec_id") % 2 == 0)
+    b2 = drift.filter(F.col("vec_id") % 2 != 0)
+    errs = []
+
+    def run(df, bid):
+        try:
+            ivf_append(df, None, layout, batch_id=bid)
+        except Exception as e:  # pragma: no cover - reported below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(b1, "w1")),
+        threading.Thread(target=run, args=(b2, "w2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    want = sorted(
+        r["vec_id"]
+        for r in base.select("vec_id").unionByName(drift.select("vec_id")).collect()
+    )
+    assert sorted(ids) == want and len(ids) == len(set(ids))
+    assert _list_commits(layout)[-1] == 3  # init + two appends
+    stats = _read_ivf_stats(spark, layout)
+    total = stats.agg(F.sum("n_vec").alias("n")).collect()[0]["n"]
+    assert int(total) == len(want)  # sidecar accounts each vector once
+
+
+def test_ivf_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
+    """The IVF twin of the stats/bucket crash sweeps, on the r14
+    commit log: a crash injected at EVERY python-side filesystem
+    mutation (os.rename / os.replace / os.remove / os.link — the CAS
+    itself) of ivf_append and ivf_retrain in turn. The swept invariant
+    is the STRONG one the commit-log protocols pin — the immediate
+    read of (vec_id, list_id) assignments is exactly the pre-op index
+    or exactly the post-op index, never a mixture and never an error,
+    AND both side parts (drift sidecar, committed quantizer) load at
+    every point — where the retired journaled-swap protocol promised
+    only no-loss/no-dup through its recovery sweep. A crashed op's
+    retry converges to the post state (append: the batch_id
+    idempotency token + commit-log tag recovery; retrain: the re-plan
+    is deterministic from committed state, and a committed retrain's
+    retry no-ops on the reset drift counters)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_centroids,
+        _read_ivf_stats,
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    b1 = drift.filter(F.col("vec_id") % 2 == 0)
+    b2 = drift.filter(F.col("vec_id") % 2 != 0)
+    ivf_append(b1, None, layout, batch_id="sweep-plant")  # drift signal
+
+    def pairs(p):
+        return sorted(
+            (r["vec_id"], r["list_id"]) for r in ivf_scan(spark, p).collect()
+        )
+
+    def side_ok(p):
+        assert _read_ivf_stats(spark, p).count() > 0
+        assert _read_ivf_centroids(spark, p).count() > 0
+
+    ops = [
+        ("append", lambda p: ivf_append(b2, None, p, batch_id="sweep-a")),
+        ("retrain", lambda p: ivf_retrain(spark, p, None, drift_threshold=0.05, iters=1)),
+    ]
+    real = {
+        "rename": os.rename,
+        "replace": os.replace,
+        "remove": os.remove,
+        "link": os.link,
+    }
+
+    def instrument(counter, crash_at, path):
+        def wrap(name):
+            orig = real[name]
+
+            def patched(*a, **kw):
+                if any(str(path) in str(x) for x in a):
+                    counter[0] += 1
+                    if crash_at is not None and counter[0] == crash_at:
+                        raise RuntimeError(f"injected crash at fs-op {crash_at} ({name})")
+                return orig(*a, **kw)
+
+            return patched
+
+        os.rename, os.replace, os.remove, os.link = (
+            wrap("rename"), wrap("replace"), wrap("remove"), wrap("link")
+        )
+
+    def restore():
+        os.rename, os.replace, os.remove, os.link = (
+            real["rename"], real["replace"], real["remove"], real["link"]
+        )
+
+    total_points = 0
+    for op_name, op in ops:
+        pre = pairs(layout)
+        probe = f"{layout}-probe-{op_name}"
+        shutil.copytree(layout, probe)
+        counter = [0]
+        instrument(counter, None, probe)
+        try:
+            op(probe)
+        finally:
+            restore()
+        n_ops, post = counter[0], pairs(probe)
+        shutil.rmtree(probe, ignore_errors=True)
+        assert n_ops > 0
+        assert {v for v, _ in post} > {v for v, _ in pre} if op_name == "append" \
+            else {v for v, _ in post} == {v for v, _ in pre}
+
+        for k in range(1, n_ops + 1):
+            clone = f"{layout}-k{k}-{op_name}"
+            shutil.copytree(layout, clone)
+            counter = [0]
+            instrument(counter, k, clone)
+            crashed = False
+            try:
+                op(clone)
+            except RuntimeError:
+                crashed = True
+            finally:
+                restore()
+            got = pairs(clone)  # immediate read: NO healing, no grace
+            assert got == pre or got == post, f"{op_name} crash@{k}: mixture"
+            side_ok(clone)  # side parts never dangle
+            if crashed:
+                op(clone)  # retry converges
+                assert pairs(clone) == post, f"{op_name} retry after crash@{k}"
+            shutil.rmtree(clone, ignore_errors=True)
+        total_points += n_ops
+
+        op(layout)  # advance the real lifecycle
+        assert pairs(layout) == post
+    assert total_points >= 8  # the sweep covered real crash windows
