@@ -610,6 +610,26 @@ def ivf_append(
         raise ValueError(
             f"append schema {sorted(batch_cols)} != layout schema {sorted(live_cols)}"
         )
+    # fail FAST on type drift too (e.g. an array<double> batch into an
+    # array<float> layout): the staged files would otherwise be
+    # unreadable under the layout's committed schema and the append
+    # would die mid-fold with a parquet type-mismatch (r14 review)
+    live_types = {f.name: f.dataType.simpleString() for f in _data_schema(cur).fields}
+    batch_types = {
+        f.name: f.dataType.simpleString()
+        for f in new_corpus.schema.fields
+        if f.name in live_types
+    }
+    drift_cols = {
+        c: (batch_types[c], live_types[c])
+        for c in batch_types
+        if batch_types[c] != live_types[c]
+    }
+    if drift_cols:
+        raise ValueError(
+            f"append column types {drift_cols} do not match the layout's "
+            f"committed schema (batch type, layout type); cast the batch first"
+        )
 
     sdata = os.path.join(staging, "data")
     data_dir = _skip_data_dir(layout_path)

@@ -1074,3 +1074,94 @@ def test_ivf_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         op(layout)  # advance the real lifecycle
         assert pairs(layout) == post
     assert total_points >= 8  # the sweep covered real crash windows
+
+def test_ivf_vacuum_protects_side_parts_and_time_travel(spark, sf_dir, tmp_path):
+    """VACUUM on an IVF layout (inherited from the shared commit log)
+    must treat the side pool parts — every retained commit's drift
+    sidecar and committed quantizer — as live state: they have a
+    different schema from manifest parts, so they are protected by
+    name (layout.py _SIDE_PART_KEYS) without entering the mergeSchema
+    manifest read. After a zero-grace vacuum with planted orphans,
+    every retained version still time-travels (the pre-retrain
+    assignment readable at its version, with ITS quantizer and
+    sidecar), the orphans are gone, and the layout still appends."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_csv_spark.operators.layout import (
+        _manifest_pool_dir,
+        _skip_data_dir,
+        stats_vacuum,
+    )
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_centroids,
+        _read_ivf_stats,
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
+        read_ivf_lists,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, None, layout, batch_id="d1")  # v2
+    pre_pairs = sorted(
+        (r["vec_id"], r["list_id"]) for r in ivf_scan(spark, layout).collect()
+    )
+    v2_cents = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout).collect()
+    }
+    _nc, rep = ivf_retrain(spark, layout, None, drift_threshold=0.05, iters=1)
+    assert rep["retrained_lists"]  # v3
+
+    # plant orphans: an abandoned staged data file and pool part no
+    # commit references
+    orphan_d = os.path.join(_skip_data_dir(layout), "bdead-part-0.parquet")
+    orphan_p = os.path.join(_manifest_pool_dir(layout), "bdead-xyz.parquet")
+    for p in (orphan_d, orphan_p):
+        with open(p, "w") as f:
+            f.write("junk")
+
+    removed = stats_vacuum(spark, layout, grace_seconds=0.0)
+    assert not os.path.exists(orphan_d) and not os.path.exists(orphan_p)
+    assert removed["data_files"] >= 1 and removed["manifest_parts"] >= 1
+
+    # every retained version still serves: head and the pre-retrain v2
+    assert _read_ivf_stats(spark, layout).count() > 0
+    assert _read_ivf_centroids(spark, layout).count() > 0
+    all_lists = sorted(
+        {int(r["list_id"]) for r in ivf_scan(spark, layout, version=2).collect()}
+    )
+    tt_pairs = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in read_ivf_lists(spark, layout, all_lists, version=2).collect()
+    )
+    assert tt_pairs == pre_pairs  # time travel: the exact v2 index
+    v2_payload = __import__(
+        "data_pipeline_csv_spark.operators.layout", fromlist=["_load_version"]
+    )._load_version(layout, 2)[1]
+    tt_cents = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout, v2_payload).collect()
+    }
+    assert tt_cents == v2_cents  # ...with the v2 quantizer
+
+    # a type-drifted batch fails FAST with the committed-schema check
+    # (array<double> into the float layout — r14 review hardening)
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(999_998, [0.5] * len(next(iter(v2_cents.values()))))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="committed schema"):
+        ivf_append(bad, None, layout, batch_id="post-vac-bad")
+
+    # and the layout is still writable after the sweep
+    extra = spark.createDataFrame(
+        [(999_999, [0.5] * len(next(iter(v2_cents.values()))))],
+        "vec_id long, embedding array<float>",
+    )
+    rep2 = ivf_append(extra, None, layout, batch_id="post-vac")
+    assert rep2["n_appended"] == 1
