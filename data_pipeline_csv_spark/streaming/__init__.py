@@ -33,6 +33,8 @@ from .sinks import (
     cdc_upsert_writer,
     run_streaming_cdc_stats_merge,
     run_streaming_cdc_merge,
+    ivf_ingest_writer,
+    run_streaming_ivf_ingest,
     run_streaming_stats_ingest,
     stats_ingest_writer,
     compact_neardup_state,
@@ -67,6 +69,8 @@ __all__ = [
     "stage_changes_dir",
     "run_streaming_cdc_merge",
     "cdc_upsert_writer",
+    "ivf_ingest_writer",
+    "run_streaming_ivf_ingest",
     "run_streaming_stats_ingest",
     "stats_ingest_writer",
     "run_streaming_cdc_stats_merge",

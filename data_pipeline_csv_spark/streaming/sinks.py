@@ -950,6 +950,63 @@ def run_streaming_stats_ingest(
         q.stop()
 
 
+def ivf_ingest_writer(layout_path: str, reports: list | None = None):
+    """foreachBatch writer appending each micro-batch of vectors into
+    a :func:`~..operators.similarity.write_ivf_layout` index via
+    :func:`~..operators.similarity.ivf_append`, with the EPOCH ID as
+    the append's batch token — the continuously-ingesting ANN corpus
+    (r14; the stats_ingest_writer precedent on the IVF commit log):
+
+    - at-least-once foreachBatch becomes EXACTLY-ONCE through the
+      append protocol's committed-replay short-circuit on the stable
+      ``epoch-<id>`` token — a replayed epoch returns its recorded
+      drift report without touching the index;
+    - each batch is assigned with the COMMITTED quantizer of the
+      version the epoch plans, so a retrain racing the stream (the
+      maintenance loop a live index runs) stays sound: an epoch that
+      loses its CAS to a retrain re-assigns against the new
+      centroids inside ivf_append, no sink-side logic needed;
+    - ``reports``, when supplied, collects each epoch's drift report
+      (n_drifted / drift_ratio / replayed) — the owner's retrain
+      signal, surfaced from the stream instead of polled.
+    """
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.similarity import ivf_append
+
+        rep = ivf_append(
+            batch_df, None, layout_path, batch_id=f"epoch-{int(epoch_id)}"
+        )
+        if reports is not None:
+            reports.append({"epoch": int(epoch_id), **rep})
+
+    return write_epoch
+
+
+def run_streaming_ivf_ingest(
+    stream_df: DataFrame,
+    spark,
+    layout_path: str,
+    checkpoint: str,
+    reports: list | None = None,
+) -> None:
+    """Drain a bounded vector stream through :func:`ivf_ingest_writer`
+    (the index at ``layout_path`` must already exist — the built
+    corpus a continuous embedding feed appends to)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            ivf_ingest_writer(layout_path, reports=reports)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def cdc_stats_merge_writer(
     spark: SparkSession,
     layout_path: str,

@@ -535,3 +535,59 @@ def test_streaming_cdc_stats_merge_replay(spark, tmp_path):
     }
     want = {i: (i * 100 if i % 5 == 0 else i * 10) for i in range(50) if i % 7 != 0}
     assert got == want
+
+def test_streaming_ivf_ingest_epoch_replay_is_noop(spark, tmp_path):
+    """The IVF twin of the stats-ingest replay test (r14): foreachBatch
+    is at-least-once per epoch; the IVF ingest writer keys ivf_append
+    by the epoch id, so a replayed epoch must short-circuit on its
+    commit record — same file set, no duplicate vec_ids, the scan
+    stays equal to base + feed, and the collected drift reports mark
+    replays as such (the owner's retrain signal is never
+    double-counted)."""
+    import os
+
+    from data_pipeline_csv_spark.operators.similarity import (
+        ivf_scan,
+        write_ivf_layout,
+    )
+    from data_pipeline_csv_spark.streaming import ivf_ingest_writer
+
+    def _corpus(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "c_id long, c_emb array<double>",
+    )
+    base = _corpus(
+        [(1, [0.9, 0.1, 0.0]), (2, [0.8, 0.2, 0.1]),
+         (3, [0.1, 0.9, 0.0]), (4, [0.0, 0.8, 0.2]),
+         (5, [0.1, 0.0, 0.9]), (6, [0.0, 0.2, 0.8])]
+    )
+    layout = str(tmp_path / "ivf_ingest")
+    write_ivf_layout(base, cents, layout)
+
+    e0 = _corpus([(10, [0.85, 0.15, 0.0]), (11, [0.0, 0.9, 0.1])])
+    e1 = _corpus([(20, [0.1, 0.1, 0.9]), (21, [0.9, 0.0, 0.1])])
+    reports = []
+    writer = ivf_ingest_writer(layout, reports=reports)
+    writer(e0, 0)
+    writer(e1, 1)
+    n_files = len(
+        [f for f in os.listdir(f"{layout}/data") if f.endswith(".parquet")]
+    )
+    # replay BOTH epochs out of order — the at-least-once worst case
+    writer(e1, 1)
+    writer(e0, 0)
+    assert (
+        len([f for f in os.listdir(f"{layout}/data") if f.endswith(".parquet")])
+        == n_files
+    )
+    got = sorted(r["vec_id"] for r in ivf_scan(spark, layout).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 10, 11, 20, 21]
+    assert [r["replayed"] for r in reports] == [False, False, True, True]
+    assert [r["epoch"] for r in reports] == [0, 1, 1, 0]
+    # a replayed epoch returns its recorded report, not a recount
+    first = {r["epoch"]: r["n_appended"] for r in reports[:2]}
+    for r in reports[2:]:
+        assert r["n_appended"] == first[r["epoch"]]
