@@ -1165,3 +1165,61 @@ def test_ivf_vacuum_protects_side_parts_and_time_travel(spark, sf_dir, tmp_path)
     )
     rep2 = ivf_append(extra, None, layout, batch_id="post-vac")
     assert rep2["n_appended"] == 1
+
+def test_ivf_retrain_vs_retrain_race_loser_noops(spark, sf_dir, tmp_path, monkeypatch):
+    """Two maintainers racing the SAME retrain: the loser re-plans
+    from the winner's commit — whose sidecar has the drift counters
+    reset and whose quantizer is already re-frozen — finds nothing
+    over the threshold, and returns the no-op with the winner's
+    committed centroids instead of stacking a second rewrite. The
+    log advances exactly once for the two racing calls."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_csv_spark.operators.layout as L
+    from data_pipeline_csv_spark.operators.similarity import (
+        _read_ivf_centroids,
+        ivf_append,
+        ivf_retrain,
+        ivf_scan,
+    )
+
+    base, drift, cents, layout = _drift_layout(spark, sf_dir, tmp_path)
+    ivf_append(drift, None, layout, batch_id="drift-1")  # plant the signal
+
+    real_cas = L._cas_commit
+    state = {"fired": False, "inner": None}
+
+    def contended(p, v, payload):
+        # the moment the outer retrain first attempts its CAS, a
+        # second retrain sneaks in and takes the version
+        if payload.get("op") == "retrain" and not state["fired"]:
+            state["fired"] = True
+            state["inner"] = ivf_retrain(
+                spark, layout, None, drift_threshold=0.05, iters=1
+            )
+        return real_cas(p, v, payload)
+
+    monkeypatch.setattr(L, "_cas_commit", contended)
+    outer_cents, outer_rep = ivf_retrain(
+        spark, layout, None, drift_threshold=0.05, iters=1
+    )
+    monkeypatch.setattr(L, "_cas_commit", real_cas)
+
+    inner_cents, inner_rep = state["inner"]
+    assert state["fired"] and inner_rep["retrained_lists"]
+    assert outer_rep["retrained_lists"] == []  # the loser no-opped
+    assert L._list_commits(layout) == [1, 2, 3]  # init + append + ONE retrain
+    # the loser returned the WINNER's committed quantizer
+    committed = {
+        r["c_id"]: list(r["c_emb"])
+        for r in _read_ivf_centroids(spark, layout).collect()
+    }
+    got = {r["c_id"]: list(r["c_emb"]) for r in outer_cents.collect()}
+    assert got == committed
+    # nothing lost, nothing duplicated by the race
+    ids = [r["vec_id"] for r in ivf_scan(spark, layout).collect()]
+    want = sorted(
+        r["vec_id"]
+        for r in base.select("vec_id").unionByName(drift.select("vec_id")).collect()
+    )
+    assert sorted(ids) == want and len(ids) == len(set(ids))
