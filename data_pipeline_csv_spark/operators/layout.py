@@ -1939,6 +1939,15 @@ def stats_append(
             "files whose zb column is NULL and whose rows no pruned scan "
             "would ever plan; use zorder_append (r14 review #4)"
         )
+    if "centroids_part" in cur:
+        raise ValueError(
+            "stats_append: this is an IVF layout (the commit carries a "
+            "quantizer) — appending without centroid assignment would "
+            "land rows whose list_id the committed quantizer never "
+            "chose, so probes would silently miss or mis-rank them and "
+            "the drift sidecar would stop accounting for them; use "
+            "ivf_append (r14)"
+        )
     skip_cols = list(cur["skip_cols"])
     # a batch may omit skip columns EVOLVED IN after its producer was
     # written — its files simply record no stats for them (the
@@ -2550,6 +2559,14 @@ def stats_merge(
     n_dels = delete_keys.count()
     while True:
         v, cur = _load_version(path)
+        if "centroids_part" in cur:
+            raise ValueError(
+                "stats_merge: this is an IVF layout (the commit carries a "
+                "quantizer) — upserted rows would carry list_id values the "
+                "committed quantizer never assigned, so probes would "
+                "silently miss or mis-rank them; delete + ivf_append the "
+                "new versions instead (r14)"
+            )
         skip_cols = cur["skip_cols"]
         if key_col not in skip_cols:
             raise ValueError(

@@ -1223,3 +1223,37 @@ def test_ivf_retrain_vs_retrain_race_loser_noops(spark, sf_dir, tmp_path, monkey
         for r in base.select("vec_id").unionByName(drift.select("vec_id")).collect()
     )
     assert sorted(ids) == want and len(ids) == len(set(ids))
+
+def test_ivf_layout_refuses_unrouted_writes(spark, tmp_path):
+    """The shared commit-log ops that INSERT rows must refuse an IVF
+    layout: stats_append and stats_merge take caller-supplied rows
+    whose list_id the committed quantizer never assigned, so probes
+    would silently miss or mis-rank them — the same unsound-write
+    class as stats_append on a bucket table (which the r14 bucket
+    port already refuses). Removal-only and rewrite-only ops
+    (delete/compact/compute_stats/restore) stay allowed: they never
+    invent assignments."""
+    import pytest
+
+    from data_pipeline_csv_spark.operators.layout import stats_append, stats_merge
+    from data_pipeline_csv_spark.operators.similarity import write_ivf_layout
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "c_id long, c_emb array<double>"
+    )
+    base = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9])], "vec_id long, embedding array<double>"
+    )
+    layout = str(tmp_path / "ivf")
+    write_ivf_layout(base, cents, layout)
+
+    rogue = spark.createDataFrame(
+        [(3, [0.5, 0.5], 0)], "vec_id long, embedding array<double>, list_id long"
+    )
+    with pytest.raises(ValueError, match="quantizer"):
+        stats_append(rogue, layout, batch_id="rogue-a")
+    with pytest.raises(ValueError, match="quantizer"):
+        stats_merge(
+            spark, layout, rogue,
+            rogue.select("vec_id").limit(0), "vec_id", batch_id="rogue-m",
+        )
