@@ -2559,6 +2559,14 @@ def stats_merge(
     n_dels = delete_keys.count()
     while True:
         v, cur = _load_version(path)
+        if "spec" in cur:
+            raise ValueError(
+                "stats_merge: this is a BUCKET layout (the commit carries a "
+                "curve spec) — upserted rows would carry zb values the "
+                "committed curve never computed, so the covering-cell scan "
+                "would silently skip or mis-plan them; delete + "
+                "zorder_append the new versions instead (r14 review)"
+            )
         if "centroids_part" in cur:
             raise ValueError(
                 "stats_merge: this is an IVF layout (the commit carries a "

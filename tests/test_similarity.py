@@ -1257,3 +1257,35 @@ def test_ivf_layout_refuses_unrouted_writes(spark, tmp_path):
             spark, layout, rogue,
             rogue.select("vec_id").limit(0), "vec_id", batch_id="rogue-m",
         )
+
+    # the symmetric bucket case: a merge's upserts would carry zb
+    # values the committed curve never computed
+    import datetime
+
+    from data_pipeline_csv_spark.operators.layout import (
+        derive_zorder_spec,
+        write_zorder_table,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (i, float(1000 + i), datetime.date(1996, 1, 1 + i % 28))
+            for i in range(200)
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate date",
+    )
+    src_pq = str(tmp_path / "orders_src.parquet")
+    orders.write.parquet(src_pq)
+    spec = derive_zorder_spec(src_pq, "o_totalprice", "o_orderdate")
+    zpath = str(tmp_path / "zb")
+    write_zorder_table(orders, spec, zpath)
+    zrogue = spark.createDataFrame(
+        [(999, 1500.0, datetime.date(1996, 2, 1), 0)],
+        "o_orderkey long, o_totalprice double, o_orderdate date, zb long",
+    )
+    with pytest.raises(ValueError, match="curve"):
+        stats_merge(
+            spark, zpath, zrogue,
+            zrogue.select("o_orderkey").limit(0), "o_orderkey",
+            batch_id="rogue-z",
+        )
