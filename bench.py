@@ -666,6 +666,30 @@ HEADLINE = [
 # multimodal_decode_roundtrip 1.25x, all sub-second deltas) is the
 # documented min-of-3 jitter band. No entry crosses 2x of any
 # published number.
+# r14 OPTIMIZATION-ROUND expectations (annotated before the final
+# run; full evidence in OPTIMIZATION_r14.md). HOST CAVEAT first: the
+# committed-tree baseline RE-RUN this round read 209.29 s / 84 at
+# canary 0.3169/0.3505 — 1.79x the build-half artifact on identical
+# code at a flat canary (the canary-decoupled co-tenant drift class
+# on record since r8, at its worst to date; single samples varied
+# 3-6x minutes apart). Read the optimization round's deltas
+# entry-by-entry against the SAME-ROUND 209.29 s baseline detail
+# (and the interleaved A/B numbers in OPTIMIZATION_r14.md), not
+# against 116.68. Expected engine-side movement:
+# - corpus_split_leakage_safe ~0.55x (pairing checkpointed: the leak
+#   audit re-ran the whole prefix pipeline), embedding_pca_project
+#   ~0.6x (persisted loop input), graph_pagerank_suppliers ~0.63x
+#   (checkpointed edges; 20 -> 0 scans in plan).
+# - corpus_dsir_select / text_quality_classifier / text_ccnet_buckets:
+#   tokenize passes 5->2 / 3->2 / 3->1 — flat-to-0.7x locally (the
+#   passes partly overlapped on idle cores), bigger at real scale.
+# - multimodal phash/audio/video entries: vectorized bit-packing and
+#   frame loops — 0.6-0.95x, video_neardup the largest mover.
+# - join-heavy entries (events_pit_join, dedup_minhash_lsh, asof,
+#   revenue_by_nation): 0.8-0.95x from preferSortMergeJoin=false +
+#   AQE SMJ->SHJ conversion (interleaved A/B evidence in the doc).
+# - everything else: flat net of the drift band; no timing-semantics
+#   changes, no removed/renamed entries.
 
 
 def _canary(spark, sf_dir):

@@ -160,18 +160,18 @@ def synthetic_videos_with_variants(
                 blobs.append(blob)
                 if i % every_k == 0:
                     vid = decode_sgv1(blob)["data"][trim:]
-                    out_frames = []
-                    for frame in vid:
-                        up = frame.repeat(2, axis=0).repeat(2, axis=1)
-                        flat = up.ravel().copy()
-                        mask = (np.arange(flat.size) % perturb_mod) == 0
-                        flat[mask] = 255 - flat[mask]
-                        out_frames.append(flat)
-                    h2, w2 = vid.shape[1] * 2, vid.shape[2] * 2
+                    # all frames at once: upscale on the frame axes and
+                    # apply the per-frame raster mask across the whole
+                    # clip (same bytes as the per-frame loop — reshape
+                    # order IS frame-major concatenation)
+                    up = vid.repeat(2, axis=1).repeat(2, axis=2)
+                    nf, h2, w2 = up.shape
+                    flat = up.reshape(nf, -1).copy()
+                    mask = (np.arange(flat.shape[1]) % perturb_mod) == 0
+                    flat[:, mask] = 255 - flat[:, mask]
                     ids.append(i + id_offset)
                     blobs.append(
-                        HEADER.pack(MAGIC, MOD_VIDEO, w2, h2, len(out_frames))
-                        + np.concatenate(out_frames).tobytes()
+                        HEADER.pack(MAGIC, MOD_VIDEO, w2, h2, nf) + flat.tobytes()
                     )
             yield pd.DataFrame({"asset_id": ids, "content": blobs})
 

@@ -79,9 +79,15 @@ def nb_train_score(
             F.coalesce("c0", F.lit(0)).alias("c0"),
         )
     )
-    tot = tr_tok.agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n0"),
+    # Class token totals are the column sums of the per-bucket counts
+    # (sum of group counts == total count, exact integers) — deriving
+    # them from ``cnt`` removes a second full tokenize + explode + md5
+    # pass over the train split that the standalone aggregate paid
+    # (its global agg has a different exchange shape, so ReuseExchange
+    # could not share the feature pipeline with ``cnt``).
+    tot = cnt.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
     )
     model = dense.crossJoin(F.broadcast(tot)).select(
         "b",

@@ -76,7 +76,13 @@ def power_iteration_top(
     """
     v = [1.0 / math.sqrt(float(dim))] * dim
     x = F.col("_x")
-    base = df.select(F.col(vec_col).alias("_x"))
+    # Each iteration is its own job (the d-row collect), so the scan
+    # of the embedding column re-runs per round without a persist —
+    # iters full corpus reads instead of one. Persist the single-
+    # column projection for the loop (guide §5: reused across jobs,
+    # recompute costs a corpus scan), unpersist before returning so
+    # nothing leaks past the call.
+    base = df.select(F.col(vec_col).alias("_x")).persist()
     eigval = 0.0
     for _ in range(iters):
         c = _dot_fixed(x, v, S_DOT).cast("double") / F.lit(S_DOT)
@@ -98,6 +104,7 @@ def power_iteration_top(
         nrm = math.sqrt(float(nfix) / S_NRM)
         v = [wj / nrm for wj in w]
         eigval = nrm
+    base.unpersist()
     return v, eigval
 
 

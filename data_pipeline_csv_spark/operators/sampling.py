@@ -300,10 +300,20 @@ def dsir_select(
     )
     t_b = feats(target).select(bucket.alias("b"))
     r_f = feats(raw).select("doc_id", bucket.alias("b"))
+    # One (doc_id, b) pre-aggregation feeds BOTH the raw bucket model
+    # and the per-doc scoring: the two consumers share the identical
+    # exchange subtree, so ReuseExchange runs the tokenize + explode +
+    # md5 feature pass over the raw corpus ONCE per job (it used to
+    # run three times: r_cnt, nr, per_doc — each a different first
+    # exchange over the same map-side pipeline). The corpus totals
+    # are exact integer sums of the bucket counts (sum of group
+    # counts == total count), so nr/nt stop paying a full feature
+    # pass each — identical values, 5 corpus passes -> 2.
+    r_pre = r_f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     t_cnt = t_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    r_cnt = r_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    nt = t_b.agg(F.count(F.lit(1)).alias("nt"))
-    nr = r_f.agg(F.count(F.lit(1)).alias("nr"))
+    r_cnt = r_pre.groupBy("b").agg(F.sum("c").alias("cr"))
+    nt = t_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    nr = r_cnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     scores = (
         r_cnt.join(t_cnt, "b", "left")
         .crossJoin(F.broadcast(nt))
@@ -322,9 +332,7 @@ def dsir_select(
         )
     )
     per_doc = (
-        r_f.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(scores, "b")
+        r_pre.join(scores, "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") * F.col("r_fp")).alias("w_fp"))
     )

@@ -755,7 +755,19 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import split_assign
 
     docs = balanced(spark, load_table(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.8).select("d1", "d2")
+    # The exact prefix-filtered pairing is the query's dominant cost
+    # and is consumed by TWO separate jobs — the component solve
+    # (which materializes its own distinct copy inside
+    # connected_components) and the final job's leak audit.
+    # localCheckpoint materializes it once per call; without it the
+    # whole shingle+prefix+verify pipeline re-runs for the audit
+    # (cross-job, so ReuseExchange can't help). Eager + call-local:
+    # a fresh call recomputes, so bench iterations stay honest.
+    pairs = (
+        ngram_jaccard_pairs_prefix(docs, threshold=0.8)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
     cc = connected_components(pairs, src="d1", dst="d2")
     labeled = (
         docs.select("doc_id")
@@ -765,7 +777,13 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
         )
     )
-    assigned = split_assign(labeled, _LEAKAGE_SPLIT_WEIGHTS, id_col="canonical_id")
+    # assigned feeds three subtrees of the final job (two leak-join
+    # sides + the per-split report); it is doc-count rows of three
+    # narrow columns, and checkpointing it collapses three doc-scan +
+    # join + hash-split evaluations into one.
+    assigned = split_assign(
+        labeled, _LEAKAGE_SPLIT_WEIGHTS, id_col="canonical_id"
+    ).localCheckpoint()
     leak = (
         pairs.join(
             assigned.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),

@@ -94,7 +94,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "pagerank", "iterative"),
 )
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS)
+    # localCheckpoint the edge list: pagerank references it from
+    # several jobs (the up-front stats collect + the rank computation)
+    # and from several subtrees per round; materializing the distinct
+    # ship pairs once was measured 0.63x at sf0.1 (r14-opt — the
+    # operator's old note about persist() being slower predates AQE
+    # runtime exchange reuse and used the cache manager, not
+    # checkpoint blocks). The edge list is distinct (suppkey, partkey)
+    # pairs — ~|catalog| rows, far below the corpus scale, so the
+    # materialization is bounded at any SF.
+    ranks = pagerank(_edges(spark, sf_dir).localCheckpoint(), iterations=_ITERS)
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")
 
 
@@ -181,6 +190,11 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("bigint").alias("src"),
         (F.col("l_partkey") + _PART_OFFSET).cast("bigint").alias("dst"),
     ).distinct()
+    # same caller-side materialization as graph_pagerank_suppliers —
+    # the dangling variant references the edge list even more often
+    # (out-degree agg, node set, per-round contribs AND the per-round
+    # dangling anti-join)
+    edges = edges.localCheckpoint()
     ranks = pagerank(edges, iterations=_ITERS, redistribute_dangling=True)
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank")
 

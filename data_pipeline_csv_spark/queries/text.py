@@ -851,16 +851,29 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(tokens("text")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    # Pre-aggregate to (doc, tok) multiplicities once: the raw token
+    # stream used to be evaluated THREE times in the one job (freq,
+    # total, and the frequency join — three different first exchanges
+    # over the same map-side tokenize+explode, which ReuseExchange
+    # cannot share). freq and total are exact integer folds of the
+    # pre-agg (sum of group counts == total count), the NLL join now
+    # carries one row per DISTINCT (doc, tok) instead of one per
+    # token instance, and each token's floored NLL term is weighted
+    # by its multiplicity — identical values by distributivity.
+    pre = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = pre.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = freq.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("total")
+    )
     nll = (
-        toks.join(freq, "tok")
+        pre.join(freq, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
             F.sum(
-                F.floor(-F.log(F.col("cnt") / F.col("total")) * F.lit(1e6)).cast(
+                F.col("c")
+                * F.floor(-F.log(F.col("cnt") / F.col("total")) * F.lit(1e6)).cast(
                     "long"
                 )
             ).alias("nll_fix"),

@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick a shuffled-hash join when one side's
+        # per-partition build fits (no sort pass), and let AQE rewrite
+        # a sort-merge join to shuffled-hash at runtime when every
+        # post-shuffle partition is under 128 MB (guide §3.1). Both are
+        # scale-adaptive by construction: at 100 TB with properly
+        # sized partitions the conversion simply stops firing, and the
+        # build side stays bounded by the per-partition threshold.
+        # Measured r14-opt (interleaved A/B at sf0.1): join-heavy
+        # entries 0.81-0.98x, subset total 0.93x; explicitly hinted
+        # joins (MERGE in join_with_estimated_strategy) are unaffected.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -570,6 +570,12 @@ def neardup_epoch_writer(
         # bucketing, the cross-probe, the index write); sign once and
         # persist for the epoch instead of recomputing the signature
         # pipeline per consumer (measured ~25% off the per-epoch cost).
+        # (r14-opt note: eagerly materializing the cache with a count
+        # before the concurrent writes — so the pairs and idx jobs
+        # could not both compute it — was measured FLAT in an
+        # interleaved A/B at sf0.1: the duplicated first-read compute
+        # lands on otherwise-idle cores, so the extra action buys
+        # nothing. Left lazy.)
         entries = lsh_band_entries(batch).persist()
         if phase_timings is not None:
             entries.count()
@@ -1054,16 +1060,27 @@ def cdc_stats_merge_writer(
         w = W.partitionBy(key_col).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc()
         )
+        # The winner collapse feeds FIVE downstream evaluations inside
+        # stats_merge (the two input counts, the distinct-key manifest
+        # planning join, and the rewrite union — each a separate job,
+        # so ReuseExchange cannot share the window's shuffle across
+        # them). Persist the collapsed micro-batch for the epoch: the
+        # window runs once and every later pass reads the cached
+        # winners (guide §5 — reused AND expensive to recompute; state
+        # is micro-batch-sized, never table-sized).
         winners = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-        )
-        ups = winners.filter(F.col(op_col) != delete_op).select(*layout_cols)
-        dels = winners.filter(F.col(op_col) == delete_op).select(key_col)
-        stats_merge(
-            spark, layout_path, ups, dels, key_col,
-            batch_id=f"epoch-{int(epoch_id)}",
-        )
+        ).persist()
+        try:
+            ups = winners.filter(F.col(op_col) != delete_op).select(*layout_cols)
+            dels = winners.filter(F.col(op_col) == delete_op).select(key_col)
+            stats_merge(
+                spark, layout_path, ups, dels, key_col,
+                batch_id=f"epoch-{int(epoch_id)}",
+            )
+        finally:
+            winners.unpersist()
 
     return write_epoch
 
