@@ -690,6 +690,25 @@ HEADLINE = [
 #   AQE SMJ->SHJ conversion (interleaved A/B evidence in the doc).
 # - everything else: flat net of the drift band; no timing-semantics
 #   changes, no removed/renamed entries.
+# r14 OPTIMIZATION-ROUND observed (final-tree run, the committed
+# BENCH_DETAIL_r14.json: 224.29 s / 84 at canary 0.4589/0.4841, vs the
+# same-session committed-tree baseline 209.29 s / 84 at 0.3169/0.3505
+# — committed alongside as BENCH_DETAIL_r14_opt_baseline.json): the
+# canary moved 1.45x SLOWER between the two runs, and both runs carry
+# untouched-entry stalls far outside any engine explanation
+# (similarity_neardup_clustered 2.9 -> 32.8 s on UNTOUCHED code in the
+# after run; op_similarity_neardup_clustered 25.7 s and text_bpe_merges
+# 28.4 s in the BEFORE run vs their committed 0.8/2.9 s — tens-of-
+# seconds host stalls that min-of-3 cannot filter when all three
+# iterations stall). Read levels from neither run; read the round's
+# engine effect from (a) the shared-entry total — raw 0.955 at a 1.45x
+# slower canary, net ~0.66x — and (b) the touched-entry subtotal
+# (20 entries): 56.25 -> 51.79 s RAW (0.92x) against the 1.45x canary,
+# net ~0.64x, led by video_neardup 0.56x raw, split_leakage 0.67x raw,
+# dsir 0.80x raw, pagerank 0.85x raw, q3 0.84x raw — all on a slower
+# host. The per-change interleaved A/Bs in OPTIMIZATION_r14.md are the
+# controlled evidence; they agree in direction with every touched
+# entry here.
 
 
 def _canary(spark, sf_dir):
