@@ -886,7 +886,23 @@ def main() -> None:
         "n_queries": len(headline),
         "detail_file": detail_name,
     }
-    print(json.dumps(out))
+    # r15 emission: restore the docstring's "queries" map to the printed
+    # output. The driver's tail-capture window is ~2000 chars (measured:
+    # BENCH_r09 "parsed": null when the one line overflowed it; BENCH_r10+
+    # artifacts store exactly output[-2000:]), and the 86 headline names
+    # alone are 1,965 bytes, so a single line carrying the full map can
+    # never parse from the tail. Emit BOTH: the full contract line first
+    # (complete {"queries": {name: sec}} map, for any consumer of the full
+    # stream and for humans), then the compact line LAST so the line inside
+    # the tail window always parses. If the full line ever fits the window
+    # (headline set shrunk — it can't, entries are never removed), print it
+    # alone as the single contract line.
+    full = dict(out)
+    full["queries"] = {n: round(t, 3) for n, t in timings.items()}
+    full_line = json.dumps(full, separators=(",", ":"))
+    print(full_line)
+    if len(full_line) > 1900:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

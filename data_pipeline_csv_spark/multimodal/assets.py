@@ -166,7 +166,9 @@ def synthetic_videos_with_variants(
                     # order IS frame-major concatenation)
                     up = vid.repeat(2, axis=1).repeat(2, axis=2)
                     nf, h2, w2 = up.shape
-                    flat = up.reshape(nf, -1).copy()
+                    # explicit column count: reshape(nf, -1) cannot infer
+                    # a dimension when a trimmed clip has zero frames
+                    flat = up.reshape(nf, h2 * w2).copy()
                     mask = (np.arange(flat.shape[1]) % perturb_mod) == 0
                     flat[:, mask] = 255 - flat[:, mask]
                     ids.append(i + id_offset)

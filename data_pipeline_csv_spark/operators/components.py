@@ -71,6 +71,57 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Edge sets at or under this size are solved ON THE DRIVER (union-find)
+# instead of via the distributed star loop: collected they are a few MB
+# (broadcast-sized — the same order as a hinted broadcast side), while
+# the star loop costs 2 Spark jobs per round for O(log n) rounds, pure
+# job-launch latency on a small graph (measured: the incremental fold's
+# contracted batch graph ran ~13 rounds = ~26 jobs over a few hundred
+# edges). Larger edge sets take the distributed loop unchanged, so the
+# switch is scale-adaptive the same way AQE's broadcast conversion is.
+_DRIVER_SOLVE_MAX_EDGES = 200_000
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Exact min-id components of a SMALL edge set via driver-side
+    union-find — bit-identical to the star loop's labeling: union by
+    MIN id keeps every tree's root equal to the minimum node id of its
+    set (inductively: both roots are their trees' minima, the new root
+    is the smaller), so find(n) is the component's min id — exactly
+    the label the large-star/small-star fixpoint assigns, and
+    insertion-order-independent (the min of a set does not depend on
+    how the set was unioned together)."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    from pyspark.sql.types import StructField, StructType
+
+    ut = e.schema["u"].dataType
+    schema = StructType(
+        [StructField("node", ut), StructField("component", ut)]
+    )
+    return e.sparkSession.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
@@ -90,6 +141,11 @@ def connected_components(
         .localCheckpoint()
     )
     fp = _fingerprint(e)
+    if fp[0] <= _DRIVER_SOLVE_MAX_EDGES:
+        # small graph: finish on the driver (exact same labels — see
+        # _driver_components) instead of paying 2 jobs/round for
+        # O(log n) star rounds; the fingerprint above already knows n
+        return _driver_components(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         new_fp = _fingerprint(e)

@@ -84,27 +84,29 @@ def power_iteration_top(
     # nothing leaks past the call.
     base = df.select(F.col(vec_col).alias("_x")).persist()
     eigval = 0.0
-    for _ in range(iters):
-        c = _dot_fixed(x, v, S_DOT).cast("double") / F.lit(S_DOT)
-        staged = base.select(x.alias("_x"), c.alias("_c"))
-        row = staged.agg(
-            *[
-                F.sum(
-                    F.floor(
-                        F.col("_x")[j].cast("double") * F.col("_c") * F.lit(S_W)
-                    ).cast("long")
-                ).alias(f"w{j}")
-                for j in range(dim)
-            ]
-        ).first()
-        # Mirror the oracle's implicit BIGINT -> DOUBLE casts exactly:
-        # float(int) is the same round-to-nearest the SQL cast applies.
-        w = [float(row[f"w{j}"]) / S_W for j in range(dim)]
-        nfix = sum(math.floor(wj * wj * S_NRM) for wj in w)
-        nrm = math.sqrt(float(nfix) / S_NRM)
-        v = [wj / nrm for wj in w]
-        eigval = nrm
-    base.unpersist()
+    try:
+        for _ in range(iters):
+            c = _dot_fixed(x, v, S_DOT).cast("double") / F.lit(S_DOT)
+            staged = base.select(x.alias("_x"), c.alias("_c"))
+            row = staged.agg(
+                *[
+                    F.sum(
+                        F.floor(
+                            F.col("_x")[j].cast("double") * F.col("_c") * F.lit(S_W)
+                        ).cast("long")
+                    ).alias(f"w{j}")
+                    for j in range(dim)
+                ]
+            ).first()
+            # Mirror the oracle's implicit BIGINT -> DOUBLE casts exactly:
+            # float(int) is the same round-to-nearest the SQL cast applies.
+            w = [float(row[f"w{j}"]) / S_W for j in range(dim)]
+            nfix = sum(math.floor(wj * wj * S_NRM) for wj in w)
+            nrm = math.sqrt(float(nfix) / S_NRM)
+            v = [wj / nrm for wj in w]
+            eigval = nrm
+    finally:
+        base.unpersist()
     return v, eigval
 
 

@@ -225,11 +225,13 @@ def semdedup_verdicts(
     code's upper-triangular similarity-matrix procedure, pinned by
     tests/test_similarity.py::test_semdedup_triu_chain_semantics.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # the ranked assignment feeds THREE consumers (both pairwise join
     # sides + the verdict join) — pin it so the corpus x centroids
-    # assignment pass runs once, not three times
+    # assignment pass runs once, not three times. r15: localCheckpoint,
+    # not persist — the r8-era cache entry was never unpersisted, so it
+    # leaked across calls in one session (the bench's later iterations
+    # read iteration 1's cache); the call-local checkpoint materializes
+    # once per call and every fresh call honestly recomputes.
     ranked = assign_nearest_centroid_fp(corpus, centroids).withColumn(
         "rank",
         F.row_number().over(
@@ -237,7 +239,7 @@ def semdedup_verdicts(
                 F.col("dist_fp").desc(), F.col("vec_id").asc()
             )
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     x = ranked.select(
         "cluster",
         F.col("vec_id").alias("x_id"),

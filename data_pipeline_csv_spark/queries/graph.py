@@ -423,12 +423,22 @@ def graph_triangle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = corpus.filter(F.col("vec_id") % 5 != 0)
     new = corpus.filter(F.col("vec_id") % 5 == 0)
     base_edges, base_degrees, base_counts = _tri_base_index_cached(spark, sf_dir)
+    # r15 (the r14 pagerank lever, missed here): the fold references
+    # the batch's edge lists from SIX subtrees spread over the five
+    # broadcast-scalar subquery jobs (t1/t2/t3, wedge delta, edge
+    # delta) — without a call-local materialization each job re-runs
+    # the blocked-GEMM pairing from the embedding scan. Checkpoint the
+    # bounded edge lists (similarity pairs, not corpus rows) so the
+    # GEMM runs once per call; a fresh call still recomputes (eager,
+    # call-local — NOT a persist, which would leak across bench
+    # iterations). Probe (local[8], sf0.1, back-to-back): fold
+    # 5.4-9.4 s -> see OPTIMIZATION_r15.md.
     cross = embedding_cosine_cross_pairs(old, new, threshold=0.25).select(
         F.col("d1").alias("a"), F.col("d2").alias("x")
-    )
+    ).localCheckpoint()
     nn = embedding_cosine_neardup(new, threshold=0.25).select(
         F.col("d1").alias("x"), F.col("d2").alias("y")
-    )
+    ).localCheckpoint()
     return incremental_triangle_stats(base_edges, base_degrees, base_counts, cross, nn)
 
 
@@ -521,7 +531,12 @@ def graph_triangle_edge_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     all_edges, base_edges, base_degrees, base_counts = _tri_edge_base_index_cached(
         spark, sf_dir
     )
-    batch = all_edges.filter(_tri_edge_batch_pred())
+    # r15: the fold references the batch from ~6 subtrees across its
+    # five broadcast-scalar subquery jobs; checkpoint the (tiny,
+    # 1/8-of-edges) batch so each job reads the materialized rows
+    # instead of re-scanning the edge parquet (same lever as
+    # graph_triangle_incremental's cross/nn; call-local, not a persist)
+    batch = all_edges.filter(_tri_edge_batch_pred()).localCheckpoint()
     return edge_incremental_triangle_stats(
         base_edges, base_degrees, base_counts, batch
     )

@@ -453,20 +453,38 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "pipeline", "lm"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 (guide §2.3/§2.4, the r14 ccnet_buckets pattern): ONE
+    # (doc_id, tok) pre-aggregation replaces three evaluations of the
+    # tokenize+explode stream (freq, total, the NLL join's stream
+    # side). freq and the corpus total FOLD from the pre-agg's counts
+    # (sum of group counts == instance count — exact integers), and
+    # the per-doc NLL weights each distinct token's term by its
+    # multiplicity: sum over instances of -ln(p) == sum over distinct
+    # toks of c * -ln(p). n_tokens/n_rare stay exact; `keep` is a
+    # cutoff comparison whose margin (min |avgNLL - 3.404| = 1.9e-6 at
+    # sf0.1, measured under this formulation) is ~6 orders of magnitude
+    # above the ~1e-12 float-accumulation perturbation — hash-verified
+    # unchanged against the oracle at sf0.001/0.01/0.1.
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    pre = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = pre.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     return (
-        toks.join(freq, "tok")
+        pre.join(freq, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("cnt") < 5, 1).otherwise(0)).cast("bigint").alias("n_rare"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") < 5, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_rare"),
             (
-                (F.sum(-F.log(F.col("cnt") / F.col("total"))) / F.count(F.lit(1)))
+                (
+                    F.sum(-F.col("c") * F.log(F.col("cnt") / F.col("total")))
+                    / F.sum("c")
+                )
                 <= F.lit(3.404)
             ).alias("keep"),
         )
@@ -530,6 +548,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<l:string,b:string>>"))
         ).alias("_g"),
     ).select("doc_id", F.col("_g.l").alias("l"), F.col("_g.b").alias("b"))
+    # r15 note: the unigram pre-agg restructure was TRIED here and
+    # REVERTED after an interleaved A/B read 1.14x slower (3/3 process
+    # rounds at sf0.1; oracle hash was identical). The cardinality
+    # argument agrees with the measurement: the bigram vocabulary is
+    # hapax-heavy, so a (doc_id, l, b) pre-aggregation has ~instance
+    # cardinality — it adds a full extra exchange of the bigram stream
+    # without compressing it, unlike the unigram case where per-doc
+    # token repeats make the pre-agg shuffle strictly fewer bytes.
     fb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
     fl = bg.groupBy("l").agg(F.count(F.lit(1)).alias("cl"))
     return (

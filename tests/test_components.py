@@ -51,6 +51,26 @@ def test_chain_worst_case_diameter(spark):
     _check(spark, list(zip(chain, chain[1:])))
 
 
+def test_distributed_star_loop_matches_driver_solve(spark, monkeypatch):
+    """r15: small edge sets are solved on the driver (union-find) and
+    the distributed star loop only runs past _DRIVER_SOLVE_MAX_EDGES.
+    Force BOTH paths over the same graph and require identical labels
+    (and both equal to the reference union-find) — the distributed
+    loop must not rot while the default tests take the driver path."""
+    import data_pipeline_csv_spark.operators.components as C
+
+    rng = random.Random(7)
+    nodes = rng.sample(range(100_000), 300)
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    monkeypatch.setattr(C, "_DRIVER_SOLVE_MAX_EDGES", 0)  # force star loop
+    dist = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    monkeypatch.undo()
+    drv = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    assert dist == drv == _uf_components(edges)
+
+
 def test_self_loops_and_duplicates_tolerated(spark):
     edges = [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3), (9, 8)]
     df = spark.createDataFrame(edges, ["u", "v"])

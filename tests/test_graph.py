@@ -4,6 +4,8 @@ must make the result independent of layout)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from data_pipeline_csv_spark.operators.graph import pagerank
@@ -253,6 +255,7 @@ def test_incremental_triangles_equal_oneshot(spark):
     run([(100, 101), (101, 102), (100, 102)], [100, 101, 102])
 
 
+@pytest.mark.slow
 def test_edge_incremental_triangles_equal_oneshot(spark):
     """edge_incremental_triangle_stats folds an edge-arrival batch into
     the standing index and must equal triangle_stats on the union graph

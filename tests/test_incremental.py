@@ -4,6 +4,8 @@ bit-identical to the single-pass aggregate."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipeline_csv_spark.operators.incremental import (
@@ -97,6 +99,7 @@ def test_streaming_state_merge_epoch_replay_is_idempotent(spark, tmp_path):
     assert got == {("a", 2, 1.5), ("b", 1, 2.0)}
 
 
+@pytest.mark.slow
 def test_incremental_components_equals_oneshot(spark, sf_dir):
     """Contraction-based incremental CC == one-shot CC over the union
     graph, for several batch splits — labels (min ids) compose."""

@@ -335,6 +335,7 @@ import pytest
 
 
 @pytest.mark.parametrize("curve", ["morton", "hilbert"])
+@pytest.mark.slow
 def test_zorder_compact_crash_at_cas_keeps_snapshot(
     spark, sf_dir, tmp_path, monkeypatch, curve
 ):
@@ -1671,6 +1672,7 @@ def test_stats_delete_unbounded_range_and_tag_safety(spark, tmp_path):
     assert rows() == [901]
 
 
+@pytest.mark.slow
 def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
     """EXHAUSTIVE crash-point sweep over the stats layout's whole
     maintenance lifecycle (r12, re-proven over the r13 commit-log
@@ -1809,6 +1811,7 @@ def test_stats_lifecycle_crash_at_every_fs_op(spark, tmp_path):
     assert total_points >= 20  # the sweep actually covered real windows
 
 
+@pytest.mark.slow
 def test_zorder_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
     """The bucket-layout twin of the stats-lifecycle crash sweep, on
     the r14 commit log: a crash injected at EVERY python-side
@@ -2548,6 +2551,7 @@ def test_stats_compute_stats_retrofit(spark, tmp_path, monkeypatch):
         L.stats_compute_stats(spark, path, ["nope"], batch_id="rf2")
 
 
+@pytest.mark.slow
 def test_cdf_incremental_mv_exactly_once(spark, tmp_path, monkeypatch):
     """Change-feed consumer (r14, r13 VERDICT missing #3): a per-key
     (sum, count) MV maintained ONLY from stats_changes_since, with

@@ -344,6 +344,7 @@ def test_frameset_vote_equals_bruteforce(spark, sf_dir):
     frames.unpersist()
 
 
+@pytest.mark.slow
 def test_video_incremental_equals_oneshot(spark, sf_dir):
     """Incremental probe (corpus frame index vs arriving batch +
     within-batch) must equal the one-shot frame-set voting restricted

@@ -7,7 +7,16 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
+
+# Every test here is a replay/compaction/crash sweep over the full
+# epoch-writer machinery (multi-second each; ~230 s total): excluded
+# from the budget-bound default run, exercised via `-m slow`. The
+# default run still covers the writer end-to-end through
+# test_oracle_parity[streaming_dedup_neardup] (drain + in-stream
+# compaction + oracle hash).
+pytestmark = pytest.mark.slow
 
 from data_pipeline_csv_spark.operators.dedup import minhash_lsh_pairs
 from data_pipeline_csv_spark.sources.tables import load_table

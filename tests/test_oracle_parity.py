@@ -14,7 +14,16 @@ from data_pipeline_csv_spark.testing.oracle import (
     smoke_rows_only,
 )
 
-NAMES = list(REGISTRY)
+# The two heaviest oracle replays (DuckDB-side recursive/unrolled CTE
+# chains: ~325 s and ~257 s at sf0.001) are marked slow so the default
+# run fits the driver's verify budget; the driver's own CORRECTNESS
+# gate replays every registered query's oracle independently, so
+# these two keep external cover even in the default set.
+_SLOW_ORACLES = {"text_bpe_merges", "corpus_e2e_prep"}
+NAMES = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLES else n
+    for n in REGISTRY
+]
 
 
 @pytest.fixture(scope="module")

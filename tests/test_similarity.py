@@ -1,6 +1,8 @@
 """ANN quality: IVF top-k must recall most of the exact brute-force
 top-k (the correctness harness can't check approximate results)."""
 
+import pytest
+
 from data_pipeline_csv_spark.operators.similarity import ann_ivf_topk, cosine_topk
 from data_pipeline_csv_spark.sources.tables import load_table, table_num_rows
 
@@ -580,6 +582,7 @@ def test_ivf_append_drift_accumulates_across_batches(spark, sf_dir, tmp_path):
         assert r["min_sim"] <= r["build_min_sim"]
 
 
+@pytest.mark.slow
 def test_ivf_retrain_crash_at_cas_keeps_snapshot(spark, sf_dir, tmp_path, monkeypatch):
     """r14 (replacing the swap-journal roll-back/-forward tests): a
     retrain that crashes AT its CAS publishes nothing — the immediate
@@ -697,6 +700,7 @@ def test_ivf_reader_snapshot_survives_concurrent_retrain(spark, sf_dir, tmp_path
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivf_retrain_vs_append_race_via_cas(spark, sf_dir, tmp_path, monkeypatch):
     """r13 VERDICT next #5's acceptance artifact: a RETRAIN and an
     APPEND race the same layout through the CAS — no locks anywhere.
@@ -745,6 +749,7 @@ def test_ivf_retrain_vs_append_race_via_cas(spark, sf_dir, tmp_path, monkeypatch
 
 
 
+@pytest.mark.slow
 def test_ivf_append_loses_to_retrain_reassigns(spark, sf_dir, tmp_path, monkeypatch):
     """The REVERSE race of test_ivf_retrain_vs_append_race_via_cas: a
     RETRAIN sneaks in and wins the version the APPEND was about to
@@ -958,6 +963,7 @@ def test_ivf_concurrent_appends(spark, sf_dir, tmp_path):
     assert int(total) == len(want)  # sidecar accounts each vector once
 
 
+@pytest.mark.slow
 def test_ivf_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
     """The IVF twin of the stats/bucket crash sweeps, on the r14
     commit log: a crash injected at EVERY python-side filesystem
@@ -1075,6 +1081,7 @@ def test_ivf_lifecycle_crash_at_every_fs_op(spark, sf_dir, tmp_path):
         assert pairs(layout) == post
     assert total_points >= 8  # the sweep covered real crash windows
 
+@pytest.mark.slow
 def test_ivf_vacuum_protects_side_parts_and_time_travel(spark, sf_dir, tmp_path):
     """VACUUM on an IVF layout (inherited from the shared commit log)
     must treat the side pool parts — every retained commit's drift
@@ -1166,6 +1173,7 @@ def test_ivf_vacuum_protects_side_parts_and_time_travel(spark, sf_dir, tmp_path)
     rep2 = ivf_append(extra, None, layout, batch_id="post-vac")
     assert rep2["n_appended"] == 1
 
+@pytest.mark.slow
 def test_ivf_retrain_vs_retrain_race_loser_noops(spark, sf_dir, tmp_path, monkeypatch):
     """Two maintainers racing the SAME retrain: the loser re-plans
     from the winner's commit — whose sidecar has the drift counters

@@ -229,6 +229,7 @@ def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == total
 
 
+@pytest.mark.slow
 def test_streaming_neardup_converges_to_batch_lsh(spark, sf_dir):
     """Draining the id-ordered document feed through the per-epoch
     within-batch + index-probe dedup must yield exactly the one-shot
@@ -371,6 +372,7 @@ def test_cdc_upsert_replay_never_writes_the_dir_it_reads(spark, tmp_path):
     assert [(r.k, r.v, r.seq, r.n_versions) for r in rows] == [(1, "b", 2, 2)]
 
 
+@pytest.mark.slow
 def test_neardup_phase_timings_hook_is_observational(spark, tmp_path, sf_dir):
     """The bench-only phase_timings hook must (a) accumulate every
     phase across epochs and (b) leave the drained pair set identical
@@ -486,6 +488,7 @@ def test_streaming_stats_ingest_epoch_replay_is_noop(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_cdc_stats_merge_replay(spark, tmp_path):
     """foreachBatch is at-least-once per epoch; the CDC stats-merge
     writer keys stats_merge by the epoch id, so a replayed epoch must
@@ -536,6 +539,7 @@ def test_streaming_cdc_stats_merge_replay(spark, tmp_path):
     want = {i: (i * 100 if i % 5 == 0 else i * 10) for i in range(50) if i % 7 != 0}
     assert got == want
 
+@pytest.mark.slow
 def test_streaming_ivf_ingest_epoch_replay_is_noop(spark, tmp_path):
     """The IVF twin of the stats-ingest replay test (r14): foreachBatch
     is at-least-once per epoch; the IVF ingest writer keys ivf_append

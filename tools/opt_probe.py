@@ -20,6 +20,7 @@ import argparse
 import io
 import json
 import os
+import statistics
 import sys
 import time
 from contextlib import redirect_stdout
@@ -70,7 +71,7 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
         out[name] = {
             "min": min(samples),
-            "median": sorted(samples)[len(samples) // 2],
+            "median": statistics.median(samples),
             "samples": samples,
         }
         if args.explain_dir:
