@@ -404,11 +404,15 @@ def test_lm_filters_do_not_force_vocab_broadcast(spark, sf_dir):
     assert opt.count("=broadcast") == 1
     hinted = [l for l in opt.splitlines() if "=broadcast" in l]
     assert "Join Cross" in hinted[0]
-    # the freq join + per-doc agg remain the only wide exchanges at
-    # this SF (AQE broadcast); at scale AQE may add one tok-keyed
-    # corpus exchange for the shuffle join — that is the accepted plan
+    # r15 pre-agg shape: one (doc_id, tok) pre-aggregation feeds the
+    # freq fold, the total fold and the NLL join's stream side, so its
+    # exchange appears once per consumer subtree in the INITIAL plan
+    # text (runtime ReuseExchange dedupes the copies within the job —
+    # the r14 ccnet precedent). Static occurrences therefore bound at
+    # 6 over 4 distinct exchanges: pre-agg, tok-keyed freq fold, the
+    # tok-keyed join re-exchange, and the per-doc agg.
     plan = _plan(uni)
-    assert plan.count("hashpartitioning(") <= 3
+    assert plan.count("hashpartitioning(") <= 6
     assert "CartesianProduct" not in plan
 
     big = REGISTRY["text_bigram_logprob"].fn(spark, sf_dir)
